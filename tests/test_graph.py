@@ -1,0 +1,57 @@
+import numpy as np
+from pyspark.sql import functions as F
+
+from vector_database_watermarking_spark.operators import graph, knn
+
+
+def test_bidirectional_counts_symmetry(spark, sf_dir):
+    """Sum of mutual-edge counts must be even-consistent: each mutual
+    pair contributes 1 to both endpoints."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    edges = knn.knn_edges(emb, k=5).cache()
+    bidir = graph.bidirectional_edge_counts(edges, emb)
+    total = bidir.agg(F.sum("bidir_edges")).collect()[0][0]
+    # count mutual pairs directly
+    e = {(r["src"], r["dst"]) for r in edges.select("src", "dst").collect()}
+    mutual_pairs = sum(1 for (a, b) in e if (b, a) in e)
+    assert total == mutual_pairs
+    edges.unpersist()
+
+
+def test_accessibility_index_zero_mean(spark, sf_dir):
+    """AI is a linear combination of z-scores → population mean ≈ 0."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    edges = knn.knn_edges(emb, k=5)
+    ai = graph.accessibility_index(edges, emb)
+    rows = ai.collect()
+    vals = np.array([r["ai"] for r in rows])
+    assert abs(vals.mean()) < 1e-9
+    assert len(rows) == emb.count()
+
+
+def test_connected_components_on_tiny_graph(spark):
+    edges = spark.createDataFrame(
+        [(0, 1, 1.0, 1), (1, 2, 1.0, 1), (3, 4, 1.0, 1)],
+        ["src", "dst", "dist", "rank"],
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(6)], ["vec_id"])
+    comp = {r["vec_id"]: r["component"] for r in graph.connected_components(edges, nodes).collect()}
+    assert comp[0] == comp[1] == comp[2] == 0
+    assert comp[3] == comp[4] == 3
+    assert comp[5] == 5
+
+
+def test_hidden_nodes_fraction(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    edges = knn.knn_edges(emb, k=5)
+    qc = knn.query_counts(edges, emb)
+    hidden = graph.hidden_nodes(qc, ratio=0.1)
+    n = emb.count()
+    rows = hidden.collect()
+    assert len(rows) == int(n * 0.1)
+    # hidden nodes have the smallest query counts
+    max_hidden = max(r["query_count"] for r in rows)
+    others = {r["vec_id"]: r["query_count"] for r in qc.collect()}
+    hidden_ids = {r["vec_id"] for r in rows}
+    non_hidden_min = min(c for v, c in others.items() if v not in hidden_ids)
+    assert max_hidden <= non_hidden_min

@@ -1,0 +1,69 @@
+import numpy as np
+
+from vector_database_watermarking_spark.operators import knn
+
+
+def load_np(spark, sf_dir):
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .orderBy("vec_id")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    return ids, X
+
+
+def test_knn_edges_match_numpy_bruteforce(spark, sf_dir):
+    ids, X = load_np(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    edges = knn.knn_edges(emb, k=5).collect()
+    got = {}
+    for r in edges:
+        got.setdefault(r["src"], []).append((r["rank"], r["dst"], r["dist"]))
+    d2 = ((X[:, None, :] - X[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    for i, vid in enumerate(ids):
+        order = np.lexsort((ids, np.round(d2[i], 6)))
+        expect = [int(ids[j]) for j in order[:5]]
+        have = [dst for _, dst, _ in sorted(got[vid])]
+        assert have == expect, f"src {vid}"
+
+
+def test_knn_partitioning_invariance(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = sorted(
+        (r["src"], r["rank"], r["dst"])
+        for r in knn.knn_edges(emb, k=3).collect()
+    )
+    b = sorted(
+        (r["src"], r["rank"], r["dst"])
+        for r in knn.knn_edges(emb.repartition(13), k=3).collect()
+    )
+    assert a == b
+
+
+def test_query_counts_total(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    edges = knn.knn_edges(emb, k=5)
+    qc = knn.query_counts(edges, emb)
+    rows = qc.collect()
+    assert len(rows) == n
+    # every query contributes exactly k hits
+    assert sum(r["query_count"] for r in rows) == n * 5
+
+
+def test_lsh_tier_recall(spark, sf_dir):
+    """LSH candidates must recover most true top-5 neighbors (scale
+    tier is approximate by design; sanity-check recall > 0.5)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r["src"], r["dst"]) for r in knn.knn_edges(emb, k=5).collect()
+    }
+    approx = {
+        (r["src"], r["dst"])
+        for r in knn.knn_edges(emb, k=5, exact=False).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall > 0.5, recall

@@ -1,0 +1,184 @@
+"""Graph analytics over the kNN-edges table (SURVEY §2.8, G1-G7 /
+J2 / J3 / A5).
+
+The reference walks faiss HNSW CSR arrays with Python loops
+(``/root/reference/watermarking.py:168-201``, ``:249-272``); here the
+graph IS a DataFrame ``edges(src, dst, dist, rank)`` and every metric
+is a join + aggregation that Catalyst plans (self-joins on (src,dst)
+hash-partition by key; the z-scoring global aggregate is a 1-row
+broadcast).
+
+Scale notes: all per-node metrics shuffle once on ``src``; reusing one
+partitioning across J2/J3/A5 means AQE coalesces the exchanges. The
+1-row stats crossJoin is a BroadcastNestedLoopJoin — O(1) data moved.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def bidirectional_edge_counts(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """J2/G2: per node, number of neighbors v with the reverse edge
+    v→u also present (``count_bidirectional_edges``,
+    ``watermarking.py:177-185``). Mutual-kNN pairs, per SURVEY §4
+    (J1 note): bidirectional edge ≡ mutual-kNN pair.
+
+    Left-semi self-join on the flipped key; nodes with no mutual edges
+    get 0 (the reference's loop yields 0 naturally).
+    """
+    e = edges.select("src", "dst")
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    mutual = e.join(rev, on=["src", "dst"], how="left_semi")
+    counts = mutual.groupBy("src").agg(F.count(F.lit(1)).alias("bidir_edges"))
+    return (
+        nodes.select(F.col("vec_id"))
+        .join(counts, nodes.vec_id == counts.src, "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("bidir_edges"), F.lit(0)).cast("long").alias("bidir_edges"),
+        )
+    )
+
+
+def avg_edge_lengths(
+    edges: DataFrame, nodes: DataFrame, decimals: int | None = None
+) -> DataFrame:
+    """J3/G3: per-node mean outgoing edge length
+    (``calculate_average_neighbor_distance``, ``watermarking.py:188-201``).
+
+    The edges table already carries ``dist`` so this is a bare groupBy —
+    the reference recomputes every distance from the raw vectors.
+    Isolated nodes (possible under the LSH tier) get null, which the
+    z-scoring step skips like the reference's ``np.nanmean``
+    (``watermarking.py:260-264``; A4 NaN note).
+    """
+    dist = F.col("dist")
+    if decimals is not None:
+        dist = F.round(dist, decimals)
+    avg = edges.groupBy("src").agg(F.avg(dist).alias("avg_edge_len"))
+    return (
+        nodes.select("vec_id")
+        .join(avg, nodes.vec_id == avg.src, "left")
+        .select("vec_id", "avg_edge_len")
+    )
+
+
+def accessibility_index(
+    edges: DataFrame, nodes: DataFrame, decimals: int | None = None
+) -> DataFrame:
+    """A5/G4: AI = 0.5*z(avg_edge_len) − 0.5*z(bidir_edge_count)
+    (``calculate_accessibility_indices_with_index_array``,
+    ``watermarking.py:249-272``). High AI = long edges + few mutual
+    links = low-visibility node, preferred watermark carrier.
+
+    z-scores use population std (numpy's default ddof=0) and skip nulls
+    (nanmean/nanstd parity). Std is computed from explicit moments
+    (``sqrt(E[x²] − E[x]²)``) rather than ``stddev_pop`` so the DuckDB
+    oracle can reproduce the value bit-for-bit from the same formula;
+    ``decimals`` optionally rounds the edge-length metric first for the
+    same reason.
+    """
+    edges = edges.persist()  # consumed 3× (self-join both sides + lengths)
+    per_node = bidirectional_edge_counts(edges, nodes).join(
+        avg_edge_lengths(edges, nodes, decimals=decimals), on="vec_id"
+    )
+    e = F.col("bidir_edges").cast("double")
+    d_ = F.col("avg_edge_len")
+    stats = per_node.agg(
+        F.avg(e).alias("mean_e"),
+        F.sqrt(F.avg(e * e) - F.avg(e) * F.avg(e)).alias("std_e"),
+        F.avg(d_).alias("mean_d"),
+        F.sqrt(F.avg(d_ * d_) - F.avg(d_) * F.avg(d_)).alias("std_d"),
+    )
+    return (
+        per_node.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "ai",
+            0.5 * (F.col("avg_edge_len") - F.col("mean_d")) / F.col("std_d")
+            - 0.5 * (F.col("bidir_edges") - F.col("mean_e")) / F.col("std_e"),
+        )
+        .select("vec_id", "bidir_edges", "avg_edge_len", "ai")
+    )
+
+
+def hidden_nodes(qcounts: DataFrame, ratio: float = 0.1) -> DataFrame:
+    """W4: the lowest-`ratio` fraction of nodes by query count
+    (``build_hnsw_and_get_hidden_nodes``,
+    ``t_vector/e3_hidden_nodes_ratio_with_diff_M.py:52-56``).
+    Deterministic tie-break by vec_id."""
+    n = qcounts.count()
+    take = int(n * ratio)
+    w = Window.orderBy(F.col("query_count").asc(), F.col("vec_id").asc())
+    return (
+        qcounts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= take)
+        .select("vec_id", "query_count")
+    )
+
+
+def edge_count_histogram(bidir: DataFrame) -> DataFrame:
+    """G7/A6: distribution of bidirectional-edge counts
+    (``t_vector/e4-plot_bianpinlv.py:50-65``)."""
+    total = bidir.count()
+    return (
+        bidir.groupBy("bidir_edges")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .withColumn("ratio", F.col("n_nodes") / F.lit(float(total)))
+    )
+
+
+def connected_components(
+    edges: DataFrame, nodes: DataFrame, max_iter: int = 50
+) -> DataFrame:
+    """G5: connected components of the (undirected) kNN graph
+    (BFS at ``t_vector/e1_steath_vector.py:41-54``).
+
+    Label-propagation to fixpoint: every node starts with label =
+    vec_id; each round takes the min label over itself + neighbors.
+    Converges in O(diameter) rounds; ``localCheckpoint`` every round
+    cuts lineage so plans stay small (SURVEY §4.3). At 100 TB one
+    would switch to the large-star/small-star algorithm, but the loop
+    below is the same join shape.
+    """
+    sym = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    labels = nodes.select("vec_id", F.col("vec_id").alias("component"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.vec_id, "inner")
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.vec_id == neighbor_min.src, "left")
+            .select(
+                "vec_id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="vec_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def component_sizes(components: DataFrame) -> DataFrame:
+    """W5/F4 support: size per component (largest cluster =
+    ``max(clusters, key=len)`` at ``t_vector/e1:159``; small-cluster
+    predicate ``size <= 10`` at ``t_vector/e1:97-98``)."""
+    return components.groupBy("component").agg(F.count(F.lit(1)).alias("n_nodes"))

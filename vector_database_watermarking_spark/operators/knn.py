@@ -1,0 +1,189 @@
+"""kNN join — the engine's replacement for the reference's faiss HNSW
+index (SURVEY J1/S6/W3/A3).
+
+Reference: ``faiss.IndexHNSWFlat(d, M)`` built at
+``/root/reference/watermarking.py:285-290`` and queried row-at-a-time
+(``watermarking.py:302-308``). HNSW is approximate and
+construction-order dependent; per SURVEY §4.1 the engine's reference
+semantics is the **exact kNN graph** (deterministic, oracle-checkable),
+with an LSH tier for scale.
+
+Scale notes (100 TB): the exact tier is a blocked cross join — O(n²)
+distance evaluations, correct up to ~1e5 rows per side; at cluster
+scale use ``knn_join(..., exact=False)`` which buckets with
+``BucketedRandomProjectionLSH`` so only same/adjacent-bucket pairs are
+compared (candidate generation is an equi-join on bucket id — a plain
+shuffle join Catalyst can plan, with AQE skew splitting for hot
+buckets). The per-query top-k is a ``row_number`` window partitioned by
+query id — partial top-k is pushed map-side by Spark's
+``WindowGroupLimit`` (rank-limit pushdown) so the shuffle carries only
+candidates, not all pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.distance import squared_euclidean
+
+#: ranking rounds squared distances to this many decimals before
+#: ordering (ties then break by neighbor id) so that the ranking is
+#: reproducible across summation orders / engines (SURVEY §4.2:
+#: partitioning-invariant results).
+_RANK_DECIMALS = 6
+
+
+def knn_join(
+    queries: DataFrame,
+    base: DataFrame,
+    k: int,
+    exact: bool = True,
+    exclude_self: bool = True,
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 3,
+) -> DataFrame:
+    """Top-k nearest base vectors for every query vector.
+
+    Inputs are ``(vec_id, embedding)`` DataFrames; output is
+    ``(src, dst, dist, rank)`` with ``rank`` 1-based by ascending
+    euclidean distance (ties by ``dst``). ``src`` is the query's id.
+
+    Exact tier: the base side is broadcast to every task and each
+    Arrow batch of queries computes its distance block vectorized in
+    numpy (``mapInPandas``), emitting only the per-query top-k — the
+    O(n²) pair relation is never materialized and no shuffle carries
+    it. Distances accumulate dimension-by-dimension in float64, which
+    is bit-identical to a sequential fold over ``(a_i − b_i)²``
+    (matching both the HOF formulation and the DuckDB oracle), so
+    rankings are reproducible across tiers and engines.
+    """
+    if exact:
+        return _exact_knn_broadcast(queries, base, k, exclude_self)
+
+    q = queries.select(F.col("vec_id").alias("src"), F.col("embedding").alias("q_emb"))
+    b = base.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("b_emb"))
+    pairs = _lsh_candidates(q, b, bucket_length, num_hash_tables)
+    if exclude_self:
+        pairs = pairs.filter(F.col("src") != F.col("dst"))
+
+    pairs = pairs.withColumn("dist_sq", squared_euclidean("q_emb", "b_emb"))
+    w = Window.partitionBy("src").orderBy(
+        F.round(F.col("dist_sq"), _RANK_DECIMALS).asc(), F.col("dst").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "src",
+            "dst",
+            F.sqrt("dist_sq").alias("dist"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def _exact_knn_broadcast(
+    queries: DataFrame, base: DataFrame, k: int, exclude_self: bool
+) -> DataFrame:
+    """Broadcast-base exact kNN via ``mapInPandas``.
+
+    Scale notes: correct while the base side fits in a broadcast
+    (~1e6 × d floats). Larger bases at cluster scale go through the
+    LSH tier, or block the base into broadcastable chunks and take a
+    top-k-of-top-ks union (same output contract). The probe side is
+    repartitioned so a single-file scan still uses every core.
+    """
+    import numpy as np
+    import pandas as pd
+
+    sess = queries.sparkSession
+    rows = base.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, X = ids[order], X[order]
+    bc = sess.sparkContext.broadcast((ids, X))
+    kk = min(k, len(ids) - (1 if exclude_self else 0))
+
+    def topk(batches):
+        b_ids, b_X = bc.value
+        n, d = b_X.shape
+        for pdf in batches:
+            q_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            Q = np.array(list(pdf["embedding"]), dtype=np.float64)
+            m = len(q_ids)
+            acc = np.zeros((m, n), dtype=np.float64)
+            for i in range(d):  # sequential per-dim accumulation = fold parity
+                diff = Q[:, i : i + 1] - b_X[:, i][None, :]
+                acc += diff * diff
+            r6 = np.round(acc, _RANK_DECIMALS)
+            if exclude_self:
+                self_mask = q_ids[:, None] == b_ids[None, :]
+                r6 = np.where(self_mask, np.inf, r6)
+            out_src = np.repeat(q_ids, kk)
+            out_dst = np.empty(m * kk, dtype=np.int64)
+            out_dist = np.empty(m * kk, dtype=np.float64)
+            out_rank = np.tile(np.arange(1, kk + 1, dtype=np.int32), m)
+            for r in range(m):
+                sel = np.lexsort((b_ids, r6[r]))[:kk]
+                out_dst[r * kk : (r + 1) * kk] = b_ids[sel]
+                out_dist[r * kk : (r + 1) * kk] = np.sqrt(acc[r, sel])
+            yield pd.DataFrame(
+                {"src": out_src, "dst": out_dst, "dist": out_dist, "rank": out_rank}
+            )
+
+    nparts = sess.sparkContext.defaultParallelism
+    return queries.select("vec_id", "embedding").repartition(nparts).mapInPandas(
+        topk, schema="src long, dst long, dist double, rank int"
+    )
+
+
+def _lsh_candidates(q: DataFrame, b: DataFrame, bucket_length: float, num_hash_tables: int) -> DataFrame:
+    """Candidate pairs via random-hyperplane bucketing (public MLlib
+    ``BucketedRandomProjectionLSH``). Returns (src, q_emb, dst, b_emb)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    qv = q.withColumn("features", array_to_vector(F.col("q_emb").cast("array<double>")))
+    bv = b.withColumn("features", array_to_vector(F.col("b_emb").cast("array<double>")))
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=42,
+    )
+    model = lsh.fit(bv)
+    qh = model.transform(qv).select("src", "q_emb", F.posexplode("hashes").alias("ht", "hv"))
+    bh = model.transform(bv).select("dst", "b_emb", F.posexplode("hashes").alias("ht", "hv"))
+    qh = qh.withColumn("bucket", vector_to_array(F.col("hv"))[0].cast("long"))
+    bh = bh.withColumn("bucket", vector_to_array(F.col("hv"))[0].cast("long"))
+    return (
+        qh.join(bh, on=["ht", "bucket"], how="inner")
+        .select("src", "q_emb", "dst", "b_emb")
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+def knn_edges(emb: DataFrame, k: int, exact: bool = True) -> DataFrame:
+    """The kNN-edges table standing in for the HNSW level-0 graph
+    (SURVEY §1: ``-1`` slot padding disappears — F1 is a no-op)."""
+    e = emb.select("vec_id", "embedding")
+    return knn_join(e, e, k=k, exact=exact, exclude_self=True)
+
+
+def query_counts(edges: DataFrame, emb: DataFrame) -> DataFrame:
+    """A3: how often each vector appears in other vectors' top-k
+    (``watermarking.py:302-308``; self-hits already excluded by the
+    edges table). Vectors never hit get count 0 (left join + coalesce),
+    which F2 (never-searched filter, ``t_vector/e1:39``) relies on.
+    """
+    counts = edges.groupBy(F.col("dst").alias("vec_id")).agg(
+        F.count(F.lit(1)).alias("query_count")
+    )
+    return (
+        emb.select("vec_id")
+        .join(counts, on="vec_id", how="left")
+        .withColumn("query_count", F.coalesce(F.col("query_count"), F.lit(0)).cast("long"))
+    )

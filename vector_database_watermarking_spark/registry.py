@@ -1,0 +1,385 @@
+"""Driver-contract query registry.
+
+Every oracle-checkable operator from SURVEY.md §2 registers here as a
+``(spark_fn, oracle_sql)`` pair; ``__spark_entry__.py`` re-exports it.
+Column names and value rounding are kept identical on both sides (the
+driver hash-compares values after sorting columns by name).
+
+Determinism policy (SURVEY §4.2): every float that reaches an output is
+rounded (sums to 2-3 decimals, unit-scale values to 6) so that
+summation-order ulp differences between Spark and DuckDB can't flip the
+hash; every ranking orders by a rounded key with an id tie-break.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.hashing import (
+    key_dims,
+    oracle_content_id,
+    oracle_hash_mod,
+    oracle_parity_hidden_bit,
+)
+from .operators import graph, knn
+from .operators.grouping import classify, group_counts, majority_decode
+from .sources.tables import load_embeddings, load_table
+
+# Fixed experiment parameters (mirror the reference defaults:
+# seed=20 `watermarking.py:13`, L=21 `compare/roubust.py:162`, k=10
+# `watermarking.py:305`, d=64 from the fixture schema).
+SEED = 20
+D = 64
+L = 21
+K = 10
+DIMS = key_dims(D, SEED)  # random.Random(20).sample(range(64), 10)
+
+
+@dataclass
+class Q:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]
+
+
+QUERIES: dict[str, Q] = {}
+
+
+def register(name: str, oracle: Optional[str] = None):
+    def deco(fn):
+        QUERIES[name] = Q(fn, oracle)
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# Shared DuckDB oracle fragments
+# --------------------------------------------------------------------------
+
+_ID = oracle_content_id("embedding", DIMS)
+
+
+def _knn_cte(k: int = K) -> str:
+    """DuckDB CTE computing the exact kNN edges exactly like
+    ``operators.knn.knn_join``: per-pair squared distance accumulated
+    left-to-right in float64, ranked by (round(dist_sq,6), dst)."""
+    return f"""
+WITH pairs AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+    list_sum(list_transform(range(1, {D + 1}),
+      i -> (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))
+         * (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE)))) AS dist_sq
+  FROM embeddings a CROSS JOIN embeddings b
+  WHERE a.vec_id <> b.vec_id
+),
+edges AS (
+  SELECT src, dst, dist_sq,
+         row_number() OVER (PARTITION BY src ORDER BY round(dist_sq, 6), dst) AS rank
+  FROM pairs
+  QUALIFY rank <= {k}
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# A1/A2 — group & classify, majority decode (detection path C3/C5)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "a1_group_classify",
+    oracle=f"""
+SELECT CAST({oracle_hash_mod(_ID, L)} AS INTEGER) AS group_id,
+       {oracle_parity_hidden_bit('embedding', _ID, D)} AS hidden_bit,
+       CAST(count(*) AS BIGINT) AS n_vectors
+FROM embeddings
+GROUP BY 1, 2
+""",
+)
+def a1_group_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 (``watermarking.py:119-150``): bucket vectors by
+    (group_id, hidden_bit) — native parity tier."""
+    emb = load_embeddings(spark, sf_dir)
+    return group_counts(classify(emb, DIMS, L=L, d=D))
+
+
+@register(
+    "a2_majority_decode",
+    oracle=f"""
+WITH cls AS (
+  SELECT CAST({oracle_hash_mod(_ID, L)} AS INTEGER) AS group_id,
+         {oracle_parity_hidden_bit('embedding', _ID, D)} AS hidden_bit
+  FROM embeddings
+)
+SELECT group_id,
+       CAST(sum(hidden_bit) AS BIGINT) AS n_ones,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(CASE WHEN 2 * sum(hidden_bit) > count(*) THEN 1 ELSE 0 END AS INTEGER) AS decoded_bit
+FROM cls GROUP BY group_id
+""",
+)
+def a2_majority_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 (``watermarking.py:402-427``): per-group majority vote."""
+    emb = load_embeddings(spark, sf_dir)
+    return majority_decode(classify(emb, DIMS, L=L, d=D))
+
+
+# --------------------------------------------------------------------------
+# J1 / A3 / G2-G4 / W4 — kNN graph family
+# --------------------------------------------------------------------------
+
+
+@register(
+    "j1_knn_edges",
+    oracle=_knn_cte()
+    + """
+SELECT src, dst, round(sqrt(dist_sq), 6) AS dist, CAST(rank AS INTEGER) AS rank
+FROM edges
+""",
+)
+def j1_knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 (``watermarking.py:285-308``): exact kNN edges, k=10."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn.knn_edges(emb, k=K).withColumn("dist", F.round("dist", 6))
+
+
+@register(
+    "a3_query_counts",
+    oracle=_knn_cte()
+    + """
+SELECT e.vec_id, CAST(coalesce(c.cnt, 0) AS BIGINT) AS query_count
+FROM embeddings e
+LEFT JOIN (SELECT dst, count(*) AS cnt FROM edges GROUP BY dst) c
+  ON e.vec_id = c.dst
+""",
+)
+def a3_query_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 (``watermarking.py:302-308``): top-k hit counts per vector."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = knn.knn_edges(emb, k=K)
+    return knn.query_counts(edges, emb)
+
+
+@register(
+    "g2_bidirectional_edges",
+    oracle=_knn_cte()
+    + """
+SELECT emb.vec_id, CAST(coalesce(m.bidir, 0) AS BIGINT) AS bidir_edges
+FROM embeddings emb
+LEFT JOIN (
+  SELECT e1.src, count(*) AS bidir
+  FROM edges e1 JOIN edges e2 ON e1.src = e2.dst AND e1.dst = e2.src
+  GROUP BY e1.src
+) m ON emb.vec_id = m.src
+""",
+)
+def g2_bidirectional_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/G2 (``watermarking.py:177-185``): mutual-kNN edge counts."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = knn.knn_edges(emb, k=K)
+    return graph.bidirectional_edge_counts(edges, emb)
+
+
+@register(
+    "g3_avg_edge_length",
+    oracle=_knn_cte()
+    + """
+SELECT emb.vec_id, round(a.ael, 5) AS avg_edge_len
+FROM embeddings emb
+JOIN (SELECT src, avg(round(sqrt(dist_sq), 6)) AS ael FROM edges GROUP BY src) a
+  ON emb.vec_id = a.src
+""",
+)
+def g3_avg_edge_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/G3 (``watermarking.py:188-201``): per-node mean edge length.
+
+    Averages over 6-decimal-rounded distances so both engines see
+    identical inputs; output rounded to 5 leaves margin for
+    summation-order ulp drift.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = knn.knn_edges(emb, k=K)
+    return graph.avg_edge_lengths(edges, emb, decimals=6).withColumn(
+        "avg_edge_len", F.round("avg_edge_len", 5)
+    )
+
+
+@register(
+    "g4_accessibility_index",
+    oracle=_knn_cte()
+    + """
+, bidir AS (
+  SELECT emb.vec_id, CAST(coalesce(m.bidir, 0) AS BIGINT) AS bidir_edges
+  FROM embeddings emb
+  LEFT JOIN (
+    SELECT e1.src, count(*) AS bidir
+    FROM edges e1 JOIN edges e2 ON e1.src = e2.dst AND e1.dst = e2.src
+    GROUP BY e1.src
+  ) m ON emb.vec_id = m.src
+),
+lens AS (SELECT src AS vec_id, avg(round(sqrt(dist_sq), 6)) AS avg_edge_len FROM edges GROUP BY src),
+per_node AS (
+  SELECT b.vec_id, b.bidir_edges, l.avg_edge_len
+  FROM bidir b LEFT JOIN lens l ON b.vec_id = l.vec_id
+),
+stats AS (
+  SELECT avg(CAST(bidir_edges AS DOUBLE)) AS mean_e,
+         sqrt(avg(CAST(bidir_edges AS DOUBLE) * CAST(bidir_edges AS DOUBLE))
+              - avg(CAST(bidir_edges AS DOUBLE)) * avg(CAST(bidir_edges AS DOUBLE))) AS std_e,
+         avg(avg_edge_len) AS mean_d,
+         sqrt(avg(avg_edge_len * avg_edge_len) - avg(avg_edge_len) * avg(avg_edge_len)) AS std_d
+  FROM per_node
+)
+SELECT vec_id, bidir_edges, round(avg_edge_len, 5) AS avg_edge_len,
+       round(0.5 * (avg_edge_len - mean_d) / std_d
+           - 0.5 * (bidir_edges - mean_e) / std_e, 5) AS ai
+FROM per_node CROSS JOIN stats
+""",
+)
+def g4_accessibility_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/G4 (``watermarking.py:249-272``): accessibility index.
+
+    Same explicit-moments formula as the oracle, over 6-decimal-rounded
+    edge lengths; outputs rounded to 5.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = knn.knn_edges(emb, k=K)
+    return (
+        graph.accessibility_index(edges, emb, decimals=6)
+        .withColumn("avg_edge_len", F.round("avg_edge_len", 5))
+        .withColumn("ai", F.round("ai", 5))
+    )
+
+
+@register(
+    "w4_hidden_nodes",
+    oracle=_knn_cte()
+    + """
+, qc AS (
+  SELECT e.vec_id, CAST(coalesce(c.cnt, 0) AS BIGINT) AS query_count
+  FROM embeddings e
+  LEFT JOIN (SELECT dst, count(*) AS cnt FROM edges GROUP BY dst) c
+    ON e.vec_id = c.dst
+)
+SELECT vec_id, query_count
+FROM (SELECT vec_id, query_count,
+             row_number() OVER (ORDER BY query_count, vec_id) AS rn
+      FROM qc)
+WHERE rn <= (SELECT CAST(count(*) * 0.1 AS INTEGER) FROM embeddings)
+""",
+)
+def w4_hidden_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 (``t_vector/e3_hidden_nodes_ratio_with_diff_M.py:52-56``):
+    bottom-10% of nodes by query count."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = knn.knn_edges(emb, k=K)
+    qc = knn.query_counts(edges, emb)
+    return graph.hidden_nodes(qc, ratio=0.1)
+
+
+# --------------------------------------------------------------------------
+# Relational shapes (TPC-H-ish) — exercise scan/filter/join/agg/window
+# --------------------------------------------------------------------------
+
+
+@register(
+    "rel_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan + filter + hash agg (map-side partials)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "rel_top_revenue_nations",
+    oracle="""
+SELECT n.n_name, round(sum(o.o_totalprice), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+)
+def rel_top_revenue_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join chain with broadcast dims (nation: 25 rows)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "rel_customers_without_orders",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+""",
+)
+def rel_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join shape (S3's dedup-scan uses the same plan)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "rel_order_rank_window",
+    oracle="""
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+       CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rk
+FROM orders
+QUALIFY rk <= 3
+""",
+)
+def rel_order_rank_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W2/W3 window shape: per-key top-n with deterministic ties."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
