@@ -1,0 +1,91 @@
+import math
+
+from pyspark.sql import functions as F
+
+from vector_database_watermarking_spark.operators import attacks, knn, stats
+from vector_database_watermarking_spark.experiments import robustness_grid
+
+
+def test_random_delete_exact_count_and_invariance(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    out = attacks.random_delete(emb, 0.3, seed=7)
+    assert out.count() == n - math.ceil(n * 0.3)
+    ids1 = sorted(r["vec_id"] for r in out.select("vec_id").collect())
+    ids2 = sorted(
+        r["vec_id"]
+        for r in attacks.random_delete(emb.repartition(9), 0.3, seed=7)
+        .select("vec_id")
+        .collect()
+    )
+    assert ids1 == ids2
+
+
+def test_random_modify_touches_exact_rows_and_span(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    out = attacks.random_modify(emb, 0.2, seed=7, span=30)
+    orig = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    new = {r["vec_id"]: r["embedding"] for r in out.collect()}
+    changed = [v for v in orig if orig[v] != new[v]]
+    assert len(changed) == math.ceil(n * 0.2)
+    for v in changed[:10]:
+        diffs = [i for i, (a, b) in enumerate(zip(orig[v], new[v])) if a != b]
+        assert len(diffs) <= 30
+        vals = {new[v][i] for i in diffs}
+        assert len(vals) == 1  # one uniform value across the span
+
+
+def test_gaussian_insertion_stats(spark, sf_dir):
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    out = attacks.gaussian_insertion(emb, 300, seed=7)
+    assert out.count() == emb.count() + 300
+    new_rows = out.filter(F.col("vec_id") >= 10_000_000).collect()
+    X = np.array([r["embedding"] for r in new_rows])
+    base = np.array([r["embedding"] for r in emb.collect()])
+    # synthetic rows roughly match per-dim stats
+    assert abs(X.mean() - base.mean()) < 0.05
+    assert abs(X.std() - base.std()) < 0.1
+
+
+def test_hit_rate_and_missed_false(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    edges = knn.knn_edges(emb, k=5).cache()
+    assert stats.hit_rate(edges, edges, 5) == 1.0
+    mf = stats.missed_false_counts(edges, edges)
+    row = mf.agg(F.sum("missed"), F.sum("false_hits")).head()
+    assert row[0] == 0 and row[1] == 0
+    # against attacked data the rate drops
+    attacked = attacks.random_delete(emb, 0.4, seed=7)
+    edges2 = knn.knn_edges(attacked, k=5)
+    hr = stats.hit_rate(edges2, edges, 5)
+    assert 0.0 < hr < 1.0
+    edges.unpersist()
+
+
+def test_jaccard(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assert stats.row_set_jaccard(emb, emb) == 1.0
+    smaller = attacks.random_delete(emb, 0.5, seed=7)
+    j = stats.row_set_jaccard(emb, smaller)
+    assert 0.4 < j < 0.6
+
+
+def test_robustness_grid_monotone_trend(spark, sf_dir):
+    """BER stays 0 with no/low attack and is non-trivially higher at
+    p=0.8 than p=0.1 under random deletion (BASELINE.md band)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    res = robustness_grid(
+        emb,
+        "10101",
+        attack="random_delete",
+        strengths=(0.7,),
+        ths=(1.0,),
+        ps=(0.0, 0.5),
+        seed=20,
+    )
+    by_p = {r.p: r.ber for r in res}
+    assert by_p[0.0] == 0.0
+    assert by_p[0.5] <= 0.4  # majority usually survives 50% deletion

@@ -1,0 +1,211 @@
+"""Attack operators (SURVEY C8, W2/W6/P14/SO2 —
+``/root/reference/roubust/roubust.py:61-208``, ``compare/roubust.py:50-96``).
+
+All randomness is a pure function of (seed, vec_id) via keyed 60-bit
+md5 hashes (SURVEY §4.2): the same attack on the same data gives the
+same result under any partitioning — and the DuckDB oracle can replay
+it, so even the "random" attacks are oracle-checkable.
+
+Scale notes: deletions are hash-ranked ``row_number`` windows (global
+order over a 60-bit key — at 100 TB switch the exact-n global sort for
+a quantile cut via ``approxQuantile`` on the hash key; same
+semantics to within sampling error). Modification rewrites arrays with
+a native ``transform`` — no UDF, no shuffle. Insertion derives
+per-dim stats with one posexplode aggregation and synthesizes rows
+JVM-side with Box-Muller over keyed hashes.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash60
+
+
+def _rank_key(seed: int, tag: str) -> Column:
+    return hash60(F.concat_ws("_", F.lit(str(seed)), F.lit(tag), F.col("vec_id")))
+
+
+def _uniform01(*cols: Column) -> Column:
+    """U(0,1) from a keyed hash — pure, partitioning-invariant."""
+    return (hash60(F.concat_ws("_", *cols)) + F.lit(1).cast("double")) / F.lit(
+        float(2**60 + 2)
+    )
+
+
+def random_delete(emb: DataFrame, p: float, seed: int = 42) -> DataFrame:
+    """W6 deletion (``roubust/roubust.py:76-97``): keep exactly
+    ``n − ceil(n·p)`` rows, chosen by hash order (the reference keeps a
+    uniform sample of that size — see SURVEY W6 note on its
+    keep-count semantics)."""
+    n = emb.count()
+    keep = n - int(math.ceil(n * p))
+    w = Window.orderBy(_rank_key(seed, "dele"), F.col("vec_id"))
+    return (
+        emb.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= keep)
+        .drop("_rn")
+    )
+
+
+def adaptive_delete(emb: DataFrame, ai: DataFrame, p: float) -> DataFrame:
+    """W2 adaptive deletion (``adaptive_dele``,
+    ``watermarking.py:430-443``): drop the top ``ceil(n·p)`` rows by
+    accessibility index (the attacker removes the most likely
+    carriers). ``ai`` is ``(vec_id, ai)``."""
+    n = emb.count()
+    remove = int(math.ceil(n * p))
+    w = Window.orderBy(F.col("ai").desc(), F.col("vec_id"))
+    ranked = ai.withColumn("_rn", F.row_number().over(w))
+    keep_ids = ranked.filter(F.col("_rn") > remove).select("vec_id")
+    return emb.join(keep_ids, on="vec_id", how="left_semi")
+
+
+def random_modify(
+    emb: DataFrame,
+    p: float,
+    seed: int = 42,
+    span: int = 30,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """C8 modification (``random_modify``, ``roubust/roubust.py:132-156``,
+    ``tabularMark.py:192-219``): for ``ceil(n·p)`` hash-chosen rows,
+    overwrite ``span`` consecutive dims (mod d) starting at a per-row
+    offset with one uniform value drawn from a dimension's [min, max].
+
+    Native: the array rewrite is a ``transform`` lambda over the
+    element index — whole-stage codegen, no Python.
+    """
+    n = emb.count()
+    modify = int(math.ceil(n * p))
+    if lo is None or hi is None:
+        stats = (
+            emb.select(F.explode("embedding").alias("v"))
+            .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+            .head()
+        )
+        lo = float(stats["lo"]) if lo is None else lo
+        hi = float(stats["hi"]) if hi is None else hi
+
+    w = Window.orderBy(_rank_key(seed, "modi"), F.col("vec_id"))
+    d = F.size("embedding")
+    offset = (hash60(F.concat_ws("_", F.lit(str(seed)), F.lit("off"), F.col("vec_id"))) % d).cast("int")
+    new_val = (
+        F.lit(lo)
+        + (F.lit(hi) - F.lit(lo))
+        * _uniform01(F.lit(str(seed)), F.lit("val"), F.col("vec_id"))
+    ).cast("float")
+
+    modified = F.transform(
+        "embedding",
+        lambda x, i: F.when(
+            ((i - F.col("_off") + d) % d) < F.lit(span), F.col("_nv")
+        ).otherwise(x),
+    )
+    return (
+        emb.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_off", offset)
+        .withColumn("_nv", new_val)
+        .withColumn(
+            "embedding",
+            F.when(F.col("_rn") <= modify, modified).otherwise(F.col("embedding")),
+        )
+        .drop("_rn", "_off", "_nv")
+    )
+
+
+def adaptive_modify(
+    emb: DataFrame,
+    ai: DataFrame,
+    p: float,
+    seed: int = 42,
+    span: int = 30,
+) -> DataFrame:
+    """W2 modification (``adaptive_modify``, ``roubust/roubust.py:99-130``):
+    same array rewrite, targets = top ``ceil(n·p)`` rows by AI."""
+    n = emb.count()
+    modify = int(math.ceil(n * p))
+    w = Window.orderBy(F.col("ai").desc(), F.col("vec_id"))
+    targets = (
+        ai.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= modify)
+        .select("vec_id")
+    )
+    stats = (
+        emb.select(F.explode("embedding").alias("v"))
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .head()
+    )
+    lo, hi = float(stats["lo"]), float(stats["hi"])
+
+    d = F.size("embedding")
+    offset = (hash60(F.concat_ws("_", F.lit(str(seed)), F.lit("off"), F.col("vec_id"))) % d).cast("int")
+    new_val = (
+        F.lit(lo)
+        + (F.lit(hi) - F.lit(lo))
+        * _uniform01(F.lit(str(seed)), F.lit("val"), F.col("vec_id"))
+    ).cast("float")
+    modified = F.transform(
+        "embedding",
+        lambda x, i: F.when(
+            ((i - F.col("_off") + d) % d) < F.lit(span), F.col("_nv")
+        ).otherwise(x),
+    )
+    return (
+        emb.join(targets.withColumn("_hit", F.lit(1)), on="vec_id", how="left")
+        .withColumn("_off", offset)
+        .withColumn("_nv", new_val)
+        .withColumn(
+            "embedding",
+            F.when(F.col("_hit").isNotNull(), modified).otherwise(F.col("embedding")),
+        )
+        .drop("_hit", "_off", "_nv")
+    )
+
+
+def gaussian_insertion(
+    emb: DataFrame, num_to_insert: int, seed: int = 42, id_offset: int = 10_000_000
+) -> DataFrame:
+    """P14+SO2 insertion attack (``generate_vector`` +
+    ``adaptive_insertion``, ``roubust/roubust.py:185-208``): append
+    synthetic rows drawn ~ N(col_mean, col_std) per dimension.
+
+    Per-dim stats come from one posexplode aggregation; the synthetic
+    rows are built natively — ``transform`` over the dim sequence with
+    Box-Muller gaussians from keyed hashes. New rows get ids above
+    ``id_offset`` (the reference loses identity; we keep it explicit).
+    """
+    d = len(emb.select("embedding").head()[0])
+    stats = (
+        emb.select(F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(F.avg("v").alias("mean"), F.stddev_pop("v").alias("std"))
+        .orderBy("dim")
+        .collect()
+    )
+    means = F.array(*[F.lit(float(r["mean"])) for r in stats])
+    stds = F.array(*[F.lit(float(r["std"])) for r in stats])
+
+    spark = emb.sparkSession
+    new_rows = spark.range(num_to_insert).select(
+        (F.col("id") + F.lit(id_offset)).alias("vec_id")
+    )
+
+    def gauss(i: Column) -> Column:
+        u1 = _uniform01(F.lit(str(seed)), F.lit("g1"), F.col("vec_id"), i)
+        u2 = _uniform01(F.lit(str(seed)), F.lit("g2"), F.col("vec_id"), i)
+        return F.sqrt(-2.0 * F.log(u1)) * F.cos(2.0 * math.pi * u2)
+
+    embedding = F.transform(
+        F.sequence(F.lit(0), F.lit(d - 1)),
+        lambda i: (
+            F.element_at(means, i + 1) + F.element_at(stds, i + 1) * gauss(i)
+        ).cast("float"),
+    )
+    new_rows = new_rows.withColumn("embedding", embedding)
+    base = emb.select("vec_id", "embedding")
+    return base.unionByName(new_rows)

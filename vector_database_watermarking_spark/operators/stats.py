@@ -1,0 +1,154 @@
+"""Set/statistics operators (SURVEY A6-A13, SO1-SO4).
+
+References: Jaccard overlap ``roubust/roubust.py:158-183``; hit rate /
+missed-false ``roubust/data_attack.py:92-139``; per-carrier impact
+``impact/impact.py:70-128``; correlation/binning
+``t_vector/Z.py:106-125``.
+
+All are native DataFrame aggregations; the per-query set operations
+use ``collect_set`` + ``array_*`` higher-order functions (bounded by
+k, so rows stay small at any scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def row_set_jaccard(a: DataFrame, b: DataFrame) -> float:
+    """A10 (``calculate_overlap_ratio``, ``roubust/roubust.py:158-183``):
+    |A ∩ B| / |A ∪ B| over whole rows, keyed by a content hash of the
+    embedding (the reference tuples rows into a Python set)."""
+    ha = a.select(F.sha2(F.to_json(F.struct("embedding")), 256).alias("h")).distinct()
+    hb = b.select(F.sha2(F.to_json(F.struct("embedding")), 256).alias("h")).distinct()
+    inter = ha.join(hb, on="h", how="inner").count()
+    union = ha.unionByName(hb).distinct().count()
+    return inter / union if union else 1.0
+
+
+def topk_sets(edges: DataFrame) -> DataFrame:
+    """Per-query neighbor set from a kNN-edges table → (src, nbrs)."""
+    return edges.groupBy("src").agg(F.collect_set("dst").alias("nbrs"))
+
+
+def hit_rate(before: DataFrame, after: DataFrame, k: int) -> float:
+    """A11 (``hit_rate``, ``roubust/data_attack.py:92-109``):
+    Σ|before ∩ after| / (nq · k) over per-query top-k sets."""
+    j = topk_sets(before).alias("b").join(
+        topk_sets(after).withColumnRenamed("nbrs", "nbrs2"), on="src", how="inner"
+    )
+    row = j.agg(
+        F.sum(F.size(F.array_intersect("nbrs", "nbrs2"))).alias("hits"),
+        F.count(F.lit(1)).alias("nq"),
+    ).head()
+    nq = row["nq"] or 0
+    return (row["hits"] or 0) / (nq * k) if nq else 0.0
+
+
+def missed_false_counts(before: DataFrame, after: DataFrame) -> DataFrame:
+    """A12 (``ca_miss_and_false``, ``roubust/data_attack.py:112-139``):
+    per query, |before − after| (missed) and |after − before| (false).
+    Queries present on one side only count their full set."""
+    b = topk_sets(before).withColumnRenamed("nbrs", "b_nbrs")
+    a = topk_sets(after).withColumnRenamed("nbrs", "a_nbrs")
+    j = b.join(a, on="src", how="full_outer").select(
+        "src",
+        F.coalesce("b_nbrs", F.array()).alias("b_nbrs"),
+        F.coalesce("a_nbrs", F.array()).alias("a_nbrs"),
+    )
+    return j.select(
+        "src",
+        F.size(F.array_except("b_nbrs", "a_nbrs")).alias("missed"),
+        F.size(F.array_except("a_nbrs", "b_nbrs")).alias("false_hits"),
+    )
+
+
+def avg_missed_false(before: DataFrame, after: DataFrame) -> tuple[float, float]:
+    row = missed_false_counts(before, after).agg(
+        F.avg("missed").alias("m"), F.avg("false_hits").alias("f")
+    ).head()
+    return float(row["m"] or 0.0), float(row["f"] or 0.0)
+
+
+def carrier_query_sets(edges: DataFrame, carriers: DataFrame) -> DataFrame:
+    """J6 (``record_query_results``, ``test_erro.py:54-61``): for each
+    carrier, the set of queries whose top-k contains it. Broadcast
+    semi-join on the (small) carrier set, then invert the edge."""
+    hits = edges.join(
+        F.broadcast(carriers.select(F.col("vec_id").alias("dst"))), on="dst", how="left_semi"
+    )
+    return hits.groupBy(F.col("dst").alias("carrier")).agg(
+        F.collect_set("src").alias("queries")
+    )
+
+
+def carrier_impact(
+    edges_before: DataFrame, edges_after: DataFrame, carriers: DataFrame
+) -> DataFrame:
+    """A13 (``ca``, ``impact/impact.py:70-128``): per-carrier missed and
+    extra query sets between the unwatermarked and watermarked indexes.
+
+    Deviation (SURVEY A13 note): the reference returns the *last*
+    carrier's before/after counts (loop-variable leak at
+    ``impact/impact.py:126-127``); we aggregate over all carriers.
+    """
+    b = carrier_query_sets(edges_before, carriers).withColumnRenamed("queries", "q_before")
+    a = carrier_query_sets(edges_after, carriers).withColumnRenamed("queries", "q_after")
+    j = b.join(a, on="carrier", how="full_outer").select(
+        "carrier",
+        F.coalesce("q_before", F.array()).alias("q_before"),
+        F.coalesce("q_after", F.array()).alias("q_after"),
+    )
+    return j.select(
+        "carrier",
+        F.size(F.array_intersect("q_before", "q_after")).alias("common"),
+        F.size(F.array_except("q_before", "q_after")).alias("missed"),
+        F.size(F.array_except("q_after", "q_before")).alias("false_hits"),
+        F.size("q_before").alias("n_before"),
+        F.size("q_after").alias("n_after"),
+    )
+
+
+def value_histogram(df: DataFrame, col: str) -> DataFrame:
+    """A6 (``Counter`` at ``t_vector/e4:60-65``): frequency + ratio."""
+    total = df.count()
+    return (
+        df.groupBy(col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("ratio", F.col("n") / F.lit(float(total)))
+    )
+
+
+def pearson_corr(df: DataFrame, x: str, y: str) -> float:
+    """A7 (``np.corrcoef`` at ``t_vector/Z.py:106-108``)."""
+    return df.stat.corr(x, y)
+
+
+def binned_means(df: DataFrame, x: str, y: str, n_bins: int) -> DataFrame:
+    """A8 (``np.linspace`` + ``np.digitize`` + per-bin mean,
+    ``t_vector/Z.py:111-125``): equal-width bins over [min(x), max(x)],
+    mean of y per bin.
+
+    The bucket is computed arithmetically (``floor((x−lo)/(hi−lo)·n)+1``
+    clamped to [1, n] — width_bucket semantics with the max folded into
+    the top bin) so the DuckDB oracle can evaluate the identical
+    expression.
+    """
+    lohi = df.agg(F.min(x).alias("lo"), F.max(x).alias("hi")).head()
+    lo, hi = float(lohi["lo"]), float(lohi["hi"])
+    bucket = F.least(
+        F.greatest(
+            (F.floor((F.col(x) - F.lit(lo)) / F.lit(hi - lo) * F.lit(n_bins)) + 1).cast(
+                "int"
+            ),
+            F.lit(1),
+        ),
+        F.lit(n_bins),
+    )
+    return (
+        df.withColumn("bin", bucket)
+        .groupBy("bin")
+        .agg(F.avg(y).alias("mean_y"), F.count(F.lit(1)).alias("n"))
+        .orderBy("bin")
+    )

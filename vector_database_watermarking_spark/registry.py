@@ -350,14 +350,280 @@ def rel_top_revenue_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c_custkey, c_name
 FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
 """,
 )
 def rel_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anti-join shape (S3's dedup-scan uses the same plan)."""
+    """Anti-join shape (S3's dedup-scan uses the same plan): customers
+    with no high-value order."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+# --------------------------------------------------------------------------
+# Attacks (C8) — hash-derived randomness makes them oracle-checkable
+# --------------------------------------------------------------------------
+
+_DELE_KEY = (
+    "CAST('0x' || substr(md5(concat('42', '_dele_', CAST(vec_id AS VARCHAR))), 1, 15) AS BIGINT)"
+)
+
+
+@register(
+    "w6_random_delete",
+    oracle=f"""
+WITH ranked AS (
+  SELECT vec_id, row_number() OVER (ORDER BY {_DELE_KEY}, vec_id) AS rn
+  FROM embeddings
+)
+SELECT vec_id FROM ranked
+WHERE rn <= (SELECT count(*) - CAST(ceil(count(*) * 0.3) AS BIGINT) FROM embeddings)
+""",
+)
+def w6_random_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 deletion attack (``roubust/roubust.py:76-97``): surviving ids
+    after a 30% keyed-hash deletion."""
+    from .operators.attacks import random_delete
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return random_delete(emb, 0.3, seed=42).select("vec_id")
+
+
+@register(
+    "c8_random_modify",
+    oracle=f"""
+WITH ranked AS (
+  SELECT vec_id, embedding,
+         row_number() OVER (
+           ORDER BY CAST('0x' || substr(md5(concat('42', '_modi_', CAST(vec_id AS VARCHAR))), 1, 15) AS BIGINT),
+           vec_id) AS rn
+  FROM embeddings
+),
+bounds AS (
+  SELECT min(v) AS lo, max(v) AS hi
+  FROM (SELECT unnest(embedding) AS v FROM embeddings)
+),
+params AS (
+  SELECT r.vec_id, r.embedding, r.rn,
+    CAST(CAST('0x' || substr(md5(concat('42', '_off_', CAST(r.vec_id AS VARCHAR))), 1, 15) AS BIGINT) % {D} AS INTEGER) AS off,
+    CAST(b.lo + (b.hi - b.lo) * ((CAST('0x' || substr(md5(concat('42', '_val_', CAST(r.vec_id AS VARCHAR))), 1, 15) AS BIGINT) + CAST(1 AS DOUBLE)) / (power(2.0, 60) + 2)) AS FLOAT) AS nv
+  FROM ranked r CROSS JOIN bounds b
+),
+modified AS (
+  SELECT vec_id,
+    CASE WHEN rn <= (SELECT CAST(ceil(count(*) * 0.2) AS BIGINT) FROM embeddings)
+         THEN list_transform(range(1, {D + 1}),
+              i -> CASE WHEN ((i - 1 - off + {D}) % {D}) < 30 THEN nv ELSE embedding[i] END)
+         ELSE embedding END AS emb
+  FROM params
+)
+SELECT vec_id,
+       round(list_sum(list_transform(emb, x -> CAST(x AS DOUBLE))), 4) AS emb_sum
+FROM modified
+""",
+)
+def c8_random_modify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 modification attack (``roubust/roubust.py:132-156``): 20% of
+    rows get a 30-dim span overwrite; the value check is a per-row
+    float64 checksum of the resulting embedding."""
+    from .operators.attacks import random_modify
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = random_modify(emb, 0.2, seed=42, span=30)
+    emb_sum = F.aggregate(
+        F.col("embedding").cast("array<double>"),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return out.select("vec_id", F.round(emb_sum, 4).alias("emb_sum"))
+
+
+@register(
+    "a10_jaccard_overlap",
+    oracle=f"""
+WITH survivors AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY {_DELE_KEY}, vec_id) AS rn
+    FROM embeddings
+  ) WHERE rn <= (SELECT count(*) - CAST(ceil(count(*) * 0.3) AS BIGINT) FROM embeddings)
+)
+SELECT round(
+  CAST((SELECT count(*) FROM embeddings e JOIN survivors s ON e.vec_id = s.vec_id) AS DOUBLE)
+  / (SELECT count(*) FROM embeddings), 6) AS jaccard
+""",
+)
+def a10_jaccard_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 (``roubust/roubust.py:158-183``): Jaccard of the row-id sets
+    before/after a deletion attack (survivors ⊆ base ⇒ |∩|/|∪| =
+    |survivors|/|base|)."""
+    from .operators.attacks import random_delete
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    kept = random_delete(emb, 0.3, seed=42).select("vec_id")
+    inter = emb.join(kept, on="vec_id", how="left_semi").count()
+    union = emb.count()
+    return spark.createDataFrame(
+        [(round(inter / union, 6),)], "jaccard double"
+    )
+
+
+# --------------------------------------------------------------------------
+# A6/A7/A8 — frequency, correlation, binning
+# --------------------------------------------------------------------------
+
+
+@register(
+    "a6_event_type_histogram",
+    oracle="""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(count(*) / CAST((SELECT count(*) FROM events) AS DOUBLE), 6) AS ratio
+FROM events GROUP BY event_type
+""",
+)
+def a6_event_type_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 (``Counter``, ``t_vector/e4:60-65``) on the events table."""
+    ev = load_table(spark, sf_dir, "events")
+    total = ev.count()
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("ratio", F.round(F.col("n") / F.lit(float(total)), 6))
+    )
+
+
+@register(
+    "a7_graph_correlation",
+    oracle=_knn_cte()
+    + """
+, qc AS (
+  SELECT e.vec_id, CAST(coalesce(c.cnt, 0) AS BIGINT) AS query_count
+  FROM embeddings e
+  LEFT JOIN (SELECT dst, count(*) AS cnt FROM edges GROUP BY dst) c ON e.vec_id = c.dst
+),
+bidir AS (
+  SELECT emb.vec_id, CAST(coalesce(m.bidir, 0) AS BIGINT) AS bidir_edges
+  FROM embeddings emb
+  LEFT JOIN (
+    SELECT e1.src, count(*) AS bidir
+    FROM edges e1 JOIN edges e2 ON e1.src = e2.dst AND e1.dst = e2.src
+    GROUP BY e1.src
+  ) m ON emb.vec_id = m.src
+)
+SELECT round(corr(q.query_count, b.bidir_edges), 4) AS corr_qc_bidir
+FROM qc q JOIN bidir b ON q.vec_id = b.vec_id
+""",
+)
+def a7_graph_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 (``t_vector/Z.py:106-108``): Pearson correlation between how
+    often a node is searched and its mutual-edge count — the study
+    motivating AI-based carrier selection."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = knn.knn_edges(emb, k=K).persist()
+    qc = knn.query_counts(edges, emb)
+    bidir = graph.bidirectional_edge_counts(edges, emb)
+    j = qc.join(bidir, on="vec_id")
+    return j.agg(
+        F.round(F.corr("query_count", "bidir_edges"), 4).alias("corr_qc_bidir")
+    )
+
+
+@register(
+    "a8_binned_means",
+    oracle="""
+WITH bounds AS (
+  SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem
+),
+binned AS (
+  SELECT least(greatest(CAST(floor((l_extendedprice - lo) / (hi - lo) * 12) + 1 AS INTEGER), 1), 12) AS bin,
+         l_quantity
+  FROM lineitem CROSS JOIN bounds
+)
+SELECT bin, round(avg(l_quantity), 6) AS mean_y, CAST(count(*) AS BIGINT) AS n
+FROM binned GROUP BY bin
+""",
+)
+def a8_binned_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 (``t_vector/Z.py:111-125``): equal-width binning + per-bin
+    mean, on lineitem price vs quantity."""
+    from .operators.stats import binned_means
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return binned_means(li, "l_extendedprice", "l_quantity", 12).select(
+        "bin", F.round("mean_y", 6).alias("mean_y"), "n"
+    )
+
+
+# --------------------------------------------------------------------------
+# Extension: event-time window aggregation (batch tier of the
+# Structured Streaming path; not from the reference — SURVEY §2.10)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ext_events_tumbling_daily",
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value,
+       round(avg(value), 6) AS avg_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def ext_events_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation over the events table (batch tier;
+    the streaming wrapper uses the same plan with a watermark)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Watermark pipelines (compat tier — pandas-UDF semantics, rows-only
+# checks; the oracle-checked detection path is a1/a2)
+# --------------------------------------------------------------------------
+
+
+@register("pipe_tvp_carriers", oracle=None)
+def pipe_tvp_carriers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 (``watermark_embedding_by_ai``, ``watermarking.py:275-342``):
+    the carrier set selected by the full TVP embed at strength 0.7,
+    th 1.0, seed 20. Deterministic; rows-only check."""
+    from .watermark.tvp import tvp_embed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, carriers = tvp_embed(emb, "10101", strength=0.7, th=1.0, seed=SEED)
+    return carriers.select("vec_id", "group_id", "wm_bit")
+
+
+@register("pipe_roundtrip_ber", oracle=None)
+def pipe_roundtrip_ber(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1→C3 round trip: embed 10101, extract, report BER (must be 0)
+    plus the attacked BER under 30% deletion."""
+    from .operators.attacks import random_delete
+    from .operators.grouping import ber
+    from .watermark.tvp import tvp_embed, tvp_extract
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    wm = "10101"
+    wm_df, _ = tvp_embed(emb, wm, strength=0.7, th=1.0, seed=SEED)
+    wm_df = wm_df.cache()
+    clean = tvp_extract(wm_df, len(wm), seed=SEED)
+    attacked = tvp_extract(random_delete(wm_df, 0.3, seed=42), len(wm), seed=SEED)
+    return spark.createDataFrame(
+        [(wm, clean, ber(wm, clean), attacked, ber(wm, attacked))],
+        "watermark string, extracted string, ber double, extracted_attacked string, ber_attacked double",
+    )
 
 
 @register(

@@ -23,8 +23,23 @@ from pyspark.sql import functions as F
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one of the fixture tables from a scale-factor directory."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Load one of the fixture tables from a scale-factor directory.
+
+    The ``events`` table is written with nanosecond timestamps, which
+    Spark's parquet reader rejects; it is read with ``nanosAsLong`` and
+    the ``ts`` column converted to a microsecond timestamp (runtime
+    conf, so this also works on a session we didn't build).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name != "events":
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return df
 
 
 def load_embeddings(spark: SparkSession, sf_dir: str, num_samples: int | None = None) -> DataFrame:
