@@ -1,0 +1,143 @@
+import pytest
+from pyspark.sql import functions as F
+
+from vector_database_watermarking_spark.operators import dedup, multimodal, similarity, text
+from vector_database_watermarking_spark.sources.tables import load_table
+
+
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_exact_dedup_finds_planted_duplicates(spark, sf_dir):
+    d = docs(spark, sf_dir)
+    base = d.count()
+    dup = d.limit(20).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    merged = d.unionByName(dup)
+    out = dedup.exact_dedup(merged)
+    assert out.count() == base  # 20 dups collapse
+    assert out.filter(F.col("n_copies") == 2).count() == 20
+    # keeper is the original (smaller) id
+    assert out.agg(F.max("keep_doc_id")).head()[0] < 1_000_000
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark, sf_dir):
+    d = docs(spark, sf_dir)
+    # plant: copy 10 docs with one word changed
+    clones = (
+        d.limit(10)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" extra")))
+    )
+    merged = d.unionByName(clones)
+    sh = dedup.word_shingles(merged, n=3).persist()
+    sig = dedup.minhash_signatures(sh, num_hashes=16)
+    bands = dedup.lsh_bands(sig, rows_per_band=2)
+    cand = dedup.lsh_candidate_pairs(bands)
+    verified = dedup.jaccard_verify(cand, sh, threshold=0.5)
+    pairs = {(r["doc1"], r["doc2"]) for r in verified.collect()}
+    found = sum(1 for i in range(10) if (i, i + 1_000_000) in pairs)
+    assert found >= 8, f"LSH found only {found}/10 planted near-dups"
+
+
+def test_simhash_near_dups_on_planted(spark, sf_dir):
+    d = docs(spark, sf_dir)
+    clones = (
+        d.limit(10)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" zzz")))
+    )
+    merged = d.unionByName(clones)
+    sig = dedup.simhash(merged, bits=32)
+    pairs = {
+        (r["doc1"], r["doc2"])
+        for r in dedup.simhash_near_dups(sig, max_hamming=3, bits=32).collect()
+    }
+    found = sum(1 for i in range(10) if (i, i + 1_000_000) in pairs)
+    assert found >= 7, f"simhash found only {found}/10"
+
+
+def test_cosine_topk_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    cos = Xn @ Xn.T
+    np.fill_diagonal(cos, -np.inf)
+    out = similarity.cosine_topk(emb.filter(F.col("vec_id") < 20), emb, k=3)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["src"], []).append((r["rank"], r["dst"]))
+    for i in range(20):
+        order = np.lexsort((ids, -np.round(cos[i], 6)))[:3]
+        assert [d for _, d in sorted(got[i])] == [int(ids[j]) for j in order]
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 50)
+    exact = {
+        (r["src"], r["dst"])
+        for r in similarity.cosine_topk(q, emb, k=5).collect()
+    }
+    assigned, centroids = similarity.ivf_build(emb, n_clusters=8, seed=42)
+    approx = {
+        (r["src"], r["dst"])
+        for r in similarity.ivf_search(q, assigned, centroids, k=5, nprobe=3).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall > 0.5, recall
+
+
+def test_lang_id_values(spark, sf_dir):
+    out = docs(spark, sf_dir).select(text.lang_id("text").alias("g")).distinct().collect()
+    vals = {r["g"] for r in out}
+    assert vals <= {"en", "fr", "de", "es", "und"}
+
+
+def test_multimodal_stub_raises_without_fake(spark, sf_dir):
+    media = multimodal.attach_fake_payload(docs(spark, sf_dir))
+    with pytest.raises(NotImplementedError):
+        multimodal.extract_features(media, fake=False)
+
+
+def test_multimodal_fake_features_and_frames(spark, sf_dir):
+    d = docs(spark, sf_dir)
+    media = multimodal.attach_fake_payload(d)
+    feats = multimodal.extract_features(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == d.count()
+    r0 = {r["media_id"]: r for r in rows}[0]
+    assert r0["n_bytes"] > 0 and 0 < r0["byte_mean"] < 255
+    assert isinstance(r0["header"], (bytes, bytearray))
+    frames = multimodal.sample_frames(media, n_frames=4, frame_bytes=16, fake=True)
+    f = frames.filter(F.col("media_id") == 0).collect()
+    assert len(f) == 4
+    assert all(len(r["frame"]) <= 16 for r in f)
+
+
+def test_streaming_windowed_counts(spark, sf_dir, tmp_path):
+    """Structured Streaming end-to-end: file source → event-time window
+    + watermark → memory sink; totals match the batch plan."""
+    from vector_database_watermarking_spark.streaming.windows import (
+        run_to_memory_sink,
+        stream_events_from_files,
+        windowed_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    src_dir = str(tmp_path / "events_stream")
+    ev.repartition(3).write.mode("overwrite").parquet(src_dir)
+
+    stream = stream_events_from_files(spark, src_dir, max_files_per_trigger=1)
+    agg = windowed_counts(stream, window="1 day", watermark="2 days")
+    run_to_memory_sink(agg, "win_counts", timeout_sec=120)
+    got = spark.sql("SELECT sum(n_events) FROM win_counts").head()[0]
+    assert got == ev.count()
+    batch = windowed_counts(ev, window="1 day")
+    assert batch.agg(F.sum("n_events")).head()[0] == ev.count()
+    n_windows_stream = spark.sql("SELECT count(*) FROM win_counts").head()[0]
+    assert n_windows_stream == batch.count()

@@ -1,0 +1,208 @@
+"""Deduplication operators for training-data pipelines (north-star
+extension, not from the reference — SURVEY §7 M6).
+
+Five tiers, all shuffle-lean and oracle-checkable where exact:
+
+- exact: content-hash groupBy (one shuffle on a 64-bit key);
+- MinHash: shingle → H keyed min-hashes per doc (one explode + one
+  groupBy with H ``min`` aggregates — map-side partial mins make the
+  shuffle O(docs·H), not O(shingles));
+- LSH banding: band signature = hash of a signature slice; candidate
+  pairs = equi-join on (band, band_hash) — a plain shuffle join AQE
+  can skew-split;
+- SimHash: per-token hash bit votes → 32-bit signature (one explode +
+  one groupBy with 32 conditional sums);
+- n-gram Jaccard verification: candidate pairs → exact intersection /
+  union via the shingle sets.
+
+Every hash is the engine's keyed 60-bit md5 (``functions.hashing``),
+so signatures are partitioning-invariant and reproducible in DuckDB.
+
+Scale notes (100 TB): the explode(shingles) relation is the big one —
+it never shuffles raw (doc pairs come from the banded join, never an
+all-pairs comparison); stop-shingle capping (drop shingles appearing
+in > f% of docs) bounds the worst key. The verification join carries
+only candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash60
+
+
+def normalize_text(col: F.Column | str) -> F.Column:
+    """Lowercase + collapse whitespace — the canonical form every
+    dedup tier hashes."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: one row per distinct normalized content, keeping
+    the smallest doc_id; reports the multiplicity."""
+    h = hash60(normalize_text(text_col))
+    return (
+        docs.withColumn("content_key", h)
+        .groupBy("content_key")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle) — distinct word n-grams of the normalized
+    text. Built natively: split → transform over a sliding index
+    sequence → explode → distinct."""
+    tokens = F.split(normalize_text(text_col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n))
+    )
+    return (
+        docs.select("doc_id", F.explode(grams).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingle_df: DataFrame, num_hashes: int = 16
+) -> DataFrame:
+    """MinHash: signature_i = min over shingles of hash60(i || shingle).
+    Output: (doc_id, sig array<long> of length num_hashes)."""
+    mins = [
+        F.min(
+            hash60(F.concat_ws("_", F.lit(f"mh{i}"), F.col("shingle")))
+        ).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = shingle_df.groupBy("doc_id").agg(*mins)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_bands(
+    signatures: DataFrame, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signature: (doc_id, band, band_hash). Docs agreeing on
+    all rows of any band share a (band, band_hash) key."""
+    n = len(signatures.select(F.size("sig")).head()[0:1]) and int(
+        signatures.select(F.size("sig").alias("n")).head()["n"]
+    )
+    n_bands = n // rows_per_band
+    rows = []
+    for b in range(n_bands):
+        band_cols = [
+            F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+            for r in range(rows_per_band)
+        ]
+        rows.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                hash60(F.concat_ws("_", *band_cols)).alias("band_hash"),
+            )
+        )
+    return signatures.select(
+        "doc_id", F.explode(F.array(*rows)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.band_hash")
+
+
+def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
+    """Candidate near-dup pairs: same (band, band_hash), doc1 < doc2."""
+    a = bands.select(
+        F.col("doc_id").alias("doc1"), "band", "band_hash"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc2"), "band", "band_hash"
+    )
+    return (
+        a.join(b, on=["band", "band_hash"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, shingle_df: DataFrame, threshold: float = 0.0
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs via the shingle
+    relation: intersection = join count; union = |A| + |B| − ∩."""
+    sizes = shingle_df.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    s1 = shingle_df.select(F.col("doc_id").alias("doc1"), "shingle")
+    s2 = shingle_df.select(F.col("doc_id").alias("doc2"), "shingle")
+    inter = (
+        pairs.join(s1, on="doc1")
+        .join(s2, on=["doc2", "shingle"])
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("n_shingles", "n1"), on="doc1")
+        .join(sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed("n_shingles", "n2"), on="doc2")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n1") + F.col("n2") - F.col("n_inter")),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold).select(
+        "doc1", "doc2", "n_inter", "n1", "n2", "jaccard"
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text") -> DataFrame:
+    """SimHash: per-token 60-bit hash; each of ``bits`` positions votes
+    +1/−1 by its bit; the signature sets bit i when the vote is
+    positive. Output: (doc_id, simhash long)."""
+    tokens = docs.select(
+        "doc_id",
+        F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    h = hash60(F.col("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    agg = tokens.groupBy("doc_id").agg(*votes)
+    sig = None
+    for i in range(bits):
+        term = F.when(F.col(f"v{i}") > 0, F.lit(2**i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term
+    return agg.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_near_dups(
+    sig: DataFrame, max_hamming: int = 3, bits: int = 32
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, blocked on the two
+    16-bit halves (a pair within Hamming ≤ 3 of 32 bits agrees exactly
+    on at least one half — pigeonhole), so no all-pairs join."""
+    half = bits // 2
+    lo = F.col("simhash").bitwiseAND(F.lit(2**half - 1))
+    hi = F.shiftright(F.col("simhash"), half)
+    blocked = sig.select(
+        "doc_id", "simhash", lo.alias("b_lo"), hi.alias("b_hi")
+    )
+    pairs = None
+    for key in ["b_lo", "b_hi"]:
+        a = blocked.select(F.col("doc_id").alias("doc1"), F.col("simhash").alias("s1"), key)
+        b = blocked.select(F.col("doc_id").alias("doc2"), F.col("simhash").alias("s2"), key)
+        p = a.join(b, on=key).filter(F.col("doc1") < F.col("doc2")).drop(key)
+        pairs = p if pairs is None else pairs.unionByName(p)
+    pairs = pairs.distinct()
+    hamming = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc1", "doc2", "hamming")
+    )

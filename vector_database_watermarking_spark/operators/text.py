@@ -1,0 +1,134 @@
+"""Text-analysis operators for training-data pipelines (north-star
+extension — SURVEY §7 M6). All native column expressions (no UDFs):
+tokenization by split, counting by higher-order functions, hashing by
+the keyed 60-bit md5 — every operator here is DuckDB-oracle-checkable
+and whole-stage-codegen'd.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash60
+from .dedup import normalize_text
+
+# Tiny stopword inventories for the n-gram/stopword language heuristic.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "zu"],
+    "es": ["el", "la", "los", "de", "y", "un", "una", "es"],
+}
+
+
+def tokens(text_col: Column | str) -> Column:
+    return F.split(normalize_text(text_col), " ")
+
+
+def token_count(text_col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text_col))
+
+
+def bpe_ish_token_count(text_col: Column | str) -> Column:
+    """A BPE-flavored upper estimate: word count + one extra token per
+    4 characters of long words (cheap stand-in for subword splits)."""
+    toks = tokens(text_col)
+    extra = F.aggregate(
+        toks,
+        F.lit(0),
+        lambda acc, t: acc
+        + F.when(F.length(t) > 6, F.floor(F.length(t) / 4).cast("int")).otherwise(0),
+    )
+    return F.size(toks) + extra
+
+
+def _stopword_hits(toks: Column, words: list[str]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def lang_scores(text_col: Column | str) -> dict[str, Column]:
+    toks = tokens(text_col)
+    return {lang: _stopword_hits(toks, words) for lang, words in LANG_STOPWORDS.items()}
+
+
+def lang_id(text_col: Column | str) -> Column:
+    """Stopword-ratio language guess: argmax language score, 'und'
+    (undetermined) when no stopword hits at all. Ties break by the
+    fixed language order (en, fr, de, es)."""
+    scores = lang_scores(text_col)
+    langs = list(LANG_STOPWORDS)
+    best = None
+    best_score = None
+    for lang in langs:
+        s = scores[lang]
+        if best is None:
+            best, best_score = F.lit(lang), s
+        else:
+            cond = s > best_score
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_score = F.when(cond, s).otherwise(best_score)
+    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc quality features: lengths, token stats, stopword ratio,
+    punctuation ratio, mean word length, and a combined [0,1] score
+    (heuristic quality filter for pretraining corpora)."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    n_chars = F.length(normalize_text(text_col))
+    mean_word_len = (n_chars - (n_tok - 1)) / n_tok  # chars minus separators
+    stop_hits = _stopword_hits(toks, LANG_STOPWORDS["en"])
+    stop_ratio = stop_hits / n_tok
+    punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
+    punct_ratio = punct / F.greatest(F.length(text_col), F.lit(1))
+    length_score = F.least(n_tok / F.lit(64.0), F.lit(1.0))
+    quality = (
+        F.lit(0.4) * length_score
+        + F.lit(0.3) * F.least(stop_ratio * 4, F.lit(1.0))
+        + F.lit(0.3) * (1 - F.least(punct_ratio * 10, F.lit(1.0)))
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_chars.alias("n_chars_norm"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        stop_hits.alias("stopword_hits"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(quality, 6).alias("quality_score"),
+    )
+
+
+def fingerprint(text_col: Column | str) -> Column:
+    """Document fingerprint: keyed 60-bit hash of the normalized text
+    (the whole-doc anchor for incremental dedup)."""
+    return hash60(normalize_text(text_col))
+
+
+def rolling_fingerprints(
+    docs: DataFrame, window_tokens: int = 8, stride: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """Rolling window fingerprints: hash of each ``window_tokens``-token
+    window every ``stride`` tokens — the substring-level signal used
+    for contamination scanning. Output: (doc_id, win_idx, fp)."""
+    toks = tokens(text_col)
+    n_win = F.greatest(
+        F.floor((F.size(toks) - window_tokens) / stride).cast("int") + 1, F.lit(1)
+    )
+    idx = F.sequence(F.lit(0), n_win - 1)
+    wins = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("win_idx"),
+            hash60(
+                F.concat_ws(" ", F.slice(toks, i * stride + 1, window_tokens))
+            ).alias("fp"),
+        ),
+    )
+    return docs.select("doc_id", F.explode(wins).alias("w")).select(
+        "doc_id", "w.win_idx", "w.fp"
+    )

@@ -649,3 +649,9 @@ def rel_order_rank_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+# Extension operators (dedup / similarity / text / multimodal / windows)
+# register themselves on import; keep this import at the end so the
+# registration decorator above is defined.
+from . import registry_ext  # noqa: E402,F401

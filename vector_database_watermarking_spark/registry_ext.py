@@ -1,0 +1,489 @@
+"""Extension-operator query registry (north-star ops: dedup,
+similarity, text analysis, multimodal plumbing, window aggregation).
+
+Same contract as ``registry.py`` (which imports this module at the
+end); every oracle reproduces the Spark computation exactly — keyed
+60-bit md5 hashes, identical tokenization/shingling, fold-order
+distance arithmetic, timezone-proof epoch bucketing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import dedup, multimodal, similarity, text
+from .registry import D, K, _knn_cte, register
+from .sources.tables import load_table
+
+# ---------------------------------------------------------------- fragments
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS_CTE = f"t AS (SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents)"
+
+
+def _hash60_sql(expr: str) -> str:
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+# 3-gram shingles, distinct per doc (parity with dedup.word_shingles)
+_SHINGLES_CTE = (
+    _TOKS_CTE
+    + """,
+s AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+  FROM t, LATERAL (SELECT unnest(range(1, greatest(len(toks) - 2, 1) + 1)) AS i)
+  WHERE length(array_to_string(toks[i:i+2], ' ')) > 0
+)"""
+)
+
+_N_MINHASH = 8
+_MINHASH_COLS = ", ".join(
+    "min({h}) AS h{i}".format(
+        h=_hash60_sql("concat('mh{i}_', shingle)".format(i=i)), i=i
+    )
+    for i in range(_N_MINHASH)
+)
+_MINHASH_CTE = _SHINGLES_CTE + f""",
+m AS (SELECT doc_id, {_MINHASH_COLS} FROM s GROUP BY doc_id)"""
+
+
+# ---------------------------------------------------------------- dedup
+
+
+@register(
+    "ext_exact_dedup",
+    oracle=f"""
+SELECT {_hash60_sql(_NORM)} AS content_key,
+       CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY 1
+""",
+)
+def ext_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-content hash (hash groupBy — one
+    shuffle on a 60-bit key)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs)
+
+
+@register(
+    "ext_minhash_signatures",
+    oracle="WITH " + _MINHASH_CTE + f"""
+SELECT doc_id, {', '.join(f'h{i}' for i in range(_N_MINHASH))} FROM m
+""",
+)
+def ext_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 keyed min-hashes over distinct word
+    3-grams)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(docs, n=3)
+    sig = dedup.minhash_signatures(sh, num_hashes=_N_MINHASH)
+    return sig.select(
+        "doc_id",
+        *[F.element_at("sig", i + 1).alias(f"h{i}") for i in range(_N_MINHASH)],
+    )
+
+
+@register(
+    "ext_minhash_near_dups",
+    oracle="WITH " + _MINHASH_CTE + f""",
+bands AS (
+  SELECT doc_id, b.band,
+         CASE b.band
+           WHEN 0 THEN {_hash60_sql("concat(CAST(h0 AS VARCHAR), '_', CAST(h1 AS VARCHAR))")}
+           WHEN 1 THEN {_hash60_sql("concat(CAST(h2 AS VARCHAR), '_', CAST(h3 AS VARCHAR))")}
+           WHEN 2 THEN {_hash60_sql("concat(CAST(h4 AS VARCHAR), '_', CAST(h5 AS VARCHAR))")}
+           ELSE {_hash60_sql("concat(CAST(h6 AS VARCHAR), '_', CAST(h7 AS VARCHAR))")}
+         END AS band_hash
+  FROM m, LATERAL (SELECT unnest(range(0, 4)) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+  WHERE a.doc_id < b.doc_id
+),
+sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+inter AS (
+  SELECT c.doc1, c.doc2, count(*) AS n_inter
+  FROM cand c JOIN s s1 ON c.doc1 = s1.doc_id
+              JOIN s s2 ON c.doc2 = s2.doc_id AND s1.shingle = s2.shingle
+  GROUP BY c.doc1, c.doc2
+)
+SELECT i.doc1, i.doc2,
+       round(n_inter / CAST(x.n + y.n - n_inter AS DOUBLE), 6) AS jaccard
+FROM inter i JOIN sz x ON i.doc1 = x.doc_id JOIN sz y ON i.doc2 = y.doc_id
+WHERE n_inter / CAST(x.n + y.n - n_inter AS DOUBLE) >= 0.5
+""",
+)
+def ext_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pipeline: shingle → signature → band →
+    bucket join → exact Jaccard verification ≥ 0.5."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(docs, n=3).persist()
+    sig = dedup.minhash_signatures(sh, num_hashes=_N_MINHASH)
+    bands = dedup.lsh_bands(sig, rows_per_band=2)
+    cand = dedup.lsh_candidate_pairs(bands)
+    verified = dedup.jaccard_verify(cand, sh, threshold=0.5)
+    return verified.select(
+        "doc1", "doc2", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+_SIMHASH_BITS = 16
+_SIMHASH_VOTES = ", ".join(
+    f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+    for i in range(_SIMHASH_BITS)
+)
+_SIMHASH_RECON = " + ".join(
+    f"CASE WHEN v{i} > 0 THEN CAST({2**i} AS BIGINT) ELSE 0 END"
+    for i in range(_SIMHASH_BITS)
+)
+
+
+@register(
+    "ext_simhash",
+    oracle="WITH " + _TOKS_CTE + f""",
+u AS (
+  SELECT doc_id, {_hash60_sql('tok')} AS h
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+  WHERE length(tok) > 0
+),
+v AS (SELECT doc_id, {_SIMHASH_VOTES} FROM u GROUP BY doc_id)
+SELECT doc_id, {_SIMHASH_RECON} AS simhash FROM v
+""",
+)
+def ext_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures (16-bit, token-level bit votes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash(docs, bits=_SIMHASH_BITS)
+
+
+# ---------------------------------------------------------------- text
+
+
+@register(
+    "ext_token_stats",
+    oracle="WITH " + _TOKS_CTE + """
+SELECT doc_id,
+       CAST(len(toks) AS INTEGER) AS n_tokens,
+       CAST(len(toks) + list_sum(list_transform(toks,
+            x -> CASE WHEN length(x) > 6 THEN CAST(floor(length(x) / 4) AS INTEGER) ELSE 0 END))
+         AS INTEGER) AS bpe_tokens
+FROM t
+""",
+)
+def ext_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish upper estimate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count("text").alias("n_tokens"),
+        text.bpe_ish_token_count("text").cast("int").alias("bpe_tokens"),
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in text.LANG_STOPWORDS[lang])
+    return f"len(list_filter(toks, x -> list_contains([{words}], x)))"
+
+
+@register(
+    "ext_lang_id",
+    oracle="WITH " + _TOKS_CTE + f""",
+sc AS (
+  SELECT doc_id,
+         {_lang_score_sql('en')} AS s_en,
+         {_lang_score_sql('fr')} AS s_fr,
+         {_lang_score_sql('de')} AS s_de,
+         {_lang_score_sql('es')} AS s_es
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN s_en = 0 AND s_fr = 0 AND s_de = 0 AND s_es = 0 THEN 'und'
+       WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
+       WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+       WHEN s_de >= s_es THEN 'de'
+       ELSE 'es' END AS lang_guess
+FROM sc
+""",
+)
+def ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-hit argmax (ties favor the
+    earlier language in en, fr, de, es order)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.lang_id("text").alias("lang_guess"))
+
+
+@register(
+    "ext_quality_scores",
+    oracle="WITH " + _TOKS_CTE + f""",
+f AS (
+  SELECT doc_id,
+    CAST(len(toks) AS INTEGER) AS n_tokens,
+    CAST(length({_NORM}) AS INTEGER) AS n_chars_norm,
+    {_lang_score_sql('en')} AS stop_hits,
+    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+    length(text) AS n_raw
+  FROM t JOIN documents USING (doc_id)
+)
+SELECT doc_id, n_tokens, n_chars_norm,
+  round((n_chars_norm - (n_tokens - 1)) / CAST(n_tokens AS DOUBLE), 6) AS mean_word_len,
+  CAST(stop_hits AS INTEGER) AS stopword_hits,
+  round(stop_hits / CAST(n_tokens AS DOUBLE), 6) AS stopword_ratio,
+  round(n_punct / CAST(greatest(n_raw, 1) AS DOUBLE), 6) AS punct_ratio,
+  round(0.4 * least(n_tokens / 64.0, 1.0)
+      + 0.3 * least(stop_hits / CAST(n_tokens AS DOUBLE) * 4, 1.0)
+      + 0.3 * (1 - least(n_punct / CAST(greatest(n_raw, 1) AS DOUBLE) * 10, 1.0)), 6) AS quality_score
+FROM f
+""",
+)
+def ext_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/stopword/punctuation features + a
+    combined [0,1] heuristic score."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.quality_features(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("n_chars_norm").cast("int").alias("n_chars_norm"),
+        "mean_word_len",
+        F.col("stopword_hits").cast("int").alias("stopword_hits"),
+        "stopword_ratio",
+        "punct_ratio",
+        "quality_score",
+    )
+
+
+@register(
+    "ext_doc_fingerprint",
+    oracle=f"""
+SELECT doc_id, {_hash60_sql(_NORM)} AS fp FROM documents
+""",
+)
+def ext_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document fingerprint (keyed hash of normalized text)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.fingerprint("text").alias("fp"))
+
+
+@register(
+    "ext_rolling_fingerprints",
+    oracle="WITH " + _TOKS_CTE + f""",
+w AS (
+  SELECT doc_id,
+         CAST(i AS INTEGER) AS win_idx,
+         array_to_string(toks[i * 4 + 1 : i * 4 + 8], ' ') AS win
+  FROM t, LATERAL (
+    SELECT unnest(range(0, greatest(CAST(floor((len(toks) - 8) / 4.0) AS INTEGER) + 1, 1))) AS i
+  )
+)
+SELECT doc_id, win_idx, {_hash60_sql('win')} AS fp FROM w
+""",
+)
+def ext_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 8-token window fingerprints every 4 tokens
+    (contamination-scan primitive)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.rolling_fingerprints(docs, window_tokens=8, stride=4)
+
+
+# ---------------------------------------------------------------- similarity
+
+_COS_EXPR = """
+list_sum(list_transform(range(1, 65), k -> CAST(a.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)))
+/ (sqrt(list_sum(list_transform(range(1, 65), k -> CAST(a.embedding[k] AS DOUBLE) * CAST(a.embedding[k] AS DOUBLE))))
+ * sqrt(list_sum(list_transform(range(1, 65), k -> CAST(b.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)))))
+"""
+
+
+@register(
+    "ext_cosine_topk",
+    oracle=f"""
+WITH pairs AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst, {_COS_EXPR} AS cos
+  FROM embeddings a CROSS JOIN embeddings b
+  WHERE a.vec_id < 50 AND a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT src, dst, cos,
+         row_number() OVER (PARTITION BY src ORDER BY round(cos, 6) DESC, dst) AS rank
+  FROM pairs QUALIFY rank <= 5
+)
+SELECT src, dst, round(cos, 6) AS cos_sim, CAST(rank AS INTEGER) AS rank FROM ranked
+""",
+)
+def ext_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 50 query vectors
+    (broadcast-base batched numpy, fold-parity with the SQL)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 50)
+    out = similarity.cosine_topk(q, emb, k=5)
+    return out.withColumn("cos_sim", F.round("cos_sim", 6))
+
+
+@register(
+    "ext_cosine_near_dups",
+    oracle=f"""
+SELECT a.vec_id AS src, b.vec_id AS dst, round({_COS_EXPR}, 6) AS cos_sim
+FROM embeddings a CROSS JOIN embeddings b
+WHERE a.vec_id < b.vec_id AND {_COS_EXPR} >= 0.45
+""",
+)
+def ext_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.45)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_dups(emb, threshold=0.45)
+
+
+@register("ext_ivf_topk", oracle=None)
+def ext_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate cosine top-5 (scale tier; seeded KMeans
+    routing — rows-only check, centroids are float-iteration
+    dependent)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = similarity.ivf_build(emb, n_clusters=8, seed=42)
+    q = emb.filter(F.col("vec_id") < 50)
+    return similarity.ivf_search(q, assigned, centroids, k=5, nprobe=3)
+
+
+# ---------------------------------------------------------------- multimodal
+
+
+@register(
+    "ext_multimodal_features",
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+       'unknown' AS format
+FROM documents
+""",
+)
+def ext_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: opaque binary payloads through the Arrow
+    mapInPandas feature extractor (fake decode tier — byte stats; see
+    operators.multimodal for the stub contract)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_fake_payload(docs)
+    feats = multimodal.extract_features(media, fake=True)
+    return feats.select("media_id", "n_bytes", "format")
+
+
+# ---------------------------------------------------------------- windows
+
+
+@register(
+    "ext_events_sliding",
+    oracle="""
+WITH e AS (
+  SELECT event_type, value,
+         make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) AS day
+  FROM events
+),
+expanded AS (
+  SELECT event_type, value, day - o * INTERVAL 1 DAY AS window_start
+  FROM e, LATERAL (SELECT unnest([0, 1]) AS o)
+)
+SELECT CAST(window_start AS TIMESTAMP) AS window_start, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM expanded GROUP BY 1, 2
+""",
+)
+def ext_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2-day/1-day window counts over events, built from
+    timezone-proof epoch arithmetic (each event lands in exactly two
+    windows)."""
+    ev = load_table(spark, sf_dir, "events")
+    day_us = (F.expr("unix_micros(ts) div 86400000000") * F.lit(86400000000)).cast(
+        "long"
+    )
+    starts = F.array(
+        F.timestamp_micros(day_us),
+        F.timestamp_micros(day_us - F.lit(86400000000).cast("long")),
+    )
+    return (
+        ev.select(
+            F.explode(starts).alias("window_start"), "event_type", "value"
+        )
+        .groupBy("window_start", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- graph extras
+
+
+@register("g5_connected_components", oracle=None)
+def g5_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5 (``t_vector/e1:41-54``): connected components of the
+    mutual-kNN graph (iterative label propagation; rows-only — the
+    fixpoint loop is not single-query SQL)."""
+    from .operators import graph, knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = knn.knn_edges(emb, k=K).persist()
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    mutual = edges.select("src", "dst").join(rev, on=["src", "dst"], how="left_semi")
+    comp = graph.connected_components(
+        mutual.withColumn("dist", F.lit(0.0)).withColumn("rank", F.lit(1)), emb
+    )
+    return comp
+
+
+@register(
+    "so3_hidden_overlap",
+    oracle=_knn_cte(K)
+    + f"""
+, qc10 AS (
+  SELECT e.vec_id, CAST(coalesce(c.cnt, 0) AS BIGINT) AS query_count
+  FROM embeddings e
+  LEFT JOIN (SELECT dst, count(*) AS cnt FROM edges GROUP BY dst) c ON e.vec_id = c.dst
+),
+h10 AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY query_count, vec_id) AS rn FROM qc10
+  ) WHERE rn <= (SELECT CAST(count(*) * 0.1 AS INTEGER) FROM embeddings)
+),
+edges12 AS (
+  SELECT src, dst FROM (
+    SELECT src, dst, dist_sq,
+           row_number() OVER (PARTITION BY src ORDER BY round(dist_sq, 6), dst) AS rank
+    FROM pairs
+  ) WHERE rank <= {K + 2}
+),
+qc12 AS (
+  SELECT e.vec_id, CAST(coalesce(c.cnt, 0) AS BIGINT) AS query_count
+  FROM embeddings e
+  LEFT JOIN (SELECT dst, count(*) AS cnt FROM edges12 GROUP BY dst) c ON e.vec_id = c.dst
+),
+h12 AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY query_count, vec_id) AS rn FROM qc12
+  ) WHERE rn <= (SELECT CAST(count(*) * 0.1 AS INTEGER) FROM embeddings)
+)
+SELECT round(
+  CAST((SELECT count(*) FROM h10 JOIN h12 USING (vec_id)) AS DOUBLE)
+  / (SELECT count(*) FROM h10), 6) AS overlap
+""",
+)
+def so3_hidden_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SO3 (``t_vector/e3:83-95``): overlap of hidden-node sets between
+    the k=10 and k=12 kNN graphs (the index-robustness study that
+    justifies swapping HNSW for the exact graph — BASELINE.md reports
+    0.88-0.99)."""
+    from .operators import graph, knn
+
+    emb = load_table(spark, sf_dir, "embeddings").persist()
+    h10 = graph.hidden_nodes(
+        knn.query_counts(knn.knn_edges(emb, k=K), emb), ratio=0.1
+    ).select("vec_id")
+    h12 = graph.hidden_nodes(
+        knn.query_counts(knn.knn_edges(emb, k=K + 2), emb), ratio=0.1
+    ).select("vec_id")
+    inter = h10.join(h12, on="vec_id", how="inner").count()
+    n = h10.count()
+    return spark.createDataFrame([(round(inter / n, 6),)], "overlap double")

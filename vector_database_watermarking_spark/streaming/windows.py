@@ -1,0 +1,89 @@
+"""Structured Streaming tier (SURVEY §2.10 — extension; the reference
+has no streaming).
+
+The batch window aggregations in the registry
+(``ext_events_tumbling_daily`` / ``ext_events_sliding``) share their
+plan shape with these streaming versions: ``readStream`` over the same
+events schema → event-time window + watermark → sink. The watermark
+here is Spark's *late-data* watermark (``withWatermark``), unrelated to
+the IP-protection watermark the rest of the engine implements.
+
+Scale notes: streaming state is keyed by (window, event_type) — O(1)
+per key per trigger after partial aggregation; late rows beyond the
+watermark are dropped instead of growing state forever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling (or sliding, when ``slide`` is set) event-time window
+    aggregation; works identically on a batch or streaming DataFrame —
+    the watermark only binds in streaming mode."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    win = (
+        F.window("ts", window)
+        if slide is None
+        else F.window("ts", window, slide)
+    )
+    return src.groupBy(win.alias("win"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("total_value"),
+    ).select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+def stream_events_from_files(
+    spark: SparkSession, dir_path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over an events directory (parquet files with
+    the events schema, e.g. written by ``tools`` or a test fixture)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(dir_path)
+    )
+
+
+def run_to_memory_sink(
+    stream_df: DataFrame, table_name: str, timeout_sec: int = 60
+) -> None:
+    """Drive a streaming aggregation to completion against a memory
+    sink (test/demo harness): process everything available, then stop."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
