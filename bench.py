@@ -22,7 +22,8 @@ from vector_database_watermarking_spark.registry import QUERIES
 from vector_database_watermarking_spark.session import get_spark
 
 # Headline set: one per operator family (kNN graph build, graph
-# analytics, detection agg, relational agg/join/window).
+# analytics, detection agg, relational agg/join/window, dedup,
+# similarity, text, event windows).
 HEADLINE = [
     "j1_knn_edges",
     "g4_accessibility_index",
@@ -31,13 +32,53 @@ HEADLINE = [
     "rel_pricing_summary",
     "rel_top_revenue_nations",
     "rel_order_rank_window",
+    "ext_minhash_near_dups",
+    "ext_simhash",
+    "ext_cosine_topk",
+    "ext_quality_scores",
+    "ext_events_sliding",
 ]
+
+
+WARMUP_SF_DIR = "/root/testdata/sf0.001"
+
+
+def _warmup(spark, sf_dir: str) -> None:
+    """Measure steady state, not process startup: spawn the Python-UDF
+    workers, then run every headline query once against the smallest
+    scale factor — the generated code is identical across scale
+    factors, so this pre-fills the Janino codegen cache (~6 s of
+    first-run compilation per complex pipeline otherwise lands in the
+    timings)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def _noopf(batches):
+        for pdf in batches:
+            yield pd.DataFrame({"x": [1]})
+
+    spark.range(64).repartition(32).mapInPandas(_noopf, "x long").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).agg(
+        F.count(F.lit(1))
+    ).collect()
+    warm_dir = WARMUP_SF_DIR if os.path.isdir(WARMUP_SF_DIR) else sf_dir
+    for name in HEADLINE:
+        q = QUERIES.get(name)
+        if q is None:
+            continue
+        try:
+            q.fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+        except Exception:  # noqa: BLE001 - warmup must never fail the bench
+            pass
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark("bench")
+    _warmup(spark, sf_dir)
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = QUERIES.get(name)

@@ -58,44 +58,76 @@ def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFr
     """(doc_id, shingle) — distinct word n-grams of the normalized
     text. Built natively: split → transform over a sliding index
     sequence → explode → distinct."""
-    tokens = F.split(normalize_text(text_col), " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(0)))
+    # Materialize the token array behind an exchange before the
+    # per-index slicing: otherwise Catalyst inlines the regex+split
+    # into the transform lambda and tokenization reruns for every gram
+    # index (O(len²) regex work per doc). The repartition also spreads
+    # a single-file scan across cores.
+    nparts = docs.sparkSession.sparkContext.defaultParallelism
+    toks = (
+        docs.select("doc_id", F.split(normalize_text(text_col), " ").alias("_toks"))
+        .repartition(nparts, "doc_id")
+    )
+    idx = F.sequence(F.lit(0), F.greatest(F.size("_toks") - n, F.lit(0)))
     grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n))
+        idx, lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, n))
     )
     return (
-        docs.select("doc_id", F.explode(grams).alias("shingle"))
+        toks.select("doc_id", F.explode(grams).alias("shingle"))
         .filter(F.length("shingle") > 0)
         .distinct()
     )
 
 
+#: universal-hash family for MinHash: h_i(x) = (A_i·(hash60(x) mod P) + B_i) mod P.
+#: One md5 per shingle + integer arithmetic per hash — O(1) codegen per
+#: extra hash function (eight separate md5 chains took ~8 s of Janino
+#: compilation) and exactly reproducible in the DuckDB oracle.
+MINHASH_P = 2_147_483_647  # 2^31 − 1 (Mersenne prime)
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (A_i, B_i) pairs derived from the keyed hash."""
+    import hashlib
+
+    out = []
+    for i in range(num_hashes):
+        a = int(hashlib.md5(f"mh_a_{i}".encode()).hexdigest()[:15], 16) % (MINHASH_P - 1) + 1
+        b = int(hashlib.md5(f"mh_b_{i}".encode()).hexdigest()[:15], 16) % MINHASH_P
+        out.append((a, b))
+    return out
+
+
 def minhash_signatures(
     shingle_df: DataFrame, num_hashes: int = 16
 ) -> DataFrame:
-    """MinHash: signature_i = min over shingles of hash60(i || shingle).
+    """MinHash: signature_i = min over shingles of
+    ``(A_i·(hash60(shingle) mod P) + B_i) mod P``.
     Output: (doc_id, sig array<long> of length num_hashes)."""
+    base = hash60(F.col("shingle")) % F.lit(MINHASH_P)
+    with_base = shingle_df.withColumn("_hb", base)
     mins = [
-        F.min(
-            hash60(F.concat_ws("_", F.lit(f"mh{i}"), F.col("shingle")))
-        ).alias(f"h{i}")
-        for i in range(num_hashes)
+        F.min((F.lit(a) * F.col("_hb") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
     ]
-    sig = shingle_df.groupBy("doc_id").agg(*mins)
+    sig = with_base.groupBy("doc_id").agg(*mins)
     return sig.select(
         "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
     )
 
 
 def lsh_bands(
-    signatures: DataFrame, rows_per_band: int = 4
+    signatures: DataFrame, rows_per_band: int = 4, num_hashes: int | None = None
 ) -> DataFrame:
     """Band the signature: (doc_id, band, band_hash). Docs agreeing on
-    all rows of any band share a (band, band_hash) key."""
-    n = len(signatures.select(F.size("sig")).head()[0:1]) and int(
-        signatures.select(F.size("sig").alias("n")).head()["n"]
-    )
-    n_bands = n // rows_per_band
+    all rows of any band share a (band, band_hash) key.
+
+    Pass ``num_hashes`` when known — otherwise a ``head()`` job runs
+    just to learn the signature width (and recomputes its lineage if
+    ``signatures`` isn't cached)."""
+    if num_hashes is None:
+        num_hashes = int(signatures.select(F.size("sig").alias("n")).head()["n"])
+    n_bands = num_hashes // rows_per_band
     rows = []
     for b in range(n_bands):
         band_cols = [
@@ -160,7 +192,8 @@ def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text") -> DataFram
     """SimHash: per-token 60-bit hash; each of ``bits`` positions votes
     +1/−1 by its bit; the signature sets bit i when the vote is
     positive. Output: (doc_id, simhash long)."""
-    tokens = docs.select(
+    nparts = docs.sparkSession.sparkContext.defaultParallelism
+    tokens = docs.repartition(nparts, "doc_id").select(
         "doc_id",
         F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
     ).filter(F.length("tok") > 0)

@@ -83,7 +83,7 @@ def accessibility_index(
     edges = edges.persist()  # consumed 3× (self-join both sides + lengths)
     per_node = bidirectional_edge_counts(edges, nodes).join(
         avg_edge_lengths(edges, nodes, decimals=decimals), on="vec_id"
-    )
+    ).persist()  # consumed 2× (global stats + z-score join)
     e = F.col("bidir_edges").cast("double")
     d_ = F.col("avg_edge_len")
     stats = per_node.agg(

@@ -115,9 +115,14 @@ def rolling_fingerprints(
     """Rolling window fingerprints: hash of each ``window_tokens``-token
     window every ``stride`` tokens — the substring-level signal used
     for contamination scanning. Output: (doc_id, win_idx, fp)."""
-    toks = tokens(text_col)
+    # materialize tokens behind an exchange so the per-window slice
+    # doesn't re-run tokenization per index (see dedup.word_shingles)
+    nparts = docs.sparkSession.sparkContext.defaultParallelism
+    toks_df = docs.select("doc_id", tokens(text_col).alias("_toks")).repartition(
+        nparts, "doc_id"
+    )
     n_win = F.greatest(
-        F.floor((F.size(toks) - window_tokens) / stride).cast("int") + 1, F.lit(1)
+        F.floor((F.size("_toks") - window_tokens) / stride).cast("int") + 1, F.lit(1)
     )
     idx = F.sequence(F.lit(0), n_win - 1)
     wins = F.transform(
@@ -125,10 +130,10 @@ def rolling_fingerprints(
         lambda i: F.struct(
             i.alias("win_idx"),
             hash60(
-                F.concat_ws(" ", F.slice(toks, i * stride + 1, window_tokens))
+                F.concat_ws(" ", F.slice(F.col("_toks"), i * stride + 1, window_tokens))
             ).alias("fp"),
         ),
     )
-    return docs.select("doc_id", F.explode(wins).alias("w")).select(
+    return toks_df.select("doc_id", F.explode(wins).alias("w")).select(
         "doc_id", "w.win_idx", "w.fp"
     )

@@ -39,13 +39,12 @@ s AS (
 
 _N_MINHASH = 8
 _MINHASH_COLS = ", ".join(
-    "min({h}) AS h{i}".format(
-        h=_hash60_sql("concat('mh{i}_', shingle)".format(i=i)), i=i
-    )
-    for i in range(_N_MINHASH)
+    f"min(({a} * hb + {b}) % {dedup.MINHASH_P}) AS h{i}"
+    for i, (a, b) in enumerate(dedup.minhash_coeffs(_N_MINHASH))
 )
 _MINHASH_CTE = _SHINGLES_CTE + f""",
-m AS (SELECT doc_id, {_MINHASH_COLS} FROM s GROUP BY doc_id)"""
+sb AS (SELECT doc_id, {_hash60_sql('shingle')} % {dedup.MINHASH_P} AS hb FROM s),
+m AS (SELECT doc_id, {_MINHASH_COLS} FROM sb GROUP BY doc_id)"""
 
 
 # ---------------------------------------------------------------- dedup
@@ -121,8 +120,8 @@ def ext_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket join → exact Jaccard verification ≥ 0.5."""
     docs = load_table(spark, sf_dir, "documents")
     sh = dedup.word_shingles(docs, n=3).persist()
-    sig = dedup.minhash_signatures(sh, num_hashes=_N_MINHASH)
-    bands = dedup.lsh_bands(sig, rows_per_band=2)
+    sig = dedup.minhash_signatures(sh, num_hashes=_N_MINHASH).persist()
+    bands = dedup.lsh_bands(sig, rows_per_band=2, num_hashes=_N_MINHASH)
     cand = dedup.lsh_candidate_pairs(bands)
     verified = dedup.jaccard_verify(cand, sh, threshold=0.5)
     return verified.select(
