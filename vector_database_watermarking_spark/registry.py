@@ -652,6 +652,8 @@ def rel_order_rank_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Extension operators (dedup / similarity / text / multimodal / windows)
-# register themselves on import; keep this import at the end so the
-# registration decorator above is defined.
+# and the remaining operator queries register themselves on import;
+# keep these imports at the end so the registration decorator above is
+# defined.
 from . import registry_ext  # noqa: E402,F401
+from . import registry_more  # noqa: E402,F401

@@ -1,0 +1,340 @@
+"""Additional operator queries: attack-impact metrics (A11/A12/A13),
+source ops (S3), relational coverage (semi join, rollup,
+sessionization), and the remaining composite pipelines (SCPW,
+TabularMark, robustness grid) as rows-only checks.
+
+Imported by ``registry.py`` alongside ``registry_ext``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .registry import D, K, SEED, _knn_cte, register
+from .sources.tables import load_table
+
+# ---------------------------------------------------------------- A11/A12
+
+# kNN of the full set and of the post-deletion survivor set, both as
+# CTEs (the attack is the keyed-hash deletion, replayable in SQL).
+_DELE_KEY = (
+    "CAST('0x' || substr(md5(concat('42', '_dele_', CAST(vec_id AS VARCHAR))), 1, 15) AS BIGINT)"
+)
+
+_BEFORE_AFTER_CTE = f"""
+WITH survivors AS (
+  SELECT vec_id, embedding FROM (
+    SELECT vec_id, embedding, row_number() OVER (ORDER BY {_DELE_KEY}, vec_id) AS rn
+    FROM embeddings
+  ) WHERE rn <= (SELECT count(*) - CAST(ceil(count(*) * 0.3) AS BIGINT) FROM embeddings)
+),
+pairs_b AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+    list_sum(list_transform(range(1, {D + 1}),
+      i -> (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))
+         * (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE)))) AS dist_sq
+  FROM embeddings a CROSS JOIN embeddings b WHERE a.vec_id <> b.vec_id
+),
+edges_b AS (
+  SELECT src, dst FROM (
+    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY round(dist_sq, 6), dst) AS rank
+    FROM pairs_b) WHERE rank <= {K}
+),
+pairs_a AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+    list_sum(list_transform(range(1, {D + 1}),
+      i -> (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))
+         * (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE)))) AS dist_sq
+  FROM survivors a CROSS JOIN survivors b WHERE a.vec_id <> b.vec_id
+),
+edges_a AS (
+  SELECT src, dst FROM (
+    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY round(dist_sq, 6), dst) AS rank
+    FROM pairs_a) WHERE rank <= {K}
+)
+"""
+
+
+def _attacked_edges(spark: SparkSession, sf_dir: str):
+    from .operators import knn
+    from .operators.attacks import random_delete
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    before = knn.knn_edges(emb, k=K)
+    survivors = random_delete(emb, 0.3, seed=42)
+    after = knn.knn_edges(survivors, k=K)
+    return before, after
+
+
+@register(
+    "a11_hit_rate",
+    oracle=_BEFORE_AFTER_CTE
+    + f"""
+, sets AS (
+  SELECT b.src,
+         len(list_intersect(list(b.dst), any_value(a_l.dsts))) AS hits
+  FROM edges_b b
+  JOIN (SELECT src, list(dst) AS dsts FROM edges_a GROUP BY src) a_l
+    ON b.src = a_l.src
+  GROUP BY b.src
+)
+SELECT round(CAST(sum(hits) AS DOUBLE) / (count(*) * {K}), 6) AS hit_rate FROM sets
+""",
+)
+def a11_hit_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 (``hit_rate``, ``roubust/data_attack.py:92-109``): fraction
+    of the original top-k preserved after a 30% deletion attack,
+    averaged over surviving queries."""
+    from .operators.stats import hit_rate
+
+    before, after = _attacked_edges(spark, sf_dir)
+    rate = hit_rate(after, before, K)  # queries present on both sides
+    return spark.createDataFrame([(round(rate, 6),)], "hit_rate double")
+
+
+@register(
+    "a12_missed_false",
+    oracle=_BEFORE_AFTER_CTE
+    + """
+, b_sets AS (SELECT src, list(dst) AS b_dsts FROM edges_b GROUP BY src),
+a_sets AS (SELECT src, list(dst) AS a_dsts FROM edges_a GROUP BY src),
+joined AS (
+  SELECT coalesce(b.src, a.src) AS src,
+         coalesce(b.b_dsts, []) AS b_dsts,
+         coalesce(a.a_dsts, []) AS a_dsts
+  FROM b_sets b FULL OUTER JOIN a_sets a ON b.src = a.src
+)
+SELECT src,
+       CAST(len(list_filter(b_dsts, x -> NOT list_contains(a_dsts, x))) AS INTEGER) AS missed,
+       CAST(len(list_filter(a_dsts, x -> NOT list_contains(b_dsts, x))) AS INTEGER) AS false_hits
+FROM joined
+""",
+)
+def a12_missed_false(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 (``ca_miss_and_false``, ``roubust/data_attack.py:112-139``):
+    per-query missed and spurious neighbors after the deletion attack."""
+    from .operators.stats import missed_false_counts
+
+    before, after = _attacked_edges(spark, sf_dir)
+    return missed_false_counts(before, after).select(
+        "src",
+        F.col("missed").cast("int").alias("missed"),
+        F.col("false_hits").cast("int").alias("false_hits"),
+    )
+
+
+@register("a13_carrier_impact", oracle=None)
+def a13_carrier_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13/C9 (``impact/impact.py:70-128``): per-carrier missed/extra
+    querying vectors between the clean and TVP-watermarked kNN results
+    (k=20 here; needs the UDF embed → rows-only)."""
+    from .experiments import utility_impact
+    from .operators import knn
+    from .operators.stats import carrier_impact
+    from .watermark.tvp import tvp_embed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    wm_df, carriers = tvp_embed(emb, "10101", strength=0.6, th=0.5, seed=SEED)
+    before = knn.knn_edges(emb.select("vec_id", "embedding"), k=20)
+    after = knn.knn_edges(wm_df.select("vec_id", "embedding"), k=20)
+    return carrier_impact(before, after, carriers)
+
+
+# ---------------------------------------------------------------- S3
+
+
+@register(
+    "s3_append_new",
+    oracle="""
+SELECT vec_id FROM embeddings WHERE vec_id < 300
+UNION ALL
+SELECT vec_id FROM (
+  SELECT e.vec_id FROM embeddings e
+  WHERE e.vec_id >= 300
+  ORDER BY e.vec_id LIMIT 50
+)
+""",
+)
+def s3_append_new(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 (``load_data_from_back``, ``roubust/roubust.py:37-47``):
+    append the first 50 not-already-present rows (anti join + ordered
+    limit)."""
+    from .sources.tables import union_new_from_back
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 300)
+    out = union_new_from_back(base, emb, "vec_id", 50)
+    return out.select("vec_id")
+
+
+# ---------------------------------------------------------------- relational
+
+
+@register(
+    "rel_parts_with_orders_semi",
+    oracle="""
+SELECT p_partkey, p_name
+FROM part
+WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 45)
+""",
+)
+def rel_parts_with_orders_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join (EXISTS) shape: parts with a high-quantity lineitem."""
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return p.join(li, p.p_partkey == li.l_partkey, "left_semi").select(
+        "p_partkey", "p_name"
+    )
+
+
+@register(
+    "rel_orders_rollup",
+    oracle="""
+SELECT o_orderpriority, o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+""",
+)
+def rel_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup aggregation (grouping-set shape the reference lacks but
+    the engine exposes natively)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "ext_events_sessions",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST((max(epoch_us(ts)) - min(epoch_us(ts))) // 1000000 AS BIGINT) AS duration_sec,
+       round(sum(value), 2) AS total_value
+FROM sess GROUP BY user_id, session_id
+""",
+)
+def ext_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag + running sum
+    of session starts — the analytic-window shape (extension; the
+    streaming analogue is applyInPandasWithState)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    new_sess = F.when(
+        (us - F.lag(us).over(w) > 1_800_000_000) | F.lag("ts").over(w).isNull(), 1
+    ).otherwise(0)
+    wsum = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = ev.withColumn("new_session", new_sess).withColumn(
+        "session_id", F.sum("new_session").over(wsum)
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        ((F.max(us) - F.min(us)) / F.lit(1_000_000)).cast("long").alias("duration_sec"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------- pipelines
+
+
+@register("pipe_scpw_roundtrip", oracle=None)
+def pipe_scpw_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4→C5 (``SCPW.py:179-252``): embed, extract, report BER plus
+    carrier count (rows-only; md5-of-float32-repr parity lives in the
+    pandas UDF tier)."""
+    from .operators.grouping import ber
+    from .watermark.scpw import scpw_embed, scpw_extract
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    wm = "10101"
+    wm_df, carriers = scpw_embed(emb, wm, strength=0.7, top_k=3, position=10, std_e=0.1)
+    wm_df = wm_df.cache()
+    extracted = scpw_extract(wm_df, len(wm), top_k=3, position=10)
+    return spark.createDataFrame(
+        [(wm, extracted, ber(wm, extracted), carriers.count())],
+        "watermark string, extracted string, ber double, n_carriers long",
+    )
+
+
+@register("pipe_tabularmark_detect", oracle=None)
+def pipe_tabularmark_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6→C7 (``tabularMark.py:117-190``): embed key cells, re-match by
+    content id (J4 first-match), z-test; plus the clean-data negative
+    control."""
+    from .watermark.tabularmark import tabularmark_detect, tabularmark_embed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    wm_df, keys = tabularmark_embed(emb, nw=100, p=4.0, k=3, position=10)
+    pos = tabularmark_detect(emb, wm_df, keys, p=4.0, k=3, position=10)
+    neg = tabularmark_detect(emb, emb, keys, p=4.0, k=3, position=10)
+    return spark.createDataFrame(
+        [
+            ("watermarked", pos["detected"], round(pos["z"], 4), pos["ng"], pos["nw"]),
+            ("clean", neg["detected"], round(neg["z"], 4), neg["ng"], neg["nw"]),
+        ],
+        "case string, detected boolean, z double, ng long, nw long",
+    )
+
+
+@register("a14_robustness_mini", oracle=None)
+def a14_robustness_mini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14/C10 (``roubust/roubust.py:226-263``): a 1×2 robustness grid
+    cell set — TVP at strength 0.7 under random deletion p ∈ {0.0, 0.5}
+    (the full grid is ``experiments.robustness_grid``)."""
+    from .experiments import robustness_grid, to_df
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = robustness_grid(
+        emb, "10101", attack="random_delete", strengths=(0.7,), ths=(1.0,),
+        ps=(0.0, 0.5), seed=SEED,
+    )
+    return to_df(spark, res)
+
+
+@register("w5_largest_component", oracle=None)
+def w5_largest_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 (``max(clusters, key=len)``, ``t_vector/e1:159``) + F4
+    small-cluster filter: component size distribution of the
+    mutual-kNN graph — largest component plus the ≤10-member cluster
+    count (rows-only; iterative fixpoint)."""
+    from .operators import graph, knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = knn.knn_edges(emb, k=K)
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    mutual = edges.select("src", "dst").join(rev, on=["src", "dst"], how="left_semi")
+    comp = graph.connected_components(
+        mutual.withColumn("dist", F.lit(0.0)).withColumn("rank", F.lit(1)), emb
+    )
+    sizes = graph.component_sizes(comp)
+    return spark.createDataFrame(
+        [
+            (
+                sizes.agg(F.max("n_nodes")).head()[0],
+                sizes.count(),
+                sizes.filter(F.col("n_nodes") <= 10).count(),
+            )
+        ],
+        "largest_component long, n_components long, n_small_clusters long",
+    )

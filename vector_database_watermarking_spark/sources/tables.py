@@ -68,8 +68,14 @@ def tail_slice(df: DataFrame, key: str, n: int, total: int) -> DataFrame:
 
 def union_new_from_back(base: DataFrame, pool: DataFrame, key: str, k: int) -> DataFrame:
     """S3: append up to k rows from ``pool`` whose key is not already in
-    ``base`` (``roubust/roubust.py:37-47`` dedup-scan). Expressed as a
-    left-anti join + limit; the anti join broadcasts whichever side is
+    ``base`` (``roubust/roubust.py:37-47`` dedup-scan). Left-anti join,
+    then the first k fresh rows *in key order* — a bare ``limit`` would
+    be partitioning-dependent (the reference scans its file backward,
+    which is an order too). The anti join broadcasts whichever side is
     small under AQE."""
-    fresh = pool.join(base.select(key), on=key, how="left_anti").limit(k)
+    fresh = (
+        pool.join(base.select(key), on=key, how="left_anti")
+        .orderBy(key)
+        .limit(k)
+    )
     return base.unionByName(fresh)
