@@ -141,3 +141,53 @@ def test_streaming_windowed_counts(spark, sf_dir, tmp_path):
     assert batch.agg(F.sum("n_events")).head()[0] == ev.count()
     n_windows_stream = spark.sql("SELECT count(*) FROM win_counts").head()[0]
     assert n_windows_stream == batch.count()
+
+
+def test_stateful_streaming_sessionization(spark, sf_dir, tmp_path):
+    """applyInPandasWithState sessionization: closed sessions from the
+    stream must match the batch sessionizer for sessions that are
+    provably closed by later events."""
+    from vector_database_watermarking_spark.registry_more import ext_events_sessions
+    from vector_database_watermarking_spark.streaming.sessions import sessionize_stream
+    from vector_database_watermarking_spark.streaming.windows import (
+        EVENTS_SCHEMA,
+        stream_events_from_files,
+    )
+    from vector_database_watermarking_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    src_dir = str(tmp_path / "ev_sessions")
+    ev.orderBy("ts").coalesce(1).write.mode("overwrite").parquet(src_dir)
+
+    stream = stream_events_from_files(spark, src_dir, max_files_per_trigger=1)
+    out = sessionize_stream(stream, watermark="30 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = [
+        (r["user_id"], r["n_events"])
+        for r in spark.sql(
+            "SELECT user_id, n_events FROM sessions_stream"
+        ).collect()
+    ]
+    batch = ext_events_sessions(spark, sf_dir)
+    # the stream only emits *closed* sessions: every emitted session
+    # must exist in the batch result, and most batch sessions
+    # (all but each user's final one) must be emitted
+    batch_rows = [(r["user_id"], r["n_events"]) for r in batch.collect()]
+    from collections import Counter
+
+    batch_count = Counter(batch_rows)
+    got_count = Counter(got)
+    for key, n in got_count.items():
+        assert batch_count[key] >= n, f"stream emitted session not in batch: {key}"
+    n_users = batch.select("user_id").distinct().count()
+    assert sum(got_count.values()) >= len(batch_rows) - n_users

@@ -67,3 +67,25 @@ def test_lsh_tier_recall(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall > 0.5, recall
+
+
+def test_blocked_exact_knn_matches_broadcast(spark, sf_dir):
+    """The blocked tier (base split into broadcastable chunks + merge)
+    must produce bit-identical edges to the single-broadcast tier."""
+    from vector_database_watermarking_spark.operators.knn import (
+        _exact_knn_blocked,
+        _exact_knn_broadcast,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    a = sorted(
+        (r["src"], r["rank"], r["dst"], round(r["dist"], 9))
+        for r in _exact_knn_broadcast(emb, emb, 5, True).collect()
+    )
+    b = sorted(
+        (r["src"], r["rank"], r["dst"], round(r["dist"], 9))
+        for r in _exact_knn_blocked(emb, emb, 5, True, n_blocks=4).collect()
+    )
+    assert a == b

@@ -1,0 +1,75 @@
+"""Physical-plan guards: the scale-critical optimizations (predicate
+pushdown into parquet, column pruning, broadcast joins, rank-limit
+pushdown, whole-stage codegen) must stay in the plans as code evolves.
+"""
+
+from pyspark.sql import functions as F
+
+from vector_database_watermarking_spark.registry import QUERIES
+from vector_database_watermarking_spark.sources.tables import load_embeddings, load_table
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_head_slice_pushes_filter_into_scan(spark, sf_dir):
+    df = load_embeddings(spark, sf_dir, num_samples=100)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,100)" in plan, plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    plan = plan_of(li)
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan, plan
+
+
+def test_small_dim_join_broadcasts(spark, sf_dir):
+    q = QUERIES["rel_top_revenue_nations"].fn(spark, sf_dir)
+    plan = plan_of(q)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_knn_topk_has_no_global_pair_shuffle(spark, sf_dir):
+    """The exact kNN emits top-k inside mapInPandas: no Exchange of the
+    O(n²) pair relation, no Window over all pairs."""
+    from vector_database_watermarking_spark.operators.knn import knn_edges
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = plan_of(knn_edges(emb, k=5))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_pricing_summary_whole_stage_codegen(spark, sf_dir):
+    q = QUERIES["rel_pricing_summary"].fn(spark, sf_dir)
+    q.collect()  # AQE finalizes the plan (and codegen spans) on execution
+    plan = plan_of(q)
+    # '*(n)' prefixes mark whole-stage-codegen spans in the final plan
+    assert "*(" in plan, plan
+    # partial (map-side) aggregation before the exchange
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_rank_window_limit_pushdown(spark, sf_dir):
+    """row_number <= 3 should trigger WindowGroupLimit (rank-limit
+    pushdown) so the shuffle carries only candidate rows."""
+    q = QUERIES["rel_order_rank_window"].fn(spark, sf_dir)
+    plan = plan_of(q)
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_carrier_semi_join_is_broadcast(spark, sf_dir):
+    from vector_database_watermarking_spark.operators.knn import knn_edges
+    from vector_database_watermarking_spark.operators.stats import carrier_query_sets
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = knn_edges(emb, k=5)
+    carriers = emb.select("vec_id").limit(20)
+    plan = plan_of(carrier_query_sets(edges, carriers))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan

@@ -59,7 +59,7 @@ def knn_join(
     rankings are reproducible across tiers and engines.
     """
     if exact:
-        return _exact_knn_broadcast(queries, base, k, exclude_self)
+        return exact_knn(queries, base, k, exclude_self)
 
     q = queries.select(F.col("vec_id").alias("src"), F.col("embedding").alias("q_emb"))
     b = base.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("b_emb"))
@@ -83,16 +83,74 @@ def knn_join(
     )
 
 
+#: above this many base rows the exact tier switches to blocked mode
+#: (the whole base would not fit in one driver collect + broadcast).
+MAX_BROADCAST_ROWS = 200_000
+
+
+def exact_knn(
+    queries: DataFrame, base: DataFrame, k: int, exclude_self: bool = True
+) -> DataFrame:
+    """Exact kNN with automatic tier choice: single broadcast of the
+    base when it fits (``MAX_BROADCAST_ROWS``), otherwise the base is
+    split into broadcastable blocks, each block contributes a local
+    top-k, and a final per-query window merges them — identical output
+    (the global top-k is a subset of the union of block top-ks), driver
+    memory bounded by one block.
+    """
+    n_base = base.count()
+    if n_base <= MAX_BROADCAST_ROWS:
+        return _exact_knn_broadcast(queries, base, k, exclude_self)
+    n_blocks = -(-n_base // MAX_BROADCAST_ROWS)
+    return _exact_knn_blocked(queries, base, k, exclude_self, n_blocks)
+
+
+def _exact_knn_blocked(
+    queries: DataFrame, base: DataFrame, k: int, exclude_self: bool, n_blocks: int
+) -> DataFrame:
+    """Blocked exact kNN: hash-split the base, per-block broadcast
+    top-k, then a global merge ranked by the same
+    ``(round(dist_sq, 6), dst)`` key so results are bit-identical to
+    the single-broadcast tier."""
+    blocks = []
+    block_col = F.pmod(F.col("vec_id"), F.lit(n_blocks))
+    for b in range(n_blocks):
+        block = base.filter(block_col == b)
+        blocks.append(
+            _exact_knn_broadcast(queries, block, k, exclude_self, emit_dist_sq=True)
+        )
+    union = blocks[0]
+    for df in blocks[1:]:
+        union = union.unionByName(df)
+    w = Window.partitionBy("src").orderBy(
+        F.round(F.col("dist_sq"), _RANK_DECIMALS).asc(), F.col("dst").asc()
+    )
+    return (
+        union.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "src",
+            "dst",
+            F.sqrt("dist_sq").alias("dist"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def _exact_knn_broadcast(
-    queries: DataFrame, base: DataFrame, k: int, exclude_self: bool
+    queries: DataFrame,
+    base: DataFrame,
+    k: int,
+    exclude_self: bool,
+    emit_dist_sq: bool = False,
 ) -> DataFrame:
     """Broadcast-base exact kNN via ``mapInPandas``.
 
     Scale notes: correct while the base side fits in a broadcast
-    (~1e6 × d floats). Larger bases at cluster scale go through the
-    LSH tier, or block the base into broadcastable chunks and take a
-    top-k-of-top-ks union (same output contract). The probe side is
-    repartitioned so a single-file scan still uses every core.
+    (~1e6 × d floats); ``exact_knn`` falls back to the blocked tier
+    beyond that, and approximate workloads go through the LSH tier.
+    The probe side is repartitioned so a single-file scan still uses
+    every core.
     """
     import numpy as np
     import pandas as pd
@@ -123,19 +181,22 @@ def _exact_knn_broadcast(
                 r6 = np.where(self_mask, np.inf, r6)
             out_src = np.repeat(q_ids, kk)
             out_dst = np.empty(m * kk, dtype=np.int64)
-            out_dist = np.empty(m * kk, dtype=np.float64)
+            out_val = np.empty(m * kk, dtype=np.float64)
             out_rank = np.tile(np.arange(1, kk + 1, dtype=np.int32), m)
             for r in range(m):
                 sel = np.lexsort((b_ids, r6[r]))[:kk]
                 out_dst[r * kk : (r + 1) * kk] = b_ids[sel]
-                out_dist[r * kk : (r + 1) * kk] = np.sqrt(acc[r, sel])
+                vals = acc[r, sel]
+                out_val[r * kk : (r + 1) * kk] = vals if emit_dist_sq else np.sqrt(vals)
+            col = "dist_sq" if emit_dist_sq else "dist"
             yield pd.DataFrame(
-                {"src": out_src, "dst": out_dst, "dist": out_dist, "rank": out_rank}
+                {"src": out_src, "dst": out_dst, col: out_val, "rank": out_rank}
             )
 
+    col = "dist_sq" if emit_dist_sq else "dist"
     nparts = sess.sparkContext.defaultParallelism
     return queries.select("vec_id", "embedding").repartition(nparts).mapInPandas(
-        topk, schema="src long, dst long, dist double, rank int"
+        topk, schema=f"src long, dst long, {col} double, rank int"
     )
 
 

@@ -1,0 +1,120 @@
+"""Custom stateful streaming operator: gap-based sessionization with
+``applyInPandasWithState`` (SURVEY §2.10 extension — the batch
+analogue is the ``ext_events_sessions`` query).
+
+Semantics: events per user are grouped into sessions separated by
+> ``gap_sec`` of event-time inactivity. State per user holds the open
+session (start, last-seen, count, value sum); a session is emitted
+when the gap rule closes it, or at timeout.
+
+Scale notes: state is keyed by user — Spark hash-partitions the state
+store by the grouping key, so state volume is O(active users), not
+O(events); per-trigger work touches only arriving keys. Event-time
+timeout + watermark bound how long an idle session is kept.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+def _sessionize_group(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    gap_us = 1_800_000_000  # 30 min
+    (user_id,) = key
+
+    if state.hasTimedOut:
+        start_us, last_us, n, total = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_start": [pd.Timestamp(start_us, unit="us")],
+                "session_end": [pd.Timestamp(last_us, unit="us")],
+                "n_events": [n],
+                "total_value": [total],
+            }
+        )
+        return
+
+    rows = pd.concat(list(pdfs)).sort_values("ts")
+    # normalize to µs regardless of the pandas datetime resolution
+    ts_us = rows["ts"].astype("datetime64[us]").astype("int64")
+    values = rows["value"].to_numpy()
+
+    if state.exists:
+        start_us, last_us, n, total = state.get
+    else:
+        start_us = last_us = int(ts_us.iloc[0])
+        n, total = 0, 0.0
+
+    closed = []
+    for t, v in zip(ts_us, values):
+        t = int(t)
+        if n > 0 and t - last_us > gap_us:
+            closed.append((start_us, last_us, n, total))
+            start_us, n, total = t, 0, 0.0
+        if n == 0:
+            start_us = t
+        last_us = t
+        n += 1
+        total += float(v)
+
+    state.update((start_us, last_us, n, total))
+    state.setTimeoutTimestamp(last_us // 1000 + gap_us // 1000)  # ms
+
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(closed),
+                "session_start": [pd.Timestamp(s, unit="us") for s, _, _, _ in closed],
+                "session_end": [pd.Timestamp(e, unit="us") for _, e, _, _ in closed],
+                "n_events": [n_ for _, _, n_, _ in closed],
+                "total_value": [tv for _, _, _, tv in closed],
+            }
+        )
+
+
+def sessionize_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming sessionization: emits a row per *closed* session
+    (closed by a later event beyond the gap, or by event-time
+    timeout)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_group,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
