@@ -1,0 +1,73 @@
+"""Reference-shaped API facade tests + hypothesis property tests for
+the float-bit surgery over the float32 domain (SURVEY §5.2)."""
+
+import math
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from vector_database_watermarking_spark import api
+from vector_database_watermarking_spark.functions import bits
+
+f32 = st.floats(
+    min_value=-1e6,
+    max_value=1e6,
+    allow_nan=False,
+    allow_infinity=False,
+    width=32,
+)
+
+
+@given(f32)
+@settings(max_examples=300, deadline=None)
+def test_float_to_bin_roundtrip_float32_domain(x):
+    b = bits.float_to_bin(x)
+    assert set(b) <= {"0", "1", "."} and b.count(".") == 1
+    back = bits.bin_to_float(b)
+    assert math.isclose(back, abs(x), rel_tol=1e-12, abs_tol=1e-300)
+
+
+@given(f32, st.integers(min_value=0, max_value=1))
+@settings(max_examples=200, deadline=None)
+def test_embed_sets_extractable_bit_or_shortens(x, wm_bit):
+    """Embedding then extracting through float32 storage returns the
+    embedded bit except in the documented expansion-shortening edge
+    case (which the A2 majority vote absorbs)."""
+    vec = [float(np.float32(x))] * 4
+    vid = "123456789"
+    skip = frozenset()
+    new = bits.embed_bit(vec, wm_bit, vid, skip)
+    new32 = [float(np.float32(v)) for v in new]
+    got = bits.extract_bit(new32, vid, skip)
+    if got != wm_bit:
+        # only legal when the write shortened/lengthened the expansion
+        h = bits.compat_md5_int(vid)
+        pos = h % len(vec)
+        assert len(bits.float_to_bin(new32[pos])) != len(bits.float_to_bin(vec[pos]))
+
+
+def test_api_facade_roundtrip(spark, sf_dir):
+    data = api.load_data(spark, sf_dir, num_samples=400)
+    assert data.count() == 400
+    wm_df, L, carriers, orig, ai = api.watermark_embedding_by_ai(
+        data, strength=0.7, th=1.0, watermark="10101", random_seed=20
+    )
+    assert L == 5
+    assert api.BER("10101", api.watermark_extraction(wm_df, L, random_seed=20)) == 0.0
+    # attacks through the facade
+    survivors = api.adaptive_dele(wm_df, 0.2, ai)
+    assert survivors.count() == 400 - math.ceil(400 * 0.2)
+    inserted = api.adaptive_insertion(wm_df, 0.1)
+    assert inserted.count() == 400 + math.ceil(400 * 0.1)
+
+
+def test_api_scpw_and_tabularmark(spark, sf_dir):
+    data = api.load_data(spark, sf_dir)
+    wm_df, L, carriers, _ = api.scpw_watermark_embedding(
+        data, top_k=3, strength=0.7, position=10, standard_e=0.1, watermark="101"
+    )
+    assert api.scpw_watermark_extraction(wm_df, 3, L, 10) == "101"
+    wm2, keys = api.tabularmark_embed(data, nw=80, p=4.0, k=3, position=5)
+    res = api.tabularmark_detect(data, wm2, keys, p=4.0, k=3, position=5)
+    assert res["detected"]

@@ -141,6 +141,62 @@ def a13_carrier_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return carrier_impact(before, after, carriers)
 
 
+# ---------------------------------------------------------------- W2
+
+
+@register(
+    "w2_adaptive_delete",
+    oracle=_knn_cte()
+    + """
+, bidir AS (
+  SELECT emb.vec_id, CAST(coalesce(m.bidir, 0) AS BIGINT) AS bidir_edges
+  FROM embeddings emb
+  LEFT JOIN (
+    SELECT e1.src, count(*) AS bidir
+    FROM edges e1 JOIN edges e2 ON e1.src = e2.dst AND e1.dst = e2.src
+    GROUP BY e1.src
+  ) m ON emb.vec_id = m.src
+),
+lens AS (SELECT src AS vec_id, avg(round(sqrt(dist_sq), 6)) AS avg_edge_len FROM edges GROUP BY src),
+per_node AS (
+  SELECT b.vec_id, b.bidir_edges, l.avg_edge_len
+  FROM bidir b LEFT JOIN lens l ON b.vec_id = l.vec_id
+),
+stats AS (
+  SELECT avg(CAST(bidir_edges AS DOUBLE)) AS mean_e,
+         sqrt(avg(CAST(bidir_edges AS DOUBLE) * CAST(bidir_edges AS DOUBLE))
+              - avg(CAST(bidir_edges AS DOUBLE)) * avg(CAST(bidir_edges AS DOUBLE))) AS std_e,
+         avg(avg_edge_len) AS mean_d,
+         sqrt(avg(avg_edge_len * avg_edge_len) - avg(avg_edge_len) * avg(avg_edge_len)) AS std_d
+  FROM per_node
+),
+ai AS (
+  SELECT vec_id,
+         round(0.5 * (avg_edge_len - mean_d) / std_d
+             - 0.5 * (bidir_edges - mean_e) / std_e, 5) AS ai
+  FROM per_node CROSS JOIN stats
+)
+SELECT vec_id FROM (
+  SELECT vec_id, row_number() OVER (ORDER BY ai DESC, vec_id) AS rn FROM ai
+) WHERE rn > (SELECT CAST(ceil(count(*) * 0.3) AS BIGINT) FROM embeddings)
+""",
+)
+def w2_adaptive_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 (``adaptive_dele``, ``watermarking.py:430-443``): ids
+    surviving a 30% adaptive (highest-AI-first) deletion — the whole
+    attack, graph metrics included, replayed by the oracle."""
+    from .operators import graph, knn
+    from .operators.attacks import adaptive_delete
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = knn.knn_edges(emb, k=K)
+    ai = (
+        graph.accessibility_index(edges, emb, decimals=6)
+        .select("vec_id", F.round("ai", 5).alias("ai"))
+    )
+    return adaptive_delete(emb, ai, 0.3).select("vec_id")
+
+
 # ---------------------------------------------------------------- S3
 
 
