@@ -1,0 +1,66 @@
+"""Bucketed co-located joins (SCALING.md): writing both sides
+bucketed by the join key removes the shuffle — the plan the 100 TB
+edges/embeddings join would use."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_dir):
+    # tables land in the session's default warehouse dir and are
+    # dropped on teardown (warehouse.dir is a static conf)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from vector_database_watermarking_spark.operators.knn import knn_edges
+
+    edges = knn_edges(emb, k=5)
+    spark.sql("DROP TABLE IF EXISTS emb_bucketed")
+    spark.sql("DROP TABLE IF EXISTS edges_bucketed")
+    (
+        emb.write.bucketBy(8, "vec_id")
+        .sortBy("vec_id")
+        .mode("overwrite")
+        .saveAsTable("emb_bucketed")
+    )
+    (
+        edges.withColumnRenamed("src", "vec_id")
+        .write.bucketBy(8, "vec_id")
+        .sortBy("vec_id")
+        .mode("overwrite")
+        .saveAsTable("edges_bucketed")
+    )
+    yield "emb_bucketed", "edges_bucketed"
+    spark.sql("DROP TABLE IF EXISTS emb_bucketed")
+    spark.sql("DROP TABLE IF EXISTS edges_bucketed")
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
+    emb_t, edges_t = bucketed_tables
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = (
+            spark.table(edges_t)
+            .join(spark.table(emb_t), on="vec_id")
+            .groupBy("vec_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # co-located: SortMergeJoin without any Exchange feeding it
+        assert "SortMergeJoin" in plan, plan
+        join_part = plan.split("SortMergeJoin")[1]
+        assert "Exchange" not in join_part, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_bucketed_results_match_unbucketed(spark, sf_dir, bucketed_tables):
+    emb_t, edges_t = bucketed_tables
+    bucketed = (
+        spark.table(edges_t).join(spark.table(emb_t), on="vec_id").count()
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from vector_database_watermarking_spark.operators.knn import knn_edges
+
+    edges = knn_edges(emb, k=5).withColumnRenamed("src", "vec_id")
+    assert bucketed == edges.join(emb, on="vec_id").count()

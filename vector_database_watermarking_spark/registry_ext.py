@@ -416,11 +416,31 @@ def ext_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- graph extras
 
 
-@register("g5_connected_components", oracle=None)
+@register(
+    "g5_connected_components",
+    oracle=_knn_cte(K)
+    + """
+, mutual AS (
+  SELECT e1.src, e1.dst FROM edges e1
+  JOIN edges e2 ON e1.src = e2.dst AND e1.dst = e2.src
+),
+RECURSIVE_DUMMY AS (SELECT 1)
+SELECT * FROM (
+  WITH RECURSIVE reach(node, r) AS (
+    SELECT vec_id, vec_id FROM embeddings
+    UNION
+    SELECT m.src, re.r FROM mutual m JOIN reach re ON m.dst = re.node
+  )
+  SELECT node AS vec_id, CAST(min(r) AS BIGINT) AS component
+  FROM reach GROUP BY node
+)
+""",
+)
 def g5_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G5 (``t_vector/e1:41-54``): connected components of the
-    mutual-kNN graph (iterative label propagation; rows-only — the
-    fixpoint loop is not single-query SQL)."""
+    mutual-kNN graph. Spark: iterative min-label propagation to
+    fixpoint; oracle: recursive reachability closure + min — both
+    converge to component = min reachable vec_id."""
     from .operators import graph, knn
 
     emb = load_table(spark, sf_dir, "embeddings")
