@@ -191,3 +191,14 @@ def test_stateful_streaming_sessionization(spark, sf_dir, tmp_path):
         assert batch_count[key] >= n, f"stream emitted session not in batch: {key}"
     n_users = batch.select("user_id").distinct().count()
     assert sum(got_count.values()) >= len(batch_rows) - n_users
+
+
+def test_approx_distinct_within_bounds(spark, sf_dir):
+    from vector_database_watermarking_spark.registry_more import ext_approx_distinct
+
+    rows = ext_approx_distinct(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["approx_distinct"] - r["exact_distinct"]) <= max(
+            2, 0.05 * r["exact_distinct"]
+        ), r

@@ -312,6 +312,62 @@ def ext_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a9_mean_qc_by_edge_count",
+    oracle=_knn_cte()
+    + """
+, qc AS (
+  SELECT e.vec_id, CAST(coalesce(c.cnt, 0) AS BIGINT) AS query_count
+  FROM embeddings e
+  LEFT JOIN (SELECT dst, count(*) AS cnt FROM edges GROUP BY dst) c ON e.vec_id = c.dst
+),
+bidir AS (
+  SELECT emb.vec_id, CAST(coalesce(m.bidir, 0) AS BIGINT) AS bidir_edges
+  FROM embeddings emb
+  LEFT JOIN (
+    SELECT e1.src, count(*) AS bidir
+    FROM edges e1 JOIN edges e2 ON e1.src = e2.dst AND e1.dst = e2.src
+    GROUP BY e1.src
+  ) m ON emb.vec_id = m.src
+)
+SELECT b.bidir_edges, round(avg(q.query_count), 6) AS mean_query_count,
+       CAST(count(*) AS BIGINT) AS n_nodes
+FROM bidir b JOIN qc q ON b.vec_id = q.vec_id
+GROUP BY b.bidir_edges
+""",
+)
+def a9_mean_qc_by_edge_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 (``t_vector/num_edges.py:65-73``): mean query count per
+    bidirectional-edge count — the visibility study behind the AI
+    heuristic."""
+    from .operators import graph, knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = knn.knn_edges(emb, k=K).persist()
+    qc = knn.query_counts(edges, emb)
+    bidir = graph.bidirectional_edge_counts(edges, emb)
+    return (
+        bidir.join(qc, on="vec_id")
+        .groupBy("bidir_edges")
+        .agg(
+            F.round(F.avg("query_count"), 6).alias("mean_query_count"),
+            F.count(F.lit(1)).alias("n_nodes"),
+        )
+    )
+
+
+@register("ext_approx_distinct", oracle=None)
+def ext_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-distinct dedup counts (SURVEY M6): HLL sketch vs the
+    exact count per source (rows-only — sketch values are
+    engine-specific; the pytest bound check asserts ±5%)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.countDistinct("text").alias("exact_distinct"),
+        F.approx_count_distinct("text", rsd=0.02).alias("approx_distinct"),
+    )
+
+
+@register(
     "rel_pivot_status",
     oracle="""
 SELECT o_orderpriority,
