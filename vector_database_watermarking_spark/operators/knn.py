@@ -40,7 +40,7 @@ def knn_join(
     k: int,
     exact: bool = True,
     exclude_self: bool = True,
-    bucket_length: float = 2.0,
+    bucket_length: float | None = None,
     num_hash_tables: int = 3,
 ) -> DataFrame:
     """Top-k nearest base vectors for every query vector.
@@ -167,31 +167,51 @@ def _exact_knn_broadcast(
     def topk(batches):
         b_ids, b_X = bc.value
         n, d = b_X.shape
+        # bound working-set memory: distance buffers are (chunk, n)
+        # doubles — cap at ~2e7 cells (~160 MB) regardless of Arrow
+        # batch size, or a 10k-row batch against a 50k base would
+        # allocate multi-GB temporaries per dimension.
+        chunk = max(1, int(2e7 // max(n, 1)))
+        col = "dist_sq" if emit_dist_sq else "dist"
         for pdf in batches:
-            q_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            Q = np.array(list(pdf["embedding"]), dtype=np.float64)
-            m = len(q_ids)
-            acc = np.zeros((m, n), dtype=np.float64)
-            for i in range(d):  # sequential per-dim accumulation = fold parity
-                diff = Q[:, i : i + 1] - b_X[:, i][None, :]
-                acc += diff * diff
-            r6 = np.round(acc, _RANK_DECIMALS)
-            if exclude_self:
-                self_mask = q_ids[:, None] == b_ids[None, :]
-                r6 = np.where(self_mask, np.inf, r6)
-            out_src = np.repeat(q_ids, kk)
-            out_dst = np.empty(m * kk, dtype=np.int64)
-            out_val = np.empty(m * kk, dtype=np.float64)
-            out_rank = np.tile(np.arange(1, kk + 1, dtype=np.int32), m)
-            for r in range(m):
-                sel = np.lexsort((b_ids, r6[r]))[:kk]
-                out_dst[r * kk : (r + 1) * kk] = b_ids[sel]
-                vals = acc[r, sel]
-                out_val[r * kk : (r + 1) * kk] = vals if emit_dist_sq else np.sqrt(vals)
-            col = "dist_sq" if emit_dist_sq else "dist"
-            yield pd.DataFrame(
-                {"src": out_src, "dst": out_dst, col: out_val, "rank": out_rank}
-            )
+            all_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            all_Q = np.array(list(pdf["embedding"]), dtype=np.float64)
+            for s in range(0, len(all_ids), chunk):
+                q_ids = all_ids[s : s + chunk]
+                Q = all_Q[s : s + chunk]
+                m = len(q_ids)
+                acc = np.zeros((m, n), dtype=np.float64)
+                diff = np.empty((m, n), dtype=np.float64)
+                for i in range(d):  # sequential per-dim accumulation = fold parity
+                    np.subtract(Q[:, i][:, None], b_X[:, i][None, :], out=diff)
+                    diff *= diff
+                    acc += diff
+                r6 = np.round(acc, _RANK_DECIMALS)
+                if exclude_self:
+                    r6[q_ids[:, None] == b_ids[None, :]] = np.inf
+                out_src = np.repeat(q_ids, kk)
+                out_dst = np.empty(m * kk, dtype=np.int64)
+                out_val = np.empty(m * kk, dtype=np.float64)
+                out_rank = np.tile(np.arange(1, kk + 1, dtype=np.int32), m)
+                for r in range(m):
+                    if n > 4 * kk:
+                        # tie-safe pre-select: keep everything ≤ the max
+                        # of the 2kk smallest, so equal rounded values
+                        # still resolve by the b_id tiebreak exactly
+                        part = np.argpartition(r6[r], 2 * kk)[: 2 * kk]
+                        cand = np.nonzero(r6[r] <= r6[r][part].max())[0]
+                    else:
+                        cand = np.arange(n)
+                    order = np.lexsort((b_ids[cand], r6[r][cand]))[:kk]
+                    sel = cand[order]
+                    out_dst[r * kk : (r + 1) * kk] = b_ids[sel]
+                    vals = acc[r, sel]
+                    out_val[r * kk : (r + 1) * kk] = (
+                        vals if emit_dist_sq else np.sqrt(vals)
+                    )
+                yield pd.DataFrame(
+                    {"src": out_src, "dst": out_dst, col: out_val, "rank": out_rank}
+                )
 
     col = "dist_sq" if emit_dist_sq else "dist"
     nparts = sess.sparkContext.defaultParallelism
@@ -200,11 +220,36 @@ def _exact_knn_broadcast(
     )
 
 
-def _lsh_candidates(q: DataFrame, b: DataFrame, bucket_length: float, num_hash_tables: int) -> DataFrame:
+def _lsh_candidates(
+    q: DataFrame,
+    b: DataFrame,
+    bucket_length: float | None,
+    num_hash_tables: int,
+) -> DataFrame:
     """Candidate pairs via random-hyperplane bucketing (public MLlib
-    ``BucketedRandomProjectionLSH``). Returns (src, q_emb, dst, b_emb)."""
+    ``BucketedRandomProjectionLSH``). Returns (src, q_emb, dst, b_emb).
+
+    ``bucket_length=None`` sizes buckets from the data: half the median
+    vector norm. A fixed length mis-sized for the data collapses every
+    vector into one bucket (candidate explosion) or shatters true
+    neighbors apart.
+    """
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    from ..functions.distance import norm
+
+    rows_per_band = 2  # AND-amplification width within a band
+    if bucket_length is None:
+        # a single random projection of x has std ≈ |x|/√d; size the
+        # bucket to a couple of projection-stds so buckets discriminate
+        # (a fixed large length collapses everything into bucket 0 →
+        # O(n²) candidates; measured at 50k rows)
+        row0 = b.select(
+            F.percentile_approx(norm("b_emb"), 0.5).alias("m"),
+            F.max(F.size("b_emb")).alias("d"),
+        ).head()
+        bucket_length = max(2.0 * float(row0["m"]) / (float(row0["d"]) ** 0.5), 1e-6)
 
     qv = q.withColumn("features", array_to_vector(F.col("q_emb").cast("array<double>")))
     bv = b.withColumn("features", array_to_vector(F.col("b_emb").cast("array<double>")))
@@ -212,16 +257,52 @@ def _lsh_candidates(q: DataFrame, b: DataFrame, bucket_length: float, num_hash_t
         inputCol="features",
         outputCol="hashes",
         bucketLength=bucket_length,
-        numHashTables=num_hash_tables,
+        numHashTables=num_hash_tables * rows_per_band,
         seed=42,
     )
     model = lsh.fit(bv)
-    qh = model.transform(qv).select("src", "q_emb", F.posexplode("hashes").alias("ht", "hv"))
-    bh = model.transform(bv).select("dst", "b_emb", F.posexplode("hashes").alias("ht", "hv"))
-    qh = qh.withColumn("bucket", vector_to_array(F.col("hv"))[0].cast("long"))
-    bh = bh.withColumn("bucket", vector_to_array(F.col("hv"))[0].cast("long"))
+
+    def banded(df: DataFrame, id_col: str, emb_col: str) -> DataFrame:
+        # compound key per band: concat of rows_per_band bucket ids
+        # (AND within a band → selectivity; OR across bands → recall)
+        buckets = [
+            vector_to_array(F.element_at("hashes", i + 1))[0].cast("long").cast("string")
+            for i in range(num_hash_tables * rows_per_band)
+        ]
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("band"),
+                    F.concat_ws(
+                        "_", *buckets[t * rows_per_band : (t + 1) * rows_per_band]
+                    ).alias("key"),
+                )
+                for t in range(num_hash_tables)
+            ]
+        )
+        return model.transform(df).select(
+            id_col, emb_col, F.explode(bands).alias("bb")
+        ).select(id_col, emb_col, "bb.band", "bb.key")
+
+    qh = banded(qv, "src", "q_emb")
+    bh = banded(bv, "dst", "b_emb")
+
+    # hot-bucket capping: a (band, key) shared by more than
+    # max_bucket_size base rows is non-discriminative (skewed data,
+    # duplicate clusters) and would quadratically blow up the candidate
+    # join — drop it; other bands still cover its members. This bounds
+    # worst-case candidates at n_bands · n · max_bucket_size.
+    max_bucket_size = 1024
+    hot = (
+        bh.groupBy("band", "key")
+        .count()
+        .filter(F.col("count") > max_bucket_size)
+        .select("band", "key")
+    )
+    bh = bh.join(hot, on=["band", "key"], how="left_anti")
+    qh = qh.join(hot, on=["band", "key"], how="left_anti")
     return (
-        qh.join(bh, on=["ht", "bucket"], how="inner")
+        qh.join(bh, on=["band", "key"], how="inner")
         .select("src", "q_emb", "dst", "b_emb")
         .dropDuplicates(["src", "dst"])
     )

@@ -41,32 +41,38 @@ def cosine_topk(
     def topk(batches):
         b_ids, b_X = bc.value
         n, d = b_X.shape
+        chunk = max(1, int(2e7 // max(n, 1)))  # bound (chunk, n) buffers
+        bn = np.zeros((1, n))
+        for i in range(d):
+            bn[0, :] += b_X[:, i] * b_X[:, i]
+        bnorm = np.sqrt(bn)
         for pdf in batches:
-            q_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            Q = np.array(list(pdf["embedding"]), dtype=np.float64)
-            m = len(q_ids)
-            dot = np.zeros((m, n))
-            qn = np.zeros((m, 1))
-            bn = np.zeros((1, n))
-            for i in range(d):  # sequential fold parity with SQL
-                dot += Q[:, i : i + 1] * b_X[:, i][None, :]
-                qn[:, 0] += Q[:, i] * Q[:, i]
-                bn[0, :] += b_X[:, i] * b_X[:, i]
-            cos = dot / (np.sqrt(qn) * np.sqrt(bn))
-            r6 = np.round(cos, _RANK_DECIMALS)
-            if exclude_self:
-                r6 = np.where(q_ids[:, None] == b_ids[None, :], -np.inf, r6)
-            out_src = np.repeat(q_ids, kk)
-            out_dst = np.empty(m * kk, dtype=np.int64)
-            out_cos = np.empty(m * kk, dtype=np.float64)
-            out_rank = np.tile(np.arange(1, kk + 1, dtype=np.int32), m)
-            for r in range(m):
-                sel = np.lexsort((b_ids, -r6[r]))[:kk]
-                out_dst[r * kk : (r + 1) * kk] = b_ids[sel]
-                out_cos[r * kk : (r + 1) * kk] = cos[r, sel]
-            yield pd.DataFrame(
-                {"src": out_src, "dst": out_dst, "cos_sim": out_cos, "rank": out_rank}
-            )
+            all_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            all_Q = np.array(list(pdf["embedding"]), dtype=np.float64)
+            for s in range(0, len(all_ids), chunk):
+                q_ids = all_ids[s : s + chunk]
+                Q = all_Q[s : s + chunk]
+                m = len(q_ids)
+                dot = np.zeros((m, n))
+                qn = np.zeros((m, 1))
+                for i in range(d):  # sequential fold parity with SQL
+                    dot += Q[:, i : i + 1] * b_X[:, i][None, :]
+                    qn[:, 0] += Q[:, i] * Q[:, i]
+                cos = dot / (np.sqrt(qn) * bnorm)
+                r6 = np.round(cos, _RANK_DECIMALS)
+                if exclude_self:
+                    r6[q_ids[:, None] == b_ids[None, :]] = -np.inf
+                out_src = np.repeat(q_ids, kk)
+                out_dst = np.empty(m * kk, dtype=np.int64)
+                out_cos = np.empty(m * kk, dtype=np.float64)
+                out_rank = np.tile(np.arange(1, kk + 1, dtype=np.int32), m)
+                for r in range(m):
+                    sel = np.lexsort((b_ids, -r6[r]))[:kk]
+                    out_dst[r * kk : (r + 1) * kk] = b_ids[sel]
+                    out_cos[r * kk : (r + 1) * kk] = cos[r, sel]
+                yield pd.DataFrame(
+                    {"src": out_src, "dst": out_dst, "cos_sim": out_cos, "rank": out_rank}
+                )
 
     nparts = sess.sparkContext.defaultParallelism
     return queries.select("vec_id", "embedding").repartition(nparts).mapInPandas(
