@@ -89,3 +89,30 @@ def test_blocked_exact_knn_matches_broadcast(spark, sf_dir):
         for r in _exact_knn_blocked(emb, emb, 5, True, n_blocks=4).collect()
     )
     assert a == b
+
+
+def test_knn_single_row_base_returns_empty(spark):
+    """kk==0 edge (1-row base with self-exclusion) must yield an empty
+    result, not crash (regression: argpartition on empty selection)."""
+    one = spark.createDataFrame([(1, [0.1, 0.2])], "vec_id long, embedding array<float>")
+    out = knn.knn_join(one, one, k=5, exact=True)
+    assert out.count() == 0
+    assert out.columns == ["src", "dst", "dist", "rank"]
+
+
+def test_lsh_dense_cluster_queries_still_get_candidates(spark):
+    """Hot-bucket capping must down-sample dense clusters, not blind
+    them: queries inside a duplicate cluster still find neighbors."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    base_vec = rng.randn(16).astype("float32") * 0.3
+    rows = [(i, (base_vec + rng.randn(16).astype("float32") * 1e-4).tolist()) for i in range(1500)]
+    rows += [(10_000 + i, (rng.randn(16) * 0.3).tolist()) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = knn.knn_join(df, df, k=3, exact=False)
+    in_cluster = out.filter("src < 1500")
+    assert in_cluster.count() > 0
+    # cluster queries' neighbors are overwhelmingly other cluster members
+    frac = in_cluster.filter("dst < 1500").count() / in_cluster.count()
+    assert frac > 0.9, frac

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.distance import squared_euclidean
+from ..functions.hashing import hash60
 
 #: ranking rounds squared distances to this many decimals before
 #: ordering (ties then break by neighbor id) so that the ranking is
@@ -163,14 +164,20 @@ def _exact_knn_broadcast(
     ids, X = ids[order], X[order]
     bc = sess.sparkContext.broadcast((ids, X))
     kk = min(k, len(ids) - (1 if exclude_self else 0))
+    col0 = "dist_sq" if emit_dist_sq else "dist"
+    if kk <= 0:  # base empty (or only the query itself): no neighbors
+        return sess.createDataFrame(
+            [], schema=f"src long, dst long, {col0} double, rank int"
+        )
 
     def topk(batches):
         b_ids, b_X = bc.value
         n, d = b_X.shape
-        # bound working-set memory: distance buffers are (chunk, n)
-        # doubles — cap at ~2e7 cells (~160 MB) regardless of Arrow
-        # batch size, or a 10k-row batch against a 50k base would
-        # allocate multi-GB temporaries per dimension.
+        # bound working-set memory: three (chunk, n) float64 buffers
+        # (acc, diff, rounded copy) are live at once, so ~2e7 cells
+        # means ~0.5 GB peak per task regardless of Arrow batch size —
+        # a 10k-row batch against a 50k base would otherwise allocate
+        # multi-GB temporaries per dimension.
         chunk = max(1, int(2e7 // max(n, 1)))
         col = "dist_sq" if emit_dist_sq else "dist"
         for pdf in batches:
@@ -229,10 +236,13 @@ def _lsh_candidates(
     """Candidate pairs via random-hyperplane bucketing (public MLlib
     ``BucketedRandomProjectionLSH``). Returns (src, q_emb, dst, b_emb).
 
-    ``bucket_length=None`` sizes buckets from the data: half the median
-    vector norm. A fixed length mis-sized for the data collapses every
-    vector into one bucket (candidate explosion) or shatters true
-    neighbors apart.
+    ``bucket_length=None`` sizes buckets from the data:
+    ``2 · median_norm / √d`` ≈ two standard deviations of a single
+    random projection. A fixed length mis-sized for the data collapses
+    every vector into one bucket (candidate explosion) or shatters
+    true neighbors apart — note that since bands AND two projections
+    together, a fixed ``bucket_length`` tuned for a single-hash OR
+    scheme must be retuned (per-band collision is p² here, not p).
     """
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector, vector_to_array
@@ -249,7 +259,12 @@ def _lsh_candidates(
             F.percentile_approx(norm("b_emb"), 0.5).alias("m"),
             F.max(F.size("b_emb")).alias("d"),
         ).head()
-        bucket_length = max(2.0 * float(row0["m"]) / (float(row0["d"]) ** 0.5), 1e-6)
+        if row0 is None or row0["m"] is None:  # empty base
+            bucket_length = 1.0
+        else:
+            bucket_length = max(
+                2.0 * float(row0["m"]) / (float(row0["d"]) ** 0.5), 1e-6
+            )
 
     qv = q.withColumn("features", array_to_vector(F.col("q_emb").cast("array<double>")))
     bv = b.withColumn("features", array_to_vector(F.col("b_emb").cast("array<double>")))
@@ -285,22 +300,26 @@ def _lsh_candidates(
         ).select(id_col, emb_col, "bb.band", "bb.key")
 
     qh = banded(qv, "src", "q_emb")
-    bh = banded(bv, "dst", "b_emb")
+    bh = banded(bv, "dst", "b_emb").persist()  # consumed twice below
 
     # hot-bucket capping: a (band, key) shared by more than
     # max_bucket_size base rows is non-discriminative (skewed data,
     # duplicate clusters) and would quadratically blow up the candidate
-    # join — drop it; other bands still cover its members. This bounds
-    # worst-case candidates at n_bands · n · max_bucket_size.
+    # join. Rather than dropping the key (which would blind queries
+    # inside a dense/duplicate cluster — such clusters are hot in
+    # EVERY band), the base side is down-sampled to the cap by a keyed
+    # hash rank: dense-cluster queries still see up to
+    # ``max_bucket_size`` representatives. Candidates are bounded at
+    # n_bands · n_queries · max_bucket_size.
     max_bucket_size = 1024
-    hot = (
-        bh.groupBy("band", "key")
-        .count()
-        .filter(F.col("count") > max_bucket_size)
-        .select("band", "key")
+    w_cap = Window.partitionBy("band", "key").orderBy(
+        hash60(F.concat_ws("_", F.lit("cap"), F.col("dst"))), F.col("dst")
     )
-    bh = bh.join(hot, on=["band", "key"], how="left_anti")
-    qh = qh.join(hot, on=["band", "key"], how="left_anti")
+    bh = (
+        bh.withColumn("_rn", F.row_number().over(w_cap))
+        .filter(F.col("_rn") <= max_bucket_size)
+        .drop("_rn")
+    )
     return (
         qh.join(bh, on=["band", "key"], how="inner")
         .select("src", "q_emb", "dst", "b_emb")
