@@ -202,3 +202,25 @@ def test_approx_distinct_within_bounds(spark, sf_dir):
         assert abs(r["approx_distinct"] - r["exact_distinct"]) <= max(
             2, 0.05 * r["exact_distinct"]
         ), r
+
+
+def test_streaming_watermark_detection(spark, sf_dir, tmp_path):
+    """Streaming detection (A1/A2 over a file stream) decodes the same
+    bitstring as the batch native tier."""
+    from vector_database_watermarking_spark.functions.hashing import key_dims
+    from vector_database_watermarking_spark.operators.grouping import (
+        classify,
+        decode_bitstring,
+    )
+    from vector_database_watermarking_spark.streaming.detection import (
+        run_detection_stream,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = str(tmp_path / "emb_stream")
+    emb.repartition(4).write.mode("overwrite").parquet(src)
+    L = 7
+    got = run_detection_stream(spark, src, L=L, d=64, seed=20, table_name="wmc_t")
+    expect = decode_bitstring(classify(emb, key_dims(64, 20), L=L, d=64), L)
+    assert got == expect
+    assert len(got) == L

@@ -453,6 +453,44 @@ def g5_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp
 
 
+@register("g6_cluster_diagnostics", oracle=None)
+def g6_cluster_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6 (``analyze_small_clusters``, ``t_vector/e1:89-134``): per
+    small cluster (≤10 members) of the mutual-kNN graph, edge-length
+    stats vs the population (the reference's argument that small
+    isolated clusters are low-visibility carrier material).
+
+    Uses k=3: the mutual graph at k=10 is one giant component at this
+    scale with no small clusters to diagnose (the reference ran n=60k,
+    where fragmentation appears at k=10)."""
+    from .operators import graph, knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = knn.knn_edges(emb, k=3).persist()
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    mutual = edges.select("src", "dst").join(rev, on=["src", "dst"], how="left_semi")
+    comp = graph.connected_components(
+        mutual.withColumn("dist", F.lit(0.0)).withColumn("rank", F.lit(1)), emb
+    )
+    lens = graph.avg_edge_lengths(edges, emb, decimals=6)
+    sizes = graph.component_sizes(comp)
+    small = sizes.filter(F.col("n_nodes") <= 10)
+    pop = lens.agg(F.avg("avg_edge_len").alias("pop_mean")).head()["pop_mean"]
+    per_cluster = (
+        comp.join(small, on="component", how="left_semi")
+        .join(lens, on="vec_id")
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.round(F.avg("avg_edge_len"), 5).alias("mean_edge_len"),
+            F.round(F.min("avg_edge_len"), 5).alias("min_edge_len"),
+            F.round(F.max("avg_edge_len"), 5).alias("max_edge_len"),
+        )
+        .withColumn("population_mean_edge_len", F.round(F.lit(float(pop)), 5))
+    )
+    return per_cluster
+
+
 @register(
     "so3_hidden_overlap",
     oracle=_knn_cte(K)
