@@ -453,7 +453,44 @@ def g5_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp
 
 
-@register("g6_cluster_diagnostics", oracle=None)
+@register(
+    "g6_cluster_diagnostics",
+    oracle=_knn_cte(3)
+    + """
+, mutual AS (
+  SELECT e1.src, e1.dst FROM edges e1
+  JOIN edges e2 ON e1.src = e2.dst AND e1.dst = e2.src
+),
+lens AS (
+  SELECT src AS vec_id,
+         sum(CAST(round(sqrt(dist_sq) * 1e6) AS BIGINT)) AS micro_sum,
+         count(*) AS k
+  FROM edges GROUP BY src
+),
+RECURSIVE_DUMMY AS (SELECT 1)
+SELECT * FROM (
+  WITH RECURSIVE reach(node, r) AS (
+    SELECT vec_id, vec_id FROM embeddings
+    UNION
+    SELECT m.src, re.r FROM mutual m JOIN reach re ON m.dst = re.node
+  ),
+  comp AS (SELECT node AS vec_id, min(r) AS component FROM reach GROUP BY node),
+  sizes AS (SELECT component, count(*) AS n_nodes FROM comp GROUP BY component)
+  SELECT c.component,
+         CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(l.micro_sum) // sum(l.k) AS DOUBLE) / 1e6
+           AS mean_edge_len,
+         CAST(min(l.micro_sum // l.k) AS DOUBLE) / 1e6 AS min_edge_len,
+         CAST(max(l.micro_sum // l.k) AS DOUBLE) / 1e6 AS max_edge_len,
+         (SELECT CAST(sum(micro_sum) // sum(k) AS DOUBLE) / 1e6 FROM lens)
+           AS population_mean_edge_len
+  FROM comp c
+  JOIN sizes s ON c.component = s.component AND s.n_nodes <= 10
+  JOIN lens l ON c.vec_id = l.vec_id
+  GROUP BY c.component
+)
+""",
+)
 def g6_cluster_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G6 (``analyze_small_clusters``, ``t_vector/e1:89-134``): per
     small cluster (≤10 members) of the mutual-kNN graph, edge-length
@@ -472,21 +509,35 @@ def g6_cluster_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = graph.connected_components(
         mutual.withColumn("dist", F.lit(0.0)).withColumn("rank", F.lit(1)), emb
     )
-    lens = graph.avg_edge_lengths(edges, emb, decimals=6)
+    # Per-node edge-length sums in exact micro-unit integers (1e-6):
+    # floor-divided averages stay in integer space on both engines, so
+    # every statistic is summation-order independent and bit-identical
+    # to the oracle after the single final /1e6 (no rounding, which is
+    # half-tie fragile across Spark's BigDecimal vs DuckDB's multiply
+    # rounding).
+    lens = edges.groupBy("src").agg(
+        F.sum(F.round(F.col("dist") * 1e6).cast("long")).alias("micro_sum"),
+        F.count(F.lit(1)).alias("k"),
+    ).withColumnRenamed("src", "vec_id")
     sizes = graph.component_sizes(comp)
     small = sizes.filter(F.col("n_nodes") <= 10)
-    pop = lens.agg(F.avg("avg_edge_len").alias("pop_mean")).head()["pop_mean"]
+    pop_row = lens.agg(
+        F.sum("micro_sum").alias("s"), F.sum("k").alias("k")
+    ).head()
+    pop = float(pop_row["s"] // pop_row["k"]) / 1e6
+    node_avg = F.floor(F.col("micro_sum") / F.col("k")).cast("long")
     per_cluster = (
         comp.join(small, on="component", how="left_semi")
         .join(lens, on="vec_id")
         .groupBy("component")
         .agg(
             F.count(F.lit(1)).alias("n_nodes"),
-            F.round(F.avg("avg_edge_len"), 5).alias("mean_edge_len"),
-            F.round(F.min("avg_edge_len"), 5).alias("min_edge_len"),
-            F.round(F.max("avg_edge_len"), 5).alias("max_edge_len"),
+            (F.floor(F.sum("micro_sum") / F.sum("k")).cast("double") / 1e6
+             ).alias("mean_edge_len"),
+            (F.min(node_avg).cast("double") / 1e6).alias("min_edge_len"),
+            (F.max(node_avg).cast("double") / 1e6).alias("max_edge_len"),
         )
-        .withColumn("population_mean_edge_len", F.round(F.lit(float(pop)), 5))
+        .withColumn("population_mean_edge_len", F.lit(pop))
     )
     return per_cluster
 

@@ -451,12 +451,38 @@ def a14_robustness_mini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return to_df(spark, res)
 
 
-@register("w5_largest_component", oracle=None)
+@register(
+    "w5_largest_component",
+    oracle=_knn_cte(K)
+    + """
+, mutual AS (
+  SELECT e1.src, e1.dst FROM edges e1
+  JOIN edges e2 ON e1.src = e2.dst AND e1.dst = e2.src
+),
+RECURSIVE_DUMMY AS (SELECT 1)
+SELECT * FROM (
+  WITH RECURSIVE reach(node, r) AS (
+    SELECT vec_id, vec_id FROM embeddings
+    UNION
+    SELECT m.src, re.r FROM mutual m JOIN reach re ON m.dst = re.node
+  ),
+  comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+  sizes AS (SELECT component, count(*) AS n_nodes FROM comp GROUP BY component)
+  SELECT CAST(max(n_nodes) AS BIGINT) AS largest_component,
+         CAST(count(*) AS BIGINT) AS n_components,
+         CAST(sum(CASE WHEN n_nodes <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_small_clusters
+  FROM sizes
+)
+""",
+)
 def w5_largest_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W5 (``max(clusters, key=len)``, ``t_vector/e1:159``) + F4
     small-cluster filter: component size distribution of the
     mutual-kNN graph — largest component plus the ≤10-member cluster
-    count (rows-only; iterative fixpoint)."""
+    count. Oracle: recursive reachability closure over the same mutual
+    edges (component = min reachable vec_id, like the Spark
+    label-propagation fixpoint)."""
     from .operators import graph, knn
 
     emb = load_table(spark, sf_dir, "embeddings")
