@@ -73,3 +73,14 @@ def test_carrier_semi_join_is_broadcast(spark, sf_dir):
     carriers = emb.select("vec_id").limit(20)
     plan = plan_of(carrier_query_sets(edges, carriers))
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
+def test_corpus_clean_single_shuffle_with_group_limit(spark, sf_dir):
+    """The integrated cleaning pipeline must keep exactly one exchange
+    (the dedup window on content_key) with the top-1-per-key limit
+    pushed below it, and evaluate lang/quality gates as projections."""
+    df = QUERIES["ext_corpus_clean"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("Exchange") == 1, plan
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan.split("Exchange")[1]  # partial limit map-side

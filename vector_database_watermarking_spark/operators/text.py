@@ -73,10 +73,13 @@ def lang_id(text_col: Column | str) -> Column:
     return F.when(best_score > 0, best).otherwise(F.lit("und"))
 
 
-def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_features(
+    docs: DataFrame, text_col: str = "text", keep: tuple[str, ...] = ()
+) -> DataFrame:
     """Per-doc quality features: lengths, token stats, stopword ratio,
     punctuation ratio, mean word length, and a combined [0,1] score
-    (heuristic quality filter for pretraining corpora)."""
+    (heuristic quality filter for pretraining corpora). ``keep`` names
+    extra input columns to carry through."""
     toks = tokens(text_col)
     n_tok = F.size(toks)
     n_chars = F.length(normalize_text(text_col))
@@ -93,6 +96,7 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return docs.select(
         "doc_id",
+        *keep,
         n_tok.alias("n_tokens"),
         n_chars.alias("n_chars_norm"),
         F.round(mean_word_len, 6).alias("mean_word_len"),

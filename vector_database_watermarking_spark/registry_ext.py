@@ -255,6 +255,83 @@ def ext_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_corpus_clean",
+    oracle="WITH "
+    + _TOKS_CTE
+    + f""",
+k AS (SELECT doc_id, {_hash60_sql(_NORM)} AS content_key FROM documents),
+canon AS (SELECT min(doc_id) AS doc_id FROM k GROUP BY content_key),
+sc AS (
+  SELECT doc_id,
+         {_lang_score_sql('en')} AS s_en,
+         {_lang_score_sql('fr')} AS s_fr,
+         {_lang_score_sql('de')} AS s_de,
+         {_lang_score_sql('es')} AS s_es
+  FROM t
+),
+lg AS (
+  SELECT doc_id,
+    CASE WHEN s_en = 0 AND s_fr = 0 AND s_de = 0 AND s_es = 0 THEN 'und'
+         WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
+         WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+         WHEN s_de >= s_es THEN 'de'
+         ELSE 'es' END AS lang_guess
+  FROM sc
+),
+f AS (
+  SELECT doc_id,
+    CAST(len(toks) AS INTEGER) AS n_tokens,
+    round(0.4 * least(len(toks) / 64.0, 1.0)
+        + 0.3 * least({_lang_score_sql('en')} / CAST(len(toks) AS DOUBLE) * 4, 1.0)
+        + 0.3 * (1 - least(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                 / CAST(greatest(length(text), 1) AS DOUBLE) * 10, 1.0)), 6)
+      AS quality_score
+  FROM t JOIN documents USING (doc_id)
+)
+SELECT f.doc_id, lg.lang_guess, f.n_tokens, f.quality_score
+FROM canon
+JOIN lg ON canon.doc_id = lg.doc_id
+JOIN f ON f.doc_id = lg.doc_id
+WHERE lg.lang_guess = 'en' AND f.quality_score >= 0.5 AND f.n_tokens >= 10
+""",
+)
+def ext_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integrated corpus-cleaning pipeline (the composed training-data
+    path): exact dedup (canonical copy = min doc_id per normalized
+    content hash) → language gate (en) → quality/length gates
+    (quality_score ≥ 0.5, ≥ 10 tokens).
+
+    One shuffle total: the dedup window on content_key (rank-limit
+    pushes the top-1-per-key below the exchange); the language and
+    quality features are projections evaluated only on surviving
+    canonical rows."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("content_key").orderBy("doc_id")
+    canon = (
+        docs.withColumn(
+            "content_key", dedup.hash60(dedup.normalize_text("text"))
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "content_key")
+        .withColumn("lang_guess", text.lang_id("text"))
+    )
+    feats = text.quality_features(canon, keep=("lang_guess",))
+    return feats.filter(
+        (F.col("lang_guess") == "en")
+        & (F.col("quality_score") >= 0.5)
+        & (F.col("n_tokens") >= 10)
+    ).select(
+        "doc_id",
+        "lang_guess",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "quality_score",
+    )
+
+
+@register(
     "ext_doc_fingerprint",
     oracle=f"""
 SELECT doc_id, {_hash60_sql(_NORM)} AS fp FROM documents
