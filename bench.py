@@ -36,6 +36,7 @@ HEADLINE = [
     "ext_simhash",
     "ext_cosine_topk",
     "ext_quality_scores",
+    "ext_corpus_clean",
     "ext_events_sliding",
 ]
 

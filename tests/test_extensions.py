@@ -224,3 +224,18 @@ def test_streaming_watermark_detection(spark, sf_dir, tmp_path):
     expect = decode_bitstring(classify(emb, key_dims(64, 20), L=L, d=64), L)
     assert got == expect
     assert len(got) == L
+
+
+def test_streaming_dedup_drops_duplicate_deliveries(spark, sf_dir, tmp_path):
+    """An at-least-once stream (every file delivered twice) dedups to
+    exactly the distinct event_id count, first delivery wins."""
+    from vector_database_watermarking_spark.streaming.dedup import run_dedup_stream
+
+    events = load_table(spark, sf_dir, "events")
+    n_distinct = events.select("event_id").distinct().count()
+    src = str(tmp_path / "events_stream")
+    events.repartition(2).write.mode("overwrite").parquet(src)
+    # duplicate delivery: same rows again as new files
+    events.repartition(3).write.mode("append").parquet(src)
+    got = run_dedup_stream(spark, src, key_cols=("event_id",), table_name="dd_t")
+    assert got == n_distinct

@@ -49,16 +49,20 @@ def _stopword_hits(toks: Column, words: list[str]) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
 
 
-def lang_scores(text_col: Column | str) -> dict[str, Column]:
-    toks = tokens(text_col)
+def lang_scores(
+    text_col: Column | str, toks: Column | None = None
+) -> dict[str, Column]:
+    toks = tokens(text_col) if toks is None else toks
     return {lang: _stopword_hits(toks, words) for lang, words in LANG_STOPWORDS.items()}
 
 
-def lang_id(text_col: Column | str) -> Column:
+def lang_id(text_col: Column | str, toks: Column | None = None) -> Column:
     """Stopword-ratio language guess: argmax language score, 'und'
     (undetermined) when no stopword hits at all. Ties break by the
-    fixed language order (en, fr, de, es)."""
-    scores = lang_scores(text_col)
+    fixed language order (en, fr, de, es). Pass a pre-materialized
+    ``toks`` column to avoid re-tokenizing (the split re-runs per
+    score expression otherwise)."""
+    scores = lang_scores(text_col, toks)
     langs = list(LANG_STOPWORDS)
     best = None
     best_score = None
@@ -74,13 +78,17 @@ def lang_id(text_col: Column | str) -> Column:
 
 
 def quality_features(
-    docs: DataFrame, text_col: str = "text", keep: tuple[str, ...] = ()
+    docs: DataFrame,
+    text_col: str = "text",
+    keep: tuple[str, ...] = (),
+    toks: Column | None = None,
 ) -> DataFrame:
     """Per-doc quality features: lengths, token stats, stopword ratio,
     punctuation ratio, mean word length, and a combined [0,1] score
     (heuristic quality filter for pretraining corpora). ``keep`` names
-    extra input columns to carry through."""
-    toks = tokens(text_col)
+    extra input columns to carry through; ``toks`` supplies a
+    pre-materialized token array (avoids re-splitting per feature)."""
+    toks = tokens(text_col) if toks is None else toks
     n_tok = F.size(toks)
     n_chars = F.length(normalize_text(text_col))
     mean_word_len = (n_chars - (n_tok - 1)) / n_tok  # chars minus separators

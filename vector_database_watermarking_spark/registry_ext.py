@@ -209,9 +209,17 @@ FROM sc
 )
 def ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: stopword-hit argmax (ties favor the
-    earlier language in en, fr, de, es order)."""
+    earlier language in en, fr, de, es order). Tokenizes once behind
+    an exchange — the four score expressions would otherwise each
+    re-run the split (measured 6× at sf0.1)."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", text.lang_id("text").alias("lang_guess"))
+    nparts = spark.sparkContext.defaultParallelism
+    toks_df = docs.select("doc_id", text.tokens("text").alias("_toks")).repartition(
+        nparts, "doc_id"
+    )
+    return toks_df.select(
+        "doc_id", text.lang_id(F.lit(""), toks=F.col("_toks")).alias("lang_guess")
+    )
 
 
 @register(
@@ -313,12 +321,17 @@ def ext_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.withColumn(
             "content_key", dedup.hash60(dedup.normalize_text("text"))
         )
+        # tokenize once behind the window exchange: both gates read the
+        # materialized array instead of re-running the split per score
+        .withColumn("_toks", text.tokens("text"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .drop("rn", "content_key")
-        .withColumn("lang_guess", text.lang_id("text"))
+        .withColumn("lang_guess", text.lang_id("text", toks=F.col("_toks")))
     )
-    feats = text.quality_features(canon, keep=("lang_guess",))
+    feats = text.quality_features(
+        canon, keep=("lang_guess",), toks=F.col("_toks")
+    )
     return feats.filter(
         (F.col("lang_guess") == "en")
         & (F.col("quality_score") >= 0.5)

@@ -1,0 +1,54 @@
+"""Streaming deduplication (extension, SURVEY §2.10 / §7 M6): drop
+duplicate event deliveries from an at-least-once stream.
+
+``dropDuplicatesWithinWatermark`` keeps per-key state only for the
+late-data horizon (the event-time watermark), so state is O(keys per
+watermark window) instead of O(all keys ever seen) — the property that
+makes streaming dedup viable on an unbounded 100 TB/day feed. Exact
+dedup keys on the delivery id (``event_id``); content-level dedup keys
+on the payload columns, mirroring the batch ``operators.dedup`` tiers.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+
+def dedup_stream(
+    events: DataFrame,
+    key_cols: Sequence[str] = ("event_id",),
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """First-delivery-wins dedup of a stream: duplicates of a key
+    arriving within the watermark horizon are dropped; rows older than
+    the horizon are late data and are dropped wholesale by the
+    watermark itself."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
+def run_dedup_stream(
+    spark, dir_path: str, key_cols: Sequence[str] = ("event_id",),
+    watermark: str = "1 hour", table_name: str = "deduped_events",
+) -> int:
+    """Drive the dedup stream over all available files (append-mode
+    memory sink) and return the number of surviving rows."""
+    from .windows import stream_events_from_files
+
+    stream = stream_events_from_files(spark, dir_path)
+    deduped = dedup_stream(stream, key_cols=key_cols, watermark=watermark)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT count(*) AS n FROM {table_name}").head()["n"]
