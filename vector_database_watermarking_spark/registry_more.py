@@ -503,3 +503,49 @@ def w5_largest_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "largest_component long, n_components long, n_small_clusters long",
     )
+
+
+@register(
+    "rel_shipping_priority",
+    oracle="""
+SELECT l.l_orderkey, o.o_orderdate,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-06-01'
+  AND l.l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, l.l_orderkey
+LIMIT 10
+""",
+)
+def rel_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (not in the reference; relational coverage): a
+    fact-fact shuffle join (orders ⋈ lineitem on orderkey) under a
+    filtered dimension semi-side, grouped top-k by revenue. The
+    customer filter broadcasts; the big join shuffles both sides on
+    the join key; ties break on l_orderkey so the limit is
+    deterministic cross-engine."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-06-01"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-06-01"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_semi")
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )

@@ -47,18 +47,21 @@ def streaming_group_counts(
     )
 
 
-def decode_from_counts(counts_rows: list) -> str:
+def decode_from_counts(counts_rows: list, L: int | None = None) -> str:
     """A2 driver-side: majority vote per group from the (group_id,
-    hidden_bit, n_vectors) rows of the streaming sink."""
+    hidden_bit, n_vectors) rows of the streaming sink. Pass ``L`` so
+    groups with no vectors yet still decode (to '0', the majority-vote
+    tie default) instead of truncating the bitstring."""
     ones: dict[int, int] = {}
     totals: dict[int, int] = {}
-    L = 0
+    seen_L = 0
     for r in counts_rows:
         gid = r["group_id"]
-        L = max(L, gid + 1)
+        seen_L = max(seen_L, gid + 1)
         totals[gid] = totals.get(gid, 0) + r["n_vectors"]
         if r["hidden_bit"] == 1:
             ones[gid] = ones.get(gid, 0) + r["n_vectors"]
+    L = seen_L if L is None else L
     return "".join(
         "1" if 2 * ones.get(g, 0) > totals.get(g, 0) else "0" for g in range(L)
     )
@@ -87,4 +90,4 @@ def run_detection_stream(
     finally:
         q.stop()
     rows = spark.sql(f"SELECT group_id, hidden_bit, n_vectors FROM {table_name}").collect()
-    return decode_from_counts(rows)
+    return decode_from_counts(rows, L=L)
