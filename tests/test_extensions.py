@@ -228,14 +228,34 @@ def test_streaming_watermark_detection(spark, sf_dir, tmp_path):
 
 def test_streaming_dedup_drops_duplicate_deliveries(spark, sf_dir, tmp_path):
     """An at-least-once stream (every file delivered twice) dedups to
-    exactly the distinct event_id count, first delivery wins."""
+    exactly the distinct event_id count across MULTIPLE micro-batches:
+    the watermark horizon covers the fixture's full time span, so the
+    dedup state — not the late-data filter — must absorb duplicates."""
     from vector_database_watermarking_spark.streaming.dedup import run_dedup_stream
 
     events = load_table(spark, sf_dir, "events")
     n_distinct = events.select("event_id").distinct().count()
     src = str(tmp_path / "events_stream")
-    events.repartition(2).write.mode("overwrite").parquet(src)
+    events.repartition(3).write.mode("overwrite").parquet(src)
     # duplicate delivery: same rows again as new files
-    events.repartition(3).write.mode("append").parquet(src)
-    got = run_dedup_stream(spark, src, key_cols=("event_id",), table_name="dd_t")
+    events.repartition(4).write.mode("append").parquet(src)
+    got = run_dedup_stream(
+        spark, src, key_cols=("event_id",), table_name="dd_t",
+        watermark="3650 days", max_files_per_trigger=1,
+    )
     assert got == n_distinct
+
+
+def test_streaming_dedup_replay_loses_nothing(spark, sf_dir, tmp_path):
+    """Replay safety regression: a single delivery of historical data
+    (no duplicates) must survive dedup in full — the default
+    one-micro-batch mode can't advance the watermark between files and
+    misclassify old rows as late."""
+    from vector_database_watermarking_spark.streaming.dedup import run_dedup_stream
+
+    events = load_table(spark, sf_dir, "events")
+    n = events.count()
+    src = str(tmp_path / "events_replay")
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    got = run_dedup_stream(spark, src, key_cols=("event_id",), table_name="dd_r")
+    assert got == n

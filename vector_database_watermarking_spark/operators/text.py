@@ -26,6 +26,19 @@ def tokens(text_col: Column | str) -> Column:
     return F.split(normalize_text(text_col), " ")
 
 
+def materialized_tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, _toks): the token array materialized behind an
+    exchange. Catalyst inlines projection expressions into consumers,
+    so any operator reading the same token array in several
+    expressions (lang scores, quality features, n-gram windows) would
+    re-run the split per expression — the repartition forces one
+    tokenization (measured 6× on lang-ID at sf0.1)."""
+    nparts = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.select("doc_id", tokens(text_col).alias("_toks")).repartition(
+        nparts, "doc_id"
+    )
+
+
 def token_count(text_col: Column | str) -> Column:
     """Whitespace token count."""
     return F.size(tokens(text_col))
@@ -50,13 +63,18 @@ def _stopword_hits(toks: Column, words: list[str]) -> Column:
 
 
 def lang_scores(
-    text_col: Column | str, toks: Column | None = None
+    text_col: Column | str | None = None, toks: Column | None = None
 ) -> dict[str, Column]:
-    toks = tokens(text_col) if toks is None else toks
+    if toks is None:
+        if text_col is None:
+            raise ValueError("lang_scores needs text_col or toks")
+        toks = tokens(text_col)
     return {lang: _stopword_hits(toks, words) for lang, words in LANG_STOPWORDS.items()}
 
 
-def lang_id(text_col: Column | str, toks: Column | None = None) -> Column:
+def lang_id(
+    text_col: Column | str | None = None, toks: Column | None = None
+) -> Column:
     """Stopword-ratio language guess: argmax language score, 'und'
     (undetermined) when no stopword hits at all. Ties break by the
     fixed language order (en, fr, de, es). Pass a pre-materialized
@@ -127,12 +145,7 @@ def rolling_fingerprints(
     """Rolling window fingerprints: hash of each ``window_tokens``-token
     window every ``stride`` tokens — the substring-level signal used
     for contamination scanning. Output: (doc_id, win_idx, fp)."""
-    # materialize tokens behind an exchange so the per-window slice
-    # doesn't re-run tokenization per index (see dedup.word_shingles)
-    nparts = docs.sparkSession.sparkContext.defaultParallelism
-    toks_df = docs.select("doc_id", tokens(text_col).alias("_toks")).repartition(
-        nparts, "doc_id"
-    )
+    toks_df = materialized_tokens(docs, text_col)
     n_win = F.greatest(
         F.floor((F.size("_toks") - window_tokens) / stride).cast("int") + 1, F.lit(1)
     )

@@ -85,6 +85,37 @@ edges AS (
 """
 
 
+def _components_oracle(body: str, k: int = K, extra_ctes: str = "") -> str:
+    """Oracle builder for queries over the mutual-kNN connected
+    components: ``_knn_cte(k)`` + mutual-edge CTE (+ ``extra_ctes``,
+    each starting with a comma) + recursive reachability closure, then
+    ``body`` — a SELECT that may read ``comp(vec_id, component)`` and
+    anything defined earlier. component = min reachable vec_id, which
+    is what the Spark label-propagation fixpoint converges to
+    (``operators.graph.connected_components``)."""
+    return (
+        _knn_cte(k)
+        + """
+, mutual AS (
+  SELECT e1.src, e1.dst FROM edges e1
+  JOIN edges e2 ON e1.src = e2.dst AND e1.dst = e2.src
+)"""
+        + extra_ctes
+        + """,
+RECURSIVE_DUMMY AS (SELECT 1)
+SELECT * FROM (
+  WITH RECURSIVE reach(node, r) AS (
+    SELECT vec_id, vec_id FROM embeddings
+    UNION
+    SELECT m.src, re.r FROM mutual m JOIN reach re ON m.dst = re.node
+  ),
+  comp AS (SELECT node AS vec_id, min(r) AS component FROM reach GROUP BY node)
+"""
+        + body
+        + "\n)\n"
+    )
+
+
 # --------------------------------------------------------------------------
 # A1/A2 — group & classify, majority decode (detection path C3/C5)
 # --------------------------------------------------------------------------

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators import dedup, multimodal, similarity, text
-from .registry import D, K, _knn_cte, register
+from .registry import D, K, _components_oracle, _knn_cte, register
 from .sources.tables import load_table
 
 # ---------------------------------------------------------------- fragments
@@ -187,9 +187,10 @@ def _lang_score_sql(lang: str) -> str:
     return f"len(list_filter(toks, x -> list_contains([{words}], x)))"
 
 
-@register(
-    "ext_lang_id",
-    oracle="WITH " + _TOKS_CTE + f""",
+# stopword scores + argmax language guess (shared by ext_lang_id and
+# ext_corpus_clean so the two oracles can't diverge); reads CTE `t`,
+# defines `lg(doc_id, lang_guess)`.
+_LANG_GUESS_CTES = f""",
 sc AS (
   SELECT doc_id,
          {_lang_score_sql('en')} AS s_en,
@@ -197,14 +198,25 @@ sc AS (
          {_lang_score_sql('de')} AS s_de,
          {_lang_score_sql('es')} AS s_es
   FROM t
-)
-SELECT doc_id,
-  CASE WHEN s_en = 0 AND s_fr = 0 AND s_de = 0 AND s_es = 0 THEN 'und'
-       WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
-       WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
-       WHEN s_de >= s_es THEN 'de'
-       ELSE 'es' END AS lang_guess
-FROM sc
+),
+lg AS (
+  SELECT doc_id,
+    CASE WHEN s_en = 0 AND s_fr = 0 AND s_de = 0 AND s_es = 0 THEN 'und'
+         WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
+         WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+         WHEN s_de >= s_es THEN 'de'
+         ELSE 'es' END AS lang_guess
+  FROM sc
+)"""
+
+
+@register(
+    "ext_lang_id",
+    oracle="WITH "
+    + _TOKS_CTE
+    + _LANG_GUESS_CTES
+    + """
+SELECT doc_id, lang_guess FROM lg
 """,
 )
 def ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -213,12 +225,9 @@ def ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     an exchange — the four score expressions would otherwise each
     re-run the split (measured 6× at sf0.1)."""
     docs = load_table(spark, sf_dir, "documents")
-    nparts = spark.sparkContext.defaultParallelism
-    toks_df = docs.select("doc_id", text.tokens("text").alias("_toks")).repartition(
-        nparts, "doc_id"
-    )
+    toks_df = text.materialized_tokens(docs)
     return toks_df.select(
-        "doc_id", text.lang_id(F.lit(""), toks=F.col("_toks")).alias("lang_guess")
+        "doc_id", text.lang_id(toks=F.col("_toks")).alias("lang_guess")
     )
 
 
@@ -268,24 +277,9 @@ def ext_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     + _TOKS_CTE
     + f""",
 k AS (SELECT doc_id, {_hash60_sql(_NORM)} AS content_key FROM documents),
-canon AS (SELECT min(doc_id) AS doc_id FROM k GROUP BY content_key),
-sc AS (
-  SELECT doc_id,
-         {_lang_score_sql('en')} AS s_en,
-         {_lang_score_sql('fr')} AS s_fr,
-         {_lang_score_sql('de')} AS s_de,
-         {_lang_score_sql('es')} AS s_es
-  FROM t
-),
-lg AS (
-  SELECT doc_id,
-    CASE WHEN s_en = 0 AND s_fr = 0 AND s_de = 0 AND s_es = 0 THEN 'und'
-         WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
-         WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
-         WHEN s_de >= s_es THEN 'de'
-         ELSE 'es' END AS lang_guess
-  FROM sc
-),
+canon AS (SELECT min(doc_id) AS doc_id FROM k GROUP BY content_key)"""
+    + _LANG_GUESS_CTES
+    + f""",
 f AS (
   SELECT doc_id,
     CAST(len(toks) AS INTEGER) AS n_tokens,
@@ -508,23 +502,9 @@ def ext_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "g5_connected_components",
-    oracle=_knn_cte(K)
-    + """
-, mutual AS (
-  SELECT e1.src, e1.dst FROM edges e1
-  JOIN edges e2 ON e1.src = e2.dst AND e1.dst = e2.src
-),
-RECURSIVE_DUMMY AS (SELECT 1)
-SELECT * FROM (
-  WITH RECURSIVE reach(node, r) AS (
-    SELECT vec_id, vec_id FROM embeddings
-    UNION
-    SELECT m.src, re.r FROM mutual m JOIN reach re ON m.dst = re.node
-  )
-  SELECT node AS vec_id, CAST(min(r) AS BIGINT) AS component
-  FROM reach GROUP BY node
-)
-""",
+    oracle=_components_oracle(
+        "SELECT vec_id, CAST(component AS BIGINT) AS component FROM comp"
+    ),
 )
 def g5_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G5 (``t_vector/e1:41-54``): connected components of the
@@ -545,27 +525,9 @@ def g5_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "g6_cluster_diagnostics",
-    oracle=_knn_cte(3)
-    + """
-, mutual AS (
-  SELECT e1.src, e1.dst FROM edges e1
-  JOIN edges e2 ON e1.src = e2.dst AND e1.dst = e2.src
-),
-lens AS (
-  SELECT src AS vec_id,
-         sum(CAST(round(sqrt(dist_sq) * 1e6) AS BIGINT)) AS micro_sum,
-         count(*) AS k
-  FROM edges GROUP BY src
-),
-RECURSIVE_DUMMY AS (SELECT 1)
-SELECT * FROM (
-  WITH RECURSIVE reach(node, r) AS (
-    SELECT vec_id, vec_id FROM embeddings
-    UNION
-    SELECT m.src, re.r FROM mutual m JOIN reach re ON m.dst = re.node
-  ),
-  comp AS (SELECT node AS vec_id, min(r) AS component FROM reach GROUP BY node),
-  sizes AS (SELECT component, count(*) AS n_nodes FROM comp GROUP BY component)
+    oracle=_components_oracle(
+        """
+  , sizes AS (SELECT component, count(*) AS n_nodes FROM comp GROUP BY component)
   SELECT c.component,
          CAST(count(*) AS BIGINT) AS n_nodes,
          CAST(sum(l.micro_sum) // sum(l.k) AS DOUBLE) / 1e6
@@ -578,8 +540,16 @@ SELECT * FROM (
   JOIN sizes s ON c.component = s.component AND s.n_nodes <= 10
   JOIN lens l ON c.vec_id = l.vec_id
   GROUP BY c.component
-)
 """,
+        k=3,
+        extra_ctes=""",
+lens AS (
+  SELECT src AS vec_id,
+         sum(CAST(round(sqrt(dist_sq) * 1e6) AS BIGINT)) AS micro_sum,
+         count(*) AS k
+  FROM edges GROUP BY src
+)""",
+    ),
 )
 def g6_cluster_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G6 (``analyze_small_clusters``, ``t_vector/e1:89-134``): per

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .registry import D, K, SEED, _knn_cte, register
+from .registry import D, K, SEED, _components_oracle, _knn_cte, register
 from .sources.tables import load_table
 
 # ---------------------------------------------------------------- A11/A12
@@ -453,28 +453,16 @@ def a14_robustness_mini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "w5_largest_component",
-    oracle=_knn_cte(K)
-    + """
-, mutual AS (
-  SELECT e1.src, e1.dst FROM edges e1
-  JOIN edges e2 ON e1.src = e2.dst AND e1.dst = e2.src
-),
-RECURSIVE_DUMMY AS (SELECT 1)
-SELECT * FROM (
-  WITH RECURSIVE reach(node, r) AS (
-    SELECT vec_id, vec_id FROM embeddings
-    UNION
-    SELECT m.src, re.r FROM mutual m JOIN reach re ON m.dst = re.node
-  ),
-  comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
-  sizes AS (SELECT component, count(*) AS n_nodes FROM comp GROUP BY component)
+    oracle=_components_oracle(
+        """
+  , sizes AS (SELECT component, count(*) AS n_nodes FROM comp GROUP BY component)
   SELECT CAST(max(n_nodes) AS BIGINT) AS largest_component,
          CAST(count(*) AS BIGINT) AS n_components,
          CAST(sum(CASE WHEN n_nodes <= 10 THEN 1 ELSE 0 END) AS BIGINT)
            AS n_small_clusters
   FROM sizes
-)
-""",
+"""
+    ),
 )
 def w5_largest_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W5 (``max(clusters, key=len)``, ``t_vector/e1:159``) + F4
@@ -486,13 +474,13 @@ def w5_largest_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import graph, knn
 
     emb = load_table(spark, sf_dir, "embeddings")
-    edges = knn.knn_edges(emb, k=K)
+    edges = knn.knn_edges(emb, k=K).persist()
     rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     mutual = edges.select("src", "dst").join(rev, on=["src", "dst"], how="left_semi")
     comp = graph.connected_components(
         mutual.withColumn("dist", F.lit(0.0)).withColumn("rank", F.lit(1)), emb
     )
-    sizes = graph.component_sizes(comp)
+    sizes = graph.component_sizes(comp).persist()
     return spark.createDataFrame(
         [
             (

@@ -25,7 +25,16 @@ def dedup_stream(
     """First-delivery-wins dedup of a stream: duplicates of a key
     arriving within the watermark horizon are dropped; rows older than
     the horizon are late data and are dropped wholesale by the
-    watermark itself."""
+    watermark itself.
+
+    ``watermark`` must cover the source's out-of-order horizon —
+    including replay/backfill disorder, not just steady-state lag. The
+    event-time watermark advances to max(ts) − horizon after every
+    micro-batch, so replaying historical data in several batches with
+    a small horizon silently discards old-but-never-seen rows as late
+    (data loss, not dedup). For a backfill, either set ``watermark``
+    to at least the replayed time span or deliver the backfill in one
+    micro-batch (``max_files_per_trigger=None``)."""
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(key_cols)
     )
@@ -34,12 +43,18 @@ def dedup_stream(
 def run_dedup_stream(
     spark, dir_path: str, key_cols: Sequence[str] = ("event_id",),
     watermark: str = "1 hour", table_name: str = "deduped_events",
+    max_files_per_trigger: int | None = None,
 ) -> int:
     """Drive the dedup stream over all available files (append-mode
-    memory sink) and return the number of surviving rows."""
+    memory sink) and return the number of surviving rows. Defaults to
+    one micro-batch (replay-safe: the watermark cannot advance between
+    files); pass ``max_files_per_trigger`` with a sufficiently large
+    ``watermark`` to exercise multi-batch state."""
     from .windows import stream_events_from_files
 
-    stream = stream_events_from_files(spark, dir_path)
+    stream = stream_events_from_files(
+        spark, dir_path, max_files_per_trigger=max_files_per_trigger
+    )
     deduped = dedup_stream(stream, key_cols=key_cols, watermark=watermark)
     q = (
         deduped.writeStream.format("memory")

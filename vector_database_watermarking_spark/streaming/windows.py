@@ -61,15 +61,16 @@ def windowed_counts(
 
 
 def stream_events_from_files(
-    spark: SparkSession, dir_path: str, max_files_per_trigger: int = 1
+    spark: SparkSession, dir_path: str, max_files_per_trigger: int | None = 1
 ) -> DataFrame:
     """File-source stream over an events directory (parquet files with
-    the events schema, e.g. written by ``tools`` or a test fixture)."""
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(dir_path)
-    )
+    the events schema, e.g. written by ``tools`` or a test fixture).
+    ``max_files_per_trigger=None`` processes everything available in
+    one micro-batch (replay/backfill mode)."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(dir_path)
 
 
 def run_to_memory_sink(
