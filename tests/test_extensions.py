@@ -259,3 +259,33 @@ def test_streaming_dedup_replay_loses_nothing(spark, sf_dir, tmp_path):
     events.repartition(4).write.mode("overwrite").parquet(src)
     got = run_dedup_stream(spark, src, key_cols=("event_id",), table_name="dd_r")
     assert got == n
+
+
+def test_ngram_jaccard_exact_vs_minhash_and_capping(spark, sf_dir):
+    """Exact inverted-index Jaccard must contain every MinHash+LSH
+    verified pair (LSH can only miss); the stop-shingle-capped path
+    must emit a subset of the exact pairs with identical jaccard
+    values (capping prunes candidates, never distorts scores)."""
+    d = docs(spark, sf_dir)
+    exact = {
+        (r["doc1"], r["doc2"]): round(r["jaccard"], 6)
+        for r in dedup.ngram_jaccard_near_dups(d, threshold=0.5).collect()
+    }
+    sh = dedup.word_shingles(d, n=3)
+    sig = dedup.minhash_signatures(sh, num_hashes=8)
+    bands = dedup.lsh_bands(sig, rows_per_band=2, num_hashes=8)
+    cand = dedup.lsh_candidate_pairs(bands)
+    minhash = {
+        (r["doc1"], r["doc2"])
+        for r in dedup.jaccard_verify(cand, sh, threshold=0.5).collect()
+    }
+    assert minhash <= set(exact)
+    capped = {
+        (r["doc1"], r["doc2"]): round(r["jaccard"], 6)
+        for r in dedup.ngram_jaccard_near_dups(
+            d, threshold=0.5, max_doc_freq=50
+        ).collect()
+    }
+    assert set(capped) <= set(exact)
+    for pair, j in capped.items():
+        assert j == exact[pair], pair

@@ -239,3 +239,69 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc1", "doc2", "hamming")
     )
+
+
+def ngram_jaccard_near_dups(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dups WITHOUT MinHash banding: the
+    inverted shingle index joins every pair sharing ≥ 1 shingle, so
+    the work is output-bound (shared shingles), never all-pairs.
+
+    ``max_doc_freq`` drops "stop shingles" (appearing in more docs)
+    from candidate *generation* — the knob that bounds the quadratic
+    blowup of hot shingles at scale; sizes/intersections still count
+    every shingle so reported Jaccard values stay exact for the pairs
+    produced (pairs sharing ONLY stop shingles are below any useful
+    threshold anyway)."""
+    sh = word_shingles(docs, n=n, text_col=text_col).persist()
+    if max_doc_freq is not None:
+        # capped path: stop shingles only leave candidate GENERATION;
+        # jaccard_verify recounts intersections over the full shingle
+        # relation so reported values stay exact for emitted pairs
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        gen = sh.join(
+            freq.filter(F.col("df") <= max_doc_freq), on="shingle", how="left_semi"
+        )
+        cand = (
+            gen.select(F.col("doc_id").alias("doc1"), "shingle")
+            .join(gen.select(F.col("doc_id").alias("doc2"), "shingle"), on="shingle")
+            .filter(F.col("doc1") < F.col("doc2"))
+            .select("doc1", "doc2")
+            .distinct()
+        )
+        return jaccard_verify(cand, sh, threshold).select("doc1", "doc2", "jaccard")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    s1 = sh.select(F.col("doc_id").alias("doc1"), "shingle")
+    s2 = sh.select(F.col("doc_id").alias("doc2"), "shingle")
+    inter = (
+        s1.join(s2, on="shingle")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed(
+                "n_shingles", "n1"
+            ),
+            on="doc1",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed(
+                "n_shingles", "n2"
+            ),
+            on="doc2",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n1") + F.col("n2") - F.col("n_inter")),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold).select(
+        "doc1", "doc2", "jaccard"
+    )

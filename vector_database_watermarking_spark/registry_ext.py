@@ -129,6 +129,32 @@ def ext_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ext_ngram_jaccard",
+    oracle="WITH " + _SHINGLES_CTE + """,
+sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+inter AS (
+  SELECT s1.doc_id AS doc1, s2.doc_id AS doc2, count(*) AS n_inter
+  FROM s s1 JOIN s s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc1, i.doc2,
+       round(n_inter / CAST(x.n + y.n - n_inter AS DOUBLE), 6) AS jaccard
+FROM inter i JOIN sz x ON i.doc1 = x.doc_id JOIN sz y ON i.doc2 = y.doc_id
+WHERE n_inter / CAST(x.n + y.n - n_inter AS DOUBLE) >= 0.5
+""",
+)
+def ext_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dups via the inverted shingle index
+    (no MinHash approximation): one shingle equi-join, output-bound by
+    shared shingles — never an all-pairs comparison. The
+    ``max_doc_freq`` stop-shingle cap is the 100 TB knob (unused here
+    so the oracle is exact)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.ngram_jaccard_near_dups(docs, n=3, threshold=0.5)
+    return out.select("doc1", "doc2", F.round("jaccard", 6).alias("jaccard"))
+
+
 _SIMHASH_BITS = 16
 _SIMHASH_VOTES = ", ".join(
     f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
