@@ -280,10 +280,12 @@ def test_ngram_jaccard_exact_vs_minhash_and_capping(spark, sf_dir):
         for r in dedup.jaccard_verify(cand, sh, threshold=0.5).collect()
     }
     assert minhash <= set(exact)
+    # cap BELOW the max shingle doc-frequency (9 in this fixture) so
+    # the stop-shingle semi-join actually prunes candidate generation
     capped = {
         (r["doc1"], r["doc2"]): round(r["jaccard"], 6)
         for r in dedup.ngram_jaccard_near_dups(
-            d, threshold=0.5, max_doc_freq=50
+            d, threshold=0.5, max_doc_freq=5
         ).collect()
     }
     assert set(capped) <= set(exact)

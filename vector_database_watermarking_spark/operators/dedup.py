@@ -161,6 +161,33 @@ def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
     )
 
 
+def _jaccard_from_inter(
+    inter: DataFrame, sizes: DataFrame, threshold: float
+) -> DataFrame:
+    """Shared tail of every exact-Jaccard path: join per-doc shingle
+    counts onto (doc1, doc2, n_inter), jaccard = ∩ / (|A| + |B| − ∩),
+    filter by threshold."""
+    out = (
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed(
+                "n_shingles", "n1"
+            ),
+            on="doc1",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed(
+                "n_shingles", "n2"
+            ),
+            on="doc2",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n1") + F.col("n2") - F.col("n_inter")),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
 def jaccard_verify(
     pairs: DataFrame, shingle_df: DataFrame, threshold: float = 0.0
 ) -> DataFrame:
@@ -175,15 +202,7 @@ def jaccard_verify(
         .groupBy("doc1", "doc2")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    out = (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("n_shingles", "n1"), on="doc1")
-        .join(sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed("n_shingles", "n2"), on="doc2")
-        .withColumn(
-            "jaccard",
-            F.col("n_inter") / (F.col("n1") + F.col("n2") - F.col("n_inter")),
-        )
-    )
-    return out.filter(F.col("jaccard") >= threshold).select(
+    return _jaccard_from_inter(inter, sizes, threshold).select(
         "doc1", "doc2", "n_inter", "n1", "n2", "jaccard"
     )
 
@@ -247,6 +266,7 @@ def ngram_jaccard_near_dups(
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
     text_col: str = "text",
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dups WITHOUT MinHash banding: the
     inverted shingle index joins every pair sharing ≥ 1 shingle, so
@@ -254,11 +274,20 @@ def ngram_jaccard_near_dups(
 
     ``max_doc_freq`` drops "stop shingles" (appearing in more docs)
     from candidate *generation* — the knob that bounds the quadratic
-    blowup of hot shingles at scale; sizes/intersections still count
-    every shingle so reported Jaccard values stay exact for the pairs
-    produced (pairs sharing ONLY stop shingles are below any useful
-    threshold anyway)."""
-    sh = word_shingles(docs, n=n, text_col=text_col).persist()
+    blowup of hot shingles at scale. Reported Jaccard values stay
+    exact for every emitted pair (intersections recount the full
+    shingle relation), but RECALL is capped: a pair sharing only stop
+    shingles is never generated — in the extreme, exact duplicates of
+    a hot template (all shingles above the cap) are missed entirely.
+    Run the exact-dedup tier first; it catches precisely those.
+
+    ``shingle_df`` lets the caller pass (and persist) a pre-built
+    shingle relation; the operator itself never persists."""
+    sh = (
+        word_shingles(docs, n=n, text_col=text_col)
+        if shingle_df is None
+        else shingle_df
+    )
     if max_doc_freq is not None:
         # capped path: stop shingles only leave candidate GENERATION;
         # jaccard_verify recounts intersections over the full shingle
@@ -284,24 +313,6 @@ def ngram_jaccard_near_dups(
         .groupBy("doc1", "doc2")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    out = (
-        inter.join(
-            sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed(
-                "n_shingles", "n1"
-            ),
-            on="doc1",
-        )
-        .join(
-            sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed(
-                "n_shingles", "n2"
-            ),
-            on="doc2",
-        )
-        .withColumn(
-            "jaccard",
-            F.col("n_inter") / (F.col("n1") + F.col("n2") - F.col("n_inter")),
-        )
-    )
-    return out.filter(F.col("jaccard") >= threshold).select(
+    return _jaccard_from_inter(inter, sizes, threshold).select(
         "doc1", "doc2", "jaccard"
     )

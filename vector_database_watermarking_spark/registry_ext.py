@@ -151,7 +151,8 @@ def ext_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``max_doc_freq`` stop-shingle cap is the 100 TB knob (unused here
     so the oracle is exact)."""
     docs = load_table(spark, sf_dir, "documents")
-    out = dedup.ngram_jaccard_near_dups(docs, n=3, threshold=0.5)
+    sh = dedup.word_shingles(docs, n=3).persist()
+    out = dedup.ngram_jaccard_near_dups(docs, threshold=0.5, shingle_df=sh)
     return out.select("doc1", "doc2", F.round("jaccard", 6).alias("jaccard"))
 
 
