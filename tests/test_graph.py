@@ -55,3 +55,26 @@ def test_hidden_nodes_fraction(spark, sf_dir):
     hidden_ids = {r["vec_id"] for r in rows}
     non_hidden_min = min(c for v, c in others.items() if v not in hidden_ids)
     assert max_hidden <= non_hidden_min
+    # exact parity with the rank-based definition: first int(n*ratio)
+    # rows ordered by (query_count, vec_id)
+    expected = {
+        v for v, _ in sorted(others.items(), key=lambda kv: (kv[1], kv[0]))[: int(n * 0.1)]
+    }
+    assert hidden_ids == expected
+
+
+def test_hidden_nodes_no_global_window(spark, sf_dir):
+    """The W4 selection must not sort the whole relation through one
+    task: any Window in the plan is partitioned (boundary tie-band
+    only), never an empty-partition global window."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    edges = knn.knn_edges(emb, k=5)
+    qc = knn.query_counts(edges, emb)
+    hidden = graph.hidden_nodes(qc, ratio=0.1)
+    plan = hidden._jdf.queryExecution().optimizedPlan().toString()
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line.lower():
+            # partitioned spec renders as windowspecdefinition(col, ...);
+            # a global window would have no partition column before the
+            # ordering spec
+            assert "windowspecdefinition(query_count" in line.lower(), plan

@@ -107,15 +107,49 @@ def hidden_nodes(qcounts: DataFrame, ratio: float = 0.1) -> DataFrame:
     """W4: the lowest-`ratio` fraction of nodes by query count
     (``build_hnsw_and_get_hidden_nodes``,
     ``t_vector/e3_hidden_nodes_ratio_with_diff_M.py:52-56``).
-    Deterministic tie-break by vec_id."""
-    n = qcounts.count()
-    take = int(n * ratio)
-    w = Window.orderBy(F.col("query_count").asc(), F.col("vec_id").asc())
-    return (
-        qcounts.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= take)
-        .select("vec_id", "query_count")
+    Deterministic tie-break by vec_id.
+
+    Selection = first ``int(n·ratio)`` rows ordered by
+    ``(query_count, vec_id)``, computed WITHOUT a global window: the
+    per-count histogram (tiny — bounded by the graph's max in-degree,
+    not by n) picks the threshold count and the residual quota; rows
+    strictly below the threshold pass a plain filter, and only the
+    boundary tie-band (query_count == threshold) goes through a
+    row_number window to resolve the last ``r`` slots by vec_id. At
+    100 TB the filter is embarrassingly parallel and the window input
+    is one tie-band, not the relation.
+    """
+    qcounts = qcounts.persist()
+    hist = sorted(
+        (row["query_count"], row["n"])
+        for row in qcounts.groupBy("query_count")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
     )
+    n = sum(c for _, c in hist)
+    take = int(n * ratio)
+    if take <= 0:
+        return qcounts.filter(F.lit(False)).select("vec_id", "query_count")
+    cum = 0
+    thr, quota = None, 0
+    for qc, c in hist:
+        if cum + c >= take:
+            thr, quota = qc, take - cum
+            break
+        cum += c
+    below = qcounts.filter(F.col("query_count") < thr)
+    group_size = dict(hist)[thr]
+    if quota >= group_size:
+        boundary = qcounts.filter(F.col("query_count") == thr)
+    else:
+        w = Window.partitionBy("query_count").orderBy(F.col("vec_id").asc())
+        boundary = (
+            qcounts.filter(F.col("query_count") == thr)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= quota)
+            .drop("rn")
+        )
+    return below.unionByName(boundary).select("vec_id", "query_count")
 
 
 def edge_count_histogram(bidir: DataFrame) -> DataFrame:
