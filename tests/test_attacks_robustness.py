@@ -89,3 +89,39 @@ def test_robustness_grid_monotone_trend(spark, sf_dir):
     by_p = {r.p: r.ber for r in res}
     assert by_p[0.0] == 0.0
     assert by_p[0.5] <= 0.4  # majority usually survives 50% deletion
+
+
+def test_modify_targets_lockstep_with_random_modify(spark, sf_dir):
+    """modify_targets must name exactly the rows random_modify rewrote."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    perturbed = attacks.random_modify(emb, 0.2, seed=42, span=30)
+    targets = {r["vec_id"] for r in attacks.modify_targets(emb, 0.2, seed=42).collect()}
+    orig = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    changed = {
+        r["vec_id"]
+        for r in perturbed.collect()
+        if list(r["embedding"]) != list(orig[r["vec_id"]])
+    }
+    # every changed row is a target; a target may coincidentally keep its
+    # values only if the drawn value already matched (not at this sf)
+    assert changed == targets
+
+
+def test_carrier_impact_tvp_embed(spark, sf_dir):
+    """A13 with the real TVP bit-surgery perturbation (the non-SQL
+    variant of the registered a13 query): impact must be bounded and
+    non-carriers must keep their neighborhoods mostly intact."""
+    from vector_database_watermarking_spark.watermark.tvp import tvp_embed
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    wm_df, carriers = tvp_embed(emb, "101", strength=0.6, th=0.5, seed=20)
+    before = knn.knn_edges(emb.select("vec_id", "embedding"), k=10).cache()
+    after = knn.knn_edges(wm_df.select("vec_id", "embedding"), k=10).cache()
+    imp = stats.carrier_impact(before, after, carriers).collect()
+    assert len(imp) > 0
+    for r in imp:
+        assert r["common"] + r["missed"] == r["n_before"]
+        assert r["common"] + r["false_hits"] == r["n_after"]
+    # LSB surgery barely moves vectors: the index is nearly unchanged
+    rate = stats.hit_rate(before, after, 10)
+    assert rate > 0.95, rate

@@ -291,3 +291,21 @@ def test_ngram_jaccard_exact_vs_minhash_and_capping(spark, sf_dir):
     assert set(capped) <= set(exact)
     for pair, j in capped.items():
         assert j == exact[pair], pair
+
+
+def test_ivf_fixed_recall_vs_exact(spark, sf_dir):
+    """The deterministic (oracle-checkable) IVF tier must keep useful
+    recall vs brute force, like the KMeans tier."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 30)
+    exact = {
+        (r["src"], r["dst"])
+        for r in similarity.cosine_topk(q, emb, k=5).collect()
+    }
+    assigned, centroids = similarity.ivf_build_fixed(emb, n_clusters=8)
+    approx = {
+        (r["src"], r["dst"])
+        for r in similarity.ivf_search_fixed(q, assigned, centroids, k=5, nprobe=3).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall > 0.5, recall

@@ -100,6 +100,57 @@ def test_knn_single_row_base_returns_empty(spark):
     assert out.columns == ["src", "dst", "dist", "rank"]
 
 
+def test_disjoint_queries_get_full_k(spark):
+    """A query NOT in the base must get min(k, n_base) neighbors even
+    with exclude_self=True (regression: the global kk = n−1 clamp lost
+    one neighbor for disjoint query/base sets)."""
+    base = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(4)], "vec_id long, embedding array<float>"
+    )
+    q = spark.createDataFrame(
+        [(100, [1.5, 0.0])], "vec_id long, embedding array<float>"
+    )
+    out = knn.knn_join(q, base, k=10, exact=True).collect()
+    assert len(out) == 4  # all 4 base rows are valid neighbors
+    # and a query IN the base still excludes itself
+    q2 = spark.createDataFrame(
+        [(2, [2.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    out2 = knn.knn_join(q2, base, k=10, exact=True).collect()
+    assert len(out2) == 3
+    assert all(r["dst"] != 2 for r in out2)
+    assert [r["rank"] for r in sorted(out2, key=lambda r: r["rank"])] == [1, 2, 3]
+
+
+def test_cosine_topk_blocked_matches_broadcast(spark, sf_dir):
+    """The blocked cosine tier must match the broadcast tier exactly
+    (same guarantee the euclidean kNN blocked tier has)."""
+    from vector_database_watermarking_spark.operators.similarity import (
+        _cosine_topk_broadcast,
+        cosine_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    a = sorted(
+        (r["src"], r["rank"], r["dst"], round(r["cos_sim"], 9))
+        for r in _cosine_topk_broadcast(emb, emb, 5, True).collect()
+    )
+    import vector_database_watermarking_spark.operators.knn as knn_mod
+
+    saved = knn_mod.MAX_BROADCAST_ROWS
+    knn_mod.MAX_BROADCAST_ROWS = 100  # force the blocked tier
+    try:
+        b = sorted(
+            (r["src"], r["rank"], r["dst"], round(r["cos_sim"], 9))
+            for r in cosine_topk(emb, emb, 5).collect()
+        )
+    finally:
+        knn_mod.MAX_BROADCAST_ROWS = saved
+    assert a == b
+
+
 def test_lsh_dense_cluster_queries_still_get_candidates(spark):
     """Hot-bucket capping must down-sample dense clusters, not blind
     them: queries inside a duplicate cluster still find neighbors."""

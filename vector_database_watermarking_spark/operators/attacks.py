@@ -118,6 +118,21 @@ def random_modify(
     )
 
 
+def modify_targets(emb: DataFrame, p: float, seed: int = 42) -> DataFrame:
+    """The ``ceil(n·p)`` hash-chosen vec_ids that :func:`random_modify`
+    rewrites under the same (p, seed) — the attacked-row set, exposed
+    so impact studies (A13) can treat them as carriers. Must stay in
+    lockstep with ``random_modify``'s ranking key."""
+    n = emb.count()
+    modify = int(math.ceil(n * p))
+    w = Window.orderBy(_rank_key(seed, "modi"), F.col("vec_id"))
+    return (
+        emb.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= modify)
+        .select("vec_id")
+    )
+
+
 def adaptive_modify(
     emb: DataFrame,
     ai: DataFrame,

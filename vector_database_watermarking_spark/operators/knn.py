@@ -88,9 +88,26 @@ def knn_join(
 #: (the whole base would not fit in one driver collect + broadcast).
 MAX_BROADCAST_ROWS = 200_000
 
+#: above this many base rows the exact tier (even blocked — O(n²)
+#: distance work regardless of memory) stops being the right plan and
+#: auto-tiering switches to the LSH candidate path.
+MAX_EXACT_BASE_ROWS = 1_000_000
+
+
+def split_blocks(base: DataFrame, n_blocks: int) -> list[DataFrame]:
+    """Hash-split a (vec_id, ...) relation into ``n_blocks`` disjoint
+    slices — shared by the blocked exact tiers (euclidean + cosine) so
+    both bound driver memory by one block."""
+    block_col = F.pmod(F.col("vec_id"), F.lit(n_blocks))
+    return [base.filter(block_col == b) for b in range(n_blocks)]
+
 
 def exact_knn(
-    queries: DataFrame, base: DataFrame, k: int, exclude_self: bool = True
+    queries: DataFrame,
+    base: DataFrame,
+    k: int,
+    exclude_self: bool = True,
+    n_base: int | None = None,
 ) -> DataFrame:
     """Exact kNN with automatic tier choice: single broadcast of the
     base when it fits (``MAX_BROADCAST_ROWS``), otherwise the base is
@@ -99,7 +116,8 @@ def exact_knn(
     (the global top-k is a subset of the union of block top-ks), driver
     memory bounded by one block.
     """
-    n_base = base.count()
+    if n_base is None:
+        n_base = base.count()
     if n_base <= MAX_BROADCAST_ROWS:
         return _exact_knn_broadcast(queries, base, k, exclude_self)
     n_blocks = -(-n_base // MAX_BROADCAST_ROWS)
@@ -113,13 +131,10 @@ def _exact_knn_blocked(
     top-k, then a global merge ranked by the same
     ``(round(dist_sq, 6), dst)`` key so results are bit-identical to
     the single-broadcast tier."""
-    blocks = []
-    block_col = F.pmod(F.col("vec_id"), F.lit(n_blocks))
-    for b in range(n_blocks):
-        block = base.filter(block_col == b)
-        blocks.append(
-            _exact_knn_broadcast(queries, block, k, exclude_self, emit_dist_sq=True)
-        )
+    blocks = [
+        _exact_knn_broadcast(queries, block, k, exclude_self, emit_dist_sq=True)
+        for block in split_blocks(base, n_blocks)
+    ]
     union = blocks[0]
     for df in blocks[1:]:
         union = union.unionByName(df)
@@ -163,9 +178,12 @@ def _exact_knn_broadcast(
     order = np.argsort(ids)
     ids, X = ids[order], X[order]
     bc = sess.sparkContext.broadcast((ids, X))
-    kk = min(k, len(ids) - (1 if exclude_self else 0))
+    # kk caps at the base size; self-exclusion is handled per row
+    # (masked entries sort last and are dropped), so a query absent
+    # from the base still gets all min(k, n) neighbors
+    kk = min(k, len(ids))
     col0 = "dist_sq" if emit_dist_sq else "dist"
-    if kk <= 0:  # base empty (or only the query itself): no neighbors
+    if kk <= 0:  # base empty: no neighbors
         return sess.createDataFrame(
             [], schema=f"src long, dst long, {col0} double, rank int"
         )
@@ -199,25 +217,37 @@ def _exact_knn_broadcast(
                 out_src = np.repeat(q_ids, kk)
                 out_dst = np.empty(m * kk, dtype=np.int64)
                 out_val = np.empty(m * kk, dtype=np.float64)
+                out_key = np.empty(m * kk, dtype=np.float64)
                 out_rank = np.tile(np.arange(1, kk + 1, dtype=np.int32), m)
                 for r in range(m):
                     if n > 4 * kk:
                         # tie-safe pre-select: keep everything ≤ the max
                         # of the 2kk smallest, so equal rounded values
                         # still resolve by the b_id tiebreak exactly
-                        part = np.argpartition(r6[r], 2 * kk)[: 2 * kk]
+                        part = np.argpartition(r6[r], min(2 * kk, n - 1))[: 2 * kk]
                         cand = np.nonzero(r6[r] <= r6[r][part].max())[0]
                     else:
                         cand = np.arange(n)
                     order = np.lexsort((b_ids[cand], r6[r][cand]))[:kk]
                     sel = cand[order]
                     out_dst[r * kk : (r + 1) * kk] = b_ids[sel]
+                    out_key[r * kk : (r + 1) * kk] = r6[r, sel]
                     vals = acc[r, sel]
                     out_val[r * kk : (r + 1) * kk] = (
                         vals if emit_dist_sq else np.sqrt(vals)
                     )
+                # masked self-hits carry an inf ranking key and always
+                # sort last within a row: dropping them keeps ranks
+                # contiguous and gives rows not in the base their full
+                # min(k, n) neighbors
+                keep = np.isfinite(out_key)
                 yield pd.DataFrame(
-                    {"src": out_src, "dst": out_dst, col: out_val, "rank": out_rank}
+                    {
+                        "src": out_src[keep],
+                        "dst": out_dst[keep],
+                        col: out_val[keep],
+                        "rank": out_rank[keep],
+                    }
                 )
 
     col = "dist_sq" if emit_dist_sq else "dist"
@@ -327,10 +357,22 @@ def _lsh_candidates(
     )
 
 
-def knn_edges(emb: DataFrame, k: int, exact: bool = True) -> DataFrame:
+def knn_edges(emb: DataFrame, k: int, exact: bool | None = None) -> DataFrame:
     """The kNN-edges table standing in for the HNSW level-0 graph
-    (SURVEY §1: ``-1`` slot padding disappears — F1 is a no-op)."""
+    (SURVEY §1: ``-1`` slot padding disappears — F1 is a no-op).
+
+    ``exact=None`` (default) picks the tier from the collection size:
+    exact (broadcast or blocked) up to ``MAX_EXACT_BASE_ROWS``, LSH
+    beyond — so the same call site is correct at fixture scale and
+    survives a 100× scale-up without a driver-bound O(n²) plan. Pass
+    ``exact=True``/``False`` to pin a tier.
+    """
     e = emb.select("vec_id", "embedding")
+    if exact is None:
+        n = e.count()
+        if n <= MAX_EXACT_BASE_ROWS:
+            return exact_knn(e, e, k, exclude_self=True, n_base=n)
+        exact = False
     return knn_join(e, e, k=k, exact=exact, exclude_self=True)
 
 

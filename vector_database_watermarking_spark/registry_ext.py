@@ -446,15 +446,64 @@ def ext_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_near_dups(emb, threshold=0.45)
 
 
-@register("ext_ivf_topk", oracle=None)
+_IVF_N, _IVF_PROBE, _IVF_K = 8, 3, 5
+_SQDIST_CENT = f"""round(list_sum(list_transform(range(1, {D + 1}),
+      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))
+         * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)))), 6)"""
+
+
+@register(
+    "ext_ivf_topk",
+    oracle=f"""
+WITH cent AS (
+  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cluster, embedding
+  FROM (SELECT vec_id, embedding,
+               CAST('0x' || substr(md5(concat('ivf_', CAST(vec_id AS VARCHAR))), 1, 15) AS BIGINT) AS h
+        FROM embeddings)
+  ORDER BY h, vec_id LIMIT {_IVF_N}
+),
+dists AS (
+  SELECT e.vec_id, c.cluster, {_SQDIST_CENT} AS d6
+  FROM embeddings e CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY d6, cluster) AS rn
+    FROM dists) WHERE rn = 1
+),
+routed AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY d6, cluster) AS rn
+    FROM dists WHERE vec_id < 50) WHERE rn <= {_IVF_PROBE}
+),
+scored AS (
+  SELECT r.vec_id AS src, s.vec_id AS dst, {_COS_EXPR.replace('a.embedding', 'qa.embedding').replace('b.embedding', 'qb.embedding')} AS cos
+  FROM routed r
+  JOIN assigned s ON r.cluster = s.cluster AND r.vec_id <> s.vec_id
+  JOIN embeddings qa ON r.vec_id = qa.vec_id
+  JOIN embeddings qb ON s.vec_id = qb.vec_id
+)
+SELECT src, dst, round(cos, 6) AS cos_sim, CAST(rank AS INTEGER) AS rank
+FROM (SELECT src, dst, cos,
+             row_number() OVER (PARTITION BY src ORDER BY round(cos, 6) DESC, dst) AS rank
+      FROM scored)
+WHERE rank <= {_IVF_K}
+""",
+)
 def ext_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed approximate cosine top-5 (scale tier; seeded KMeans
-    routing — rows-only check, centroids are float-iteration
-    dependent)."""
+    """IVF-bucketed approximate cosine top-5 over the deterministic
+    index (hash-spread centroids + argmin assignment + nprobe routing —
+    every step native and oracle-checked). The seeded-KMeans index
+    (``similarity.ivf_build``) shares this exact search plan and is
+    covered by pytest (centroids are float-iteration dependent, so it
+    cannot be cross-engine hash-checked)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned, centroids = similarity.ivf_build(emb, n_clusters=8, seed=42)
+    assigned, centroids = similarity.ivf_build_fixed(emb, n_clusters=_IVF_N)
     q = emb.filter(F.col("vec_id") < 50)
-    return similarity.ivf_search(q, assigned, centroids, k=5, nprobe=3)
+    out = similarity.ivf_search_fixed(
+        q, assigned, centroids, k=_IVF_K, nprobe=_IVF_PROBE
+    )
+    return out.withColumn("cos_sim", F.round("cos_sim", 6))
 
 
 # ---------------------------------------------------------------- multimodal

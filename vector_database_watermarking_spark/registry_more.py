@@ -124,21 +124,109 @@ def a12_missed_false(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("a13_carrier_impact", oracle=None)
+_MODIFIED_CTE = f"""
+WITH ranked AS (
+  SELECT vec_id, embedding,
+         row_number() OVER (
+           ORDER BY CAST('0x' || substr(md5(concat('42', '_modi_', CAST(vec_id AS VARCHAR))), 1, 15) AS BIGINT),
+           vec_id) AS rn
+  FROM embeddings
+),
+n_mod AS (SELECT CAST(ceil(count(*) * 0.2) AS BIGINT) AS m FROM embeddings),
+bounds AS (
+  SELECT min(v) AS lo, max(v) AS hi
+  FROM (SELECT unnest(embedding) AS v FROM embeddings)
+),
+params AS (
+  SELECT r.vec_id, r.embedding, r.rn,
+    CAST(CAST('0x' || substr(md5(concat('42', '_off_', CAST(r.vec_id AS VARCHAR))), 1, 15) AS BIGINT) % {D} AS INTEGER) AS off,
+    CAST(b.lo + (b.hi - b.lo) * ((CAST('0x' || substr(md5(concat('42', '_val_', CAST(r.vec_id AS VARCHAR))), 1, 15) AS BIGINT) + CAST(1 AS DOUBLE)) / (power(2.0, 60) + 2)) AS FLOAT) AS nv
+  FROM ranked r CROSS JOIN bounds b
+),
+modified AS (
+  SELECT vec_id,
+    CASE WHEN rn <= (SELECT m FROM n_mod)
+         THEN list_transform(range(1, {D + 1}),
+              i -> CASE WHEN ((i - 1 - off + {D}) % {D}) < 30 THEN nv ELSE embedding[i] END)
+         ELSE embedding END AS embedding
+  FROM params
+),
+carriers AS (SELECT vec_id FROM ranked WHERE rn <= (SELECT m FROM n_mod))
+"""
+
+
+def _edges_sql(source: str, alias: str, k: int) -> str:
+    """DuckDB CTE body: exact kNN edges over ``source`` (same fold
+    order and (round(dist_sq,6), dst) ranking as ``_knn_cte``)."""
+    return f"""
+pairs_{alias} AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+    list_sum(list_transform(range(1, {D + 1}),
+      i -> (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))
+         * (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE)))) AS dist_sq
+  FROM {source} a CROSS JOIN {source} b WHERE a.vec_id <> b.vec_id
+),
+edges_{alias} AS (
+  SELECT src, dst FROM (
+    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY round(dist_sq, 6), dst) AS rank
+    FROM pairs_{alias}) WHERE rank <= {k}
+)"""
+
+
+@register(
+    "a13_carrier_impact",
+    oracle=_MODIFIED_CTE
+    + ","
+    + _edges_sql("embeddings", "b", 20)
+    + ","
+    + _edges_sql("modified", "a", 20)
+    + """,
+qb AS (
+  SELECT e.dst AS carrier, list(e.src) AS q
+  FROM edges_b e JOIN carriers c ON e.dst = c.vec_id GROUP BY e.dst
+),
+qa AS (
+  SELECT e.dst AS carrier, list(e.src) AS q
+  FROM edges_a e JOIN carriers c ON e.dst = c.vec_id GROUP BY e.dst
+)
+SELECT coalesce(qb.carrier, qa.carrier) AS carrier,
+       CAST(len(list_intersect(coalesce(qb.q, []), coalesce(qa.q, []))) AS INTEGER) AS common,
+       CAST(len(list_filter(coalesce(qb.q, []), x -> NOT list_contains(coalesce(qa.q, []), x))) AS INTEGER) AS missed,
+       CAST(len(list_filter(coalesce(qa.q, []), x -> NOT list_contains(coalesce(qb.q, []), x))) AS INTEGER) AS false_hits,
+       CAST(len(coalesce(qb.q, [])) AS INTEGER) AS n_before,
+       CAST(len(coalesce(qa.q, [])) AS INTEGER) AS n_after
+FROM qb FULL OUTER JOIN qa ON qb.carrier = qa.carrier
+""",
+)
 def a13_carrier_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A13/C9 (``impact/impact.py:70-128``): per-carrier missed/extra
-    querying vectors between the clean and TVP-watermarked kNN results
-    (k=20 here; needs the UDF embed → rows-only)."""
-    from .experiments import utility_impact
+    """A13/C9 (``ca``, ``impact/impact.py:70-128``): per-carrier
+    missed/extra querying vectors between the clean index and the
+    index rebuilt after the carriers were perturbed (k=20, the
+    reference's search depth).
+
+    The perturbation here is the hash-keyed C8 modification attack
+    (SQL-replayable, so the WHOLE pipeline — perturb, re-index, per-
+    carrier set diff — is oracle-checked end to end). The TVP-embed
+    variant of the same study (bit-surgery perturbation, not SQL-
+    expressible) runs in pytest: ``test_carrier_impact_tvp_embed``.
+    """
     from .operators import knn
+    from .operators.attacks import modify_targets, random_modify
     from .operators.stats import carrier_impact
-    from .watermark.tvp import tvp_embed
 
     emb = load_table(spark, sf_dir, "embeddings")
-    wm_df, carriers = tvp_embed(emb, "10101", strength=0.6, th=0.5, seed=SEED)
+    perturbed = random_modify(emb, 0.2, seed=42, span=30)
+    carriers = modify_targets(emb, 0.2, seed=42)
     before = knn.knn_edges(emb.select("vec_id", "embedding"), k=20)
-    after = knn.knn_edges(wm_df.select("vec_id", "embedding"), k=20)
-    return carrier_impact(before, after, carriers)
+    after = knn.knn_edges(perturbed.select("vec_id", "embedding"), k=20)
+    return carrier_impact(before, after, carriers).select(
+        "carrier",
+        F.col("common").cast("int").alias("common"),
+        F.col("missed").cast("int").alias("missed"),
+        F.col("false_hits").cast("int").alias("false_hits"),
+        F.col("n_before").cast("int").alias("n_before"),
+        F.col("n_after").cast("int").alias("n_after"),
+    )
 
 
 # ---------------------------------------------------------------- W2

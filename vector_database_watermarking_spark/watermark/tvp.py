@@ -90,14 +90,12 @@ def classify_compat(emb: DataFrame, dims: list[int], L: int) -> DataFrame:
     ).drop("_c")
 
 
-def _selection_base(
-    emb: DataFrame, watermark: str, dims: list[int], strength: float
-) -> DataFrame:
-    """Shared F5 bit-deficit computation (``watermarking.py:316-328``):
-    classify, attach the group's target bit, compute how many carriers
-    each group still needs, and keep only the flippable rows."""
-    L = len(watermark)
-    cls = classify_compat(emb, dims, L)
+def _avail_from_classified(cls: DataFrame, watermark: str, strength: float) -> DataFrame:
+    """F5 bit-deficit computation (``watermarking.py:316-328``) over an
+    already-classified DataFrame: attach the group's target bit,
+    compute how many carriers each group still needs, and keep only the
+    flippable rows. Classifier-agnostic (compat pandas-UDF tier or the
+    native parity tier feed the same deficit algebra)."""
     wm_arr = F.array(*[F.lit(int(b)) for b in watermark])
     cls = cls.withColumn("wm_bit", F.element_at(wm_arr, F.col("group_id") + 1))
 
@@ -117,6 +115,15 @@ def _selection_base(
     return cls.filter(F.col("hidden_bit") != F.col("wm_bit")).join(
         F.broadcast(stats.select("group_id", "deficit", "n_avail")), on="group_id"
     )
+
+
+def _selection_base(
+    emb: DataFrame, watermark: str, dims: list[int], strength: float
+) -> DataFrame:
+    """Shared F5 bit-deficit computation (``watermarking.py:316-328``):
+    classify (compat tier), then the deficit algebra."""
+    cls = classify_compat(emb, dims, len(watermark))
+    return _avail_from_classified(cls, watermark, strength)
 
 
 def _select_by_ai(avail: DataFrame, th: float) -> DataFrame:
