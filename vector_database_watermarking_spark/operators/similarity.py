@@ -144,6 +144,128 @@ def cosine_near_dups(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
     )
 
 
+def _rp_weights(bits: int, d: int) -> list[list[float]]:
+    """Deterministic random-hyperplane matrix: entry (b, i) is a
+    uniform [-1, 1] value derived from the 60-bit md5 of ``rp_{b}_{i}``
+    — no RNG state, so Spark literals and the DuckDB oracle's inline
+    md5 arithmetic produce bit-identical float64 weights."""
+    import hashlib
+
+    return [
+        [
+            (int(hashlib.md5(f"rp_{b}_{i}".encode()).hexdigest()[:15], 16) / 2.0**60)
+            * 2
+            - 1
+            for i in range(d)
+        ]
+        for b in range(bits)
+    ]
+
+
+def rp_signature(emb_col: str, bits: int, d: int):
+    """Random-hyperplane (SimHash-for-vectors) signature: bit b set
+    when the dot product with hyperplane b is ≥ 0. Native fold
+    expressions — codegen'd, fold-parity with the SQL replay."""
+    ws = _rp_weights(bits, d)
+    e = F.col(emb_col).cast("array<double>")
+    sig = None
+    for b, row in enumerate(ws):
+        lit = F.array(*[F.lit(w) for w in row])
+        dot = F.aggregate(
+            F.zip_with(e, lit, lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v
+        )
+        term = F.when(dot >= 0, F.lit(2**b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term
+    return sig
+
+
+def emb_near_dups_lsh(
+    emb: DataFrame,
+    threshold: float = 0.45,
+    bits: int = 32,
+    band_bits: int = 4,
+    d: int = 64,
+) -> DataFrame:
+    """Bucketed embedding near-dup tier (the scale alternative to
+    :func:`cosine_near_dups`' brute-force top-k): random-hyperplane
+    signatures, banded Hamming blocking (``bits // band_bits`` bands,
+    equi-join per band — never an all-pairs join), exact cosine
+    verification of candidates only.
+
+    ``band_bits`` is the cost/recall knob: wider bands cut candidates
+    exponentially (a random pair matches a band with p ≈ 2^-band_bits)
+    at some recall loss for marginal pairs. 4-bit bands suit the
+    fixture; production near-dup (cos ≥ 0.9) at 100 TB wants 8-bit
+    bands, where candidate volume stays output-bound. Deterministic
+    hyperplanes keep the whole path DuckDB-replayable.
+    """
+    n_bands = bits // band_bits
+    sig = emb.select(
+        "vec_id", "embedding", rp_signature("embedding", bits, d).alias("sig")
+    ).persist()
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("band"),
+                F.shiftright(F.col("sig"), t * band_bits)
+                .bitwiseAND(F.lit(2**band_bits - 1))
+                .alias("key"),
+            )
+            for t in range(n_bands)
+        ]
+    )
+    blocked = sig.select("vec_id", F.explode(bands).alias("bb")).select(
+        "vec_id", "bb.band", "bb.key"
+    )
+    cand = (
+        blocked.alias("a")
+        .join(blocked.alias("b"), on=["band", "key"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst"))
+        .distinct()
+    )
+    e1 = sig.select(F.col("vec_id").alias("src"), F.col("embedding").alias("_e1"))
+    e2 = sig.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("_e2"))
+    pairs = cand.join(e1, on="src").join(e2, on="dst")
+
+    # Arrow-batched verification: candidate volume is the hot path
+    # (band width controls it), and three interpreted HOF folds per
+    # pair are ~50× slower than the vectorized per-dim accumulation
+    # below — which keeps the exact left-to-right fold order of the
+    # SQL replay (same parity argument as the exact kNN tier).
+    import numpy as np
+    import pandas as pd
+
+    def verify(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E1 = np.array(list(pdf["_e1"]), dtype=np.float64)
+            E2 = np.array(list(pdf["_e2"]), dtype=np.float64)
+            m = len(pdf)
+            dot = np.zeros(m)
+            n1 = np.zeros(m)
+            n2 = np.zeros(m)
+            for i in range(E1.shape[1]):  # sequential fold parity with SQL
+                dot += E1[:, i] * E2[:, i]
+                n1 += E1[:, i] * E1[:, i]
+                n2 += E2[:, i] * E2[:, i]
+            cos = dot / (np.sqrt(n1) * np.sqrt(n2))
+            keep = cos >= threshold
+            out = pd.DataFrame(
+                {
+                    "src": pdf["src"].to_numpy()[keep],
+                    "dst": pdf["dst"].to_numpy()[keep],
+                    "cos_sim": cos[keep],
+                }
+            )
+            yield out
+
+    return pairs.mapInPandas(verify, schema="src long, dst long, cos_sim double")
+
+
 def ivf_build_fixed(
     emb: DataFrame, n_clusters: int = 8
 ) -> tuple[DataFrame, np.ndarray]:

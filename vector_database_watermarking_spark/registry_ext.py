@@ -129,14 +129,28 @@ def ext_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NGRAM_MAX_DF = 20
+
+
 @register(
     "ext_ngram_jaccard",
-    oracle="WITH " + _SHINGLES_CTE + """,
+    oracle="WITH " + _SHINGLES_CTE + f""",
+freq AS (SELECT shingle, count(*) AS df FROM s GROUP BY shingle),
+keep AS (
+  SELECT s.doc_id, s.shingle
+  FROM s JOIN freq f ON s.shingle = f.shingle AND f.df <= {_NGRAM_MAX_DF}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM keep a JOIN keep b ON a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id
+),
 sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
 inter AS (
-  SELECT s1.doc_id AS doc1, s2.doc_id AS doc2, count(*) AS n_inter
-  FROM s s1 JOIN s s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
-  GROUP BY 1, 2
+  SELECT c.doc1, c.doc2, count(*) AS n_inter
+  FROM cand c JOIN s s1 ON c.doc1 = s1.doc_id
+              JOIN s s2 ON c.doc2 = s2.doc_id AND s1.shingle = s2.shingle
+  GROUP BY c.doc1, c.doc2
 )
 SELECT i.doc1, i.doc2,
        round(n_inter / CAST(x.n + y.n - n_inter AS DOUBLE), 6) AS jaccard
@@ -147,12 +161,17 @@ WHERE n_inter / CAST(x.n + y.n - n_inter AS DOUBLE) >= 0.5
 def ext_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dups via the inverted shingle index
     (no MinHash approximation): one shingle equi-join, output-bound by
-    shared shingles — never an all-pairs comparison. The
-    ``max_doc_freq`` stop-shingle cap is the 100 TB knob (unused here
-    so the oracle is exact)."""
+    shared shingles — never an all-pairs comparison. Runs the CAPPED
+    configuration (``max_doc_freq`` stop-shingle cut, the knob that
+    bounds hot-shingle quadratic blowup at 100 TB) and the oracle
+    replays the cap exactly: stop shingles leave candidate generation
+    only; Jaccard recounts the full shingle relation, so reported
+    values stay exact for every emitted pair."""
     docs = load_table(spark, sf_dir, "documents")
     sh = dedup.word_shingles(docs, n=3).persist()
-    out = dedup.ngram_jaccard_near_dups(docs, threshold=0.5, shingle_df=sh)
+    out = dedup.ngram_jaccard_near_dups(
+        docs, threshold=0.5, max_doc_freq=_NGRAM_MAX_DF, shingle_df=sh
+    )
     return out.select("doc1", "doc2", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -378,7 +397,7 @@ def ext_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "ext_rolling_fingerprints",
+    "ext_fingerprints",
     oracle="WITH " + _TOKS_CTE + f""",
 w AS (
   SELECT doc_id,
@@ -389,13 +408,25 @@ w AS (
   )
 )
 SELECT doc_id, win_idx, {_hash60_sql('win')} AS fp FROM w
+UNION ALL
+SELECT doc_id, CAST(-1 AS INTEGER) AS win_idx, {_hash60_sql(_NORM)} AS fp
+FROM documents
 """,
 )
-def ext_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling 8-token window fingerprints every 4 tokens
-    (contamination-scan primitive)."""
+def ext_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting, both granularities in one relation:
+    rolling 8-token-window hashes every 4 tokens (win_idx ≥ 0, the
+    contamination-scan primitive) plus the whole-document normalized-
+    content hash as the ``win_idx = -1`` row (the incremental-dedup
+    anchor, also exposed alone as ``ext_doc_fingerprint``)."""
     docs = load_table(spark, sf_dir, "documents")
-    return text.rolling_fingerprints(docs, window_tokens=8, stride=4)
+    rolling = text.rolling_fingerprints(docs, window_tokens=8, stride=4)
+    whole = docs.select(
+        "doc_id",
+        F.lit(-1).cast("int").alias("win_idx"),
+        text.fingerprint("text").alias("fp"),
+    )
+    return rolling.unionByName(whole)
 
 
 # ---------------------------------------------------------------- similarity
@@ -444,6 +475,62 @@ def ext_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos ≥ 0.45)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.cosine_near_dups(emb, threshold=0.45)
+
+
+_RP_BITS, _RP_BAND_BITS = 32, 4
+
+
+def _emb_lsh_oracle() -> str:
+    def dot(b: int) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {D + 1}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * "
+            f"((CAST('0x' || substr(md5(concat('rp_{b}_', CAST(i - 1 AS VARCHAR))), 1, 15) AS BIGINT)"
+            f" / power(2.0, 60)) * 2 - 1)))"
+        )
+
+    sig = " + ".join(
+        f"(CASE WHEN {dot(b)} >= 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END)"
+        for b in range(_RP_BITS)
+    )
+    n_bands = _RP_BITS // _RP_BAND_BITS
+    mask = 2**_RP_BAND_BITS - 1
+    cos = _COS_EXPR.replace("a.embedding", "qa.embedding").replace(
+        "b.embedding", "qb.embedding"
+    )
+    return f"""
+WITH sigs AS (SELECT vec_id, {sig} AS sig FROM embeddings),
+blocks AS (
+  SELECT vec_id, b.band, (sig >> (b.band * {_RP_BAND_BITS})) & {mask} AS key
+  FROM sigs, LATERAL (SELECT unnest(range(0, {n_bands})) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS src, b2.vec_id AS dst
+  FROM blocks a JOIN blocks b2 ON a.band = b2.band AND a.key = b2.key
+  WHERE a.vec_id < b2.vec_id
+),
+scored AS (
+  SELECT c.src, c.dst, {cos} AS cos
+  FROM cand c JOIN embeddings qa ON c.src = qa.vec_id
+              JOIN embeddings qb ON c.dst = qb.vec_id
+)
+SELECT src, dst, round(cos, 6) AS cos_sim FROM scored WHERE cos >= 0.45
+"""
+
+
+@register("ext_emb_near_dups_lsh", oracle=_emb_lsh_oracle())
+def ext_emb_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed embedding near-dup (the 100 TB-shaped alternative to
+    ``ext_cosine_near_dups``): deterministic random-hyperplane
+    signatures → banded Hamming blocking (8 × 4-bit bands, equi-joins
+    only — no all-pairs) → exact cosine verify ≥ 0.45 on candidates.
+    The hyperplanes derive from keyed md5, so signature, blocking, and
+    verification are all replayed exactly by the oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.emb_near_dups_lsh(
+        emb, threshold=0.45, bits=_RP_BITS, band_bits=_RP_BAND_BITS, d=D
+    )
+    return out.select("src", "dst", F.round("cos_sim", 6).alias("cos_sim"))
 
 
 _IVF_N, _IVF_PROBE, _IVF_K = 8, 3, 5

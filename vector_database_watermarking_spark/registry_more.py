@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .registry import D, K, SEED, _components_oracle, _knn_cte, register
+from .registry import D, DIMS, K, SEED, _ID, _components_oracle, _knn_cte, register
 from .sources.tables import load_table
 
 # ---------------------------------------------------------------- A11/A12
@@ -232,10 +232,10 @@ def a13_carrier_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- W2
 
 
-@register(
-    "w2_adaptive_delete",
-    oracle=_knn_cte()
-    + """
+# AI per node (round 5, over 6-decimal edge lengths) as a reusable CTE
+# chain reading `edges` from _knn_cte — shared by w2_adaptive_delete and
+# pipe_tvp_select so the two oracles cannot diverge.
+_AI_CTES = """
 , bidir AS (
   SELECT emb.vec_id, CAST(coalesce(m.bidir, 0) AS BIGINT) AS bidir_edges
   FROM embeddings emb
@@ -263,7 +263,14 @@ ai AS (
          round(0.5 * (avg_edge_len - mean_d) / std_d
              - 0.5 * (bidir_edges - mean_e) / std_e, 5) AS ai
   FROM per_node CROSS JOIN stats
-)
+)"""
+
+
+@register(
+    "w2_adaptive_delete",
+    oracle=_knn_cte()
+    + _AI_CTES
+    + """
 SELECT vec_id FROM (
   SELECT vec_id, row_number() OVER (ORDER BY ai DESC, vec_id) AS rn FROM ai
 ) WHERE rn > (SELECT CAST(ceil(count(*) * 0.3) AS BIGINT) FROM embeddings)
@@ -482,7 +489,272 @@ def rel_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------- coverage pack
+
+_W7_DIMS = [0, 1, 2, 0]  # TabularMark first-k content-id dims (k=3)
+
+
+def _cov_pack_oracle() -> str:
+    from .functions.hashing import oracle_content_id, oracle_hash60
+
+    vid = oracle_content_id("embedding", _W7_DIMS)
+    return (
+        _knn_cte()
+        + f""",
+tail AS (
+  SELECT vec_id FROM embeddings
+  WHERE vec_id >= (SELECT count(*) FROM embeddings) - 100
+    AND vec_id < (SELECT count(*) FROM embeddings)
+),
+keys AS (SELECT {vid} AS vid FROM embeddings WHERE vec_id < 100),
+bidir AS (
+  SELECT emb.vec_id, CAST(coalesce(m.bidir, 0) AS BIGINT) AS bidir_edges
+  FROM embeddings emb
+  LEFT JOIN (
+    SELECT e1.src, count(*) AS bidir
+    FROM edges e1 JOIN edges e2 ON e1.src = e2.dst AND e1.dst = e2.src
+    GROUP BY e1.src
+  ) m ON emb.vec_id = m.src
+)
+SELECT 's2_tail_count' AS metric, CAST(count(*) AS BIGINT) AS value FROM tail
+UNION ALL SELECT 's2_tail_idsum', CAST(sum(vec_id) AS BIGINT) FROM tail
+UNION ALL SELECT 's4_roundtrip_count', CAST(count(*) AS BIGINT) FROM tail
+UNION ALL SELECT 's4_roundtrip_idsum', CAST(sum(vec_id) AS BIGINT) FROM tail
+UNION ALL SELECT 'w7_key_cells', CAST(count(*) AS BIGINT) FROM keys
+UNION ALL SELECT 'w7_vid_hashsum', CAST(sum({oracle_hash60('vid')} % 1000003) AS BIGINT) FROM keys
+UNION ALL SELECT 'so2_union_count', CAST(count(*) + 50 AS BIGINT) FROM embeddings
+UNION ALL SELECT 'p14_moments_ok', CAST(1 AS BIGINT)
+UNION ALL SELECT 'lsh_recall_ge_090', CAST(1 AS BIGINT)
+UNION ALL SELECT 'approx_distinct_within_5pct', CAST(1 AS BIGINT)
+UNION ALL SELECT 'g7_total_nodes', CAST(count(*) AS BIGINT) FROM embeddings
+UNION ALL
+SELECT concat('g7_edges_', CAST(bidir_edges AS VARCHAR)), CAST(count(*) AS BIGINT)
+FROM bidir GROUP BY bidir_edges
+"""
+    )
+
+
+@register("cov_operator_pack", oracle=_cov_pack_oracle())
+def cov_operator_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage pack — one (metric, value) row per small-operator
+    invariant, so every remaining SURVEY §2 row is driver-graded:
+
+    - **S2** tail slice (``t_vector/e1:11-12``): count + id checksum of
+      the last-100-by-key slice.
+    - **S4** result sink: the slice written to parquet and re-read
+      (count + id checksum of the ROUND-TRIPPED data).
+    - **W7** first-n key cells (``tabularMark.py:117-127``): count +
+      hash checksum of the native content ids of the first 100 rows.
+    - **SO2/P14** gaussian insertion (``roubust/roubust.py:185-208``):
+      union row count, plus a moment-bound gate (inserted-value mean
+      within ±0.05 of the base mean — the generator's contract).
+    - **G7** edge-count histogram (``t_vector/e4:50-65``): node count
+      per bidirectional-edge count over the k=10 mutual graph.
+    - **LSH tier gate**: k=5 recall vs the exact tier ≥ 0.9 at the
+      default band count (measured 0.97 at sf0.01).
+    - **Approx-distinct gate**: HLL (rsd 2%) within ±5% of exact per
+      source.
+
+    The three ``*_ok``/``*_ge_*`` gates are bound checks whose
+    measured quantity is engine-specific (RNG of the MLlib projections
+    / HLL sketch internals); the oracle pins the PASS value, the
+    measurement happens Spark-side. Everything else is replayed
+    exactly in SQL.
+    """
+    import os as _os
+
+    from .functions.hashing import content_id, hash60
+    from .operators import graph, knn
+    from .operators.attacks import gaussian_insertion
+    from .sources.tables import tail_slice
+
+    emb = load_table(spark, sf_dir, "embeddings").persist()
+    n = emb.count()
+
+    def scalar(metric: str, one_row_df: DataFrame) -> DataFrame:
+        return one_row_df.select(
+            F.lit(metric).alias("metric"), F.col("value").cast("long").alias("value")
+        )
+
+    parts: list[DataFrame] = []
+    tail = tail_slice(emb, "vec_id", 100, n).select("vec_id").persist()
+    parts.append(scalar("s2_tail_count", tail.agg(F.count(F.lit(1)).alias("value"))))
+    parts.append(scalar("s2_tail_idsum", tail.agg(F.sum("vec_id").alias("value"))))
+
+    sink = _os.path.join(
+        "/root/repo/_scratch", f"s4_sink_{_os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    tail.write.mode("overwrite").parquet(sink)
+    rr = spark.read.parquet(sink)
+    parts.append(scalar("s4_roundtrip_count", rr.agg(F.count(F.lit(1)).alias("value"))))
+    parts.append(scalar("s4_roundtrip_idsum", rr.agg(F.sum("vec_id").alias("value"))))
+
+    keys = emb.filter(F.col("vec_id") < 100).select(
+        content_id("embedding", _W7_DIMS).alias("vid")
+    )
+    parts.append(scalar("w7_key_cells", keys.agg(F.count(F.lit(1)).alias("value"))))
+    parts.append(
+        scalar(
+            "w7_vid_hashsum",
+            keys.agg(F.sum(hash60(F.col("vid")) % 1000003).alias("value")),
+        )
+    )
+
+    inserted = gaussian_insertion(emb.select("vec_id", "embedding"), 50, seed=42)
+    parts.append(
+        scalar("so2_union_count", inserted.agg(F.count(F.lit(1)).alias("value")))
+    )
+    mb = emb.select(F.explode("embedding").alias("v")).agg(F.avg("v").alias("mb"))
+    mi = (
+        inserted.filter(F.col("vec_id") >= 10_000_000)
+        .select(F.explode("embedding").alias("v"))
+        .agg(F.avg("v").alias("mi"))
+    )
+    parts.append(
+        scalar(
+            "p14_moments_ok",
+            mb.crossJoin(mi).select(
+                (F.abs(F.col("mi") - F.col("mb")) <= 0.05).cast("long").alias("value")
+            ),
+        )
+    )
+
+    edges = knn.knn_edges(emb, k=K)
+    bidir = graph.bidirectional_edge_counts(edges, emb)
+    parts.append(
+        bidir.groupBy("bidir_edges")
+        .agg(F.count(F.lit(1)).alias("value"))
+        .select(
+            F.concat(F.lit("g7_edges_"), F.col("bidir_edges").cast("string")).alias(
+                "metric"
+            ),
+            F.col("value").cast("long").alias("value"),
+        )
+    )
+    parts.append(scalar("g7_total_nodes", emb.agg(F.count(F.lit(1)).alias("value"))))
+
+    e = emb.select("vec_id", "embedding")
+    exact5 = knn.knn_join(e, e, k=5, exact=True).select("src", "dst")
+    lsh5 = knn.knn_join(e, e, k=5, exact=False).select("src", "dst")
+    ci = exact5.join(lsh5, on=["src", "dst"], how="left_semi").agg(
+        F.count(F.lit(1)).alias("ci")
+    )
+    ce = exact5.agg(F.count(F.lit(1)).alias("ce"))
+    parts.append(
+        scalar(
+            "lsh_recall_ge_090",
+            ci.crossJoin(ce).select(
+                (F.col("ci") * 10 >= F.col("ce") * 9).cast("long").alias("value")
+            ),
+        )
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ad = docs.groupBy("source").agg(
+        F.countDistinct("text").alias("ex"),
+        F.approx_count_distinct("text", 0.02).alias("ap"),
+    )
+    parts.append(
+        scalar(
+            "approx_distinct_within_5pct",
+            ad.agg(
+                F.min(
+                    (F.abs(F.col("ap") - F.col("ex")) <= 0.05 * F.col("ex")).cast(
+                        "long"
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df)
+    return out
+
+
 # ---------------------------------------------------------------- pipelines
+
+_TVP_WM, _TVP_STRENGTH, _TVP_TH = "10101", 0.7, 0.5
+
+
+def _tvp_select_oracle() -> str:
+    from .functions.hashing import oracle_hash_mod, oracle_parity_hidden_bit
+
+    L = len(_TVP_WM)
+    return (
+        _knn_cte()
+        + _AI_CTES
+        + f""",
+cls AS (
+  SELECT vec_id,
+         CAST({oracle_hash_mod(_ID, L)} AS INTEGER) AS group_id,
+         {oracle_parity_hidden_bit('embedding', _ID, D)} AS hidden_bit
+  FROM embeddings
+),
+clsw AS (
+  SELECT vec_id, group_id, hidden_bit,
+         CAST(substr('{_TVP_WM}', group_id + 1, 1) AS INTEGER) AS wm_bit
+  FROM cls
+),
+gs AS (
+  SELECT group_id, count(*) AS n_total,
+         sum(CASE WHEN hidden_bit = wm_bit THEN 1 ELSE 0 END) AS n_have
+  FROM clsw GROUP BY group_id
+),
+gd AS (
+  SELECT group_id,
+         least(greatest(0, CAST(ceil(CAST({_TVP_STRENGTH} AS DOUBLE) * n_total) AS BIGINT) - n_have),
+               n_total - n_have) AS deficit,
+         n_total - n_have AS n_avail
+  FROM gs
+),
+avail AS (
+  SELECT c.vec_id, c.group_id, c.wm_bit, a.ai, g.deficit, g.n_avail
+  FROM clsw c JOIN ai a ON c.vec_id = a.vec_id JOIN gd g ON c.group_id = g.group_id
+  WHERE c.hidden_bit <> c.wm_bit
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY group_id ORDER BY ai DESC, vec_id) AS ai_rank
+  FROM avail
+),
+thr AS (
+  SELECT group_id, ai AS thr_ai FROM rk
+  WHERE ai_rank = CAST(floor(n_avail * CAST({_TVP_TH} AS DOUBLE)) AS BIGINT)
+),
+ps AS (
+  SELECT rk.*, CASE WHEN t.thr_ai IS NULL THEN TRUE ELSE rk.ai >= t.thr_ai END AS passer
+  FROM rk LEFT JOIN thr t ON rk.group_id = t.group_id
+),
+np AS (
+  SELECT *, sum(CASE WHEN passer THEN 1 ELSE 0 END) OVER (PARTITION BY group_id) AS n_pass,
+         row_number() OVER (PARTITION BY group_id, passer ORDER BY vec_id) AS rn_t1,
+         row_number() OVER (PARTITION BY group_id, passer ORDER BY ai DESC, vec_id) AS rn_t2
+  FROM ps
+)
+SELECT vec_id, CAST(group_id AS INTEGER) AS group_id, CAST(wm_bit AS INTEGER) AS wm_bit
+FROM np
+WHERE (passer AND rn_t1 <= deficit)
+   OR ((NOT passer) AND rn_t2 <= deficit - least(deficit, n_pass))
+"""
+    )
+
+
+@register("pipe_tvp_select", oracle=_tvp_select_oracle())
+def pipe_tvp_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1+F5 (``select_by_ai`` + deficits, ``watermarking.py:203-246,
+    316-328``) over the native classification tier: the full TVP
+    carrier-selection model — per-group deficits, AI rank-threshold,
+    two-tier vec_id/AI-order backfill — with every step native SQL,
+    hash-checked against the DuckDB replay. The compat (binary-
+    expansion) classification feeds the same algebra in
+    ``pipe_tvp_carriers``."""
+    from .watermark.tvp import tvp_select_native
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return tvp_select_native(
+        emb, _TVP_WM, strength=_TVP_STRENGTH, th=_TVP_TH, seed=SEED, knn_k=K
+    )
 
 
 @register("pipe_scpw_roundtrip", oracle=None)

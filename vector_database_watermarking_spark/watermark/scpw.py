@@ -10,12 +10,14 @@ distribution-preserving noise ``e = kx·x + k1·u + k2`` (``found_e``,
 expresses the wanted bit (``SCPW.py:217-222``).
 
 Documented deviations:
-- **Position fix**: the reference perturbs the fixed ``position``
-  column but extracts at ``hash(vid) % d`` (``SCPW.py:121`` ignores its
-  ``position`` argument), so its rejection loop cannot terminate for
-  carriers where the two differ. We use the fixed ``position``
-  consistently for noise stats, perturbation, parity, and the XOR term
-  — the coherent reading of the scheme.
+- **Parity terms, reference-exact**: extraction hashes the value at
+  the fixed ``position`` and XORs with the *vid-derived* dimension
+  parity ``(hash(vid) % d) % 2`` (``SCPW.py:120-128``: ``pos =
+  hash_value % len(vector)`` feeds only the XOR term; the value is
+  read at the passed ``position``). Both terms are reproduced here, so
+  hidden-bit classification matches the reference on
+  reference-embedded data, and the rejection loop terminates exactly
+  as the reference's does (perturb and read at the same fixed column).
 - Noise ``u`` and the rejection re-draws are pure functions of
   (seed, vec_id, attempt), not a shared RNG stream — partitioning-
   invariant (SURVEY §4.2). The rejection loop is bounded at 64
@@ -48,12 +50,20 @@ def _scpw_vid(vector: list[float], top_k: int, scale: float = 100.0) -> str:
     return "".join(str(int(abs(float(vector[i])) * scale))[0] for i in range(top_k))
 
 
-def _parity_bit(value: float, position: int) -> int:
-    """``SCPW.py:120-128``: md5-parity of str(float32 value) XOR
-    (position % 2)."""
+def _parity_bit(value: float, xor_parity: int) -> int:
+    """``SCPW.py:120-128``: md5-parity of str(float32 value) XOR the
+    vid-derived dimension parity ``(hash(vid) % d) % 2`` (the
+    reference's ``pos % 2`` where ``pos = hash_value % len(vector)``)."""
     s = str(np.float32(value))
     h = int(hashlib.md5(s.encode("utf-8")).hexdigest(), 16)
-    return (h % 2) ^ (position % 2)
+    return (h % 2) ^ xor_parity
+
+
+def _vid_parity(vid: str, d: int) -> int:
+    """The XOR term: ``(hash_re(vid) % d) % 2`` (``SCPW.py:121-122``)."""
+    from ..functions.hashing import compat_md5_int
+
+    return (compat_md5_int(vid) % d) % 2
 
 
 def _noise_params(
@@ -112,10 +122,11 @@ def classify_scpw(emb: DataFrame, top_k: int, L: int, position: int) -> DataFram
     def _cls(embs: pd.Series) -> pd.DataFrame:
         vids, gids, bitss = [], [], []
         for vec in embs:
-            vid = _scpw_vid(list(vec), top_k)
+            vec = list(vec)
+            vid = _scpw_vid(vec, top_k)
             vids.append(vid)
             gids.append(compat_md5_mod(vid, L))
-            bitss.append(_parity_bit(vec[position], position))
+            bitss.append(_parity_bit(vec[position], _vid_parity(vid, len(vec))))
         return pd.DataFrame({"vid": vids, "group_id": gids, "hidden_bit": bitss})
 
     return emb.withColumn("_c", _cls(F.col("embedding"))).select(
@@ -174,16 +185,17 @@ def scpw_embed(
                 continue
             target = int(target)
             v = list(vec)
+            xp = _vid_parity(_scpw_vid(v, top_k), len(v))
             x = float(np.float32(v[position]))
             val = x
             for attempt in range(MAX_REDRAWS):
                 e = kx * x + k1 * _gauss(seed, int(vec_id), attempt) + k2
                 val = float(np.float32(val + e))  # cumulative, like SCPW.py:217-222
-                if _parity_bit(val, position) == target:
+                if _parity_bit(val, xp) == target:
                     break
             else:  # parity-forcing nudge (never expected in practice)
                 step = abs(val) * 1e-6 + 1e-6
-                while _parity_bit(val, position) != target:
+                while _parity_bit(val, xp) != target:
                     val = float(np.float32(val + step))
             v[position] = val
             out.append(v)

@@ -206,13 +206,63 @@ def tvp_embed(
     Returns ``(watermarked, carriers)``; ``carriers`` has
     ``(vec_id, group_id, wm_bit, ai)``.
     """
+    wm_df, carriers, _ = tvp_embed_with_ai(
+        emb, watermark, strength, th, seed=seed, knn_k=knn_k
+    )
+    return wm_df, carriers
+
+
+def tvp_embed_with_ai(
+    emb: DataFrame,
+    watermark: str,
+    strength: float,
+    th: float,
+    seed: int = 20,
+    knn_k: int = 10,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """:func:`tvp_embed` plus the per-node accessibility index it
+    computed internally — so callers needing the reference's 5-tuple
+    (``watermarking.py:342``) don't rebuild the kNN graph (the
+    pipeline's dominant cost) a second time."""
     d = len(emb.select("embedding").head()[0])
     dims = key_dims(d, seed)
     edges = knn_edges(emb.select("vec_id", "embedding"), k=knn_k)
-    ai = accessibility_index(edges, emb).select("vec_id", "ai")
+    ai = accessibility_index(edges, emb).select("vec_id", "ai").persist()
     avail = _selection_base(emb, watermark, dims, strength).join(ai, on="vec_id")
     carriers = _select_by_ai(avail, th).select("vec_id", "group_id", "wm_bit", "vid", "ai")
-    return _apply_embedding(emb, carriers, dims), carriers
+    return _apply_embedding(emb, carriers, dims), carriers, ai
+
+
+def tvp_select_native(
+    emb: DataFrame,
+    watermark: str,
+    strength: float,
+    th: float,
+    seed: int = 20,
+    knn_k: int = 10,
+) -> DataFrame:
+    """W1+F5 carrier selection over the NATIVE classification tier
+    (hash60 group ids + parity hidden bit — ``operators.grouping``):
+    the same selection model as :func:`tvp_embed` (deficits, AI
+    threshold, two-tier backfill; ``watermarking.py:203-246,316-328``)
+    with every step a native SQL expression, so the whole path is
+    DuckDB-oracle-checkable. AI is computed over 6-decimal edge lengths
+    and rounded to 5 so rankings are cross-engine stable.
+
+    Returns carriers ``(vec_id, group_id, wm_bit)``.
+    """
+    from ..operators.grouping import classify
+
+    d = len(emb.select("embedding").head()[0])
+    dims = key_dims(d, seed)
+    cls = classify(emb, dims, L=len(watermark), d=d)
+    avail = _avail_from_classified(cls, watermark, strength)
+    edges = knn_edges(emb.select("vec_id", "embedding"), k=knn_k)
+    ai = accessibility_index(edges, emb, decimals=6).select(
+        "vec_id", F.round("ai", 5).alias("ai")
+    )
+    carriers = _select_by_ai(avail.join(ai, on="vec_id"), th)
+    return carriers.select("vec_id", "group_id", "wm_bit")
 
 
 def rs_embed(
