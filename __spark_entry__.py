@@ -27,7 +27,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: q.fn for name, q in QUERIES.items()}
+    def isolated(fn: Callable[[SparkSession, str], DataFrame]):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # drop persisted blocks left by earlier queries in the same
+            # session: caching is an optimization only (an unpersisted
+            # dependency recomputes, never changes results), and ~50
+            # queries' worth of accumulated blocks causes spill + GC
+            # pressure that distorts the later queries 5-10x
+            spark.catalog.clearCache()
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: isolated(q.fn) for name, q in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

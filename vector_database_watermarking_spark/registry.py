@@ -768,6 +768,7 @@ _GRADE_ORDER = [
     "ext_events_sliding",
     "ext_doc_fingerprint",
     "ext_approx_distinct",
+    "ext_media_frames",
 ]
 
 

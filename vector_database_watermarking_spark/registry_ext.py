@@ -615,6 +615,43 @@ def ext_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "n_bytes", "format")
 
 
+@register(
+    "ext_media_frames",
+    oracle="""
+WITH m AS (
+  SELECT doc_id AS media_id, hex(encode(text)) AS ph,
+         octet_length(encode(text)) AS len
+  FROM documents
+),
+p AS (SELECT * FROM m WHERE len > 0),
+f AS (
+  SELECT media_id, CAST(b.i AS INTEGER) AS frame_idx,
+         substr(ph,
+                least(b.i * greatest(greatest(len - 16, 0) // 3, 1),
+                      greatest(len - 16, 0)) * 2 + 1,
+                32) AS frame_hex
+  FROM p, LATERAL (SELECT unnest(range(0, 4)) AS i) b
+)
+SELECT media_id, frame_idx, frame_hex FROM f
+""",
+)
+def ext_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling plumbing: 4 evenly spaced 16-byte
+    windows per opaque payload through the Arrow ``mapInPandas`` frame
+    sampler (fake byte-window tier — a real build swaps the slicer for
+    a codec; the Spark-side schema, batching, and stride logic are the
+    real thing and the oracle replays the byte windows exactly on the
+    hex representation)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_fake_payload(docs)
+    frames = multimodal.sample_frames(media, n_frames=4, frame_bytes=16, fake=True)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.hex(F.col("frame")).alias("frame_hex"),
+    )
+
+
 # ---------------------------------------------------------------- windows
 
 
