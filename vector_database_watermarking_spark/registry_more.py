@@ -450,15 +450,30 @@ def a9_mean_qc_by_edge_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ext_approx_distinct", oracle=None)
+@register(
+    "ext_approx_distinct",
+    oracle="""
+SELECT source, CAST(count(DISTINCT text) AS BIGINT) AS exact_distinct,
+       TRUE AS within_rsd
+FROM documents GROUP BY source
+""",
+)
 def ext_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate-distinct dedup counts (SURVEY M6): HLL sketch vs the
-    exact count per source (rows-only — sketch values are
-    engine-specific; the pytest bound check asserts ±5%)."""
+    exact count per source.  The raw sketch value is engine-specific,
+    so the graded surface is the exact count plus the sketch's
+    error-bound *invariant* — |approx − exact| ≤ max(2, 5%·exact) at
+    rsd 2% — which the oracle pins TRUE per source."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.groupBy("source").agg(
         F.countDistinct("text").alias("exact_distinct"),
-        F.approx_count_distinct("text", rsd=0.02).alias("approx_distinct"),
+        (
+            F.abs(
+                F.approx_count_distinct("text", rsd=0.02)
+                - F.countDistinct("text")
+            )
+            <= F.greatest(F.lit(2), F.countDistinct("text") * 0.05)
+        ).alias("within_rsd"),
     )
 
 
@@ -757,30 +772,50 @@ def pipe_tvp_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("pipe_scpw_roundtrip", oracle=None)
+@register(
+    "pipe_scpw_roundtrip",
+    oracle="""
+SELECT '10101' AS watermark, '10101' AS extracted, CAST(0.0 AS DOUBLE) AS ber
+""",
+)
 def pipe_scpw_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4→C5 (``SCPW.py:179-252``): embed, extract, report BER plus
-    carrier count (rows-only; md5-of-float32-repr parity lives in the
-    pandas UDF tier)."""
+    """C4→C5 (``SCPW.py:179-252``): embed, extract, report BER.  The
+    oracle pins the lossless-roundtrip *invariant*: the parity-forcing
+    embed raises every group's agreeing share to ≥ ceil(0.7·n) > n/2,
+    so majority decode must return the watermark and BER must be 0.0.
+    The md5-of-float32-repr parity itself is engine-tier (pandas UDF);
+    carrier counts and noise statistics are asserted in pytest
+    (``test_watermarks.py``)."""
     from .operators.grouping import ber
     from .watermark.scpw import scpw_embed, scpw_extract
 
     emb = load_table(spark, sf_dir, "embeddings")
     wm = "10101"
-    wm_df, carriers = scpw_embed(emb, wm, strength=0.7, top_k=3, position=10, std_e=0.1)
-    wm_df = wm_df.cache()
+    wm_df, _ = scpw_embed(emb, wm, strength=0.7, top_k=3, position=10, std_e=0.1)
     extracted = scpw_extract(wm_df, len(wm), top_k=3, position=10)
     return spark.createDataFrame(
-        [(wm, extracted, ber(wm, extracted), carriers.count())],
-        "watermark string, extracted string, ber double, n_carriers long",
+        [(wm, extracted, ber(wm, extracted))],
+        "watermark string, extracted string, ber double",
     )
 
 
-@register("pipe_tabularmark_detect", oracle=None)
+@register(
+    "pipe_tabularmark_detect",
+    oracle="""
+SELECT 'watermarked' AS case_name, TRUE AS detected, CAST(100 AS BIGINT) AS nw
+UNION ALL
+SELECT 'clean' AS case_name, FALSE AS detected, CAST(100 AS BIGINT) AS nw
+""",
+)
 def pipe_tabularmark_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6→C7 (``tabularMark.py:117-190``): embed key cells, re-match by
     content id (J4 first-match), z-test; plus the clean-data negative
-    control."""
+    control.  The oracle pins the detection *invariants*: watermarked
+    data must detect (every key cell carries a green draw, so
+    z = 2(ng − nw/2)/√nw ≈ √nw ≫ α) and clean data must not (green
+    hits ≈ nw/2 under the null).  The seeded interval partition and the
+    exact z/ng values are engine-tier; pytest asserts them
+    (``test_watermarks.py``)."""
     from .watermark.tabularmark import tabularmark_detect, tabularmark_embed
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -789,10 +824,10 @@ def pipe_tabularmark_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     neg = tabularmark_detect(emb, emb, keys, p=4.0, k=3, position=10)
     return spark.createDataFrame(
         [
-            ("watermarked", pos["detected"], round(pos["z"], 4), pos["ng"], pos["nw"]),
-            ("clean", neg["detected"], round(neg["z"], 4), neg["ng"], neg["nw"]),
+            ("watermarked", pos["detected"], pos["nw"]),
+            ("clean", neg["detected"], neg["nw"]),
         ],
-        "case string, detected boolean, z double, ng long, nw long",
+        "case_name string, detected boolean, nw long",
     )
 
 
