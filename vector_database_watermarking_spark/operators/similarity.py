@@ -200,35 +200,63 @@ def emb_near_dups_lsh(
     fixture; production near-dup (cos ≥ 0.9) at 100 TB wants 8-bit
     bands, where candidate volume stays output-bound. Deterministic
     hyperplanes keep the whole path DuckDB-replayable.
+
+    Plan shape: the only shuffle of consequence is the per-band
+    equi-join of the exploded (band, key) table — n_bands small rows
+    per vector (the embedding rides along: ~0.5 KB × n_bands per
+    vector, still tiny next to a pair table). Candidate pairs are
+    deduped *inside the join* by the first-matching-band rule — a pair
+    is emitted only from the lowest band whose keys collide, decided
+    natively from the two signatures — so there is no pair-table
+    ``distinct`` shuffle and no per-pair embedding re-join: the joined
+    rows flow straight into the Arrow verify in the same stage, and
+    only the (output-bound) verified pairs ever shuffle again.
     """
     n_bands = bits // band_bits
+    mask = 2**band_bits - 1
     sig = emb.select(
         "vec_id", "embedding", rp_signature("embedding", bits, d).alias("sig")
-    ).persist()
+    )
     bands = F.array(
         *[
             F.struct(
                 F.lit(t).alias("band"),
                 F.shiftright(F.col("sig"), t * band_bits)
-                .bitwiseAND(F.lit(2**band_bits - 1))
+                .bitwiseAND(F.lit(mask))
                 .alias("key"),
             )
             for t in range(n_bands)
         ]
     )
-    blocked = sig.select("vec_id", F.explode(bands).alias("bb")).select(
-        "vec_id", "bb.band", "bb.key"
-    )
-    cand = (
-        blocked.alias("a")
-        .join(blocked.alias("b"), on=["band", "key"])
+    blocked = sig.select(
+        "vec_id", "embedding", "sig", F.explode(bands).alias("bb")
+    ).select("vec_id", "embedding", "sig", "bb.band", "bb.key")
+
+    def _band_key(col: str, t: int):
+        return F.shiftright(F.col(col), t * band_bits).bitwiseAND(F.lit(mask))
+
+    # index of the first band where the two signatures agree: a pair is
+    # kept only in that band, which deduplicates multi-band collisions
+    # without a distinct
+    first_match = F.lit(n_bands)
+    for t in reversed(range(n_bands)):
+        first_match = F.when(
+            _band_key("a.sig", t) == _band_key("b.sig", t), F.lit(t)
+        ).otherwise(first_match)
+
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    pairs = (
+        a.join(b, on=["band", "key"])
         .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst"))
-        .distinct()
+        .filter(F.col("band") == first_match)
+        .select(
+            F.col("a.vec_id").alias("src"),
+            F.col("b.vec_id").alias("dst"),
+            F.col("a.embedding").alias("_e1"),
+            F.col("b.embedding").alias("_e2"),
+        )
     )
-    e1 = sig.select(F.col("vec_id").alias("src"), F.col("embedding").alias("_e1"))
-    e2 = sig.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("_e2"))
-    pairs = cand.join(e1, on="src").join(e2, on="dst")
 
     # Arrow-batched verification: candidate volume is the hot path
     # (band width controls it), and three interpreted HOF folds per
