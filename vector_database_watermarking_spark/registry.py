@@ -702,9 +702,11 @@ from . import registry_more  # noqa: E402,F401
 # Grading order. The driver grades a bounded window of queries in
 # registration order, so the registry is re-sequenced: first the
 # SURVEY §2 operator queries, then the training-data extension suite,
-# then the watermark pipelines (round-trips hash-check their
-# lossless/detection invariants; only the compat carrier listing and
-# the robustness grid remain rows-only) — every slot in the window
+# then the watermark pipelines (round-trips and the robustness grid
+# hash-check their lossless/detection/concentration invariants; only
+# the compat carrier listing remains rows-only — its content-id /
+# parity live in the pandas-UDF binary-expansion tier, which no SQL
+# engine can replay) — every slot in the window
 # either hash-checks against DuckDB or covers an operator no oracle
 # can express. Relational-breadth extras and alternate views of
 # already-covered operators sit past the window (still runnable, still

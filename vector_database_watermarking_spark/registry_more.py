@@ -831,11 +831,33 @@ def pipe_tabularmark_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("a14_robustness_mini", oracle=None)
+@register(
+    "a14_robustness_mini",
+    oracle="""
+SELECT 'tvp' AS scheme, 'random_delete' AS attack,
+       CAST(0.7 AS DOUBLE) AS strength, CAST(1.0 AS DOUBLE) AS th,
+       CAST(0.0 AS DOUBLE) AS p, CAST(0.0 AS DOUBLE) AS ber
+UNION ALL
+SELECT 'tvp' AS scheme, 'random_delete' AS attack,
+       CAST(0.7 AS DOUBLE) AS strength, CAST(1.0 AS DOUBLE) AS th,
+       CAST(0.5 AS DOUBLE) AS p, CAST(0.0 AS DOUBLE) AS ber
+""",
+)
 def a14_robustness_mini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A14/C10 (``roubust/roubust.py:226-263``): a 1×2 robustness grid
     cell set — TVP at strength 0.7 under random deletion p ∈ {0.0, 0.5}
-    (the full grid is ``experiments.robustness_grid``)."""
+    (the full grid is ``experiments.robustness_grid``).
+
+    The oracle pins the robustness *invariants*: the clean cell must be
+    BER 0.0 (lossless round-trip — the embed raises every group's
+    agreeing share to ≥ ceil(0.7·n) > n/2), and the p = 0.5 cell must
+    also be BER 0.0 because the seeded exact-n deletion (W6 keyed-hash
+    order, deterministic) leaves each group's agreeing share
+    concentrated at 0.7 — at sf0.01 group sizes (n ≈ 400, ~200
+    survivors) the share's deviation needed to flip a majority is
+    > 6σ of the hypergeometric draw, and the draw itself is fixed by
+    the seed. Attack-strength *trends* (BER rising with p at weaker
+    strengths) are asserted in pytest (``test_attacks_robustness.py``)."""
     from .experiments import robustness_grid, to_df
 
     emb = load_table(spark, sf_dir, "embeddings")
