@@ -164,21 +164,31 @@ def _rp_weights(bits: int, d: int) -> list[list[float]]:
 
 def rp_signature(emb_col: str, bits: int, d: int):
     """Random-hyperplane (SimHash-for-vectors) signature: bit b set
-    when the dot product with hyperplane b is ≥ 0. Native fold
-    expressions — codegen'd, fold-parity with the SQL replay."""
-    ws = _rp_weights(bits, d)
-    e = F.col(emb_col).cast("array<double>")
-    sig = None
-    for b, row in enumerate(ws):
-        lit = F.array(*[F.lit(w) for w in row])
-        dot = F.aggregate(
-            F.zip_with(e, lit, lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v
-        )
-        term = F.when(dot >= 0, F.lit(2**b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        sig = term if sig is None else sig + term
-    return sig
+    when the dot product with hyperplane b is ≥ 0.
+
+    Arrow-batched pandas UDF, not a native HOF fold: Spark evaluates
+    higher-order functions interpreted (outside whole-stage codegen),
+    and ``bits × d`` lambda hops per row made the signature the hot
+    path — 30× slower than the vectorized per-dim accumulation here.
+    Parity with the DuckDB replay is preserved exactly as in the exact
+    kNN tier: the accumulation is vectorized *across rows* but
+    sequential *across dims*, the same left-to-right fold order as the
+    oracle's ``list_sum(list_transform(...))``."""
+    W = np.array(_rp_weights(bits, d), dtype=np.float64)  # (bits, d)
+    powers = 2 ** np.arange(bits, dtype=np.int64)
+
+    @F.pandas_udf("long")
+    def _sig(embs: pd.Series) -> pd.Series:
+        if len(embs) == 0:
+            return pd.Series([], dtype="int64")
+        E = np.array(list(embs), dtype=np.float64)  # (m, d)
+        m = len(embs)
+        dots = np.zeros((m, W.shape[0]))
+        for i in range(W.shape[1]):  # sequential fold parity with SQL
+            dots += E[:, i : i + 1] * W[None, :, i]
+        return pd.Series(((dots >= 0) @ powers).astype(np.int64))
+
+    return _sig(F.col(emb_col))
 
 
 def emb_near_dups_lsh(
@@ -187,6 +197,7 @@ def emb_near_dups_lsh(
     bits: int = 32,
     band_bits: int = 4,
     d: int = 64,
+    n_base: int | None = None,
 ) -> DataFrame:
     """Bucketed embedding near-dup tier (the scale alternative to
     :func:`cosine_near_dups`' brute-force top-k): random-hyperplane
@@ -201,22 +212,24 @@ def emb_near_dups_lsh(
     bands, where candidate volume stays output-bound. Deterministic
     hyperplanes keep the whole path DuckDB-replayable.
 
-    Plan shape: the only shuffle of consequence is the per-band
-    equi-join of the exploded (band, key) table — n_bands small rows
-    per vector (the embedding rides along: ~0.5 KB × n_bands per
-    vector, still tiny next to a pair table). Candidate pairs are
+    Plan shape: the band self-join runs over SKINNY rows — (vec_id,
+    sig, band, key), ~40 bytes each — because the joined pair volume
+    (≈ n²·n_bands·2^-band_bits rows before dedup) dwarfs everything
+    else in the pipeline; carrying the embeddings through it was
+    MEASURED 2× slower end-to-end at the fixture (2 M wide joined rows
+    materialize before any filter can prune them). Candidate pairs are
     deduped *inside the join* by the first-matching-band rule — a pair
-    is emitted only from the lowest band whose keys collide, decided
+    survives only in the lowest band whose keys collide, decided
     natively from the two signatures — so there is no pair-table
-    ``distinct`` shuffle and no per-pair embedding re-join: the joined
-    rows flow straight into the Arrow verify in the same stage, and
-    only the (output-bound) verified pairs ever shuffle again.
+    ``distinct`` shuffle; the deduped candidate set is then verified by
+    exact cosine, via a broadcast embedding matrix while the base fits
+    (``knn.MAX_BROADCAST_ROWS``) or an embeddings re-join at scale.
     """
     n_bands = bits // band_bits
     mask = 2**band_bits - 1
     sig = emb.select(
-        "vec_id", "embedding", rp_signature("embedding", bits, d).alias("sig")
-    )
+        "vec_id", rp_signature("embedding", bits, d).alias("sig")
+    ).persist()
     bands = F.array(
         *[
             F.struct(
@@ -228,9 +241,9 @@ def emb_near_dups_lsh(
             for t in range(n_bands)
         ]
     )
-    blocked = sig.select(
-        "vec_id", "embedding", "sig", F.explode(bands).alias("bb")
-    ).select("vec_id", "embedding", "sig", "bb.band", "bb.key")
+    blocked = sig.select("vec_id", "sig", F.explode(bands).alias("bb")).select(
+        "vec_id", "sig", "bb.band", "bb.key"
+    )
 
     def _band_key(col: str, t: int):
         return F.shiftright(F.col(col), t * band_bits).bitwiseAND(F.lit(mask))
@@ -246,25 +259,79 @@ def emb_near_dups_lsh(
 
     a = blocked.alias("a")
     b = blocked.alias("b")
-    pairs = (
+    cand = (
         a.join(b, on=["band", "key"])
         .filter(F.col("a.vec_id") < F.col("b.vec_id"))
         .filter(F.col("band") == first_match)
-        .select(
-            F.col("a.vec_id").alias("src"),
-            F.col("b.vec_id").alias("dst"),
-            F.col("a.embedding").alias("_e1"),
-            F.col("b.embedding").alias("_e2"),
-        )
+        .select(F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst"))
     )
 
-    # Arrow-batched verification: candidate volume is the hot path
-    # (band width controls it), and three interpreted HOF folds per
-    # pair are ~50× slower than the vectorized per-dim accumulation
-    # below — which keeps the exact left-to-right fold order of the
-    # SQL replay (same parity argument as the exact kNN tier).
-    import numpy as np
-    import pandas as pd
+    from .knn import MAX_BROADCAST_ROWS
+
+    if n_base is None:
+        n_base = emb.count()
+    if n_base <= MAX_BROADCAST_ROWS:
+        # Broadcast-verify tier: one 8·d·n-byte broadcast of the
+        # embedding matrix, and only (src, dst) id pairs — 16 bytes —
+        # cross Arrow per candidate. At the fixture's loose blocking
+        # (~40% of all pairs are candidates) the alternative re-join
+        # ships two full embeddings per pair (~1 KB): MEASURED 3.5 s of
+        # the 5 s query. Same dispatch constant as ``exact_knn``.
+        sess = emb.sparkSession
+        rows = emb.select("vec_id", "embedding").collect()
+        ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+        X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        order = np.argsort(ids)
+        ids, X = ids[order], X[order]
+        bc = sess.sparkContext.broadcast((ids, X))
+
+        def verify_bc(batches):
+            b_ids, b_X = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                si = np.searchsorted(b_ids, pdf["src"].to_numpy(dtype=np.int64))
+                di = np.searchsorted(b_ids, pdf["dst"].to_numpy(dtype=np.int64))
+                E1, E2 = b_X[si], b_X[di]
+                m = len(pdf)
+                dot = np.zeros(m)
+                n1 = np.zeros(m)
+                n2 = np.zeros(m)
+                for i in range(E1.shape[1]):  # sequential fold parity with SQL
+                    dot += E1[:, i] * E2[:, i]
+                    n1 += E1[:, i] * E1[:, i]
+                    n2 += E2[:, i] * E2[:, i]
+                cos = dot / (np.sqrt(n1) * np.sqrt(n2))
+                keep = cos >= threshold
+                yield pd.DataFrame(
+                    {
+                        "src": pdf["src"].to_numpy()[keep],
+                        "dst": pdf["dst"].to_numpy()[keep],
+                        "cos_sim": cos[keep],
+                    }
+                )
+
+        out = cand.mapInPandas(
+            verify_bc, schema="src long, dst long, cos_sim double"
+        )
+        sig.unpersist()
+        return out
+
+    # Scale tier: re-join the embeddings for the (deduped) candidates —
+    # two equi-joins on vec_id — and verify in Arrow batches with the
+    # same sequential per-dim accumulation (left-to-right fold parity
+    # with the SQL replay; interpreted HOF folds are ~50× slower).
+    pairs = (
+        cand.join(
+            emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("_e1")),
+            on="src",
+        )
+        .join(
+            emb.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("_e2")),
+            on="dst",
+        )
+        .select("src", "dst", "_e1", "_e2")
+    )
 
     def verify(batches):
         for pdf in batches:
@@ -282,14 +349,13 @@ def emb_near_dups_lsh(
                 n2 += E2[:, i] * E2[:, i]
             cos = dot / (np.sqrt(n1) * np.sqrt(n2))
             keep = cos >= threshold
-            out = pd.DataFrame(
+            yield pd.DataFrame(
                 {
                     "src": pdf["src"].to_numpy()[keep],
                     "dst": pdf["dst"].to_numpy()[keep],
                     "cos_sim": cos[keep],
                 }
             )
-            yield out
 
     return pairs.mapInPandas(verify, schema="src long, dst long, cos_sim double")
 
