@@ -2,8 +2,22 @@
 bucketed by the join key removes the shuffle — the plan the 100 TB
 edges/embeddings join would use."""
 
+import shutil
+from urllib.parse import urlparse
+
 import pytest
 from pyspark.sql import functions as F
+
+
+def _drop_table_and_location(spark, name: str) -> None:
+    # DROP TABLE only removes what the (session-scoped, in-memory
+    # derby) metastore knows about; a crashed earlier run can leave
+    # the warehouse directory behind with no catalog entry, and
+    # saveAsTable then fails with LOCATION_ALREADY_EXISTS — clean the
+    # physical location as well.
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
 
 
 @pytest.fixture(scope="module")
@@ -14,8 +28,8 @@ def bucketed_tables(spark, sf_dir):
     from vector_database_watermarking_spark.operators.knn import knn_edges
 
     edges = knn_edges(emb, k=5)
-    spark.sql("DROP TABLE IF EXISTS emb_bucketed")
-    spark.sql("DROP TABLE IF EXISTS edges_bucketed")
+    _drop_table_and_location(spark, "emb_bucketed")
+    _drop_table_and_location(spark, "edges_bucketed")
     (
         emb.write.bucketBy(8, "vec_id")
         .sortBy("vec_id")
@@ -30,8 +44,8 @@ def bucketed_tables(spark, sf_dir):
         .saveAsTable("edges_bucketed")
     )
     yield "emb_bucketed", "edges_bucketed"
-    spark.sql("DROP TABLE IF EXISTS emb_bucketed")
-    spark.sql("DROP TABLE IF EXISTS edges_bucketed")
+    _drop_table_and_location(spark, "emb_bucketed")
+    _drop_table_and_location(spark, "edges_bucketed")
 
 
 def test_bucketed_join_has_no_exchange(spark, bucketed_tables):

@@ -265,6 +265,85 @@ def tvp_select_native(
     return carriers.select("vec_id", "group_id", "wm_bit")
 
 
+def tvp_carrier_invariants(
+    emb: DataFrame,
+    watermark: str,
+    strength: float,
+    th: float,
+    seed: int = 20,
+    knn_k: int = 10,
+) -> DataFrame:
+    """Per-group invariant audit of the compat-tier TVP carrier
+    selection (C1, ``watermark_embedding_by_ai``,
+    ``watermarking.py:275-342``).
+
+    The compat classification (full-128-bit md5 group ids + binary-
+    expansion hidden bits) lives in a pandas UDF no SQL engine can
+    replay, so the carrier *listing* is not oracle-checkable. What IS
+    provable is the selection algebra around it
+    (``watermarking.py:316-328`` F5 + ``:203-246`` W1): for every
+    group the number of selected carriers must equal the capped
+    deficit ``min(max(0, ceil(strength·n_total) − n_have), n_avail)``,
+    every carrier must disagree with its group's target bit before
+    embedding, and every carrier's target must be the watermark bit of
+    its group. Each check is TRUE by construction *iff* the
+    classification, deficit and two-tier rank-threshold selection
+    compose correctly — any drift in the UDF tier, the deficit algebra
+    or the window selection breaks the hash match.
+
+    Returns one row per group: ``(group_id, deficit_met,
+    carriers_disagree, wm_bit_ok)``.
+    """
+    d = len(emb.select("embedding").head()[0])
+    dims = key_dims(d, seed)
+    L = len(watermark)
+
+    cls = classify_compat(emb, dims, L)
+    wm_arr = F.array(*[F.lit(int(b)) for b in watermark])
+    cls = cls.withColumn("wm_bit", F.element_at(wm_arr, F.col("group_id") + 1))
+    stats = cls.groupBy("group_id").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum((F.col("hidden_bit") == F.col("wm_bit")).cast("int")).alias("n_have"),
+    )
+    deficit_raw = F.greatest(
+        F.lit(0),
+        F.ceil(F.lit(strength) * F.col("n_total")).cast("long") - F.col("n_have"),
+    )
+    stats = stats.withColumn("n_avail", F.col("n_total") - F.col("n_have")).withColumn(
+        "deficit", F.least(deficit_raw, F.col("n_avail"))
+    )
+
+    avail = cls.filter(F.col("hidden_bit") != F.col("wm_bit")).join(
+        F.broadcast(stats.select("group_id", "deficit", "n_avail")), on="group_id"
+    )
+    edges = knn_edges(emb.select("vec_id", "embedding"), k=knn_k)
+    ai = accessibility_index(edges, emb).select("vec_id", "ai")
+    carriers = _select_by_ai(avail.join(ai, on="vec_id"), th)
+
+    per_group = carriers.groupBy("group_id").agg(
+        F.count(F.lit(1)).alias("n_carriers"),
+        F.sum((F.col("hidden_bit") != F.col("wm_bit")).cast("int")).alias("n_disagree"),
+        F.sum(
+            (F.col("wm_bit") == F.element_at(wm_arr, F.col("group_id") + 1)).cast("int")
+        ).alias("n_target_ok"),
+    )
+    audited = stats.join(per_group, on="group_id", how="left").select(
+        F.col("group_id"),
+        (F.coalesce(F.col("n_carriers"), F.lit(0)) == F.col("deficit")).alias(
+            "deficit_met"
+        ),
+        (
+            F.coalesce(F.col("n_disagree"), F.lit(0))
+            == F.coalesce(F.col("n_carriers"), F.lit(0))
+        ).alias("carriers_disagree"),
+        (
+            F.coalesce(F.col("n_target_ok"), F.lit(0))
+            == F.coalesce(F.col("n_carriers"), F.lit(0))
+        ).alias("wm_bit_ok"),
+    )
+    return audited.orderBy("group_id")
+
+
 def rs_embed(
     emb: DataFrame,
     watermark: str,
