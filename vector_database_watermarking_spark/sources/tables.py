@@ -25,20 +25,29 @@ from pyspark.sql import functions as F
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one of the fixture tables from a scale-factor directory.
 
-    The ``events`` table is written with nanosecond timestamps, which
-    Spark's parquet reader rejects; it is read with ``nanosAsLong`` and
-    the ``ts`` column converted to a microsecond timestamp (runtime
-    conf, so this also works on a session we didn't build).
+    The ``events`` table's ``ts`` column has shipped in two physical
+    forms across testdata generations: nanosecond int64 (rejected by
+    Spark's reader unless ``nanosAsLong`` is set, then surfaced as
+    ``bigint``) and naive ``timestamp[us]`` (surfaced as
+    ``TIMESTAMP_NTZ`` since Spark infers NTZ for non-UTC-adjusted
+    parquet timestamps). Both are normalised here to a plain
+    ``TIMESTAMP`` so every downstream query sees one type; the
+    NTZ→TIMESTAMP cast and PySpark's collect both go through the
+    session time zone, so wall-clock values round-trip unchanged and
+    match DuckDB's naive reading of the same file.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name != "events":
         return spark.read.parquet(path)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn(
             "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
         )
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
