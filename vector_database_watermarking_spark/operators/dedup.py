@@ -212,18 +212,26 @@ def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text") -> DataFram
     +1/−1 by its bit; the signature sets bit i when the vote is
     positive. Output: (doc_id, simhash long)."""
     nparts = docs.sparkSession.sparkContext.defaultParallelism
-    tokens = docs.repartition(nparts, "doc_id").select(
+    tokens = docs.select(
         "doc_id",
         F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
     ).filter(F.length("tok") > 0)
-    h = hash60(F.col("tok"))
+    # materialize the md5-derived token hash ONCE behind an exchange:
+    # the per-bit vote aggregates below would otherwise each inline
+    # hash60(tok) — ``bits`` md5 computations per token row (measured
+    # 5x the query at sf0.1). The exchange is keyed by doc_id, so the
+    # groupBy reuses the partitioning instead of shuffling again.
+    hashed = tokens.select("doc_id", hash60(F.col("tok")).alias("h")).repartition(
+        nparts, "doc_id"
+    )
+    h = F.col("h")
     votes = [
         F.sum(
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"v{i}")
         for i in range(bits)
     ]
-    agg = tokens.groupBy("doc_id").agg(*votes)
+    agg = hashed.groupBy("doc_id").agg(*votes)
     sig = None
     for i in range(bits):
         term = F.when(F.col(f"v{i}") > 0, F.lit(2**i).cast("long")).otherwise(

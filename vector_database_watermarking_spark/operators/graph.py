@@ -175,7 +175,8 @@ def connected_components(
     cuts lineage so plans stay small (SURVEY §4.3).
 
     Per-round plan (each round is the loop's scale bottleneck, so it
-    is kept to TWO shuffles and two actions):
+    is kept to TWO shuffles per propagation hop, with two hops — and
+    only two actions — per materialized round):
 
     - the symmetric edge list is persisted once — its ``distinct`` is
       a shuffle that must not replay every round;
@@ -203,18 +204,25 @@ def connected_components(
         .distinct()
         .persist()
     )
+    def _step(lbl: DataFrame) -> DataFrame:
+        contribs = sym.join(lbl, sym.dst == lbl.vec_id, "inner").select(
+            sym.src.alias("vec_id"), "component"
+        )
+        return (
+            contribs.unionByName(lbl)
+            .groupBy("vec_id")
+            .agg(F.min("component").alias("component"))
+        )
+
     labels = nodes.select("vec_id", F.col("vec_id").alias("component"))
     prev_sum = None
     for _ in range(max_iter):
-        contribs = sym.join(labels, sym.dst == labels.vec_id, "inner").select(
-            sym.src.alias("vec_id"), "component"
-        )
-        labels = (
-            contribs.unionByName(labels)
-            .groupBy("vec_id")
-            .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
-        )
+        # two propagation hops per materialization: the fixture-scale
+        # cost of a round is its fixed action overhead (checkpoint job
+        # + convergence scan), not the shuffled bytes, so halving the
+        # action count nearly halves the loop wall-clock; the extra
+        # hop past the fixpoint is a no-op (min is idempotent)
+        labels = _step(_step(labels)).localCheckpoint(eager=True)
         cur_sum = labels.agg(
             F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
         ).head()["s"]
