@@ -1,0 +1,155 @@
+"""Temporal join operators (north-star extension — not in the
+reference, which has no timestamps at all): as-of join and banded
+range join over event streams. Both are operators Spark's DataFrame
+API lacks natively; both are built from shuffle-once compositions of
+public primitives, no UDFs.
+
+Scale notes (100 TB design point):
+
+- ``asof_join`` is the union+window formulation: ONE shuffle on the
+  join key, then a per-key sorted scan — no join operator at all, so
+  there is no pair blow-up and no skew amplification; a key's cost is
+  linear in its event count. This is the shape pandas' ``merge_asof``
+  computes per-partition, expressed relationally.
+- ``range_join`` buckets time into band-width intervals and
+  equi-joins on (key, bucket): candidate volume is output-bound
+  (events actually within one band of each other), never the
+  all-pairs product of an inequality-only theta join. AQE splits hot
+  (key, bucket) cells.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    tiebreak: str | None = None,
+    tolerance_sec: float | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Backward as-of join: every ``left`` row picks the most recent
+    ``right`` row with ``right_ts <= left_ts`` on the same key(s).
+
+    Ties: right rows at exactly ``left_ts`` DO match (at-or-before);
+    among right rows sharing a timestamp the one greatest by
+    ``tiebreak`` (pass one whenever timestamps can tie — determinism)
+    wins. Unmatched left rows keep nulls. ``tolerance_sec`` nulls out
+    matches older than the tolerance, like pandas ``merge_asof``.
+
+    Returns all ``left`` columns plus ``<right_ts><suffix>`` (the
+    matched row's timestamp) and ``<col><suffix>`` for each of
+    ``right_cols`` (default: right's non-key, non-ts columns).
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in on and c != right_ts]
+    payload = F.struct(F.col(right_ts).alias("_mts"), *[F.col(c) for c in right_cols])
+    m_type = right.select(payload.alias("_m")).schema["_m"].dataType
+    lstruct = F.struct(*[F.col(c) for c in left.columns])
+    l_type = left.select(lstruct.alias("_l")).schema["_l"].dataType
+    tb = F.col(tiebreak).cast("long") if tiebreak else F.lit(0).cast("long")
+
+    r2 = right.select(
+        *on,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        tb.alias("_tb"),
+        payload.alias("_m"),
+        F.lit(None).cast(l_type).alias("_l"),
+    )
+    l2 = left.select(
+        *on,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(0).cast("long").alias("_tb"),
+        F.lit(None).cast(m_type).alias("_m"),
+        lstruct.alias("_l"),
+    )
+    # right rows sort before left rows at equal _ts (_side 0 < 1), so a
+    # running last-non-null over (ts, side, tiebreak) is exactly
+    # "latest right at-or-before me"
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("_ts", "_side", "_tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        l2.unionByName(r2)
+        .withColumn("_matched", F.last("_m", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+    if tolerance_sec is not None:
+        in_tol = (
+            F.col("_ts").cast("double") - F.col("_matched._mts").cast("double")
+        ) <= F.lit(float(tolerance_sec))
+        out = out.withColumn("_matched", F.when(in_tol, F.col("_matched")))
+    return out.select(
+        *[F.col(f"_l.{c}").alias(c) for c in left.columns],
+        F.col("_matched._mts").alias(f"{right_ts}{suffix}"),
+        *[F.col(f"_matched.{c}").alias(f"{c}{suffix}") for c in right_cols],
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower_sec: float = -600.0,
+    upper_sec: float = 0.0,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Banded interval join: pairs every ``left`` row with the
+    ``right`` rows of the same key(s) whose timestamp lies in
+    ``[left_ts + lower_sec, left_ts + upper_sec)`` (half-open, so
+    ``upper_sec = 0`` means "strictly before").
+
+    Plan: both sides bucket time into band-width intervals
+    (``upper_sec - lower_sec``); the left emits the (at most two)
+    buckets its window overlaps, then an equi-join on (key, bucket)
+    plus the exact range predicate. Candidates are bounded by rows
+    within one band of each other — output-bound, never all-pairs.
+
+    Returns left columns + right's timestamp and non-key columns,
+    suffixed; inner-join semantics (left rows with no match vanish —
+    wrap in a left join on the aggregate, as ``rel_range_activity``
+    does, when zero-counts matter).
+    """
+    band = float(upper_sec - lower_sec)
+    if band <= 0:
+        raise ValueError("upper_sec must exceed lower_sec")
+    l_epoch = F.col(left_ts).cast("double")
+    r_epoch = F.col(right_ts).cast("double")
+    lo = l_epoch + F.lit(float(lower_sec))
+    hi = l_epoch + F.lit(float(upper_sec))
+    l_buckets = F.array_distinct(
+        F.array(
+            F.floor(lo / F.lit(band)).cast("long"),
+            F.floor(hi / F.lit(band)).cast("long"),
+        )
+    )
+    lb = left.withColumn("_bucket", F.explode(l_buckets))
+    rb = right.select(
+        *on,
+        F.floor(r_epoch / F.lit(band)).cast("long").alias("_bucket"),
+        F.col(right_ts).alias(f"{right_ts}{suffix}"),
+        *[
+            F.col(c).alias(f"{c}{suffix}")
+            for c in right.columns
+            if c not in on and c != right_ts
+        ],
+    )
+    r_matched = F.col(f"{right_ts}{suffix}").cast("double")
+    return (
+        lb.join(rb, on=[*on, "_bucket"])
+        .filter((r_matched >= lo) & (r_matched < hi))
+        .drop("_bucket")
+    )

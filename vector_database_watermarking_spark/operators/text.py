@@ -162,3 +162,43 @@ def rolling_fingerprints(
     return toks_df.select("doc_id", F.explode(wins).alias("w")).select(
         "doc_id", "w.win_idx", "w.fp"
     )
+
+
+def contamination_scan(
+    corpus: DataFrame,
+    probe: DataFrame,
+    window_tokens: int = 8,
+    stride: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-corpus contamination scan: which ``corpus`` (training)
+    documents contain text windows that also appear in ``probe`` (the
+    eval/test set)? The decontamination primitive every pretraining
+    pipeline runs before training (not in the reference — north-star
+    extension).
+
+    Both sides are reduced to rolling window fingerprints
+    (:func:`rolling_fingerprints`), deduplicated per doc, and
+    equi-joined on the 60-bit hash; output is one row per contaminated
+    corpus doc with the shared-window count, how many probe docs it
+    collides with, and the smallest colliding probe doc id.
+
+    Scale shape: the probe side (benchmarks) is orders of magnitude
+    smaller than the corpus at 100 TB, so its fingerprint set
+    broadcast-joins (the hint below; Catalyst drops it gracefully if
+    the probe outgrows the threshold and AQE falls back to a shuffle
+    join keyed by the uniform 60-bit hash — no skew). The corpus side
+    is a single scan; nothing is ever collected.
+    """
+    c_fp = rolling_fingerprints(corpus, window_tokens, stride, text_col).select(
+        F.col("doc_id").alias("corpus_doc"), "fp"
+    ).dropDuplicates(["corpus_doc", "fp"])
+    p_fp = rolling_fingerprints(probe, window_tokens, stride, text_col).select(
+        F.col("doc_id").alias("probe_doc"), "fp"
+    ).dropDuplicates(["probe_doc", "fp"])
+    hits = c_fp.join(F.broadcast(p_fp), on="fp")
+    return hits.groupBy("corpus_doc").agg(
+        F.count_distinct("fp").alias("n_shared_windows"),
+        F.count_distinct("probe_doc").alias("n_probe_docs"),
+        F.min("probe_doc").alias("first_probe_doc"),
+    )

@@ -802,6 +802,10 @@ _GRADE_ORDER = [
     "ext_doc_fingerprint",
     "ext_approx_distinct",
     "ext_media_frames",
+    # temporal joins + decontamination (round 4 extensions)
+    "rel_asof_purchase_view",
+    "rel_range_activity",
+    "ext_contamination",
 ]
 
 

@@ -954,3 +954,150 @@ def rel_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
     )
+
+
+# ------------------------------------------------------- temporal joins
+# (north-star extensions — no reference analogue; the reference has no
+# timestamps. Spark lacks both operators natively; see operators/temporal.py
+# for the shuffle-once / banded formulations.)
+
+
+@register(
+    "rel_asof_purchase_view",
+    oracle="""
+WITH p AS (
+  SELECT event_id, user_id, ts, value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+),
+v AS (
+  SELECT user_id, ts, event_id, value AS view_value
+  FROM events WHERE event_type = 'view'
+)
+SELECT p.event_id, p.user_id, p.ts, round(p.purchase_value, 6) AS purchase_value,
+  (SELECT v.ts FROM v WHERE v.user_id = p.user_id AND v.ts <= p.ts
+   ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS view_ts,
+  round((SELECT v.view_value FROM v WHERE v.user_id = p.user_id AND v.ts <= p.ts
+   ORDER BY v.ts DESC, v.event_id DESC LIMIT 1), 6) AS view_value,
+  (SELECT epoch_us(p.ts) - epoch_us(v.ts) FROM v
+   WHERE v.user_id = p.user_id AND v.ts <= p.ts
+   ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS gap_us
+FROM p
+""",
+)
+def rel_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (extension): every purchase event picks the same
+    user's most recent at-or-prior view event — the classic
+    "state at event time" lookup. One shuffle on user_id, no join
+    operator (union + running last-non-null window); unmatched
+    purchases keep nulls."""
+    from .operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", F.col("value").alias("view_value")
+    )
+    out = asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        right_cols=["view_value"],
+        tiebreak="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("purchase_value", 6).alias("purchase_value"),
+        F.col("ts_right").alias("view_ts"),
+        F.round("view_value_right", 6).alias("view_value"),
+        (F.unix_micros("ts") - F.unix_micros("ts_right")).alias("gap_us"),
+    )
+
+
+@register(
+    "rel_range_activity",
+    oracle="""
+WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+SELECT e.event_id, e.user_id, e.ts,
+       CAST(count(c.ts) AS BIGINT) AS n_prior_clicks
+FROM e LEFT JOIN c
+  ON e.user_id = c.user_id
+ AND epoch_us(c.ts) / 1000000.0 >= epoch_us(e.ts) / 1000000.0 - 600.0
+ AND epoch_us(c.ts) / 1000000.0 <  epoch_us(e.ts) / 1000000.0
+GROUP BY e.event_id, e.user_id, e.ts
+""",
+)
+def rel_range_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join (extension): per error event, how many clicks
+    the same user made in the preceding 10 minutes. The band-bucket
+    equi-join bounds candidates to rows within one band — the
+    100 TB-safe shape for interval joins (an inequality-only theta
+    join degenerates to a per-key cross product)."""
+    from .operators.temporal import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    pairs = range_join(
+        errors, clicks, on=["user_id"], lower_sec=-600.0, upper_sec=0.0
+    )
+    counts = pairs.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_prior_clicks")
+    )
+    return (
+        errors.join(counts, on="event_id", how="left")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.coalesce(F.col("n_prior_clicks"), F.lit(0))
+            .cast("long")
+            .alias("n_prior_clicks"),
+        )
+    )
+
+
+@register(
+    "ext_contamination",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+),
+w AS (
+  SELECT doc_id,
+         array_to_string(toks[i * 4 + 1 : i * 4 + 8], ' ') AS win
+  FROM t, LATERAL (
+    SELECT unnest(range(0, greatest(CAST(floor((len(toks) - 8) / 4.0) AS INTEGER) + 1, 1))) AS i
+  )
+),
+f AS (
+  SELECT DISTINCT doc_id, CAST('0x' || substr(md5(win), 1, 15) AS BIGINT) AS fp FROM w
+),
+c AS (SELECT doc_id AS corpus_doc, fp FROM f WHERE doc_id % 2 = 0),
+p AS (SELECT doc_id AS probe_doc, fp FROM f WHERE doc_id % 2 = 1)
+SELECT corpus_doc,
+       CAST(count(DISTINCT fp) AS BIGINT) AS n_shared_windows,
+       CAST(count(DISTINCT probe_doc) AS BIGINT) AS n_probe_docs,
+       min(probe_doc) AS first_probe_doc
+FROM c JOIN p USING (fp)
+GROUP BY corpus_doc
+""",
+)
+def ext_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus contamination scan (extension): training docs
+    (even doc_id) whose rolling 8-token windows also occur in the
+    probe/eval set (odd doc_id). Broadcast fingerprint semi-structure;
+    see operators/text.py:contamination_scan for the 100 TB shape."""
+    from .operators.text import contamination_scan
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    probe = docs.filter(F.col("doc_id") % 2 == 1)
+    return contamination_scan(corpus, probe, window_tokens=8, stride=4)
