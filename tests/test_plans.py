@@ -84,3 +84,42 @@ def test_corpus_clean_single_shuffle_with_group_limit(spark, sf_dir):
     assert plan.count("Exchange") == 1, plan
     assert "WindowGroupLimit" in plan
     assert "Partial" in plan.split("Exchange")[1]  # partial limit map-side
+
+
+def test_asof_join_single_shuffle_no_join(spark, sf_dir):
+    """The as-of join must plan as union + window — exactly one
+    Exchange on the key, and NO join operator (the whole point of the
+    formulation: no pair blow-up at scale)."""
+    from vector_database_watermarking_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        left, right, on=["user_id"], right_cols=["value"], tiebreak="event_id"
+    )
+    plan = plan_of(out)
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_range_join_is_banded_equi_join(spark, sf_dir):
+    """The range join must be a hash equi-join on (key, bucket) with
+    the range as a post-join filter — never a nested-loop/cartesian
+    theta join."""
+    from vector_database_watermarking_spark.operators.temporal import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    plan = plan_of(
+        range_join(left, right, on=["user_id"], lower_sec=-600.0, upper_sec=0.0)
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert "HashJoin" in plan, plan
