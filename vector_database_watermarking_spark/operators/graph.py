@@ -164,7 +164,10 @@ def edge_count_histogram(bidir: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, nodes: DataFrame, max_iter: int = 50
+    edges: DataFrame,
+    nodes: DataFrame,
+    max_iter: int = 50,
+    assume_symmetric: bool = False,
 ) -> DataFrame:
     """G5: connected components of the (undirected) kNN graph
     (BFS at ``t_vector/e1_steath_vector.py:41-54``).
@@ -198,12 +201,19 @@ def connected_components(
     lineage recompute made it 5× wall-clock — the round count is not
     the bottleneck at fixture scale).
     """
-    sym = (
-        edges.select("src", "dst")
-        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .persist()
-    )
+    if assume_symmetric:
+        # mutual-kNN edge sets are symmetric and distinct by
+        # construction ((a,b) mutual ⇔ (b,a) mutual), so the
+        # symmetrizing union + distinct shuffle below is pure waste
+        # for them — callers assert the property instead of paying it
+        sym = edges.select("src", "dst").persist()
+    else:
+        sym = (
+            edges.select("src", "dst")
+            .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            .distinct()
+            .persist()
+        )
     def _step(lbl: DataFrame) -> DataFrame:
         contribs = sym.join(lbl, sym.dst == lbl.vec_id, "inner").select(
             sym.src.alias("vec_id"), "component"

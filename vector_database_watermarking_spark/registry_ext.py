@@ -718,7 +718,9 @@ def g5_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     mutual = edges.select("src", "dst").join(rev, on=["src", "dst"], how="left_semi")
     comp = graph.connected_components(
-        mutual.withColumn("dist", F.lit(0.0)).withColumn("rank", F.lit(1)), emb
+        mutual.withColumn("dist", F.lit(0.0)).withColumn("rank", F.lit(1)),
+        emb,
+        assume_symmetric=True,
     )
     return comp
 
@@ -767,7 +769,9 @@ def g6_cluster_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     mutual = edges.select("src", "dst").join(rev, on=["src", "dst"], how="left_semi")
     comp = graph.connected_components(
-        mutual.withColumn("dist", F.lit(0.0)).withColumn("rank", F.lit(1)), emb
+        mutual.withColumn("dist", F.lit(0.0)).withColumn("rank", F.lit(1)),
+        emb,
+        assume_symmetric=True,
     )
     # Per-node edge-length sums in exact micro-unit integers (1e-6):
     # floor-divided averages stay in integer space on both engines, so

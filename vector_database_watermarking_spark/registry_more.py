@@ -895,7 +895,9 @@ def w5_largest_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     mutual = edges.select("src", "dst").join(rev, on=["src", "dst"], how="left_semi")
     comp = graph.connected_components(
-        mutual.withColumn("dist", F.lit(0.0)).withColumn("rank", F.lit(1)), emb
+        mutual.withColumn("dist", F.lit(0.0)).withColumn("rank", F.lit(1)),
+        emb,
+        assume_symmetric=True,
     )
     sizes = graph.component_sizes(comp).persist()
     return spark.createDataFrame(
