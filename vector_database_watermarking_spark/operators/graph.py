@@ -80,10 +80,36 @@ def accessibility_index(
     ``decimals`` optionally rounds the edge-length metric first for the
     same reason.
     """
-    edges = edges.persist()  # consumed 3× (self-join both sides + lengths)
-    per_node = bidirectional_edge_counts(edges, nodes).join(
-        avg_edge_lengths(edges, nodes, decimals=decimals), on="vec_id"
-    ).persist()  # consumed 2× (global stats + z-score join)
+    # both metrics in ONE groupBy: tag each out-edge with a mutual
+    # flag (left join against the flipped key), then count flags and
+    # average lengths per src in the same aggregation — one shuffle of
+    # the edge relation instead of two plus a per-node metric join
+    # (the standalone G2/G3 operators keep their own shapes; this is
+    # the fused form their composition optimizes into)
+    edges = edges.persist()  # consumed 2× (both sides of the flag join)
+    dist = F.col("dist")
+    if decimals is not None:
+        dist = F.round(dist, decimals)
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), F.lit(1).alias("_mutual")
+    )
+    flagged = edges.select("src", "dst", dist.alias("_dist")).join(
+        rev, on=["src", "dst"], how="left"
+    )
+    per_src = flagged.groupBy("src").agg(
+        F.sum(F.coalesce(F.col("_mutual"), F.lit(0))).cast("long").alias("bidir_edges"),
+        F.avg("_dist").alias("avg_edge_len"),
+    )
+    per_node = (
+        nodes.select("vec_id")
+        .join(per_src, nodes.vec_id == per_src.src, "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("bidir_edges"), F.lit(0)).cast("long").alias("bidir_edges"),
+            "avg_edge_len",
+        )
+        .persist()
+    )  # consumed 2× (global stats + z-score join)
     e = F.col("bidir_edges").cast("double")
     d_ = F.col("avg_edge_len")
     stats = per_node.agg(
