@@ -25,7 +25,7 @@ from vector_database_watermarking_spark.session import get_spark
 # Headline set: one per operator family (kNN graph build, graph
 # analytics incl. the iterative-components and stateful-session shapes,
 # detection agg, relational agg/join/window, dedup, similarity, text,
-# event windows).
+# event windows, temporal joins, decontamination).
 HEADLINE = [
     "j1_knn_edges",
     "g4_accessibility_index",
@@ -43,6 +43,9 @@ HEADLINE = [
     "ext_corpus_clean",
     "ext_events_sliding",
     "ext_events_sessions",
+    "rel_asof_purchase_view",
+    "rel_range_activity",
+    "ext_contamination",
 ]
 
 

@@ -537,3 +537,153 @@ def _ivf_rank_candidates(routed: DataFrame, assigned: DataFrame, k: int) -> Data
         .filter(F.col("rank") <= k)
         .select("src", "dst", "cos_sim", F.col("rank").cast("int").alias("rank"))
     )
+
+
+# ------------------------------------------------------------------ SQ
+# Scalar quantization (north-star extension): uint8 codes + integer
+# candidate search + exact rerank — the memory-bandwidth tier for ANN
+# at 100 TB (codes are d bytes/vector vs 4d for float32; candidate
+# scan arithmetic is integer, and only the rerank touches floats).
+
+
+def sq_bounds(emb: DataFrame, emb_col: str = "embedding") -> tuple[float, float]:
+    """Global quantization bounds: min/max over every dimension of
+    every vector (one scan, two scalars — the entire 'codebook')."""
+    row = emb.agg(
+        F.min(F.array_min(F.col(emb_col).cast("array<double>"))).alias("lo"),
+        F.max(F.array_max(F.col(emb_col).cast("array<double>"))).alias("hi"),
+    ).head()
+    return float(row["lo"]), float(row["hi"])
+
+
+def sq_codes(
+    emb_col: str, lo: float, hi: float
+):
+    """uint8 scalar quantization of a float vector column, fully
+    native: ``code = least(floor((x - lo) / (hi - lo) * 256), 255)``.
+    ``floor`` (not round) keeps Spark and DuckDB bit-identical — round
+    ties break differently across engines. Returns array<int>."""
+    rng = hi - lo
+    return F.transform(
+        F.col(emb_col).cast("array<double>"),
+        lambda x: F.least(
+            F.floor((x - F.lit(lo)) / F.lit(rng) * 256).cast("int"), F.lit(255)
+        ),
+    )
+
+
+def sq_topk(
+    queries: DataFrame,
+    base: DataFrame,
+    k: int = 5,
+    refine: int = 20,
+    exclude_self: bool = True,
+    n_base: int | None = None,
+) -> DataFrame:
+    """SQ-accelerated top-k: rank candidates by INTEGER squared
+    distance between uint8 codes (global-bounds scalar quantization),
+    keep the top ``refine`` per query, exact-rerank those in float64.
+
+    Output: (src, dst, dist, rank) — rank 1-based by exact distance
+    (6-decimal rounded), ties by dst, over the refined candidate set.
+
+    Scale shape: the candidate scan reads d bytes per vector instead
+    of 4d and adds/multiplies integers — on a 100 TB corpus this is
+    the tier between IVF routing (prunes clusters) and the exact
+    rerank (touches ``refine`` float vectors per query). The base
+    broadcasts while its CODES fit (4x the float threshold, since
+    codes are a quarter the bytes); past that, hash-split blocks each
+    contribute their integer top-``refine`` and a per-query window
+    merges them — block-count invariant, never a whole-base collect.
+    Both stages are deterministic pure arithmetic, so the DuckDB
+    oracle replays the whole path bit-for-bit.
+    """
+    from .knn import MAX_BROADCAST_ROWS, split_blocks
+
+    lo, hi = sq_bounds(base)
+    if n_base is None:
+        n_base = base.count()
+    cap = 4 * MAX_BROADCAST_ROWS
+    if n_base <= cap:
+        cands = _sq_candidates_broadcast(queries, base, lo, hi, refine, exclude_self)
+    else:
+        n_blocks = -(-n_base // cap)
+        parts = [
+            _sq_candidates_broadcast(queries, blk, lo, hi, refine, exclude_self)
+            for blk in split_blocks(base, n_blocks)
+        ]
+        cands = parts[0]
+        for df in parts[1:]:
+            cands = cands.unionByName(df)
+    # global top-`refine` by the integer candidate metric, then rank
+    # the survivors by exact distance — both windows deterministic
+    w_dq = Window.partitionBy("src").orderBy("dq", "dst")
+    w_ex = Window.partitionBy("src").orderBy(
+        F.round(F.col("dist"), _RANK_DECIMALS), F.col("dst")
+    )
+    return (
+        cands.withColumn("crank", F.row_number().over(w_dq))
+        .filter(F.col("crank") <= refine)
+        .withColumn("rank", F.row_number().over(w_ex))
+        .filter(F.col("rank") <= k)
+        .select("src", "dst", "dist", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def _sq_candidates_broadcast(
+    queries: DataFrame,
+    base: DataFrame,
+    lo: float,
+    hi: float,
+    refine: int,
+    exclude_self: bool,
+) -> DataFrame:
+    """One SQ block: broadcast the (ids, codes, floats) matrices, emit
+    each query's integer top-``refine`` with both the candidate metric
+    ``dq`` and the exact float64 distance (sequential per-dim fold —
+    ulp parity with the SQL replay)."""
+    sess = base.sparkSession
+    b = base.select("vec_id", sq_codes("embedding", lo, hi).alias("codes"), "embedding")
+    rows = b.collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    C = np.array([r["codes"] for r in rows], dtype=np.int64)
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, C, X = ids[order], C[order], X[order]
+    bc = sess.sparkContext.broadcast((ids, C, X))
+
+    q = queries.select(
+        F.col("vec_id").alias("src"),
+        sq_codes("embedding", lo, hi).alias("qcodes"),
+        F.col("embedding").alias("qemb"),
+    )
+
+    def search(batches):
+        b_ids, b_C, b_X = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for src, qcodes, qemb in zip(pdf["src"], pdf["qcodes"], pdf["qemb"]):
+                qc = np.asarray(qcodes, dtype=np.int64)
+                dq = ((b_C - qc[None, :]) ** 2).sum(axis=1)
+                mask = np.ones(len(b_ids), dtype=bool)
+                if exclude_self:
+                    mask &= b_ids != src
+                cand = np.nonzero(mask)[0]
+                sel = cand[np.lexsort((b_ids[cand], dq[cand]))][:refine]
+                qe = np.asarray(qemb, dtype=np.float64)
+                E = b_X[sel]
+                dist = np.zeros(len(sel))
+                for i in range(E.shape[1]):  # sequential fold parity
+                    diff = E[:, i] - qe[i]
+                    dist += diff * diff
+                yield pd.DataFrame(
+                    {
+                        "src": np.full(len(sel), src, dtype=np.int64),
+                        "dst": b_ids[sel],
+                        "dq": dq[sel],
+                        "dist": np.sqrt(dist),
+                    }
+                )
+
+    return q.mapInPandas(search, schema="src long, dst long, dq long, dist double")

@@ -806,6 +806,7 @@ _GRADE_ORDER = [
     "rel_asof_purchase_view",
     "rel_range_activity",
     "ext_contamination",
+    "ext_sq_topk",
 ]
 
 

@@ -1103,3 +1103,57 @@ def ext_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     probe = docs.filter(F.col("doc_id") % 2 == 1)
     return contamination_scan(corpus, probe, window_tokens=8, stride=4)
+
+
+@register(
+    "ext_sq_topk",
+    oracle=f"""
+WITH b AS (
+  SELECT min(CAST(u AS DOUBLE)) AS lo, max(CAST(u AS DOUBLE)) AS hi
+  FROM (SELECT unnest(embedding) AS u FROM embeddings)
+),
+codes AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding,
+           x -> least(CAST(floor((CAST(x AS DOUBLE) - b.lo) / (b.hi - b.lo) * 256) AS INTEGER), 255)) AS c
+  FROM embeddings, b
+),
+cand AS (
+  SELECT q.vec_id AS src, t.vec_id AS dst,
+         list_sum(list_transform(range(1, {D + 1}),
+           i -> CAST((q.c[i] - t.c[i]) * (q.c[i] - t.c[i]) AS BIGINT))) AS dq
+  FROM codes q JOIN codes t ON t.vec_id <> q.vec_id
+  WHERE q.vec_id < 50
+),
+ref AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY dq, dst) AS crank
+  FROM cand
+),
+ex AS (
+  SELECT r.src, r.dst,
+         sqrt(list_sum(list_transform(range(1, {D + 1}),
+           i -> (CAST(eb.embedding[i] AS DOUBLE) - CAST(eq.embedding[i] AS DOUBLE))
+              * (CAST(eb.embedding[i] AS DOUBLE) - CAST(eq.embedding[i] AS DOUBLE))))) AS dist
+  FROM ref r
+  JOIN embeddings eq ON r.src = eq.vec_id
+  JOIN embeddings eb ON r.dst = eb.vec_id
+  WHERE r.crank <= 20
+)
+SELECT src, dst, round(dist, 6) AS dist,
+       CAST(row_number() OVER (PARTITION BY src ORDER BY round(dist, 6), dst) AS INTEGER) AS rank
+FROM ex QUALIFY rank <= 5
+""",
+)
+def ext_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization ANN (extension): uint8 codes from global
+    min/max bounds, integer-distance candidate scan (top-20), exact
+    float64 rerank to top-5 — the memory-bandwidth tier between IVF
+    routing and exact rerank at 100 TB. Deterministic end to end; the
+    oracle replays quantization, candidate ranking, and rerank."""
+    from .operators.similarity import sq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 50)
+    out = sq_topk(queries, emb, k=5, refine=20, exclude_self=True)
+    return out.select("src", "dst", F.round("dist", 6).alias("dist"), "rank")
