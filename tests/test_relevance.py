@@ -1,0 +1,65 @@
+"""Relevance / governance operator tests: BM25 ranking properties and
+the deterministic content-keyed corpus split."""
+
+from pyspark.sql import functions as F
+
+from vector_database_watermarking_spark.operators.relevance import (
+    bm25_scores,
+    corpus_split,
+)
+
+
+def test_bm25_prefers_term_dense_docs(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "needle needle needle in a small stack"),
+            (2, "needle in a much longer stack of other words entirely here"),
+            (3, "no relevant words at all in this one"),
+            (4, "filler filler filler filler filler filler"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["score"] for r in bm25_scores(docs, ["needle"]).collect()}
+    assert set(out) == {1, 2}  # only docs containing the term
+    assert out[1] > out[2]  # higher tf, shorter doc -> higher score
+
+
+def test_bm25_idf_downweights_common_terms(spark):
+    docs = spark.createDataFrame(
+        [(i, "common words here" + (" rare" if i == 0 else "")) for i in range(8)],
+        "doc_id long, text string",
+    )
+    out = bm25_scores(docs, ["common", "rare"]).collect()
+    row0 = next(r for r in out if r["doc_id"] == 0)
+    others = [r for r in out if r["doc_id"] != 0]
+    # the rare-term doc must outscore every common-only doc
+    assert all(row0["score"] > r["score"] for r in others)
+
+
+def test_corpus_split_proportions_and_dup_consistency(spark, sf_dir):
+    from vector_database_watermarking_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = corpus_split(docs)
+    n = docs.count()
+    frac = {
+        r["split"]: r["count"] / n for r in out.groupBy("split").count().collect()
+    }
+    assert 0.6 < frac.get("train", 0) < 0.95
+    assert frac.get("val", 0) < 0.25 and frac.get("test", 0) < 0.25
+    # exact duplicates land in the same split: re-id a copy of the
+    # corpus and the per-content assignment must not change
+    shifted = docs.withColumn("doc_id", F.col("doc_id") + 10_000)
+    again = corpus_split(shifted)
+    j = (
+        docs.select("doc_id", "text")
+        .join(out, on="doc_id")
+        .select(F.col("text").alias("t1"), F.col("split").alias("s1"))
+        .join(
+            shifted.select("doc_id", "text").join(again, on="doc_id").select(
+                F.col("text").alias("t1"), F.col("split").alias("s2")
+            ),
+            on="t1",
+        )
+    )
+    assert j.filter(F.col("s1") != F.col("s2")).count() == 0

@@ -1,0 +1,122 @@
+"""Relevance scoring over the documents corpus (north-star extension):
+TF-IDF statistics and BM25 ranking — the inverted-index primitives a
+training-data pipeline uses for query-based corpus curation (picking
+documents relevant to a target domain) and retrieval-based eval.
+
+Scale notes (100 TB design point): the term-frequency relation
+(doc_id, term, tf) is the exploded token table aggregated once —
+linear, shuffled by (doc_id, term). Document frequencies aggregate the
+same relation by term (the vocabulary is tiny relative to the corpus,
+and a `max_df` cap drops degenerate stop-terms before they form hot
+keys). Scoring joins the query's terms — a handful of rows — broadcast
+against the tf relation: no shuffle of the corpus at query time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def term_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, term, tf, dl): per-document term counts and document
+    length in tokens — the base relation for TF-IDF and BM25."""
+    toks = docs.select(
+        "doc_id", F.explode(tokens(text_col)).alias("term")
+    ).filter(F.length("term") > 0)
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    return tf.join(dl, on="doc_id")
+
+
+def doc_frequencies(tf: DataFrame) -> DataFrame:
+    """(term, df): number of documents containing each term."""
+    return tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 score of every document against a bag of query terms
+    (Robertson/Sparck Jones; the standard idf = ln((N - df + 0.5) /
+    (df + 0.5) + 1) variant Lucene uses).
+
+    Returns (doc_id, n_hit_terms, score); documents containing none of
+    the query terms are omitted (their score is 0). Deterministic:
+    score is a sum over the matched query terms only, rounded by the
+    caller for cross-engine ranking.
+    """
+    tf = term_frequencies(docs, text_col).persist()  # consumed 3x
+    n_docs = docs.count()
+    avgdl_row = tf.select("doc_id", "dl").dropDuplicates(["doc_id"]).agg(
+        F.avg("dl").alias("avgdl")
+    ).head()
+    # exact on both engines: integer token counts summed exactly, one
+    # final division — safe to push back in as a literal
+    avgdl = float(avgdl_row["avgdl"])
+    qt = docs.sparkSession.createDataFrame(
+        [(t,) for t in sorted(set(query_terms))], "term string"
+    )
+    matched = tf.join(F.broadcast(qt), on="term")
+    df_ = doc_frequencies(tf).join(F.broadcast(qt), on="term")
+    scored = matched.join(F.broadcast(df_), on="term")
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl))
+    )
+    return (
+        scored.withColumn("term_score", idf * tf_part)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hit_terms"),
+            F.sum("term_score").alias("score"),
+        )
+    )
+
+
+def corpus_split(
+    docs: DataFrame,
+    weights: dict[str, int] | None = None,
+    salt: str = "split",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic content-keyed train/val/test split: the bucket is
+    a pure function of (salt, normalized content), so the assignment
+    survives re-ingestion, re-partitioning, and doc_id renumbering —
+    and exact duplicates always land in the SAME split (no train/test
+    leakage through dup pairs). ``weights`` are per-mille bucket
+    widths summing to 1000 (default 800/100/100).
+    """
+    from ..functions.hashing import hash60
+    from .dedup import normalize_text
+
+    if weights is None:
+        weights = {"train": 800, "val": 100, "test": 100}
+    if sum(weights.values()) != 1000:
+        raise ValueError("weights must sum to 1000 (per-mille)")
+    bucket = F.pmod(
+        hash60(F.concat(F.lit(salt + "_"), normalize_text(text_col))), F.lit(1000)
+    )
+    edges = []
+    acc = 0
+    for name, w in weights.items():
+        acc += w
+        edges.append((acc, name))
+    expr = None
+    for hi, name in reversed(edges):
+        expr = (
+            F.lit(name)
+            if expr is None
+            else F.when(bucket < hi, F.lit(name)).otherwise(expr)
+        )
+    return docs.select("doc_id", F.col(text_col), expr.alias("split")).select(
+        "doc_id", "split"
+    )

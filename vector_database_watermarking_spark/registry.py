@@ -807,6 +807,8 @@ _GRADE_ORDER = [
     "rel_range_activity",
     "ext_contamination",
     "ext_sq_topk",
+    "ext_bm25_search",
+    "ext_corpus_split",
 ]
 
 

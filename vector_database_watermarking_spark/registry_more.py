@@ -1157,3 +1157,84 @@ def ext_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 50)
     out = sq_topk(queries, emb, k=5, refine=20, exclude_self=True)
     return out.select("src", "dst", F.round("dist", 6).alias("dist"), "rank")
+
+
+_BM25_TERMS = ["join", "query", "scan", "stream", "table"]
+
+
+@register(
+    "ext_bm25_search",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+),
+u AS (
+  SELECT doc_id, tok AS term
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM t) WHERE length(tok) > 0
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM u GROUP BY doc_id, term),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+q AS (SELECT unnest({_BM25_TERMS!r}) AS term),
+dfq AS (SELECT term, count(*) AS df FROM tf JOIN q USING (term) GROUP BY term),
+consts AS (
+  SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n_docs,
+         (SELECT avg(dl) FROM dl) AS avgdl
+),
+m AS (
+  SELECT tf.doc_id,
+         ln((consts.n_docs - CAST(dfq.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+            / (CAST(dfq.df AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+         * (CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+         / (CAST(tf.tf AS DOUBLE)
+            + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+              + (CAST(0.75 AS DOUBLE) * CAST(dl.dl AS DOUBLE)) / consts.avgdl))
+         AS term_score
+  FROM tf JOIN q USING (term) JOIN dfq USING (term) JOIN dl USING (doc_id), consts
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_terms,
+       round(sum(term_score), 6) AS score
+FROM m GROUP BY doc_id
+""",
+)
+def ext_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance scoring (extension): every document scored
+    against a fixed query bag — the inverted-index curation primitive.
+    Query terms broadcast against the tf relation; the corpus never
+    shuffles at query time."""
+    from .operators.relevance import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = bm25_scores(docs, _BM25_TERMS, k1=1.2, b=0.75)
+    return out.select(
+        "doc_id", "n_hit_terms", F.round("score", 6).alias("score")
+    )
+
+
+@register(
+    "ext_corpus_split",
+    oracle="""
+WITH b AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(concat('split_',
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))), 1, 15) AS BIGINT) % 1000
+           AS bucket
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN bucket < 800 THEN 'train'
+            WHEN bucket < 900 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+""",
+)
+def ext_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-keyed train/val/test split (extension):
+    the bucket is a pure function of the normalized content, so the
+    assignment survives re-ingestion and renumbering, and exact
+    duplicates always land in the same split (no leakage through dup
+    pairs)."""
+    from .operators.relevance import corpus_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_split(docs)
