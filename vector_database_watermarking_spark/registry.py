@@ -209,7 +209,11 @@ LEFT JOIN (
 """,
 )
 def g2_bidirectional_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J2/G2 (``watermarking.py:177-185``): mutual-kNN edge counts."""
+    """J2/G2 (``watermarking.py:177-185``): mutual-kNN edge counts.
+
+    Driver-graded inside ``g4_accessibility_index``, whose plan and
+    oracle both recompute this metric; kept standalone for direct use
+    and local checking."""
     emb = load_table(spark, sf_dir, "embeddings")
     edges = knn.knn_edges(emb, k=K)
     return graph.bidirectional_edge_counts(edges, emb)
@@ -227,6 +231,8 @@ JOIN (SELECT src, avg(round(sqrt(dist_sq), 6)) AS ael FROM edges GROUP BY src) a
 )
 def g3_avg_edge_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3/G3 (``watermarking.py:188-201``): per-node mean edge length.
+
+    Driver-graded inside ``g4_accessibility_index`` (see G2 note).
 
     Averages over 6-decimal-rounded distances so both engines see
     identical inputs; output rounded to 5 leaves margin for
@@ -734,13 +740,14 @@ from . import registry_more  # noqa: E402,F401
 
 _GRADE_ORDER = [
     # SURVEY §2 core: classification/decode, kNN graph family, attacks,
-    # stats, set ops, components
+    # stats, set ops, components. (G2/G3 are graded INSIDE
+    # g4_accessibility_index, whose oracle recomputes both metrics —
+    # their standalone queries sit past the window but stay
+    # locally checkable.)
     "a1_group_classify",
     "a2_majority_decode",
     "j1_knn_edges",
     "a3_query_counts",
-    "g2_bidirectional_edges",
-    "g3_avg_edge_length",
     "g4_accessibility_index",
     "w4_hidden_nodes",
     "w6_random_delete",
@@ -761,9 +768,12 @@ _GRADE_ORDER = [
     "a9_mean_qc_by_edge_count",
     "w5_largest_component",
     # training-data extensions: dedup, text, similarity, multimodal,
-    # sessionization, small-operator coverage pack
+    # temporal, sessionization, small-operator coverage pack.
+    # (ext_minhash_signatures is the first stage of — and replayed
+    # verbatim inside — ext_minhash_near_dups; ext_cosine_near_dups is
+    # ext_cosine_topk + a threshold. Both standalone queries sit past
+    # the window.)
     "ext_exact_dedup",
-    "ext_minhash_signatures",
     "ext_minhash_near_dups",
     "ext_ngram_jaccard",
     "ext_simhash",
@@ -772,16 +782,18 @@ _GRADE_ORDER = [
     "ext_quality_scores",
     "ext_corpus_clean",
     "ext_fingerprints",
+    "ext_contamination",
     "ext_cosine_topk",
-    "ext_cosine_near_dups",
     "ext_emb_near_dups_lsh",
     "ext_ivf_topk",
+    "ext_sq_topk",
     "ext_multimodal_features",
     "ext_events_sessions",
+    "rel_asof_purchase_view",
+    "rel_range_activity",
     "cov_operator_pack",
     # watermark pipelines: the oracle-checked native selection, the
-    # invariant-oracled round-trips, then the rows-only compat
-    # carrier listing and robustness grid
+    # invariant-oracled round-trips and grids
     "pipe_tvp_select",
     "pipe_tvp_carriers",
     "pipe_roundtrip_ber",
@@ -791,7 +803,14 @@ _GRADE_ORDER = [
     # relational shapes closing the window
     "rel_pivot_status",
     "rel_shipping_priority",
-    # --- past the graded window: relational breadth + alternate views
+    # --- past the graded window: sub-computations of graded queries,
+    # relational breadth, alternate views, further extensions
+    "g2_bidirectional_edges",
+    "g3_avg_edge_length",
+    "ext_minhash_signatures",
+    "ext_cosine_near_dups",
+    "ext_bm25_search",
+    "ext_corpus_split",
     "rel_pricing_summary",
     "rel_top_revenue_nations",
     "rel_customers_without_orders",
@@ -802,13 +821,6 @@ _GRADE_ORDER = [
     "ext_doc_fingerprint",
     "ext_approx_distinct",
     "ext_media_frames",
-    # temporal joins + decontamination (round 4 extensions)
-    "rel_asof_purchase_view",
-    "rel_range_activity",
-    "ext_contamination",
-    "ext_sq_topk",
-    "ext_bm25_search",
-    "ext_corpus_split",
 ]
 
 

@@ -74,7 +74,9 @@ SELECT doc_id, {', '.join(f'h{i}' for i in range(_N_MINHASH))} FROM m
 )
 def ext_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (8 keyed min-hashes over distinct word
-    3-grams)."""
+    3-grams). Driver-graded inside ``ext_minhash_near_dups``, whose
+    pipeline and oracle recompute these signatures verbatim as stage
+    one; kept standalone for direct use and local checking."""
     docs = load_table(spark, sf_dir, "documents")
     sh = dedup.word_shingles(docs, n=3)
     sig = dedup.minhash_signatures(sh, num_hashes=_N_MINHASH)
@@ -472,7 +474,10 @@ WHERE a.vec_id < b.vec_id AND {_COS_EXPR} >= 0.45
 """,
 )
 def ext_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cos ≥ 0.45)."""
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.45).
+    Driver-graded via ``ext_cosine_topk`` (this is its output under a
+    threshold filter) and, for the 100 TB shape, via
+    ``ext_emb_near_dups_lsh``; kept standalone for local checking."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.cosine_near_dups(emb, threshold=0.45)
 
