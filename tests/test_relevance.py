@@ -63,3 +63,29 @@ def test_corpus_split_proportions_and_dup_consistency(spark, sf_dir):
         )
     )
     assert j.filter(F.col("s1") != F.col("s2")).count() == 0
+
+
+def test_stratified_sample_exact_quota_and_determinism(spark, sf_dir):
+    from vector_database_watermarking_spark.operators.sampling import (
+        stratified_exact_sample,
+    )
+    from vector_database_watermarking_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = stratified_exact_sample(docs, "lang", 20, "doc_id", seed=42)
+    counts = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    full = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    for lang, n in full.items():
+        assert counts[lang] == min(20, n)
+    # partitioning-invariant: same draw under a different layout
+    again = stratified_exact_sample(
+        docs.repartition(7), "lang", 20, "doc_id", seed=42
+    )
+    assert {r["doc_id"] for r in out.collect()} == {
+        r["doc_id"] for r in again.collect()
+    }
+    # a different seed draws a different sample
+    other = stratified_exact_sample(docs, "lang", 20, "doc_id", seed=43)
+    assert {r["doc_id"] for r in out.collect()} != {
+        r["doc_id"] for r in other.collect()
+    }

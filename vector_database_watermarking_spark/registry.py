@@ -811,6 +811,7 @@ _GRADE_ORDER = [
     "ext_cosine_near_dups",
     "ext_bm25_search",
     "ext_corpus_split",
+    "ext_stratified_sample",
     "rel_pricing_summary",
     "rel_top_revenue_nations",
     "rel_customers_without_orders",

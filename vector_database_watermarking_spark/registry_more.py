@@ -1238,3 +1238,31 @@ def ext_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return corpus_split(docs)
+
+
+@register(
+    "ext_stratified_sample",
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY CAST('0x' || substr(md5(concat('strat_42_', CAST(doc_id AS VARCHAR))), 1, 15) AS BIGINT),
+                    doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT doc_id, lang FROM ranked WHERE rn <= 20
+""",
+)
+def ext_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-n stratified sample (extension): 20 documents per
+    language, drawn deterministically by keyed-hash order — the
+    corpus-balancing primitive (generalizes the reference's W6 exact-n
+    uniform sampling idiom to per-stratum quotas)."""
+    from .operators.sampling import stratified_exact_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_exact_sample(
+        docs, group_col="lang", n_per_group=20, key_col="doc_id", seed=42
+    )
