@@ -327,3 +327,47 @@ def test_emb_near_dups_lsh_no_all_pairs_and_recall(spark, sf_dir):
     assert got <= brute or not brute  # verified pairs are always true pairs
     if brute:
         assert len(got & brute) / len(brute) >= 0.5, (len(got), len(brute))
+
+
+def test_repetition_features_hand_computed(spark):
+    rows = [
+        (1, "a a a b"),          # 4 toks, 2 distinct, top=3; bigrams: aa,aa,ab -> 3, 2 distinct
+        (2, "x y z"),            # all distinct, top=1; bigrams xy,yz distinct
+        (3, "w"),                # single token, no bigrams
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in text.repetition_features(df).collect()}
+    assert out[1]["n_tokens"] == 4
+    assert out[1]["distinct_ratio"] == 0.5
+    assert out[1]["top_unigram_frac"] == 0.75
+    assert out[1]["dup_bigram_frac"] == round(1 - 2 / 3, 6)
+    assert out[2]["distinct_ratio"] == 1.0
+    assert out[2]["top_unigram_frac"] == round(1 / 3, 6)
+    assert out[2]["dup_bigram_frac"] == 0.0
+    assert out[3]["n_tokens"] == 1
+    assert out[3]["top_unigram_frac"] == 1.0
+    assert out[3]["dup_bigram_frac"] == 0.0
+
+
+def test_pii_features_counts_and_redaction(spark):
+    rows = [
+        (1, "mail me at bob.smith+x@corp.example.org today"),
+        (2, "server 192.168.10.25 and 10.0.0.1 up"),
+        (3, "call +1 555-123-4567 or 555 987-6543"),
+        (4, "clean text with no identifiers"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in text.pii_features(df).collect()}
+    assert (out[1]["n_email"], out[1]["n_ipv4"], out[1]["n_phone"]) == (1, 0, 0)
+    assert (out[2]["n_email"], out[2]["n_ipv4"], out[2]["n_phone"]) == (0, 2, 0)
+    assert (out[3]["n_email"], out[3]["n_ipv4"], out[3]["n_phone"]) == (0, 0, 2)
+    assert (out[4]["n_email"], out[4]["n_ipv4"], out[4]["n_phone"]) == (0, 0, 0)
+    # redaction shrinks/replaces matches: doc 4 untouched, others changed
+    assert out[4]["redacted_len"] == len(rows[3][1])
+    assert out[1]["redacted_len"] == len("mail me at [PII] today")
+    assert out[2]["redacted_len"] == len("server [PII] and [PII] up")
+
+
+def test_repetition_no_shuffle_plan(spark, sf_dir):
+    plan = text.repetition_features(docs(spark, sf_dir))._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -89,3 +89,28 @@ def test_stratified_sample_exact_quota_and_determinism(spark, sf_dir):
     assert {r["doc_id"] for r in out.collect()} != {
         r["doc_id"] for r in other.collect()
     }
+
+
+def test_stratified_sample_dict_quotas_mixing(spark, sf_dir):
+    from vector_database_watermarking_spark.operators.sampling import (
+        stratified_exact_sample,
+    )
+    from vector_database_watermarking_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    quotas = {"en": 30, "fr": 5, "zh": 2}  # de/es absent -> dropped
+    out = stratified_exact_sample(docs, "lang", quotas, "doc_id", seed=42)
+    counts = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    full = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    for lang, q in quotas.items():
+        assert counts.get(lang, 0) == min(q, full.get(lang, 0))
+    assert set(counts) <= set(quotas)
+    # the dict draw is a prefix of the uniform draw at the same seed:
+    # same hash order, smaller cutoff
+    uniform = stratified_exact_sample(docs, "lang", 30, "doc_id", seed=42)
+    assert {r["doc_id"] for r in out.collect()} <= {
+        r["doc_id"] for r in uniform.collect()
+    }
+    # map-side group-limit still applies with the literal bound
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan

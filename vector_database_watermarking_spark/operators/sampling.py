@@ -25,17 +25,35 @@ from ..functions.hashing import hash60
 def stratified_exact_sample(
     df: DataFrame,
     group_col: str,
-    n_per_group: int,
+    n_per_group: int | dict[str, int],
     key_col: str,
     seed: int = 42,
 ) -> DataFrame:
-    """Exactly ``min(n_per_group, |stratum|)`` rows per stratum,
-    chosen by keyed-hash order (hash of seed + row key, ties by key) —
-    a deterministic uniform draw without replacement per group."""
+    """Exactly ``min(quota, |stratum|)`` rows per stratum, chosen by
+    keyed-hash order (hash of seed + row key, ties by key) — a
+    deterministic uniform draw without replacement per group.
+
+    ``n_per_group`` is either one quota for every stratum or a
+    ``{stratum: quota}`` map (dataset-mixing / domain-reweighting
+    shape: down-sample over-represented sources to target ratios).
+    Strata absent from the map get quota 0 (dropped) — an explicit
+    mixing recipe, not a passthrough."""
     order = hash60(F.concat(F.lit(f"strat_{seed}_"), F.col(key_col).cast("string")))
     w = Window.partitionBy(group_col).orderBy(order, F.col(key_col))
+    if isinstance(n_per_group, dict):
+        # small literal CASE map: stays in codegen, no join needed. The
+        # extra literal bound (max quota) keeps the WindowGroupLimit
+        # rewrite applicable, so the per-group top-N is still taken
+        # map-side and oversized strata never materialize their tail.
+        quota = F.lit(0)
+        for stratum, n in n_per_group.items():
+            quota = F.when(F.col(group_col) == stratum, F.lit(n)).otherwise(quota)
+        bound = F.col("_rn") <= max(n_per_group.values(), default=0)
+    else:
+        quota = F.lit(n_per_group)
+        bound = F.col("_rn") <= n_per_group
     return (
         df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= n_per_group)
+        .filter(bound & (F.col("_rn") <= quota))
         .drop("_rn")
     )

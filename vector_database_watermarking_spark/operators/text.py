@@ -202,3 +202,109 @@ def contamination_scan(
         F.count_distinct("probe_doc").alias("n_probe_docs"),
         F.min("probe_doc").alias("first_probe_doc"),
     )
+
+
+def _max_sorted_run(sorted_arr: Column) -> Column:
+    """Length of the longest run of equal adjacent elements in a
+    sorted array — i.e. the max multiplicity of any element — via a
+    single O(n) fold. Stays inside whole-stage codegen; no explode, no
+    shuffle, so the operator cost is flat per row regardless of
+    cluster size."""
+    return F.aggregate(
+        sorted_arr,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+
+
+def repetition_features(
+    docs: DataFrame, text_col: str = "text", toks: Column | None = None
+) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021
+    §A1.1, public quality-filter heuristics): distinct-token ratio,
+    most-frequent-unigram fraction, and duplicate-bigram fraction.
+    High top-unigram or duplicate-bigram fractions flag boilerplate
+    and degenerate generations for corpus filtering.
+
+    All native column expressions over one token array: distinct
+    ratios via ``array_distinct``, the unigram mode via a sorted-run
+    fold (O(n log n) per doc, no explode), bigrams via a ``transform``
+    over index pairs. No shuffle anywhere — per-document map work
+    only, so the plan is a bare scan+project at any corpus size.
+    """
+    toks = tokens(text_col) if toks is None else toks
+    out = docs.select("doc_id", toks.alias("_toks"))
+    n = F.size(F.col("_toks"))
+    # adjacent-pair zip via two offset slices; slice-length 0 (one- or
+    # zero-token doc) yields empty arrays, unlike sequence(1, n-1),
+    # which DESCENDS for n < 2 and indexes out of bounds
+    n_pairs = F.greatest(n - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(F.col("_toks"), F.lit(1), n_pairs),
+        F.slice(F.col("_toks"), F.lit(2), n_pairs),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    n_bi = F.size(bigrams)
+    return out.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(F.size(F.array_distinct("_toks")) / n, 6).alias("distinct_ratio"),
+        F.round(_max_sorted_run(F.array_sort("_toks")) / n, 6).alias(
+            "top_unigram_frac"
+        ),
+        F.round(
+            F.when(n_bi > 0, 1 - F.size(F.array_distinct(bigrams)) / n_bi)
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_bigram_frac"),
+    )
+
+
+# PII patterns written to the common subset of Java regex (Spark) and
+# RE2 (DuckDB): character classes, bounded repeats, non-capturing
+# groups, \b word boundaries — no lookaround, no backreferences.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\+?\d{3}[- ]\d{3}[- ]\d{4}",
+}
+
+
+def pii_features(
+    docs: DataFrame, text_col: str = "text", redact_token: str = "[PII]"
+) -> DataFrame:
+    """Per-document PII detection + redaction (emails, IPv4 addresses,
+    phone-shaped numbers): match counts per pattern and the redacted
+    text with every match replaced by ``redact_token``. The standard
+    pre-training scrub pass (public corpus-curation practice, e.g.
+    the C4/Dolma pipelines).
+
+    Native ``regexp_extract_all``/``regexp_replace`` — JVM-side regex
+    over each row, no shuffle, linear in corpus size. Patterns are
+    deliberately in the Java-regex ∩ RE2 common subset so the same
+    strings drive the DuckDB oracle.
+    """
+    t = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0))).alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    redacted = t
+    for pat in PII_PATTERNS.values():
+        redacted = F.regexp_replace(redacted, pat, redact_token)
+    return docs.select(
+        "doc_id",
+        *counts,
+        F.length(redacted).alias("redacted_len"),
+        hash60(redacted).alias("redacted_h60"),
+    )

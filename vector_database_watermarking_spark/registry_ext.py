@@ -9,7 +9,7 @@ distance arithmetic, timezone-proof epoch bucketing.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators import dedup, multimodal, similarity, text
@@ -864,3 +864,62 @@ def so3_hidden_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = h10.join(h12, on="vec_id", how="inner").count()
     n = h10.count()
     return spark.createDataFrame([(round(inter / n, 6),)], "overlap double")
+
+
+_QUALITY_CTE = (
+    "WITH "
+    + _TOKS_CTE
+    + f""",
+f AS (
+  SELECT doc_id, lang,
+    CAST(len(toks) AS INTEGER) AS n_tokens,
+    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+    length(text) AS n_raw,
+    {_lang_score_sql('en')} AS stop_hits
+  FROM t JOIN documents USING (doc_id)
+),
+q AS (
+  SELECT doc_id, lang,
+    round(0.4 * least(n_tokens / 64.0, 1.0)
+        + 0.3 * least(stop_hits / CAST(n_tokens AS DOUBLE) * 4, 1.0)
+        + 0.3 * (1 - least(n_punct / CAST(greatest(n_raw, 1) AS DOUBLE) * 10, 1.0)), 6)
+      AS quality_score
+  FROM f
+)"""
+)
+
+
+@register(
+    "ext_quality_deciles",
+    oracle=_QUALITY_CTE
+    + """,
+d AS (
+  SELECT lang, quality_score,
+         ntile(10) OVER (PARTITION BY lang ORDER BY quality_score, doc_id) AS decile
+  FROM q
+)
+SELECT lang, CAST(decile AS INTEGER) AS decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(quality_score), 6) AS avg_quality,
+       round(min(quality_score), 6) AS min_quality,
+       round(max(quality_score), 6) AS max_quality
+FROM d GROUP BY lang, decile
+""",
+)
+def ext_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score decile profile per language (extension): ntile
+    bucketing over the heuristic quality score — the curation view
+    that picks per-stratum quality cutoffs (e.g. keep top-7 deciles of
+    each language) before mixing. The window is partitioned by
+    language, so the sort is bounded per stratum and parallel across
+    strata; output is 10 rows per language."""
+    docs = load_table(spark, sf_dir, "documents")
+    qf = text.quality_features(docs, keep=("lang",))
+    w = Window.partitionBy("lang").orderBy("quality_score", "doc_id")
+    d = qf.withColumn("decile", F.ntile(10).over(w))
+    return d.groupBy("lang", "decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+        F.round(F.min("quality_score"), 6).alias("min_quality"),
+        F.round(F.max("quality_score"), 6).alias("max_quality"),
+    )

@@ -1266,3 +1266,153 @@ def ext_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_exact_sample(
         docs, group_col="lang", n_per_group=20, key_col="doc_id", seed=42
     )
+
+
+@register(
+    "ext_repetition",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+),
+base AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+  FROM t
+),
+u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+c AS (SELECT doc_id, tok, count(*) AS cnt FROM u GROUP BY doc_id, tok),
+mx AS (SELECT doc_id, max(cnt) AS max_uni, count(*) AS n_distinct FROM c GROUP BY doc_id)
+SELECT b.doc_id,
+       CAST(b.n AS INTEGER) AS n_tokens,
+       round(CAST(mx.n_distinct AS DOUBLE) / b.n, 6) AS distinct_ratio,
+       round(CAST(mx.max_uni AS DOUBLE) / b.n, 6) AS top_unigram_frac,
+       round(CASE WHEN len(b.bigrams) > 0
+                  THEN 1 - CAST(len(list_distinct(b.bigrams)) AS DOUBLE) / len(b.bigrams)
+                  ELSE 0 END, 6) AS dup_bigram_frac
+FROM base b JOIN mx USING (doc_id)
+""",
+)
+def ext_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (extension): distinct-token
+    ratio, top-unigram fraction, duplicate-bigram fraction — the
+    boilerplate/degenerate-text filter for pretraining corpora. All
+    per-row native expressions (sorted-run fold for the unigram mode);
+    the plan is scan+project with no shuffle at any corpus size."""
+    from .operators.text import repetition_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_features(docs)
+
+
+# Deterministic PII augmentation: the synthetic corpus carries no
+# organic emails/IPs/phones, so the query plants one per residue class
+# as a pure function of doc_id — identically in Spark and the oracle —
+# making the regex machinery observable (nonzero counts, changed
+# lengths) while staying replayable.
+_PII_AUG_SQL = """
+  text
+  || CASE WHEN doc_id % 7 = 0
+          THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+          ELSE '' END
+  || CASE WHEN doc_id % 11 = 0
+          THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+               || '.25 call +1 555-123-4567'
+          ELSE '' END
+"""
+
+
+@register(
+    "ext_pii_scrub",
+    oracle=f"""
+WITH aug AS (
+  SELECT doc_id, {_PII_AUG_SQL} AS text FROM documents
+),
+red AS (
+  SELECT doc_id, text,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text,
+               '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{{2,}}', '[PII]', 'g'),
+             '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b', '[PII]', 'g'),
+           '\\+?\\d{{3}}[- ]\\d{{3}}[- ]\\d{{4}}', '[PII]', 'g') AS redacted
+  FROM aug
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{{2,}}')) AS INTEGER) AS n_email,
+       CAST(len(regexp_extract_all(text, '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b')) AS INTEGER) AS n_ipv4,
+       CAST(len(regexp_extract_all(text, '\\+?\\d{{3}}[- ]\\d{{3}}[- ]\\d{{4}}')) AS INTEGER) AS n_phone,
+       CAST(length(redacted) AS INTEGER) AS redacted_len,
+       CAST('0x' || substr(md5(redacted), 1, 15) AS BIGINT) AS redacted_h60
+FROM red
+""",
+)
+def ext_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (extension): per-doc email/IPv4/phone
+    match counts and the redacted text's length + content hash. The
+    corpus-scrub pass every public pretraining pipeline runs (C4,
+    Dolma). Native JVM regex per row — no shuffle, linear scan; the
+    patterns live in the Java-regex ∩ RE2 subset so the oracle replays
+    them byte-identically."""
+    from .operators.text import pii_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".25 call +1 555-123-4567"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_features(aug)
+
+
+_MIX_QUOTAS = {"en": 50, "fr": 15, "de": 15, "es": 10, "zh": 5}
+
+
+@register(
+    "ext_source_mix",
+    oracle=f"""
+WITH ranked AS (
+  SELECT doc_id, lang, source,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY CAST('0x' || substr(md5(concat('strat_7_', CAST(doc_id AS VARCHAR))), 1, 15) AS BIGINT),
+                    doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT doc_id, lang, source FROM ranked
+WHERE rn <= CASE lang WHEN 'en' THEN 50 WHEN 'fr' THEN 15 WHEN 'de' THEN 15
+                      WHEN 'es' THEN 10 WHEN 'zh' THEN 5 ELSE 0 END
+""",
+)
+def ext_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset mixing by per-stratum quotas (extension): draw each
+    language at a target rate (the ``_MIX_QUOTAS`` recipe) via the
+    deterministic keyed-hash order — the domain-reweighting pass that
+    assembles a pretraining mix from skewed raw sources. One shuffle
+    on the stratum key; the literal max-quota bound keeps the
+    WindowGroupLimit rewrite applicable (map-side top-N)."""
+    from .operators.sampling import stratified_exact_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return stratified_exact_sample(
+        docs, group_col="lang", n_per_group=_MIX_QUOTAS, key_col="doc_id", seed=7
+    )
