@@ -768,20 +768,24 @@ _GRADE_ORDER = [
     "a9_mean_qc_by_edge_count",
     "w5_largest_component",
     # training-data extensions: dedup, text, similarity, multimodal,
-    # temporal, sessionization, small-operator coverage pack.
+    # temporal, sessionization, curation, small-operator coverage pack.
     # (ext_minhash_signatures is the first stage of — and replayed
     # verbatim inside — ext_minhash_near_dups; ext_cosine_near_dups is
-    # ext_cosine_topk + a threshold. Both standalone queries sit past
-    # the window.)
-    "ext_exact_dedup",
+    # ext_cosine_topk + a threshold; ext_exact_dedup and ext_lang_id
+    # are the dedup/lang-gate stages replayed inside ext_corpus_clean's
+    # oracle; ext_quality_scores is replayed verbatim inside
+    # ext_quality_deciles; ext_fingerprints is stage one of
+    # ext_contamination. All the displaced standalone queries sit past
+    # the window and stay locally checkable.)
     "ext_minhash_near_dups",
     "ext_ngram_jaccard",
     "ext_simhash",
     "ext_token_stats",
-    "ext_lang_id",
-    "ext_quality_scores",
+    "ext_repetition",
+    "ext_pii_scrub",
     "ext_corpus_clean",
-    "ext_fingerprints",
+    "ext_quality_deciles",
+    "ext_source_mix",
     "ext_contamination",
     "ext_cosine_topk",
     "ext_emb_near_dups_lsh",
@@ -809,6 +813,10 @@ _GRADE_ORDER = [
     "g3_avg_edge_length",
     "ext_minhash_signatures",
     "ext_cosine_near_dups",
+    "ext_exact_dedup",
+    "ext_lang_id",
+    "ext_quality_scores",
+    "ext_fingerprints",
     "ext_bm25_search",
     "ext_corpus_split",
     "ext_stratified_sample",
