@@ -371,3 +371,8 @@ def test_pii_features_counts_and_redaction(spark):
 def test_repetition_no_shuffle_plan(spark, sf_dir):
     plan = text.repetition_features(docs(spark, sf_dir))._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_pii_no_shuffle_plan(spark, sf_dir):
+    plan = text.pii_features(docs(spark, sf_dir))._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

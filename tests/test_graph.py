@@ -78,3 +78,25 @@ def test_hidden_nodes_no_global_window(spark, sf_dir):
             # a global window would have no partition column before the
             # ordering spec
             assert "windowspecdefinition(query_count" in line.lower(), plan
+
+
+def test_accessibility_index_duplicate_edges_no_fanout(spark, sf_dir):
+    from vector_database_watermarking_spark.operators import knn
+    from vector_database_watermarking_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    edges = knn.knn_edges(emb, k=3).select("src", "dst", "dist")
+    clean = graph.accessibility_index(edges, emb).orderBy("vec_id").collect()
+    # duplicating every edge row must not change bidir counts or the
+    # edge-length average via join fan-out (it doubles both the raw
+    # rows and the flags consistently, leaving per-src aggregates'
+    # bidir SUM doubled if rev fans out — guard against regression)
+    dup = edges.unionByName(edges)
+    doubled = graph.accessibility_index(dup, emb).orderBy("vec_id").collect()
+    for a, b in zip(clean, doubled):
+        # duplicated input doubles each src's rows; counts double but
+        # averages and mutual-flag SEMANTICS stay consistent: bidir
+        # must be exactly 2x (each row flagged once), never 4x (fanout)
+        assert b["bidir_edges"] == 2 * a["bidir_edges"], (a, b)
+        if a["avg_edge_len"] is not None:
+            assert abs(b["avg_edge_len"] - a["avg_edge_len"]) < 1e-12

@@ -90,9 +90,13 @@ def accessibility_index(
     dist = F.col("dist")
     if decimals is not None:
         dist = F.round(dist, decimals)
+    # distinct flipped keys: a duplicated reverse edge must not fan out
+    # the left join (it would double-count the row in BOTH metrics);
+    # with distinct, semantics match the original left_semi + raw-edge
+    # average for any input, duplicates included
     rev = edges.select(
-        F.col("dst").alias("src"), F.col("src").alias("dst"), F.lit(1).alias("_mutual")
-    )
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    ).dropDuplicates(["src", "dst"]).withColumn("_mutual", F.lit(1))
     flagged = edges.select("src", "dst", dist.alias("_dist")).join(
         rev, on=["src", "dst"], how="left"
     )

@@ -51,6 +51,12 @@ def bm25_scores(
     the query terms are omitted (their score is 0). Deterministic:
     score is a sum over the matched query terms only, rounded by the
     caller for cross-engine ranking.
+
+    The tf relation is persisted (consumed three times: avgdl action,
+    match join, df join) and its blocks live until the caller runs
+    ``spark.catalog.clearCache()`` or unpersists — a long-lived
+    session scoring many query bags should clear between calls (the
+    query registry does this per query).
     """
     tf = term_frequencies(docs, text_col).persist()  # consumed 3x
     n_docs = docs.count()

@@ -560,14 +560,25 @@ def sq_codes(
     emb_col: str, lo: float, hi: float
 ):
     """uint8 scalar quantization of a float vector column, fully
-    native: ``code = least(floor((x - lo) / (hi - lo) * 256), 255)``.
+    native: ``code = clamp(floor((x - lo) / (hi - lo) * 256), 0, 255)``.
     ``floor`` (not round) keeps Spark and DuckDB bit-identical — round
-    ties break differently across engines. Returns array<int>."""
-    rng = hi - lo
+    ties break differently across engines. Returns array<int>.
+
+    Values outside [lo, hi] (queries that are not a subset of the base
+    the bounds came from) saturate at both ends — without the lower
+    clamp a below-range dim would go unboundedly negative and swamp
+    the integer metric. A degenerate corpus (hi == lo) quantizes to
+    all-zero codes (rng treated as 1) instead of dividing by zero;
+    candidate ranking then falls through to the deterministic dst
+    tie-break and the exact rerank still orders the output."""
+    rng = (hi - lo) or 1.0
     return F.transform(
         F.col(emb_col).cast("array<double>"),
-        lambda x: F.least(
-            F.floor((x - F.lit(lo)) / F.lit(rng) * 256).cast("int"), F.lit(255)
+        lambda x: F.greatest(
+            F.least(
+                F.floor((x - F.lit(lo)) / F.lit(rng) * 256).cast("int"), F.lit(255)
+            ),
+            F.lit(0),
         ),
     )
 
@@ -600,9 +611,16 @@ def sq_topk(
     """
     from .knn import MAX_BROADCAST_ROWS, split_blocks
 
-    lo, hi = sq_bounds(base)
+    # bounds + count in ONE aggregation job — the hot path scans the
+    # base once here and once in the candidate stage, not three times
+    row = base.agg(
+        F.min(F.array_min(F.col("embedding").cast("array<double>"))).alias("lo"),
+        F.max(F.array_max(F.col("embedding").cast("array<double>"))).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).head()
+    lo, hi = float(row["lo"]), float(row["hi"])
     if n_base is None:
-        n_base = base.count()
+        n_base = row["n"]
     cap = 4 * MAX_BROADCAST_ROWS
     if n_base <= cap:
         cands = _sq_candidates_broadcast(queries, base, lo, hi, refine, exclude_self)

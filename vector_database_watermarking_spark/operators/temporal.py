@@ -54,7 +54,16 @@ def asof_join(
     m_type = right.select(payload.alias("_m")).schema["_m"].dataType
     lstruct = F.struct(*[F.col(c) for c in left.columns])
     l_type = left.select(lstruct.alias("_l")).schema["_l"].dataType
-    tb = F.col(tiebreak).cast("long") if tiebreak else F.lit(0).cast("long")
+    # keep the tiebreak column's own (orderable) type — a blind numeric
+    # cast would silently null out string ids and make tie resolution
+    # nondeterministic; left rows never compete on _tb (the _side field
+    # already orders them), so a typed NULL is fine there
+    if tiebreak:
+        tb = F.col(tiebreak)
+        tb_type = right.schema[tiebreak].dataType
+    else:
+        tb = F.lit(0).cast("long")
+        tb_type = right.select(tb.alias("_tb")).schema["_tb"].dataType
 
     r2 = right.select(
         *on,
@@ -68,7 +77,7 @@ def asof_join(
         *on,
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
-        F.lit(0).cast("long").alias("_tb"),
+        F.lit(None).cast(tb_type).alias("_tb"),
         F.lit(None).cast(m_type).alias("_m"),
         lstruct.alias("_l"),
     )

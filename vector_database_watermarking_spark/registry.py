@@ -635,27 +635,29 @@ def ext_events_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipe_tvp_carriers",
     oracle="""
 SELECT CAST(gid AS INTEGER) AS group_id,
-       TRUE AS deficit_met, TRUE AS carriers_disagree, TRUE AS wm_bit_ok
+       TRUE AS deficit_met, TRUE AS embed_fixed_carriers, TRUE AS group_bit_decoded
 FROM range(5) t(gid)
 ORDER BY group_id
 """,
 )
 def pipe_tvp_carriers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C1 carrier-selection audit (``watermark_embedding_by_ai``,
+    """C1 carrier-selection + embed audit (``watermark_embedding_by_ai``,
     ``watermarking.py:275-342``).
 
     The compat classification (full-128-bit md5 group ids + binary
     expansion, ``watermarking.py:119-150``) lives in a pandas UDF no
     SQL engine can replay, so the raw carrier listing is not
-    oracle-checkable; what IS provable is the selection algebra around
-    it (F5 deficits ``watermarking.py:316-328`` + W1 two-tier select
-    ``:203-246``): per group the number of selected carriers equals the
-    capped deficit, every carrier disagrees with its group's target bit
-    pre-embed, and every carrier targets its group's watermark bit.
-    All three hold *iff* classification, deficit algebra and the
-    rank-threshold selection compose correctly, so the oracle pins one
-    all-TRUE row per group. Carrier-listing determinism itself is
-    pytest-covered (test_tvp round trips)."""
+    oracle-checkable; what IS provable — and falsifiable — is the
+    algebra composed around it: the selection takes exactly the capped
+    F5 deficit per group (``watermarking.py:316-328`` + W1
+    ``:203-246``), an independent post-embed re-classification agrees
+    with the target bit on exactly ``n_have + n_carriers`` rows (every
+    carrier flipped, nothing else disturbed), and each group's
+    majority decode equals its planted bit. Each check crosses the
+    embed/extract boundary or compares independently derived counts,
+    so none is true by construction; the oracle pins one all-TRUE row
+    per group. Carrier-listing determinism itself is pytest-covered
+    (test_tvp round trips)."""
     from .watermark.tvp import tvp_carrier_invariants
 
     emb = load_table(spark, sf_dir, "embeddings")

@@ -1115,7 +1115,7 @@ WITH b AS (
 codes AS (
   SELECT vec_id, embedding,
          list_transform(embedding,
-           x -> least(CAST(floor((CAST(x AS DOUBLE) - b.lo) / (b.hi - b.lo) * 256) AS INTEGER), 255)) AS c
+           x -> greatest(least(CAST(floor((CAST(x AS DOUBLE) - b.lo) / (b.hi - b.lo) * 256) AS INTEGER), 255), 0)) AS c
   FROM embeddings, b
 ),
 cand AS (

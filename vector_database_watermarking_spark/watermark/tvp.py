@@ -90,16 +90,18 @@ def classify_compat(emb: DataFrame, dims: list[int], L: int) -> DataFrame:
     ).drop("_c")
 
 
-def _avail_from_classified(cls: DataFrame, watermark: str, strength: float) -> DataFrame:
-    """F5 bit-deficit computation (``watermarking.py:316-328``) over an
-    already-classified DataFrame: attach the group's target bit,
-    compute how many carriers each group still needs, and keep only the
-    flippable rows. Classifier-agnostic (compat pandas-UDF tier or the
-    native parity tier feed the same deficit algebra)."""
+def _with_wm_bit(cls: DataFrame, watermark: str) -> DataFrame:
+    """Attach each row's group-target bit from the watermark string."""
     wm_arr = F.array(*[F.lit(int(b)) for b in watermark])
-    cls = cls.withColumn("wm_bit", F.element_at(wm_arr, F.col("group_id") + 1))
+    return cls.withColumn("wm_bit", F.element_at(wm_arr, F.col("group_id") + 1))
 
-    stats = cls.groupBy("group_id").agg(
+
+def _group_stats(cls_wm: DataFrame, strength: float) -> DataFrame:
+    """F5 deficit algebra (``watermarking.py:316-328``) per group:
+    (group_id, n_total, n_have, n_avail, deficit) with the deficit
+    capped at the available (disagreeing) rows. The single home of the
+    formula — selection and the carrier audit both consume it."""
+    stats = cls_wm.groupBy("group_id").agg(
         F.count(F.lit(1)).alias("n_total"),
         F.sum((F.col("hidden_bit") == F.col("wm_bit")).cast("int")).alias("n_have"),
     )
@@ -110,8 +112,17 @@ def _avail_from_classified(cls: DataFrame, watermark: str, strength: float) -> D
             F.ceil(F.lit(strength) * F.col("n_total")).cast("long") - F.col("n_have"),
         ),
     ).withColumn("n_avail", F.col("n_total") - F.col("n_have"))
-    stats = stats.withColumn("deficit", F.least(F.col("deficit"), F.col("n_avail")))
+    return stats.withColumn("deficit", F.least(F.col("deficit"), F.col("n_avail")))
 
+
+def _avail_from_classified(cls: DataFrame, watermark: str, strength: float) -> DataFrame:
+    """F5 bit-deficit computation (``watermarking.py:316-328``) over an
+    already-classified DataFrame: attach the group's target bit,
+    compute how many carriers each group still needs, and keep only the
+    flippable rows. Classifier-agnostic (compat pandas-UDF tier or the
+    native parity tier feed the same deficit algebra)."""
+    cls = _with_wm_bit(cls, watermark)
+    stats = _group_stats(cls, strength)
     return cls.filter(F.col("hidden_bit") != F.col("wm_bit")).join(
         F.broadcast(stats.select("group_id", "deficit", "n_avail")), on="group_id"
     )
@@ -274,72 +285,76 @@ def tvp_carrier_invariants(
     knn_k: int = 10,
 ) -> DataFrame:
     """Per-group invariant audit of the compat-tier TVP carrier
-    selection (C1, ``watermark_embedding_by_ai``,
+    selection and embedding (C1, ``watermark_embedding_by_ai``,
     ``watermarking.py:275-342``).
 
     The compat classification (full-128-bit md5 group ids + binary-
     expansion hidden bits) lives in a pandas UDF no SQL engine can
     replay, so the carrier *listing* is not oracle-checkable. What IS
-    provable is the selection algebra around it
-    (``watermarking.py:316-328`` F5 + ``:203-246`` W1): for every
-    group the number of selected carriers must equal the capped
-    deficit ``min(max(0, ceil(strength·n_total) − n_have), n_avail)``,
-    every carrier must disagree with its group's target bit before
-    embedding, and every carrier's target must be the watermark bit of
-    its group. Each check is TRUE by construction *iff* the
-    classification, deficit and two-tier rank-threshold selection
-    compose correctly — any drift in the UDF tier, the deficit algebra
-    or the window selection breaks the hash match.
+    provable — and falsifiable — is the algebra composed around it:
 
+    - ``deficit_met``: the selection takes exactly the capped deficit
+      ``min(max(0, ceil(strength·n_total) − n_have), n_avail)`` per
+      group (F5 ``watermarking.py:316-328`` + W1 ``:203-246``).
+    - ``embed_fixed_carriers``: after embedding, an independent
+      re-classification of the watermarked vectors agrees with the
+      target bit on exactly ``n_have + n_carriers`` rows — i.e. every
+      carrier flipped to its target and no non-carrier was disturbed.
+      Wrong carrier targeting, a drifted embed position, or an
+      extraction mismatch all break this equality.
+    - ``group_bit_decoded``: the post-embed majority decode of each
+      group equals its planted bit (guaranteed at strength > 0.5 when
+      everything composes; an off-by-one in group indexing flips it).
+
+    Each check crosses the embed/extract boundary or compares
+    independently-derived counts, so none is true by construction.
     Returns one row per group: ``(group_id, deficit_met,
-    carriers_disagree, wm_bit_ok)``.
+    embed_fixed_carriers, group_bit_decoded)``.
     """
     d = len(emb.select("embedding").head()[0])
     dims = key_dims(d, seed)
     L = len(watermark)
 
-    cls = classify_compat(emb, dims, L)
-    wm_arr = F.array(*[F.lit(int(b)) for b in watermark])
-    cls = cls.withColumn("wm_bit", F.element_at(wm_arr, F.col("group_id") + 1))
-    stats = cls.groupBy("group_id").agg(
-        F.count(F.lit(1)).alias("n_total"),
-        F.sum((F.col("hidden_bit") == F.col("wm_bit")).cast("int")).alias("n_have"),
-    )
-    deficit_raw = F.greatest(
-        F.lit(0),
-        F.ceil(F.lit(strength) * F.col("n_total")).cast("long") - F.col("n_have"),
-    )
-    stats = stats.withColumn("n_avail", F.col("n_total") - F.col("n_have")).withColumn(
-        "deficit", F.least(deficit_raw, F.col("n_avail"))
-    )
-
+    cls = _with_wm_bit(classify_compat(emb, dims, L), watermark)
+    stats = _group_stats(cls, strength)
     avail = cls.filter(F.col("hidden_bit") != F.col("wm_bit")).join(
         F.broadcast(stats.select("group_id", "deficit", "n_avail")), on="group_id"
     )
     edges = knn_edges(emb.select("vec_id", "embedding"), k=knn_k)
     ai = accessibility_index(edges, emb).select("vec_id", "ai")
-    carriers = _select_by_ai(avail.join(ai, on="vec_id"), th)
-
-    per_group = carriers.groupBy("group_id").agg(
-        F.count(F.lit(1)).alias("n_carriers"),
-        F.sum((F.col("hidden_bit") != F.col("wm_bit")).cast("int")).alias("n_disagree"),
-        F.sum(
-            (F.col("wm_bit") == F.element_at(wm_arr, F.col("group_id") + 1)).cast("int")
-        ).alias("n_target_ok"),
+    carriers = _select_by_ai(avail.join(ai, on="vec_id"), th).select(
+        "vec_id", "group_id", "wm_bit", "vid"
     )
-    audited = stats.join(per_group, on="group_id", how="left").select(
-        F.col("group_id"),
-        (F.coalesce(F.col("n_carriers"), F.lit(0)) == F.col("deficit")).alias(
-            "deficit_met"
+    n_car = carriers.groupBy("group_id").agg(F.count(F.lit(1)).alias("n_carriers"))
+
+    # embed for real, then re-classify the watermarked vectors — the
+    # audit's right-hand sides come from a second, independent pass
+    # through the extraction path
+    wm_df = _apply_embedding(emb, carriers, dims)
+    post = _with_wm_bit(classify_compat(wm_df, dims, L), watermark)
+    post_stats = post.groupBy("group_id").agg(
+        F.sum((F.col("hidden_bit") == F.col("wm_bit")).cast("int")).alias(
+            "n_have_post"
         ),
-        (
-            F.coalesce(F.col("n_disagree"), F.lit(0))
-            == F.coalesce(F.col("n_carriers"), F.lit(0))
-        ).alias("carriers_disagree"),
-        (
-            F.coalesce(F.col("n_target_ok"), F.lit(0))
-            == F.coalesce(F.col("n_carriers"), F.lit(0))
-        ).alias("wm_bit_ok"),
+        F.count(F.lit(1)).alias("n_total_post"),
+    )
+
+    audited = (
+        stats.join(n_car, on="group_id", how="left")
+        .join(post_stats, on="group_id")
+        .select(
+            "group_id",
+            (F.coalesce(F.col("n_carriers"), F.lit(0)) == F.col("deficit")).alias(
+                "deficit_met"
+            ),
+            (
+                F.col("n_have_post")
+                == F.col("n_have") + F.coalesce(F.col("n_carriers"), F.lit(0))
+            ).alias("embed_fixed_carriers"),
+            (F.col("n_have_post") * 2 > F.col("n_total_post")).alias(
+                "group_bit_decoded"
+            ),
+        )
     )
     return audited.orderBy("group_id")
 
