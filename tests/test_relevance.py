@@ -114,3 +114,28 @@ def test_stratified_sample_dict_quotas_mixing(spark, sf_dir):
     # map-side group-limit still applies with the literal bound
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_weighted_sample_bias_determinism_and_plan(spark, sf_dir):
+    from vector_database_watermarking_spark.operators.sampling import (
+        weighted_exact_sample,
+    )
+    from vector_database_watermarking_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    # plant extreme weights: 20 docs at 10^6, the rest at 1 — the
+    # heavy rows must dominate a 25-row draw
+    heavy = F.when(F.col("doc_id") < 20, F.lit(1_000_000.0)).otherwise(F.lit(1.0))
+    dfw = docs.withColumn("w", heavy)
+    out = weighted_exact_sample(dfw, n=25, weight_col="w", key_col="doc_id", seed=5)
+    got = {r["doc_id"] for r in out.collect()}
+    assert len(got) == 25
+    assert len([d for d in got if d < 20]) == 20  # every heavy row drawn
+    # deterministic under repartition
+    again = weighted_exact_sample(
+        dfw.repartition(13), n=25, weight_col="w", key_col="doc_id", seed=5
+    )
+    assert {r["doc_id"] for r in again.collect()} == got
+    # top-n compiles to TakeOrdered, not a global sort exchange
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

@@ -57,3 +57,35 @@ def stratified_exact_sample(
         .filter(bound & (F.col("_rn") <= quota))
         .drop("_rn")
     )
+
+
+def weighted_exact_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    key_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Exactly ``min(n, |df|)`` rows drawn without replacement with
+    probability proportional to ``weight_col`` (must be > 0) — the
+    Efraimidis–Spirakis A-ES scheme (Inf. Proc. Letters 2006): each
+    row gets key ``ln(u) / w`` for a per-row uniform ``u``, and the
+    top-n keys are the sample. ``u`` is a pure function of
+    (seed, row key), so the draw is deterministic,
+    partitioning-invariant, and replayable cross-engine.
+
+    The top-n is a TakeOrdered (per-partition heads + driver merge of
+    n-row heaps), never a full sort — scale-safe at any corpus size.
+    Temperature-style upweighting of high-quality sources is this
+    operator with ``w = quality**(1/T)``.
+    """
+    u = (
+        hash60(F.concat(F.lit(f"wsamp_{seed}_"), F.col(key_col).cast("string"))) + 1
+    ) / F.lit(float(1 << 60))
+    k = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.withColumn("_k", k)
+        .orderBy(F.col("_k").desc(), F.col(key_col))
+        .limit(n)
+        .drop("_k")
+    )

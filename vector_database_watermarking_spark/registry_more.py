@@ -1416,3 +1416,33 @@ def ext_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_exact_sample(
         docs, group_col="lang", n_per_group=_MIX_QUOTAS, key_col="doc_id", seed=7
     )
+
+
+@register(
+    "ext_weighted_sample",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         ln((CAST('0x' || substr(md5(concat('wsamp_11_', CAST(doc_id AS VARCHAR))), 1, 15) AS BIGINT) + 1)
+            / CAST(1152921504606846976 AS DOUBLE))
+         / CAST(n_chars AS DOUBLE) AS k
+  FROM documents
+)
+SELECT doc_id, lang, n_chars FROM keyed
+ORDER BY k DESC, doc_id LIMIT 60
+""",
+)
+def ext_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted exact-n sample (extension): 60 documents drawn with
+    probability proportional to length (Efraimidis–Spirakis A-ES,
+    ln(u)/w top-n) — the temperature-mixing primitive (upweight
+    high-quality or underrepresented sources by transforming the
+    weight). TakeOrdered top-n, never a full sort; the keyed-hash
+    uniform makes the draw deterministic and the oracle replays the
+    key arithmetic bit-for-bit."""
+    from .operators.sampling import weighted_exact_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return weighted_exact_sample(
+        docs, n=60, weight_col="n_chars", key_col="doc_id", seed=11
+    )
