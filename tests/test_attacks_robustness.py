@@ -125,3 +125,40 @@ def test_carrier_impact_tvp_embed(spark, sf_dir):
     # LSB surgery barely moves vectors: the index is nearly unchanged
     rate = stats.hit_rate(before, after, 10)
     assert rate > 0.95, rate
+
+
+def test_take_ranked_matches_global_window(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from vector_database_watermarking_spark.operators.attacks import (
+        _rank_key,
+        take_ranked,
+    )
+    from vector_database_watermarking_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    key = _rank_key(7, "trk")
+    for n in (0, 1, 37, 499, 10_000):
+        got = {r["vec_id"] for r in take_ranked(emb, n, key).collect()}
+        w = Window.orderBy(key, F.col("vec_id"))
+        want = {
+            r["vec_id"]
+            for r in emb.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= n)
+            .collect()
+        }
+        assert got == want, (n, len(got), len(want))
+    # descending over a continuous double key with ties
+    scored = emb.withColumn("s", (F.col("vec_id") % 17).cast("double"))
+    got = {
+        r["vec_id"]
+        for r in take_ranked(scored, 100, F.col("s"), descending=True).collect()
+    }
+    w = Window.orderBy(F.col("s").desc(), F.col("vec_id"))
+    want = {
+        r["vec_id"]
+        for r in scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 100)
+        .collect()
+    }
+    assert got == want

@@ -6,13 +6,14 @@ md5 hashes (SURVEY §4.2): the same attack on the same data gives the
 same result under any partitioning — and the DuckDB oracle can replay
 it, so even the "random" attacks are oracle-checkable.
 
-Scale notes: deletions are hash-ranked ``row_number`` windows (global
-order over a 60-bit key — at 100 TB switch the exact-n global sort for
-a quantile cut via ``approxQuantile`` on the hash key; same
-semantics to within sampling error). Modification rewrites arrays with
-a native ``transform`` — no UDF, no shuffle. Insertion derives
-per-dim stats with one posexplode aggregation and synthesizes rows
-JVM-side with Box-Muller over keyed hashes.
+Scale notes: every exact-n rank selection goes through
+:func:`take_ranked` — an ``approxQuantile`` threshold bracket plus a
+bounded tie-band window (never a global single-task sort), with exact
+``(key, vec_id)`` order guaranteed by runtime-checked rank bounds.
+Modification rewrites arrays with a native ``transform`` — no UDF, no
+shuffle. Insertion derives per-dim stats with one posexplode
+aggregation and synthesizes rows JVM-side with Box-Muller over keyed
+hashes.
 """
 
 from __future__ import annotations
@@ -29,6 +30,78 @@ def _rank_key(seed: int, tag: str) -> Column:
     return hash60(F.concat_ws("_", F.lit(str(seed)), F.lit(tag), F.col("vec_id")))
 
 
+def take_ranked(
+    df: DataFrame,
+    n: int,
+    key: Column,
+    *,
+    descending: bool = False,
+    tie_col: str = "vec_id",
+) -> DataFrame:
+    """Exactly the first ``n`` rows of ``df`` in ``(key, tie_col)``
+    order (``row_number() <= n`` semantics) WITHOUT a global
+    single-task sort.
+
+    Scale shape (the same threshold-plus-tie-band idea as
+    ``graph.hidden_nodes``, generalized to continuous keys): an
+    ``approxQuantile`` probe brackets the n-th key between two
+    thresholds whose rank error is provably inside the pad, rows
+    strictly below the lower threshold pass a plain parallel filter,
+    and only the bracket band — O(relative-error · N), capped ~10⁵
+    rows — goes through a row_number window to resolve the last slots.
+    The quantile guarantee is re-checked against exact counts at
+    runtime; if it ever fails (pathological key distribution) the
+    global-window path runs instead, so results are always exact
+    ``(key, tie)`` order regardless.
+
+    Ordering inside the band uses the ORIGINAL key (long hashes lose
+    precision past 2⁵³ as doubles; the double cast is only used for
+    the coarse threshold filters, which strict comparisons keep
+    consistent with the exact order).
+    """
+    out_cols = list(df.columns)
+    if n <= 0:
+        return df.filter(F.lit(False))
+    akey = (-key) if descending else key
+    tagged = (
+        df.withColumn("_ak", akey)
+        .withColumn("_akd", F.col("_ak").cast("double"))
+        .persist()
+    )
+    total = tagged.count()
+    if n >= total:
+        return tagged.select(*out_cols)
+    w_all = Window.orderBy("_ak", F.col(tie_col))
+    eps = max(1e-6, min(1e-3, 50_000.0 / total))
+    pad = max(3.0 * eps * total, 2.0)
+    q_lo = max(0.0, (n - pad) / total)
+    q_hi = min(1.0, (n + pad) / total)
+    t_lo, t_hi = tagged.stat.approxQuantile("_akd", [q_lo, q_hi], eps)
+    sure = tagged.filter(F.col("_akd") < t_lo)
+    c_sure = sure.count()
+    if c_sure > n:  # quantile guarantee violated — exact fallback
+        return (
+            tagged.withColumn("_rn", F.row_number().over(w_all))
+            .filter(F.col("_rn") <= n)
+            .select(*out_cols)
+        )
+    quota = n - c_sure
+    if quota == 0:
+        return sure.select(*out_cols)
+    band = tagged.filter((F.col("_akd") >= t_lo) & (F.col("_akd") <= t_hi))
+    if band.count() < quota:  # high-side guarantee violated — fallback
+        return (
+            tagged.withColumn("_rn", F.row_number().over(w_all))
+            .filter(F.col("_rn") <= n)
+            .select(*out_cols)
+        )
+    picked = (
+        band.withColumn("_rn", F.row_number().over(w_all))
+        .filter(F.col("_rn") <= quota)
+    )
+    return sure.select(*out_cols).unionByName(picked.select(*out_cols))
+
+
 def _uniform01(*cols: Column) -> Column:
     """U(0,1) from a keyed hash — pure, partitioning-invariant."""
     return (hash60(F.concat_ws("_", *cols)) + F.lit(1).cast("double")) / F.lit(
@@ -43,12 +116,7 @@ def random_delete(emb: DataFrame, p: float, seed: int = 42) -> DataFrame:
     keep-count semantics)."""
     n = emb.count()
     keep = n - int(math.ceil(n * p))
-    w = Window.orderBy(_rank_key(seed, "dele"), F.col("vec_id"))
-    return (
-        emb.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= keep)
-        .drop("_rn")
-    )
+    return take_ranked(emb, keep, _rank_key(seed, "dele"))
 
 
 def adaptive_delete(emb: DataFrame, ai: DataFrame, p: float) -> DataFrame:
@@ -58,10 +126,8 @@ def adaptive_delete(emb: DataFrame, ai: DataFrame, p: float) -> DataFrame:
     carriers). ``ai`` is ``(vec_id, ai)``."""
     n = emb.count()
     remove = int(math.ceil(n * p))
-    w = Window.orderBy(F.col("ai").desc(), F.col("vec_id"))
-    ranked = ai.withColumn("_rn", F.row_number().over(w))
-    keep_ids = ranked.filter(F.col("_rn") > remove).select("vec_id")
-    return emb.join(keep_ids, on="vec_id", how="left_semi")
+    removed = take_ranked(ai, remove, F.col("ai"), descending=True).select("vec_id")
+    return emb.join(removed, on="vec_id", how="left_anti")
 
 
 def random_modify(
@@ -91,7 +157,9 @@ def random_modify(
         lo = float(stats["lo"]) if lo is None else lo
         hi = float(stats["hi"]) if hi is None else hi
 
-    w = Window.orderBy(_rank_key(seed, "modi"), F.col("vec_id"))
+    targets = take_ranked(
+        emb.select("vec_id"), modify, _rank_key(seed, "modi")
+    ).withColumn("_hit", F.lit(1))
     d = F.size("embedding")
     offset = (hash60(F.concat_ws("_", F.lit(str(seed)), F.lit("off"), F.col("vec_id"))) % d).cast("int")
     new_val = (
@@ -107,14 +175,14 @@ def random_modify(
         ).otherwise(x),
     )
     return (
-        emb.withColumn("_rn", F.row_number().over(w))
+        emb.join(targets, on="vec_id", how="left")
         .withColumn("_off", offset)
         .withColumn("_nv", new_val)
         .withColumn(
             "embedding",
-            F.when(F.col("_rn") <= modify, modified).otherwise(F.col("embedding")),
+            F.when(F.col("_hit").isNotNull(), modified).otherwise(F.col("embedding")),
         )
-        .drop("_rn", "_off", "_nv")
+        .drop("_hit", "_off", "_nv")
     )
 
 
@@ -125,12 +193,9 @@ def modify_targets(emb: DataFrame, p: float, seed: int = 42) -> DataFrame:
     lockstep with ``random_modify``'s ranking key."""
     n = emb.count()
     modify = int(math.ceil(n * p))
-    w = Window.orderBy(_rank_key(seed, "modi"), F.col("vec_id"))
-    return (
-        emb.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= modify)
-        .select("vec_id")
-    )
+    return take_ranked(
+        emb.select("vec_id"), modify, _rank_key(seed, "modi")
+    ).select("vec_id")
 
 
 def adaptive_modify(
@@ -144,12 +209,7 @@ def adaptive_modify(
     same array rewrite, targets = top ``ceil(n·p)`` rows by AI."""
     n = emb.count()
     modify = int(math.ceil(n * p))
-    w = Window.orderBy(F.col("ai").desc(), F.col("vec_id"))
-    targets = (
-        ai.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= modify)
-        .select("vec_id")
-    )
+    targets = take_ranked(ai, modify, F.col("ai"), descending=True).select("vec_id")
     stats = (
         emb.select(F.explode("embedding").alias("v"))
         .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
