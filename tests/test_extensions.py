@@ -376,3 +376,52 @@ def test_repetition_no_shuffle_plan(spark, sf_dir):
 def test_pii_no_shuffle_plan(spark, sf_dir):
     plan = text.pii_features(docs(spark, sf_dir))._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_streaming_curation_dedup_and_gates(spark, sf_dir, tmp_path):
+    import datetime as dt
+
+    from vector_database_watermarking_spark.streaming.curation import curate_stream
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    good = "the quick brown fox jumps over the lazy dog and that is fine"
+    batch1 = [
+        (1, good, "en", t0),
+        (2, "spam spam spam spam spam spam spam spam", "en", t0),  # degenerate
+        (3, "a solid piece of text that is long enough to pass the gate and "
+            "contains the usual mix of common words in a sentence", "en", t0),
+    ]
+    batch2 = [
+        (4, good, "en", t0 + dt.timedelta(minutes=5)),  # exact dup of doc 1
+        (5, "another reasonable document with the normal spread of words that "
+            "is in no way repetitive or degenerate", "en", t0 + dt.timedelta(minutes=5)),
+    ]
+    schema = "doc_id long, text string, lang string, ts timestamp"
+    src = str(tmp_path / "docs_stream")
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    curated = curate_stream(stream, watermark="1 hour", min_quality=0.4,
+                            max_top_unigram=0.6)
+    q = (
+        curated.writeStream.format("memory")
+        .queryName("curated_docs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = {r["doc_id"]: r for r in spark.sql("select * from curated_docs").collect()}
+
+    assert 2 not in rows  # repetition gate (top unigram 8/8)
+    assert 4 not in rows or 1 not in rows  # content dedup keeps one copy
+    assert 3 in rows and 5 in rows  # clean docs survive
+    survivors = set(rows)
+    assert len(survivors & {1, 4}) == 1
+    # features present and sane on a survivor
+    r = rows[3]
+    assert r["n_tokens"] > 10 and 0 <= r["quality_score"] <= 1
+    assert r["top_unigram_frac"] <= 0.6

@@ -228,7 +228,10 @@ def _max_sorted_run(sorted_arr: Column) -> Column:
 
 
 def repetition_features(
-    docs: DataFrame, text_col: str = "text", toks: Column | None = None
+    docs: DataFrame,
+    text_col: str = "text",
+    toks: Column | None = None,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Gopher-style repetition signals per document (Rae et al. 2021
     §A1.1, public quality-filter heuristics): distinct-token ratio,
@@ -243,7 +246,7 @@ def repetition_features(
     only, so the plan is a bare scan+project at any corpus size.
     """
     toks = tokens(text_col) if toks is None else toks
-    out = docs.select("doc_id", toks.alias("_toks"))
+    out = docs.select("doc_id", *keep, toks.alias("_toks"))
     n = F.size(F.col("_toks"))
     # adjacent-pair zip via two offset slices; slice-length 0 (one- or
     # zero-token doc) yields empty arrays, unlike sequence(1, n-1),
@@ -257,6 +260,7 @@ def repetition_features(
     n_bi = F.size(bigrams)
     return out.select(
         "doc_id",
+        *keep,
         n.alias("n_tokens"),
         F.round(F.size(F.array_distinct("_toks")) / n, 6).alias("distinct_ratio"),
         F.round(_max_sorted_run(F.array_sort("_toks")) / n, 6).alias(
