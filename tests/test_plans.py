@@ -123,3 +123,19 @@ def test_range_join_is_banded_equi_join(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
     assert "HashJoin" in plan, plan
+
+
+def test_curation_query_plan_shapes(spark):
+    """The curation window queries keep their scale-designed shapes:
+    deciles = ONE exchange (lang partitioning reused by the final
+    agg), mixing = map-side WindowGroupLimit, weighted sample =
+    shuffle-free TakeOrdered."""
+    from vector_database_watermarking_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    p = plan_of(QUERIES["ext_quality_deciles"].fn(spark, sf))
+    assert p.count("Exchange") == 1, p
+    p = plan_of(QUERIES["ext_source_mix"].fn(spark, sf))
+    assert "WindowGroupLimit" in p and p.count("Exchange") == 1, p
+    p = plan_of(QUERIES["ext_weighted_sample"].fn(spark, sf))
+    assert "TakeOrderedAndProject" in p and "Exchange" not in p, p
