@@ -78,3 +78,32 @@ def test_bucketed_results_match_unbucketed(spark, sf_dir, bucketed_tables):
 
     edges = knn_edges(emb, k=5).withColumnRenamed("src", "vec_id")
     assert bucketed == edges.join(emb, on="vec_id").count()
+
+
+def test_salted_join_matches_plain_join_under_skew(spark, sf_dir):
+    from vector_database_watermarking_spark.operators.skew import salted_join
+    from vector_database_watermarking_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    # plant heavy skew: fold 60% of rows onto one hot user
+    skewed = ev.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 10 < 6, F.lit(7)).otherwise(F.col("user_id")),
+    )
+    dim = (
+        skewed.select("user_id").distinct().withColumn("tier", F.col("user_id") % 3)
+    )
+    plain = skewed.join(dim, on="user_id", how="inner")
+    salted = salted_join(skewed, dim, on="user_id", n_salt=8)
+    assert salted.count() == plain.count()
+    a = {tuple(r) for r in plain.select("event_id", "user_id", "tier").collect()}
+    b = {tuple(r) for r in salted.select("event_id", "user_id", "tier").collect()}
+    assert a == b
+    # left join keeps unmatched fact rows exactly once
+    dim_partial = dim.filter(F.col("user_id") != 7)
+    pl = skewed.join(dim_partial, on="user_id", how="left")
+    sl = salted_join(skewed, dim_partial, on="user_id", n_salt=8, how="left")
+    assert sl.count() == pl.count()
+    assert sl.filter(F.col("tier").isNull()).count() == pl.filter(
+        F.col("tier").isNull()
+    ).count()
