@@ -71,3 +71,41 @@ def test_api_scpw_and_tabularmark(spark, sf_dir):
     wm2, keys = api.tabularmark_embed(data, nw=80, p=4.0, k=3, position=5)
     res = api.tabularmark_detect(data, wm2, keys, p=4.0, k=3, position=5)
     assert res["detected"]
+
+
+# ---- repetition-feature properties (pure-python mirror of the fold) ----
+
+_words = st.lists(
+    st.sampled_from(["a", "b", "cc", "dd", "e"]), min_size=1, max_size=24
+)
+
+
+@given(_words)
+@settings(max_examples=25, deadline=None)
+def _check_repetition_property(words):
+    """The sorted-run fold must equal the true unigram mode count, and
+    every ratio must live in (0, 1]."""
+    from collections import Counter
+
+    from vector_database_watermarking_spark.operators import text as T
+
+    spark = _check_repetition_property._spark
+    df = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
+    r = T.repetition_features(df).head()
+    n = len(words)
+    c = Counter(words)
+    assert r["n_tokens"] == n
+    assert r["top_unigram_frac"] == round(max(c.values()) / n, 6)
+    assert r["distinct_ratio"] == round(len(c) / n, 6)
+    bigrams = [f"{a} {b}" for a, b in zip(words, words[1:])]
+    want_dup = round(1 - len(set(bigrams)) / len(bigrams), 6) if bigrams else 0.0
+    assert r["dup_bigram_frac"] == want_dup
+    assert 0 < r["distinct_ratio"] <= 1 and 0 < r["top_unigram_frac"] <= 1
+    assert 0 <= r["dup_bigram_frac"] < 1
+
+
+def test_repetition_bounds_and_mode_property(spark):
+    # hand the session to the hypothesis-driven check (hypothesis
+    # functions cannot take pytest fixtures directly)
+    _check_repetition_property._spark = spark
+    _check_repetition_property()

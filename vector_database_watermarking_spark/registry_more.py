@@ -1446,3 +1446,35 @@ def ext_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_exact_sample(
         docs, n=60, weight_col="n_chars", key_col="doc_id", seed=11
     )
+
+
+@register(
+    "rel_salted_join",
+    oracle="""
+SELECT o.o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS total
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_custkey
+""",
+)
+def rel_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact-dim join (extension): same result as the plain
+    equi-join — the oracle IS the plain join — but hot fact keys
+    scatter over 8 salt sub-keys, the skew shape AQE's runtime split
+    can't always fix (see ``operators.skew``). Registered past the
+    grading window as the locally-checked demonstration that salting
+    is semantics-preserving."""
+    from .operators.skew import salted_join
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    j = salted_join(o, c, on="o_custkey", n_salt=8)
+    return j.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
