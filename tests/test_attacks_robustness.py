@@ -162,3 +162,37 @@ def test_take_ranked_matches_global_window(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_take_ranked_null_keys_rank_last(spark):
+    from pyspark.sql import Window
+
+    from vector_database_watermarking_spark.operators.attacks import take_ranked
+
+    rows = [(i, float(i % 5) if i % 3 else None) for i in range(200)]
+    df = spark.createDataFrame(rows, ["vec_id", "score"])
+    # nulls must never be selected while scored rows remain
+    got = take_ranked(df, 50, F.col("score"), descending=True)
+    assert got.filter(F.col("score").isNull()).count() == 0
+    w = Window.orderBy(F.col("score").desc(), F.col("vec_id"))
+    want = {
+        r["vec_id"]
+        for r in df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 50)
+        .collect()
+    }
+    assert {r["vec_id"] for r in got.collect()} == want
+    # n beyond the non-null population: nulls fill the tail in tie order
+    got2 = take_ranked(df, 150, F.col("score"), descending=True)
+    want2 = {
+        r["vec_id"]
+        for r in df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 150)
+        .collect()
+    }
+    assert {r["vec_id"] for r in got2.collect()} == want2
+    # all-null keys must not crash
+    allnull = spark.createDataFrame(
+        [(i, None) for i in range(20)], "vec_id long, score double"
+    )
+    assert take_ranked(allnull, 5, F.col("score"), descending=True).count() == 5

@@ -125,14 +125,14 @@ def test_range_join_is_banded_equi_join(spark, sf_dir):
     assert "HashJoin" in plan, plan
 
 
-def test_curation_query_plan_shapes(spark):
+def test_curation_query_plan_shapes(spark, sf_dir):
     """The curation window queries keep their scale-designed shapes:
     deciles = ONE exchange (lang partitioning reused by the final
     agg), mixing = map-side WindowGroupLimit, weighted sample =
     shuffle-free TakeOrdered."""
     from vector_database_watermarking_spark.registry import QUERIES
 
-    sf = "/root/testdata/sf0.001"
+    sf = sf_dir
     p = plan_of(QUERIES["ext_quality_deciles"].fn(spark, sf))
     assert p.count("Exchange") == 1, p
     p = plan_of(QUERIES["ext_source_mix"].fn(spark, sf))

@@ -39,20 +39,23 @@ def take_ranked(
     tie_col: str = "vec_id",
 ) -> DataFrame:
     """Exactly the first ``n`` rows of ``df`` in ``(key, tie_col)``
-    order (``row_number() <= n`` semantics) WITHOUT a global
-    single-task sort.
+    order (``row_number() <= n`` semantics, NULL keys ranking last —
+    matching ``Window.orderBy(key.desc())``'s nulls-last placement the
+    adaptive attacks relied on) WITHOUT a global single-task sort.
 
     Scale shape (the same threshold-plus-tie-band idea as
     ``graph.hidden_nodes``, generalized to continuous keys): an
-    ``approxQuantile`` probe brackets the n-th key between two
-    thresholds whose rank error is provably inside the pad, rows
-    strictly below the lower threshold pass a plain parallel filter,
-    and only the bracket band — O(relative-error · N), capped ~10⁵
-    rows — goes through a row_number window to resolve the last slots.
-    The quantile guarantee is re-checked against exact counts at
-    runtime; if it ever fails (pathological key distribution) the
-    global-window path runs instead, so results are always exact
-    ``(key, tie)`` order regardless.
+    ``approxQuantile`` probe over a SLIM (key, tie) projection
+    brackets the n-th key between two thresholds whose rank error is
+    provably inside the pad — only driver scalars survive the probe
+    (the full relation is never persisted). Rows strictly below the
+    lower threshold pass a plain parallel filter, and only the
+    bracket band — O(relative-error · N), capped ~10⁵ rows — goes
+    through a row_number window to resolve the last slots. The
+    quantile guarantee is re-checked against exact counts at runtime;
+    if it ever fails (pathological key distribution) a global-window
+    path runs instead, so results are always exact ``(key, tie)``
+    order regardless.
 
     Ordering inside the band uses the ORIGINAL key (long hashes lose
     precision past 2⁵³ as doubles; the double cast is only used for
@@ -63,38 +66,53 @@ def take_ranked(
     if n <= 0:
         return df.filter(F.lit(False))
     akey = (-key) if descending else key
-    tagged = (
-        df.withColumn("_ak", akey)
-        .withColumn("_akd", F.col("_ak").cast("double"))
-        .persist()
-    )
-    total = tagged.count()
-    if n >= total:
-        return tagged.select(*out_cols)
-    w_all = Window.orderBy("_ak", F.col(tie_col))
-    eps = max(1e-6, min(1e-3, 50_000.0 / total))
-    pad = max(3.0 * eps * total, 2.0)
-    q_lo = max(0.0, (n - pad) / total)
-    q_hi = min(1.0, (n + pad) / total)
-    t_lo, t_hi = tagged.stat.approxQuantile("_akd", [q_lo, q_hi], eps)
-    sure = tagged.filter(F.col("_akd") < t_lo)
-    c_sure = sure.count()
-    if c_sure > n:  # quantile guarantee violated — exact fallback
+    akd = akey.cast("double")
+    w_all = Window.orderBy(F.asc_nulls_last(akey), F.col(tie_col))
+
+    def _fallback() -> DataFrame:
         return (
-            tagged.withColumn("_rn", F.row_number().over(w_all))
+            df.withColumn("_rn", F.row_number().over(w_all))
             .filter(F.col("_rn") <= n)
             .select(*out_cols)
         )
-    quota = n - c_sure
+
+    # probe on a slim projection: per-row cost is ~16 bytes, persisted
+    # only for the four scalar actions below, then released — the full
+    # relation (embeddings!) is never cached by this helper
+    probe = df.select(akd.alias("_akd"), F.col(tie_col)).persist()
+    try:
+        total = probe.count()
+        if n >= total:
+            return df
+        n_null = probe.filter(F.col("_akd").isNull()).count()
+        nn = total - n_null
+        if n >= nn:
+            # every non-null row selected; the remainder comes from the
+            # null-key tail in tie order (rare; bounded by null count)
+            return _fallback()
+        eps = max(1e-6, min(1e-3, 50_000.0 / nn))
+        pad = max(3.0 * eps * nn, 2.0)
+        q_lo = max(0.0, (n - pad) / nn)
+        q_hi = min(1.0, (n + pad) / nn)
+        # approxQuantile ignores nulls, so ranks are within the
+        # non-null population — consistent with nulls-last ordering
+        t_lo, t_hi = probe.stat.approxQuantile("_akd", [q_lo, q_hi], eps)
+        c_sure = probe.filter(F.col("_akd") < t_lo).count()
+        if c_sure > n:  # low-side guarantee violated
+            return _fallback()
+        quota = n - c_sure
+        c_band = probe.filter(
+            (F.col("_akd") >= t_lo) & (F.col("_akd") <= t_hi)
+        ).count()
+        if c_band < quota:  # high-side guarantee violated
+            return _fallback()
+    finally:
+        probe.unpersist()
+
+    sure = df.filter(akd < t_lo)
     if quota == 0:
         return sure.select(*out_cols)
-    band = tagged.filter((F.col("_akd") >= t_lo) & (F.col("_akd") <= t_hi))
-    if band.count() < quota:  # high-side guarantee violated — fallback
-        return (
-            tagged.withColumn("_rn", F.row_number().over(w_all))
-            .filter(F.col("_rn") <= n)
-            .select(*out_cols)
-        )
+    band = df.filter((akd >= t_lo) & (akd <= t_hi))
     picked = (
         band.withColumn("_rn", F.row_number().over(w_all))
         .filter(F.col("_rn") <= quota)
@@ -123,7 +141,12 @@ def adaptive_delete(emb: DataFrame, ai: DataFrame, p: float) -> DataFrame:
     """W2 adaptive deletion (``adaptive_dele``,
     ``watermarking.py:430-443``): drop the top ``ceil(n·p)`` rows by
     accessibility index (the attacker removes the most likely
-    carriers). ``ai`` is ``(vec_id, ai)``."""
+    carriers). ``ai`` is ``(vec_id, ai)``.
+
+    Rows of ``emb`` with no ``ai`` entry (an AI snapshot older than an
+    insertion attack, say) are KEPT — the attacker can't rank what it
+    has no score for. NULL AI scores rank last (never removed while
+    scored rows remain), matching the desc-nulls-last window order."""
     n = emb.count()
     remove = int(math.ceil(n * p))
     removed = take_ranked(ai, remove, F.col("ai"), descending=True).select("vec_id")

@@ -546,13 +546,24 @@ def _ivf_rank_candidates(routed: DataFrame, assigned: DataFrame, k: int) -> Data
 # scan arithmetic is integer, and only the rerank touches floats).
 
 
-def sq_bounds(emb: DataFrame, emb_col: str = "embedding") -> tuple[float, float]:
+def sq_bounds(
+    emb: DataFrame, emb_col: str = "embedding", with_count: bool = False
+) -> tuple[float, float] | tuple[float, float, int]:
     """Global quantization bounds: min/max over every dimension of
-    every vector (one scan, two scalars — the entire 'codebook')."""
-    row = emb.agg(
+    every vector (one scan, two scalars — the entire 'codebook').
+    ``with_count=True`` folds the row count into the same aggregation
+    job (the single home of these expressions — ``sq_topk``'s fused
+    bounds+count probe and the tests both call here, so the oracle's
+    replay can never drift from a second copy)."""
+    aggs = [
         F.min(F.array_min(F.col(emb_col).cast("array<double>"))).alias("lo"),
         F.max(F.array_max(F.col(emb_col).cast("array<double>"))).alias("hi"),
-    ).head()
+    ]
+    if with_count:
+        aggs.append(F.count(F.lit(1)).alias("n"))
+    row = emb.agg(*aggs).head()
+    if with_count:
+        return float(row["lo"]), float(row["hi"]), int(row["n"])
     return float(row["lo"]), float(row["hi"])
 
 
@@ -613,14 +624,9 @@ def sq_topk(
 
     # bounds + count in ONE aggregation job — the hot path scans the
     # base once here and once in the candidate stage, not three times
-    row = base.agg(
-        F.min(F.array_min(F.col("embedding").cast("array<double>"))).alias("lo"),
-        F.max(F.array_max(F.col("embedding").cast("array<double>"))).alias("hi"),
-        F.count(F.lit(1)).alias("n"),
-    ).head()
-    lo, hi = float(row["lo"]), float(row["hi"])
+    lo, hi, cnt = sq_bounds(base, with_count=True)
     if n_base is None:
-        n_base = row["n"]
+        n_base = cnt
     cap = 4 * MAX_BROADCAST_ROWS
     if n_base <= cap:
         cands = _sq_candidates_broadcast(queries, base, lo, hi, refine, exclude_self)

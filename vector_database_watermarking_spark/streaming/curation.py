@@ -39,21 +39,32 @@ def curate_stream(
     cover the source's out-of-order horizon (see
     :mod:`streaming.dedup` on replay/backfill pitfalls).
     """
+    from ..operators.text import tokens
+
+    # tokenize ONCE, before the stateful dedup: the dedup operator is
+    # a projection barrier, so the ~10 downstream feature expressions
+    # consume the materialized token array instead of each re-running
+    # the split (the measured 6x lang-ID pitfall; see
+    # operators.text.materialized_tokens)
     keyed = docs.select(
         "doc_id",
         *keep,
         ts_col,
         "text",
+        tokens("text").alias("toks0"),
         hash60(normalize_text("text")).alias("content_key"),
     )
     deduped = keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["content_key"]
     )
     rep = repetition_features(
-        deduped, keep=(*keep, ts_col, "content_key", "text")
+        deduped,
+        toks=F.col("toks0"),
+        keep=(*keep, ts_col, "content_key", "text", "toks0"),
     )
     qf = quality_features(
         rep,
+        toks=F.col("toks0"),
         keep=(
             *keep,
             ts_col,
