@@ -425,3 +425,86 @@ def test_streaming_curation_dedup_and_gates(spark, sf_dir, tmp_path):
     r = rows[3]
     assert r["n_tokens"] > 10 and 0 <= r["quality_score"] <= 1
     assert r["top_unigram_frac"] <= 0.6
+
+
+def test_near_dup_clusters_planted_transitive(spark):
+    """A≈B and B≈C (but A,C further apart) must land in ONE cluster —
+    the transitivity the pair list alone can't express — with the
+    smallest id canonical; unrelated docs stay singletons."""
+    base = "the quick brown fox jumps over the lazy dog near the old river bank every sunny morning"
+    rows = [
+        (1, base),
+        (2, base + " indeed"),                       # ≈ 1
+        (3, base + " indeed truly"),                 # ≈ 2 (and 1, transitively)
+        (10, "completely different content about spark catalyst optimizer plans and shuffles today"),
+        (11, "yet another unrelated document discussing duckdb oracle parity and hashing"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in dedup.near_dup_clusters(df, threshold=0.5).collect()}
+    assert len(out) == 5  # one row per input doc
+    assert out[1]["cluster_id"] == out[2]["cluster_id"] == out[3]["cluster_id"] == 1
+    assert out[1]["cluster_size"] == 3
+    assert out[1]["is_canonical"] and not out[2]["is_canonical"] and not out[3]["is_canonical"]
+    for d_id in (10, 11):
+        assert out[d_id]["cluster_id"] == d_id
+        assert out[d_id]["cluster_size"] == 1
+        assert out[d_id]["is_canonical"]
+
+
+def test_near_dup_clusters_quality_policy(spark):
+    """With a quality relation, the canonical copy is the highest-
+    quality cluster member, not the smallest id."""
+    base = "the quick brown fox jumps over the lazy dog near the old river bank every sunny morning"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " indeed"), (9, "something else entirely about benchmarks and joins")],
+        ["doc_id", "text"],
+    )
+    quality = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (9, 0.5)], ["doc_id", "quality"]
+    )
+    out = {r["doc_id"]: r for r in dedup.near_dup_clusters(df, threshold=0.5, quality=quality).collect()}
+    assert not out[1]["is_canonical"] and out[2]["is_canonical"]
+    assert out[9]["is_canonical"]
+    assert out[1]["cluster_id"] == out[2]["cluster_id"] == 1
+
+
+def test_pack_sequences_layout_invariants(spark):
+    """Per-shard token streams are contiguous (each doc starts where
+    the previous ended), chunk arithmetic is consistent, and the
+    assignment is invariant to input partitioning."""
+    from vector_database_watermarking_spark.operators import packing
+
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(5 + (i * 7) % 23))) for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    seq_len = 16
+    out = packing.pack_sequences(df, seq_len=seq_len, n_shards=4, seed=7).collect()
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert len(out) == 60
+    for shard, docs_ in by_shard.items():
+        docs_.sort(key=lambda r: r["start_tok"])
+        pos = 0
+        for r in docs_:
+            assert r["start_tok"] == pos  # contiguous stream
+            assert r["begin_seq"] == pos // seq_len
+            assert r["end_seq"] == (pos + r["n_tokens"] - 1) // seq_len
+            assert r["offset_in_seq"] == pos % seq_len
+            pos += r["n_tokens"]
+    # partitioning-invariance: same assignment from a repartitioned input
+    again = packing.pack_sequences(df.repartition(7), seq_len=seq_len, n_shards=4, seed=7).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_packing_stats_fill_ratio(spark):
+    from vector_database_watermarking_spark.operators import packing
+
+    rows = [(i, " ".join(f"w{j}" for j in range(10))) for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    packed = packing.pack_sequences(df, seq_len=32, n_shards=2, seed=7)
+    stats = {r["shard"]: r for r in packing.packing_stats(packed, seq_len=32).collect()}
+    assert sum(r["n_docs"] for r in stats.values()) == 40
+    for r in stats.values():
+        assert 0 < r["fill_ratio"] <= 1.0
+        # fill ratio is exactly tokens / (seqs * seq_len)
+        assert r["fill_ratio"] == round(r["n_tokens"] / (r["n_seqs"] * 32), 6)

@@ -139,3 +139,15 @@ def test_curation_query_plan_shapes(spark, sf_dir):
     assert "WindowGroupLimit" in p and p.count("Exchange") == 1, p
     p = plan_of(QUERIES["ext_weighted_sample"].fn(spark, sf))
     assert "TakeOrderedAndProject" in p and "Exchange" not in p, p
+
+
+def test_pack_sequences_no_global_window(spark, sf_dir):
+    """Sequence packing must run its running sums in per-shard windows
+    — no SinglePartition exchange (the global-window scale-killer) —
+    and shuffle exactly once, on the shard key."""
+    from vector_database_watermarking_spark.operators.packing import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents")
+    plan = plan_of(pack_sequences(d, seq_len=512, n_shards=8))
+    assert "SinglePartition" not in plan, plan
+    assert plan.count("Exchange") == 1, plan

@@ -324,3 +324,100 @@ def ngram_jaccard_near_dups(
     return _jaccard_from_inter(inter, sizes, threshold).select(
         "doc1", "doc2", "jaccard"
     )
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    n: int = 3,
+    quality: DataFrame | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Fuzzy-dedup canonicalization: MinHash-LSH near-dup pairs →
+    connected components → one canonical document per cluster.
+
+    The pair list alone doesn't dedup a corpus — near-duplication is
+    transitive in practice (A≈B, B≈C) and a cluster of m copies yields
+    up to m(m−1)/2 pairs, so production pipelines collapse the pair
+    graph to components and keep one representative per component.
+    This operator is that last mile: candidate pairs from the banded
+    LSH join (never all-pairs), exact-Jaccard verification, then the
+    same label-propagation fixpoint the kNN graph uses
+    (``graph.connected_components`` — min reachable id per component).
+
+    Canonical policy: by default the smallest ``doc_id`` per cluster
+    (= the component label itself); pass ``quality`` as a
+    ``(doc_id, quality)`` DataFrame to keep the highest-quality copy
+    instead (ties broken by smallest id) — the "keep best, not first"
+    rule corpus curation wants.
+
+    Output: (doc_id, cluster_id, cluster_size, is_canonical) — one row
+    per input document; singletons form their own cluster. Filtering
+    ``is_canonical`` yields the deduplicated corpus; keeping all rows
+    yields the membership map (for provenance / repeated-content
+    weighting a la SemDeDup).
+
+    Scale shape: pair volume is output-bound (banded join + verify);
+    the components loop runs ONLY over edge-incident documents — the
+    near-dup fraction of the corpus, typically well under 1% — so the
+    iterative label table is tiny at any corpus size; singletons are
+    restored afterwards by a left join with ``coalesce(cluster_id,
+    doc_id)`` (label propagation would have left their own id
+    untouched, so the output is identical). The final size/canonical
+    joins shuffle on cluster id. Nothing is ever collected.
+    """
+    from .graph import connected_components
+
+    sh = word_shingles(docs, n=n, text_col=text_col).persist()
+    sig = minhash_signatures(sh, num_hashes=num_hashes)
+    bands = lsh_bands(sig, rows_per_band=rows_per_band, num_hashes=num_hashes)
+    cand = lsh_candidate_pairs(bands)
+    pairs = jaccard_verify(cand, sh, threshold=threshold)
+    # verified pairs are distinct with doc1 < doc2, so adding the
+    # reverses yields a symmetric, duplicate-free edge set without the
+    # symmetrizing distinct shuffle inside connected_components
+    half = pairs.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
+    # materialize the (tiny) edge table ONCE: the components loop, the
+    # active-node set, and the loop's own persist all branch off it,
+    # and without the checkpoint each branch replays the whole
+    # shingle→minhash→band-join→verify pipeline (measured 3× the
+    # pipeline cost at sf0.01)
+    edges = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    sh.unpersist()  # the checkpoint cut the lineage; nothing re-reads it
+    active = edges.select(F.col("src").alias("vec_id")).distinct()
+    comp_active = connected_components(
+        edges, active, assume_symmetric=True
+    ).select(F.col("vec_id").alias("doc_id"), F.col("component").alias("_cid"))
+    comp = (
+        docs.select("doc_id")
+        .join(comp_active, on="doc_id", how="left")
+        .select(
+            "doc_id", F.coalesce(F.col("_cid"), F.col("doc_id")).alias("cluster_id")
+        )
+    )
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    out = comp.join(sizes, on="cluster_id")
+    if quality is None:
+        canonical = F.col("doc_id") == F.col("cluster_id")
+        return out.select("doc_id", "cluster_id", "cluster_size", canonical.alias("is_canonical"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    return (
+        out.join(quality.select("doc_id", "quality"), on="doc_id", how="left")
+        .withColumn("_rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            (F.col("_rn") == 1).alias("is_canonical"),
+        )
+    )

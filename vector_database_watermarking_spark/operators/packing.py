@@ -1,0 +1,96 @@
+"""Sequence packing for training-data assembly (north-star extension,
+not from the reference — SURVEY §7 M6).
+
+LLM pretraining consumes fixed-length token sequences, not documents:
+the corpus is concatenated in a deterministic order and chunked every
+``seq_len`` tokens ("concat-and-chunk" packing). This operator computes
+the document → sequence assignment — which sequences each document
+lands in and at what offset — entirely with per-shard window
+arithmetic, so a downstream tokenizer/writer can materialize shard
+files independently.
+
+Scale shape: a single global concatenation order would need a global
+running sum (one unpartitioned window — the scale-killer shape this
+repo bans). Instead documents are first routed to ``n_shards``
+deterministic shards by keyed hash, and each shard packs
+independently: the running sum is a window PARTITIONED by shard, so
+shards sort and pack in parallel and the per-task cost is
+O(corpus / n_shards). The price is at most one partial trailing
+sequence per shard — negligible waste for any real shard count — and
+shard files are exactly what a distributed training loader wants
+anyway. ``n_shards`` is the parallelism knob (thousands at 100 TB).
+
+Determinism: shard routing and intra-shard order are pure functions of
+(seed, doc_id) via the keyed 60-bit md5 — partitioning-invariant,
+retry-stable, and replayable in SQL for the oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash60
+from .text import token_count
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 512,
+    n_shards: int = 8,
+    seed: int = 7,
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign every document to its packed training sequences.
+
+    Within each shard, documents are laid out back-to-back in keyed-
+    hash order and the token stream is cut every ``seq_len`` tokens.
+    A document starting at offset ``start_tok`` of its shard's stream
+    spans sequences ``begin_seq .. end_seq`` (documents longer than
+    ``seq_len`` span several; short documents share sequences with
+    their neighbors — the packing efficiency LLM loaders rely on).
+
+    Output, one row per document:
+    (doc_id, shard, n_tokens, start_tok, begin_seq, end_seq,
+    offset_in_seq) — ``offset_in_seq`` is the position within
+    ``begin_seq`` where the document's first token lands.
+    """
+    key = hash60(F.concat(F.lit(f"pack_{seed}_"), F.col("doc_id").cast("string")))
+    d = docs.select(
+        "doc_id",
+        token_count(text_col).cast("long").alias("n_tokens"),
+        key.alias("_k"),
+        (key % F.lit(n_shards)).cast("int").alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("_k", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    end_tok = F.sum("n_tokens").over(w)
+    start_tok = (end_tok - F.col("n_tokens")).alias("start_tok")
+    return d.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        start_tok,
+        F.floor((end_tok - F.col("n_tokens")) / seq_len).alias("begin_seq"),
+        F.floor((end_tok - 1) / seq_len).alias("end_seq"),
+        ((end_tok - F.col("n_tokens")) % F.lit(seq_len)).alias("offset_in_seq"),
+    )
+
+
+def packing_stats(packed: DataFrame, seq_len: int) -> DataFrame:
+    """Per-shard packing summary: documents, tokens, sequences used,
+    and fill ratio (tokens / capacity of the used sequences). The fill
+    ratio is 1.0 everywhere except the trailing partial sequence, so
+    it converges to 1 as shards grow — the waste-bound the docstring
+    above promises, made measurable."""
+    return packed.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        (F.max("end_seq") + 1).alias("n_seqs"),
+        F.round(
+            F.sum("n_tokens") / ((F.max("end_seq") + 1) * F.lit(seq_len)), 6
+        ).alias("fill_ratio"),
+    )

@@ -771,18 +771,20 @@ _GRADE_ORDER = [
     "w5_largest_component",
     # training-data extensions: dedup, text, similarity, multimodal,
     # temporal, sessionization, curation, small-operator coverage pack.
-    # (ext_minhash_signatures is the first stage of — and replayed
-    # verbatim inside — ext_minhash_near_dups; ext_cosine_near_dups is
-    # ext_cosine_topk + a threshold; ext_exact_dedup and ext_lang_id
-    # are the dedup/lang-gate stages replayed inside ext_corpus_clean's
+    # (ext_minhash_signatures and ext_minhash_near_dups are stages of —
+    # and replayed verbatim inside — ext_dedup_clusters' oracle;
+    # ext_token_stats' tokenizer is replayed verbatim inside
+    # ext_seq_packing; ext_cosine_near_dups is ext_cosine_topk + a
+    # threshold; ext_exact_dedup and ext_lang_id are the
+    # dedup/lang-gate stages replayed inside ext_corpus_clean's
     # oracle; ext_quality_scores is replayed verbatim inside
     # ext_quality_deciles; ext_fingerprints is stage one of
     # ext_contamination. All the displaced standalone queries sit past
     # the window and stay locally checkable.)
-    "ext_minhash_near_dups",
+    "ext_dedup_clusters",
     "ext_ngram_jaccard",
     "ext_simhash",
-    "ext_token_stats",
+    "ext_seq_packing",
     "ext_repetition",
     "ext_pii_scrub",
     "ext_corpus_clean",
@@ -814,6 +816,8 @@ _GRADE_ORDER = [
     "g2_bidirectional_edges",
     "g3_avg_edge_length",
     "ext_minhash_signatures",
+    "ext_minhash_near_dups",
+    "ext_token_stats",
     "ext_cosine_near_dups",
     "ext_exact_dedup",
     "ext_lang_id",

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .operators import dedup, multimodal, similarity, text
+from .operators import dedup, multimodal, packing, similarity, text
 from .registry import D, K, _components_oracle, _knn_cte, register
 from .sources.tables import load_table
 
@@ -90,9 +90,10 @@ def ext_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ext_minhash_near_dups",
-    oracle="WITH " + _MINHASH_CTE + f""",
+# banded-LSH candidate pairs + exact-Jaccard verification, shared by
+# the pair query and the clustering query (whose oracle replays the
+# whole pair pipeline before the recursive closure)
+_MINHASH_PAIRS_CTES = f""",
 bands AS (
   SELECT doc_id, b.band,
          CASE b.band
@@ -114,11 +115,19 @@ inter AS (
   FROM cand c JOIN s s1 ON c.doc1 = s1.doc_id
               JOIN s s2 ON c.doc2 = s2.doc_id AND s1.shingle = s2.shingle
   GROUP BY c.doc1, c.doc2
-)
-SELECT i.doc1, i.doc2,
-       round(n_inter / CAST(x.n + y.n - n_inter AS DOUBLE), 6) AS jaccard
-FROM inter i JOIN sz x ON i.doc1 = x.doc_id JOIN sz y ON i.doc2 = y.doc_id
-WHERE n_inter / CAST(x.n + y.n - n_inter AS DOUBLE) >= 0.5
+),
+pairs AS (
+  SELECT i.doc1, i.doc2,
+         n_inter / CAST(x.n + y.n - n_inter AS DOUBLE) AS jaccard
+  FROM inter i JOIN sz x ON i.doc1 = x.doc_id JOIN sz y ON i.doc2 = y.doc_id
+  WHERE n_inter / CAST(x.n + y.n - n_inter AS DOUBLE) >= 0.5
+)"""
+
+
+@register(
+    "ext_minhash_near_dups",
+    oracle="WITH " + _MINHASH_CTE + _MINHASH_PAIRS_CTES + """
+SELECT doc1, doc2, round(jaccard, 6) AS jaccard FROM pairs
 """,
 )
 def ext_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -132,6 +141,82 @@ def ext_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified = dedup.jaccard_verify(cand, sh, threshold=0.5)
     return verified.select(
         "doc1", "doc2", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+@register(
+    "ext_dedup_clusters",
+    oracle="WITH " + _MINHASH_CTE + _MINHASH_PAIRS_CTES + """,
+sym AS (
+  SELECT doc1 AS src, doc2 AS dst FROM pairs
+  UNION ALL
+  SELECT doc2, doc1 FROM pairs
+)
+SELECT * FROM (
+  WITH RECURSIVE reach(node, r) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT sy.src, re.r FROM sym sy JOIN reach re ON sy.dst = re.node
+  ),
+  comp AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+  cs AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+  SELECT c.doc_id, c.cluster_id,
+         CAST(cs.cluster_size AS BIGINT) AS cluster_size,
+         c.doc_id = c.cluster_id AS is_canonical
+  FROM comp c JOIN cs ON c.cluster_id = cs.cluster_id
+)
+""",
+)
+def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup canonicalization: the MinHash-LSH near-dup pairs
+    (replayed verbatim from ``ext_minhash_near_dups``) collapsed to
+    connected components, one canonical doc (smallest id) per cluster.
+    The oracle re-runs the whole pair pipeline and closes it with a
+    recursive reachability CTE — the same min-reachable-id fixpoint
+    the Spark label propagation converges to. Supersedes
+    ``ext_minhash_near_dups`` in the graded window (that query's
+    output is the ``pairs`` CTE here)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.near_dup_clusters(
+        docs, threshold=0.5, num_hashes=_N_MINHASH, rows_per_band=2, n=3
+    )
+
+
+_PACK_SEQ_LEN, _PACK_SHARDS, _PACK_SEED = 512, 8, 7
+
+
+@register(
+    "ext_seq_packing",
+    oracle="WITH " + _TOKS_CTE + f""",
+n AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         {_hash60_sql("concat('pack_" + str(_PACK_SEED) + "_', CAST(doc_id AS VARCHAR))")} AS k
+  FROM t
+),
+r AS (
+  SELECT doc_id, CAST(k % {_PACK_SHARDS} AS INTEGER) AS shard, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY k % {_PACK_SHARDS} ORDER BY k, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS end_tok
+  FROM n
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(end_tok - n_tokens AS BIGINT) AS start_tok,
+       CAST(floor((end_tok - n_tokens) / {float(_PACK_SEQ_LEN)}) AS BIGINT) AS begin_seq,
+       CAST(floor((end_tok - 1) / {float(_PACK_SEQ_LEN)}) AS BIGINT) AS end_seq,
+       CAST((end_tok - n_tokens) % {_PACK_SEQ_LEN} AS BIGINT) AS offset_in_seq
+FROM r
+""",
+)
+def ext_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: deterministic shard routing
+    + per-shard running token sums → the document → training-sequence
+    assignment (``operators.packing``). The per-shard window keeps the
+    plan free of any unpartitioned window; token counting replays
+    ``ext_token_stats``' tokenizer verbatim, so this query supersedes
+    it in the graded window."""
+    docs = load_table(spark, sf_dir, "documents")
+    return packing.pack_sequences(
+        docs, seq_len=_PACK_SEQ_LEN, n_shards=_PACK_SHARDS, seed=_PACK_SEED
     )
 
 
