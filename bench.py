@@ -46,6 +46,8 @@ HEADLINE = [
     "rel_asof_purchase_view",
     "rel_range_activity",
     "ext_contamination",
+    "ext_dedup_clusters",
+    "ext_seq_packing",
 ]
 
 

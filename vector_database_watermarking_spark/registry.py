@@ -836,6 +836,8 @@ _GRADE_ORDER = [
     "ext_doc_fingerprint",
     "ext_approx_distinct",
     "ext_media_frames",
+    "ext_corpus_profile",
+    "ext_vocab_topk",
 ]
 
 

@@ -1020,3 +1020,87 @@ def ext_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("quality_score"), 6).alias("min_quality"),
         F.round(F.max("quality_score"), 6).alias("max_quality"),
     )
+
+
+@register(
+    "ext_corpus_profile",
+    oracle="WITH "
+    + _TOKS_CTE
+    + _LANG_GUESS_CTES
+    + """,
+n AS (
+  SELECT d.source, lg.lang_guess, CAST(len(t.toks) AS BIGINT) AS n_tokens
+  FROM documents d JOIN t ON d.doc_id = t.doc_id
+                   JOIN lg ON d.doc_id = lg.doc_id
+)
+SELECT source, lang_guess,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       round(avg(n_tokens), 3) AS avg_tokens,
+       round(quantile_cont(n_tokens, 0.5), 3) AS p50_tokens,
+       round(quantile_cont(n_tokens, 0.95), 3) AS p95_tokens
+FROM n GROUP BY source, lang_guess
+""",
+)
+def ext_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profiling rollup (the Deequ-style health dashboard a
+    pipeline runs before/after every curation step): per (source,
+    detected language) — document count, total/mean tokens, and exact
+    p50/p95 token-length percentiles.
+
+    One tokenization (materialized behind the repartition), one
+    shuffle on the (source, lang) group key. The exact ``percentile``
+    aggregate buffers one group's values per task — fine for any
+    realistic source × language cardinality; at extreme group sizes
+    the same profile comes from ``approx_percentile`` (the
+    t-digest-style sketch tier) with everything else unchanged — the
+    exact aggregate is the oracle-checkable tier (Spark and DuckDB
+    ``quantile_cont`` both use linear interpolation)."""
+    docs = load_table(spark, sf_dir, "documents")
+    nparts = spark.sparkContext.defaultParallelism
+    d = docs.select("doc_id", "source", text.tokens("text").alias("_toks")).repartition(
+        nparts, "doc_id"
+    )
+    per_doc = d.select(
+        "source",
+        text.lang_id(toks=F.col("_toks")).alias("lang_guess"),
+        F.size("_toks").cast("long").alias("n_tokens"),
+    )
+    return per_doc.groupBy("source", "lang_guess").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.round(F.avg("n_tokens"), 3).alias("avg_tokens"),
+        F.round(F.percentile("n_tokens", F.lit(0.5)), 3).alias("p50_tokens"),
+        F.round(F.percentile("n_tokens", F.lit(0.95)), 3).alias("p95_tokens"),
+    )
+
+
+@register(
+    "ext_vocab_topk",
+    oracle="WITH " + _TOKS_CTE + """,
+u AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+  WHERE length(tok) > 0
+),
+f AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM u GROUP BY tok)
+SELECT tok, df FROM f ORDER BY df DESC, tok LIMIT 50
+""",
+)
+def ext_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: top-50 terms by document frequency — the
+    corpus-level list that feeds stopword tables and the stop-shingle
+    cap (``ngram_jaccard_near_dups(max_doc_freq=...)``). One explode +
+    distinct + groupBy (all partial-aggregated map-side); the top-k is
+    a TakeOrdered (per-partition heaps + driver merge of 50-row heads),
+    never a global sort. Ties break lexicographically so the emitted
+    set is deterministic cross-engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        text.materialized_tokens(docs)
+        .select("doc_id", F.explode("_toks").alias("tok"))
+        .filter(F.length("tok") > 0)
+        .distinct()
+    )
+    f = u.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    return f.orderBy(F.col("df").desc(), "tok").limit(50)
