@@ -151,3 +151,14 @@ def test_pack_sequences_no_global_window(spark, sf_dir):
     plan = plan_of(pack_sequences(d, seq_len=512, n_shards=8))
     assert "SinglePartition" not in plan, plan
     assert plan.count("Exchange") == 1, plan
+
+
+def test_correlated_subquery_decorrelates(spark, sf_dir):
+    """The Q17-shape correlated scalar subquery must plan as an
+    aggregate + equi-join (Catalyst decorrelation), never a per-row
+    subquery or nested-loop join."""
+    q = QUERIES["rel_small_qty_revenue"].fn(spark, sf_dir)
+    plan = plan_of(q)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "HashJoin" in plan, plan

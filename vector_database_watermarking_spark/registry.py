@@ -838,6 +838,7 @@ _GRADE_ORDER = [
     "ext_media_frames",
     "ext_corpus_profile",
     "ext_vocab_topk",
+    "rel_small_qty_revenue",
 ]
 
 

@@ -1104,3 +1104,36 @@ def ext_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     f = u.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     return f.orderBy(F.col("df").desc(), "tok").limit(50)
+
+
+@register(
+    "rel_small_qty_revenue",
+    oracle="""
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l1
+WHERE l1.l_quantity < (
+  SELECT 0.5 * avg(l2.l_quantity)
+  FROM lineitem l2
+  WHERE l2.l_partkey = l1.l_partkey
+)
+""",
+)
+def rel_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: a correlated scalar subquery (per-part average
+    threshold), written through the engine's SQL surface. Catalyst
+    decorrelates it into a per-part aggregate + equi-join — the plan a
+    100 TB fact table needs (never a per-row subquery or nested-loop
+    join; the plan test pins this). The fact-fact self-join shuffles
+    once on ``l_partkey``; AQE splits any hot part."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("q17_lineitem")
+    return spark.sql(
+        """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM q17_lineitem l1
+WHERE l1.l_quantity < (
+  SELECT 0.5 * avg(l2.l_quantity)
+  FROM q17_lineitem l2
+  WHERE l2.l_partkey = l1.l_partkey
+)
+"""
+    )
