@@ -227,6 +227,94 @@ def emb_near_dups_lsh(
     """
     n_bands = bits // band_bits
     mask = 2**band_bits - 1
+
+    from .knn import MAX_BROADCAST_ROWS
+
+    if n_base is None:
+        n_base = emb.count()
+    if n_base <= MAX_BROADCAST_ROWS:
+        # Broadcast bucket-local tier: while the base fits the same
+        # dispatch constant as ``exact_knn``, the banded self-join is
+        # pure overhead — it shuffles ~n²·n_bands·2^-band_bits skinny
+        # rows only to look every one of them up in the broadcast
+        # matrix anyway. Instead the distributed relation is the BUCKET
+        # LIST (n_bands·2^band_bits rows); each task materializes its
+        # buckets' members from the broadcast (ids, X, signatures),
+        # enumerates i<j pairs in numpy, applies the first-matching-
+        # band rule against the earlier bands' keys, and verifies cos
+        # inline — zero pair rows ever cross a shuffle (MEASURED 3.2 s
+        # → ~1 s at sf0.1, identical output). Signatures are computed
+        # driver-side with the exact fold ``rp_signature`` uses
+        # (sequential across dims), so the two tiers stay bit-identical.
+        sess = emb.sparkSession
+        rows = emb.select("vec_id", "embedding").collect()
+        ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+        X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        order = np.argsort(ids)
+        ids, X = ids[order], X[order]
+        W = np.array(_rp_weights(bits, d), dtype=np.float64)
+        powers = 2 ** np.arange(bits, dtype=np.int64)
+        dots = np.zeros((len(ids), bits))
+        for i in range(W.shape[1]):  # sequential fold parity with the UDF
+            dots += X[:, i : i + 1] * W[None, :, i]
+        sigs = ((dots >= 0) @ powers).astype(np.int64)
+        band_keys = np.stack(
+            [(sigs >> (t * band_bits)) & mask for t in range(n_bands)]
+        )  # (n_bands, n)
+        bc = sess.sparkContext.broadcast((ids, X, band_keys))
+
+        buckets = sess.createDataFrame(
+            [(t, k) for t in range(n_bands) for k in range(mask + 1)],
+            "band int, key long",
+        ).repartition(min(sess.sparkContext.defaultParallelism, n_bands * (mask + 1)))
+
+        def bucket_verify(batches):
+            b_ids, b_X, b_keys = bc.value
+            chunk = 1 << 21  # bound per-call pair allocation (~50 MB)
+            for pdf in batches:
+                for band, key in zip(pdf["band"], pdf["key"]):
+                    members = np.flatnonzero(b_keys[band] == key)
+                    m = len(members)
+                    if m < 2:
+                        continue
+                    ii, jj = np.triu_indices(m, 1)
+                    for lo in range(0, len(ii), chunk):
+                        si = members[ii[lo : lo + chunk]]
+                        di = members[jj[lo : lo + chunk]]
+                        # first-matching-band dedup: this bucket owns
+                        # the pair only if no earlier band collided
+                        keep = np.ones(len(si), dtype=bool)
+                        for t in range(band):
+                            keep &= b_keys[t][si] != b_keys[t][di]
+                        si, di = si[keep], di[keep]
+                        if len(si) == 0:
+                            continue
+                        E1, E2 = b_X[si], b_X[di]
+                        n_pairs = len(si)
+                        dot = np.zeros(n_pairs)
+                        n1 = np.zeros(n_pairs)
+                        n2 = np.zeros(n_pairs)
+                        for i in range(E1.shape[1]):  # fold parity with SQL
+                            dot += E1[:, i] * E2[:, i]
+                            n1 += E1[:, i] * E1[:, i]
+                            n2 += E2[:, i] * E2[:, i]
+                        cos = dot / (np.sqrt(n1) * np.sqrt(n2))
+                        sel = cos >= threshold
+                        if not sel.any():
+                            continue
+                        # members ascends and ii < jj, so src < dst holds
+                        yield pd.DataFrame(
+                            {
+                                "src": b_ids[si[sel]],
+                                "dst": b_ids[di[sel]],
+                                "cos_sim": cos[sel],
+                            }
+                        )
+
+        return buckets.mapInPandas(
+            bucket_verify, schema="src long, dst long, cos_sim double"
+        )
+
     sig = emb.select(
         "vec_id", rp_signature("embedding", bits, d).alias("sig")
     ).persist()
@@ -265,57 +353,6 @@ def emb_near_dups_lsh(
         .filter(F.col("band") == first_match)
         .select(F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst"))
     )
-
-    from .knn import MAX_BROADCAST_ROWS
-
-    if n_base is None:
-        n_base = emb.count()
-    if n_base <= MAX_BROADCAST_ROWS:
-        # Broadcast-verify tier: one 8·d·n-byte broadcast of the
-        # embedding matrix, and only (src, dst) id pairs — 16 bytes —
-        # cross Arrow per candidate. At the fixture's loose blocking
-        # (~40% of all pairs are candidates) the alternative re-join
-        # ships two full embeddings per pair (~1 KB): MEASURED 3.5 s of
-        # the 5 s query. Same dispatch constant as ``exact_knn``.
-        sess = emb.sparkSession
-        rows = emb.select("vec_id", "embedding").collect()
-        ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-        X = np.array([r["embedding"] for r in rows], dtype=np.float64)
-        order = np.argsort(ids)
-        ids, X = ids[order], X[order]
-        bc = sess.sparkContext.broadcast((ids, X))
-
-        def verify_bc(batches):
-            b_ids, b_X = bc.value
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                si = np.searchsorted(b_ids, pdf["src"].to_numpy(dtype=np.int64))
-                di = np.searchsorted(b_ids, pdf["dst"].to_numpy(dtype=np.int64))
-                E1, E2 = b_X[si], b_X[di]
-                m = len(pdf)
-                dot = np.zeros(m)
-                n1 = np.zeros(m)
-                n2 = np.zeros(m)
-                for i in range(E1.shape[1]):  # sequential fold parity with SQL
-                    dot += E1[:, i] * E2[:, i]
-                    n1 += E1[:, i] * E1[:, i]
-                    n2 += E2[:, i] * E2[:, i]
-                cos = dot / (np.sqrt(n1) * np.sqrt(n2))
-                keep = cos >= threshold
-                yield pd.DataFrame(
-                    {
-                        "src": pdf["src"].to_numpy()[keep],
-                        "dst": pdf["dst"].to_numpy()[keep],
-                        "cos_sim": cos[keep],
-                    }
-                )
-
-        out = cand.mapInPandas(
-            verify_bc, schema="src long, dst long, cos_sim double"
-        )
-        sig.unpersist()
-        return out
 
     # Scale tier: re-join the embeddings for the (deduped) candidates —
     # two equi-joins on vec_id — and verify in Arrow batches with the
