@@ -451,6 +451,26 @@ def test_near_dup_clusters_planted_transitive(spark):
         assert out[d_id]["is_canonical"]
 
 
+def test_near_dup_clusters_tier_equivalence(spark, monkeypatch):
+    """The driver union-find tier and the distributed label-propagation
+    tier of the components closure must produce identical clusters —
+    forcing the scale tier by zeroing the broadcast cap."""
+    from vector_database_watermarking_spark.operators import knn
+
+    base = "the quick brown fox jumps over the lazy dog near the old river bank every sunny morning"
+    rows = [
+        (1, base),
+        (2, base + " indeed"),
+        (3, base + " indeed truly"),
+        (10, "completely different content about spark catalyst optimizer plans and shuffles today"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fast = sorted(map(tuple, dedup.near_dup_clusters(df, threshold=0.5).collect()))
+    monkeypatch.setattr(knn, "MAX_BROADCAST_ROWS", 0)
+    slow = sorted(map(tuple, dedup.near_dup_clusters(df, threshold=0.5).collect()))
+    assert fast == slow
+
+
 def test_near_dup_clusters_quality_policy(spark):
     """With a quality relation, the canonical copy is the highest-
     quality cluster member, not the smallest id."""
