@@ -94,6 +94,18 @@ MAX_BROADCAST_ROWS = 200_000
 MAX_EXACT_BASE_ROWS = 1_000_000
 
 
+def probe_collect(base: DataFrame) -> list | None:
+    """Single-action tier probe shared by the broadcast-capped
+    operators: collect the base bounded to ``MAX_BROADCAST_ROWS + 1``
+    rows. Returns the row list when the base fits the broadcast budget
+    (the caller proceeds with zero further actions — the separate
+    ``count()`` the old dispatch paid is folded into this collect),
+    else ``None`` (the caller counts and takes a scale tier). Driver
+    memory is bounded by the limit either way."""
+    rows = base.limit(MAX_BROADCAST_ROWS + 1).collect()
+    return rows if len(rows) <= MAX_BROADCAST_ROWS else None
+
+
 def split_blocks(base: DataFrame, n_blocks: int) -> list[DataFrame]:
     """Hash-split a (vec_id, ...) relation into ``n_blocks`` disjoint
     slices — shared by the blocked exact tiers (euclidean + cosine) so
@@ -117,6 +129,11 @@ def exact_knn(
     memory bounded by one block.
     """
     if n_base is None:
+        rows = probe_collect(base.select("vec_id", "embedding"))
+        if rows is not None:
+            return _exact_knn_broadcast(
+                queries, base, k, exclude_self, pre_rows=rows
+            )
         n_base = base.count()
     if n_base <= MAX_BROADCAST_ROWS:
         return _exact_knn_broadcast(queries, base, k, exclude_self)
@@ -159,6 +176,7 @@ def _exact_knn_broadcast(
     k: int,
     exclude_self: bool,
     emit_dist_sq: bool = False,
+    pre_rows: list | None = None,
 ) -> DataFrame:
     """Broadcast-base exact kNN via ``mapInPandas``.
 
@@ -172,7 +190,11 @@ def _exact_knn_broadcast(
     import pandas as pd
 
     sess = queries.sparkSession
-    rows = base.select("vec_id", "embedding").collect()
+    rows = (
+        pre_rows
+        if pre_rows is not None
+        else base.select("vec_id", "embedding").collect()
+    )
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     X = np.array([r["embedding"] for r in rows], dtype=np.float64)
     order = np.argsort(ids)
@@ -374,6 +396,9 @@ def knn_edges(emb: DataFrame, k: int, exact: bool | None = None) -> DataFrame:
     """
     e = emb.select("vec_id", "embedding")
     if exact is None:
+        rows = probe_collect(e)
+        if rows is not None:
+            return _exact_knn_broadcast(e, e, k, exclude_self=True, pre_rows=rows)
         n = e.count()
         if n <= MAX_EXACT_BASE_ROWS:
             return exact_knn(e, e, k, exclude_self=True, n_base=n)

@@ -37,9 +37,14 @@ def cosine_topk(
     blocks each contribute a local top-k and a per-query window merges
     them — no unconditional whole-base driver collect anywhere.
     """
-    from .knn import MAX_BROADCAST_ROWS, split_blocks
+    from .knn import MAX_BROADCAST_ROWS, probe_collect, split_blocks
 
     if n_base is None:
+        rows = probe_collect(base.select("vec_id", "embedding"))
+        if rows is not None:
+            return _cosine_topk_broadcast(
+                queries, base, k, exclude_self, pre_rows=rows
+            )
         n_base = base.count()
     if n_base <= MAX_BROADCAST_ROWS:
         return _cosine_topk_broadcast(queries, base, k, exclude_self)
@@ -62,12 +67,20 @@ def cosine_topk(
 
 
 def _cosine_topk_broadcast(
-    queries: DataFrame, base: DataFrame, k: int, exclude_self: bool
+    queries: DataFrame,
+    base: DataFrame,
+    k: int,
+    exclude_self: bool,
+    pre_rows: list | None = None,
 ) -> DataFrame:
     """Broadcast-base cosine top-k via ``mapInPandas``; per-dim
     sequential accumulation keeps parity with the SQL fold."""
     sess = queries.sparkSession
-    rows = base.select("vec_id", "embedding").collect()
+    rows = (
+        pre_rows
+        if pre_rows is not None
+        else base.select("vec_id", "embedding").collect()
+    )
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     X = np.array([r["embedding"] for r in rows], dtype=np.float64)
     order = np.argsort(ids)
@@ -228,10 +241,12 @@ def emb_near_dups_lsh(
     n_bands = bits // band_bits
     mask = 2**band_bits - 1
 
-    from .knn import MAX_BROADCAST_ROWS
+    from .knn import MAX_BROADCAST_ROWS, probe_collect
 
+    rows = None
     if n_base is None:
-        n_base = emb.count()
+        rows = probe_collect(emb.select("vec_id", "embedding"))
+        n_base = len(rows) if rows is not None else MAX_BROADCAST_ROWS + 1
     if n_base <= MAX_BROADCAST_ROWS:
         # Broadcast bucket-local tier: while the base fits the same
         # dispatch constant as ``exact_knn``, the banded self-join is
@@ -247,7 +262,8 @@ def emb_near_dups_lsh(
         # driver-side with the exact fold ``rp_signature`` uses
         # (sequential across dims), so the two tiers stay bit-identical.
         sess = emb.sparkSession
-        rows = emb.select("vec_id", "embedding").collect()
+        if rows is None:
+            rows = emb.select("vec_id", "embedding").collect()
         ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
         X = np.array([r["embedding"] for r in rows], dtype=np.float64)
         order = np.argsort(ids)
