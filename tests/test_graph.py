@@ -41,6 +41,24 @@ def test_connected_components_on_tiny_graph(spark):
     assert comp[5] == 5
 
 
+def test_connected_components_tier_equivalence(spark, monkeypatch):
+    """The driver union-find tier and the distributed label-propagation
+    loop must label identically (component = min reachable id) — the
+    scale tier is forced by zeroing the shared broadcast cap."""
+    import random
+
+    from vector_database_watermarking_spark.operators import knn
+
+    rng = random.Random(7)
+    edge_rows = sorted({(rng.randrange(40), rng.randrange(40)) for _ in range(45)})
+    edges = spark.createDataFrame(edge_rows, ["src", "dst"])
+    nodes = spark.createDataFrame([(i,) for i in range(40)], ["vec_id"])
+    fast = sorted(map(tuple, graph.connected_components(edges, nodes).collect()))
+    monkeypatch.setattr(knn, "MAX_BROADCAST_ROWS", 0)
+    slow = sorted(map(tuple, graph.connected_components(edges, nodes).collect()))
+    assert fast == slow
+
+
 def test_hidden_nodes_fraction(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     edges = knn.knn_edges(emb, k=5)

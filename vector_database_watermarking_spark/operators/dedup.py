@@ -340,41 +340,14 @@ def _pair_components(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     ``sh`` is the persisted shingle relation the pair lineage re-reads;
     the scale tier must checkpoint the edges before unpersisting it.
     """
-    from .graph import connected_components
+    from .graph import connected_components, union_find_labels
+    from .knn import probe_collect
 
     sess = pairs.sparkSession
-    from .knn import MAX_BROADCAST_ROWS
-
-    rows = pairs.select("doc1", "doc2").limit(MAX_BROADCAST_ROWS + 1).collect()
-    if len(rows) <= MAX_BROADCAST_ROWS:
+    rows = probe_collect(pairs.select("doc1", "doc2"))
+    if rows is not None:
         sh.unpersist()
-        parent: dict[int, int] = {}
-
-        def find(x: int) -> int:
-            root = x
-            while parent.get(root, root) != root:
-                root = parent[root]
-            while parent.get(x, x) != x:  # path compression
-                parent[x], x = root, parent[x]
-            return root
-
-        for r in rows:
-            ra, rb = find(r["doc1"]), find(r["doc2"])
-            if ra != rb:  # union by smaller id → label IS the min id
-                if ra > rb:
-                    ra, rb = rb, ra
-                parent[rb] = ra
-        labels = [(x, find(x)) for x in parent] + [
-            (x, x) for x in set(parent.values()) if parent.get(x, x) == x
-        ]
-        # roots that never appear as a child still need their own row
-        seen = {x for x, _ in labels}
-        labels += [
-            (int(r[c]), find(int(r[c])))
-            for r in rows
-            for c in ("doc1", "doc2")
-            if int(r[c]) not in seen and not seen.add(int(r[c]))
-        ]
+        labels = union_find_labels([(r["doc1"], r["doc2"]) for r in rows])
         return sess.createDataFrame(labels, "doc_id long, _cid long")
 
     # verified pairs are distinct with doc1 < doc2, so adding the
