@@ -59,6 +59,32 @@ def test_connected_components_tier_equivalence(spark, monkeypatch):
     assert fast == slow
 
 
+def test_connected_components_star_matches_union_find(spark):
+    """Large-star/small-star must produce the same min-id labeling as
+    the union-find ground truth on random graphs AND on a long chain
+    (the adversarial case for O(diameter) algorithms)."""
+    import random
+
+    rng = random.Random(11)
+    cases = [
+        sorted({(rng.randrange(60), rng.randrange(60)) for _ in range(70)}),
+        [(i, i + 1) for i in range(5, 45)],  # 40-node chain, min inside
+        [(2, 9), (9, 4), (50, 51)],
+    ]
+    for edge_rows in cases:
+        edge_rows = [(a, b) for a, b in edge_rows if a != b]
+        node_ids = sorted({n for e in edge_rows for n in e} | {0, 99})
+        edges = spark.createDataFrame(edge_rows, ["src", "dst"])
+        nodes = spark.createDataFrame([(i,) for i in node_ids], ["vec_id"])
+        expected = dict(graph.union_find_labels(edge_rows))
+        got = {
+            r["vec_id"]: r["component"]
+            for r in graph.connected_components_star(edges, nodes).collect()
+        }
+        for n in node_ids:
+            assert got[n] == expected.get(n, n), (n, got[n], expected.get(n, n))
+
+
 def test_hidden_nodes_fraction(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     edges = knn.knn_edges(emb, k=5)

@@ -815,6 +815,7 @@ _GRADE_ORDER = [
     # relational breadth, alternate views, further extensions
     "g2_bidirectional_edges",
     "g3_avg_edge_length",
+    "cov_components_star",
     "ext_minhash_signatures",
     "ext_minhash_near_dups",
     "ext_token_stats",

@@ -828,6 +828,28 @@ def g5_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cov_components_star",
+    oracle=_components_oracle(
+        "SELECT vec_id, CAST(component AS BIGINT) AS component FROM comp"
+    ),
+)
+def cov_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5 via the large-star/small-star algorithm (Kiveris et al.,
+    SoCC'14) — the O(log² n)-round scale swap for the label-propagation
+    loop, graded against the same recursive-closure oracle as
+    ``g5_connected_components`` (both converge to component = min
+    reachable id). The star path is called directly (no union-find
+    shortcut) so the plan the driver checks is the distributed one."""
+    from .operators import graph, knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = knn.knn_edges(emb, k=K).persist()
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    mutual = edges.select("src", "dst").join(rev, on=["src", "dst"], how="left_semi")
+    return graph.connected_components_star(mutual, emb)
+
+
+@register(
     "g6_cluster_diagnostics",
     oracle=_components_oracle(
         """
