@@ -764,3 +764,205 @@ def _sq_candidates_broadcast(
                 )
 
     return q.mapInPandas(search, schema="src long, dst long, dq long, dist double")
+
+
+# ---------------------------------------------------------------- product quantization
+
+
+def pq_codebook(base_rows: list, m: int, ksub: int) -> "np.ndarray":
+    """Deterministic PQ codebook: the ``ksub`` base vectors with the
+    smallest keyed hash of their id (the same spread-sample rule as
+    :func:`ivf_build_fixed`), each sliced into ``m`` subspaces —
+    centroid ``c`` of subspace ``j`` is sample ``c``'s dims
+    ``[j·ds, (j+1)·ds)``. KMeans-per-subspace codebooks train better
+    lists; this tier trades that for a codebook every engine can
+    reproduce (the DuckDB oracle replays it row for row).
+    Returns (ksub, d) float64 — callers slice subspaces."""
+    import hashlib
+
+    keyed = sorted(
+        base_rows,
+        key=lambda r: (
+            int(hashlib.md5(f"pq_{r['vec_id']}".encode()).hexdigest()[:15], 16),
+            r["vec_id"],
+        ),
+    )[:ksub]
+    return np.array([r["embedding"] for r in keyed], dtype=np.float64)
+
+
+def _pq_micro_tables(X: "np.ndarray", cents: "np.ndarray", m: int):
+    """Per-subspace squared-distance tables between rows of ``X`` and
+    the codebook: returns (r6, mic) each shaped (m, n, ksub) — ``r6``
+    is the 6-decimal-rounded float distance (code argmin key), ``mic``
+    the micro-int distance (ADC accumulator; integer sums are exact in
+    any order, so Spark and SQL agree bit-for-bit). Accumulation is
+    sequential per dim inside each subspace — fold parity with the
+    oracle's ``list_sum(list_transform(...))``."""
+    n, d = X.shape
+    ds = d // m
+    r6 = np.empty((m, n, cents.shape[0]))
+    mic = np.empty((m, n, cents.shape[0]), dtype=np.int64)
+    for j in range(m):
+        acc = np.zeros((n, cents.shape[0]))
+        for i in range(j * ds, (j + 1) * ds):  # sequential fold parity
+            diff = X[:, i][:, None] - cents[None, :, i]
+            acc += diff * diff
+        r6[j] = np.round(acc, _RANK_DECIMALS)
+        # DuckDB round() is half-away-from-zero; distances are >= 0
+        mic[j] = np.floor(acc * 1e6 + 0.5).astype(np.int64)
+    return r6, mic
+
+
+def pq_topk(
+    queries: DataFrame,
+    base: DataFrame,
+    k: int = 5,
+    refine: int = 20,
+    m: int = 8,
+    nbits: int = 4,
+    exclude_self: bool = True,
+    n_base: int | None = None,
+) -> DataFrame:
+    """Product-quantization ANN: each base vector is stored as ``m``
+    sub-codes of ``nbits`` (argmin centroid per subspace), queries scan
+    candidates by asymmetric distance (ADC — a per-query (m, 2^nbits)
+    lookup table, candidate distance = sum of m table cells), keep the
+    integer top-``refine``, exact-rerank in float64.
+
+    Output: (src, dst, dist, rank) — rank 1-based by exact distance
+    (6-decimal rounded), ties by dst, over the refined candidates.
+
+    Scale shape: PQ is the memory-compression tier of the ANN family —
+    m·nbits bits per vector (4 bytes here vs 256 for the raw floats),
+    so the candidate scan is table lookups + integer adds over a
+    64× smaller working set; at 100 TB it composes with IVF routing
+    (prune clusters, then ADC-scan the survivors, then rerank). The
+    deterministic hash-sample codebook keeps every stage —
+    quantization, ADC ranking, rerank — replayable by the DuckDB
+    oracle. Broadcast of (ids, codes, floats) while the base fits;
+    hash-split blocks with a global (dq, dst) merge past it —
+    block-count invariant, never a whole-base collect.
+    """
+    from .knn import MAX_BROADCAST_ROWS, probe_collect, split_blocks
+
+    ksub = 2**nbits
+    cap = 4 * MAX_BROADCAST_ROWS
+    pre = None
+    if n_base is None:
+        pre = probe_collect(base.select("vec_id", "embedding"))
+        n_base = len(pre) if pre is not None else cap + 1
+    if n_base <= MAX_BROADCAST_ROWS and pre is not None:
+        cands = _pq_candidates_broadcast(
+            queries, base, None, m, ksub, refine, exclude_self, pre_rows=pre
+        )
+    else:
+        # global codebook first (ksub rows via a TakeOrdered — tiny),
+        # then per-block candidate scans that share it
+        from ..functions.hashing import hash60
+
+        key = hash60(F.concat(F.lit("pq_"), F.col("vec_id").cast("string")))
+        cent_rows = (
+            base.select("vec_id", "embedding")
+            .withColumn("_k", key)
+            .orderBy("_k", "vec_id")
+            .limit(ksub)
+            .collect()
+        )
+        cents = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
+        if n_base <= cap:
+            cands = _pq_candidates_broadcast(
+                queries, base, cents, m, ksub, refine, exclude_self
+            )
+        else:
+            n_blocks = -(-n_base // cap)
+            parts = [
+                _pq_candidates_broadcast(
+                    queries, blk, cents, m, ksub, refine, exclude_self
+                )
+                for blk in split_blocks(base, n_blocks)
+            ]
+            cands = parts[0]
+            for df in parts[1:]:
+                cands = cands.unionByName(df)
+    w_dq = Window.partitionBy("src").orderBy("dq", "dst")
+    w_ex = Window.partitionBy("src").orderBy(
+        F.round(F.col("dist"), _RANK_DECIMALS), F.col("dst")
+    )
+    return (
+        cands.withColumn("crank", F.row_number().over(w_dq))
+        .filter(F.col("crank") <= refine)
+        .withColumn("rank", F.row_number().over(w_ex))
+        .filter(F.col("rank") <= k)
+        .select("src", "dst", "dist", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def _pq_candidates_broadcast(
+    queries: DataFrame,
+    base: DataFrame,
+    cents: "np.ndarray | None",
+    m: int,
+    ksub: int,
+    refine: int,
+    exclude_self: bool,
+    pre_rows: list | None = None,
+) -> DataFrame:
+    """One PQ block: encode the (broadcast) base against the codebook,
+    then each query batch builds its ADC table and emits its integer
+    top-``refine`` with the exact float64 distance alongside."""
+    sess = base.sparkSession
+    rows = (
+        pre_rows
+        if pre_rows is not None
+        else base.select("vec_id", "embedding").collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, X = ids[order], X[order]
+    if cents is None:
+        cents = pq_codebook(rows, m, ksub)
+    r6, _ = _pq_micro_tables(X, cents, m)
+    # code = argmin centroid per (vector, subspace): ties resolve to
+    # the lowest centroid index (np.argmin returns the first minimum),
+    # matching the oracle's ORDER BY round(dist, 6), c
+    codes = np.stack([np.argmin(r6[j], axis=1) for j in range(m)], axis=1)
+    bc = sess.sparkContext.broadcast((ids, X, codes, cents))
+
+    q = queries.select(
+        F.col("vec_id").alias("src"), F.col("embedding").alias("qemb")
+    )
+
+    def search(batches):
+        b_ids, b_X, b_codes, b_cents = bc.value
+        mm = b_codes.shape[1]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.array(list(pdf["qemb"]), dtype=np.float64)
+            _, qmic = _pq_micro_tables(Q, b_cents, mm)  # (m, nq, ksub)
+            for qi, src in enumerate(pdf["src"].to_numpy(dtype=np.int64)):
+                dq = np.zeros(len(b_ids), dtype=np.int64)
+                for j in range(mm):  # integer adds — order-exact
+                    dq += qmic[j, qi][b_codes[:, j]]
+                mask = np.ones(len(b_ids), dtype=bool)
+                if exclude_self:
+                    mask &= b_ids != src
+                cand = np.nonzero(mask)[0]
+                sel = cand[np.lexsort((b_ids[cand], dq[cand]))][:refine]
+                E = b_X[sel]
+                qe = Q[qi]
+                dist = np.zeros(len(sel))
+                for i in range(E.shape[1]):  # sequential fold parity
+                    diff = E[:, i] - qe[i]
+                    dist += diff * diff
+                yield pd.DataFrame(
+                    {
+                        "src": np.full(len(sel), src, dtype=np.int64),
+                        "dst": b_ids[sel],
+                        "dq": dq[sel],
+                        "dist": np.sqrt(dist),
+                    }
+                )
+
+    return q.mapInPandas(search, schema="src long, dst long, dq long, dist double")

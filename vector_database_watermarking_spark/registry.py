@@ -816,6 +816,7 @@ _GRADE_ORDER = [
     "g2_bidirectional_edges",
     "g3_avg_edge_length",
     "cov_components_star",
+    "ext_pq_topk",
     "ext_minhash_signatures",
     "ext_minhash_near_dups",
     "ext_token_stats",

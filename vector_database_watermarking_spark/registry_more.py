@@ -1105,6 +1105,78 @@ def ext_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_scan(corpus, probe, window_tokens=8, stride=4)
 
 
+_PQ_M, _PQ_KSUB, _PQ_DS, _PQ_REFINE = 16, 64, 4, 50
+
+
+@register(
+    "ext_pq_topk",
+    oracle=f"""
+WITH cent AS (
+  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS c, embedding
+  FROM (SELECT vec_id, embedding,
+               CAST('0x' || substr(md5(concat('pq_', CAST(vec_id AS VARCHAR))), 1, 15) AS BIGINT) AS h
+        FROM embeddings)
+  ORDER BY h, vec_id LIMIT {_PQ_KSUB}
+),
+sub AS (
+  SELECT e.vec_id, j.j, c.c,
+         round(list_sum(list_transform(range(j.j * {_PQ_DS} + 1, j.j * {_PQ_DS} + {_PQ_DS} + 1),
+           i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))
+              * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)))), 6) AS d6,
+         CAST(round(list_sum(list_transform(range(j.j * {_PQ_DS} + 1, j.j * {_PQ_DS} + {_PQ_DS} + 1),
+           i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))
+              * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)))) * 1e6) AS BIGINT) AS dmic
+  FROM embeddings e, LATERAL (SELECT unnest(range(0, {_PQ_M})) AS j) j, cent c
+),
+codes AS (
+  SELECT vec_id, j, c FROM (
+    SELECT vec_id, j, c, row_number() OVER (PARTITION BY vec_id, j ORDER BY d6, c) AS rn
+    FROM sub
+  ) WHERE rn = 1
+),
+cand AS (
+  SELECT qs.vec_id AS src, bc.vec_id AS dst, sum(qs.dmic) AS dq
+  FROM codes bc JOIN sub qs ON qs.j = bc.j AND qs.c = bc.c
+  WHERE qs.vec_id < 50 AND bc.vec_id <> qs.vec_id
+  GROUP BY 1, 2
+),
+ref AS (
+  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dq, dst) AS crank
+  FROM cand
+),
+ex AS (
+  SELECT r.src, r.dst,
+         sqrt(list_sum(list_transform(range(1, {D + 1}),
+           i -> (CAST(eb.embedding[i] AS DOUBLE) - CAST(eq.embedding[i] AS DOUBLE))
+              * (CAST(eb.embedding[i] AS DOUBLE) - CAST(eq.embedding[i] AS DOUBLE))))) AS dist
+  FROM ref r
+  JOIN embeddings eq ON r.src = eq.vec_id
+  JOIN embeddings eb ON r.dst = eb.vec_id
+  WHERE r.crank <= {_PQ_REFINE}
+)
+SELECT src, dst, round(dist, 6) AS dist,
+       CAST(row_number() OVER (PARTITION BY src ORDER BY round(dist, 6), dst) AS INTEGER) AS rank
+FROM ex QUALIFY rank <= 5
+""",
+)
+def ext_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (extension): 16 subspaces × 64
+    hash-sampled centroids (4 bytes/vector — a 64× working-set cut),
+    asymmetric-distance candidate scan to top-50, exact float64 rerank
+    to top-5. The deterministic codebook keeps quantization, ADC
+    ranking, and rerank fully replayed by the oracle; recall vs the
+    exact tier is pinned ≥ 0.9 in pytest."""
+    from .operators.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 50)
+    out = pq_topk(
+        queries, emb, k=5, refine=_PQ_REFINE, m=_PQ_M, nbits=6, exclude_self=True
+    )
+    return out.select("src", "dst", F.round("dist", 6).alias("dist"), "rank")
+
+
+
 @register(
     "ext_sq_topk",
     oracle=f"""
