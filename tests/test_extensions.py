@@ -528,3 +528,34 @@ def test_packing_stats_fill_ratio(spark):
         assert 0 < r["fill_ratio"] <= 1.0
         # fill ratio is exactly tokens / (seqs * seq_len)
         assert r["fill_ratio"] == round(r["n_tokens"] / (r["n_seqs"] * 32), 6)
+
+
+def test_incremental_dedup_statuses(spark, sf_dir):
+    d = docs(spark, sf_dir)
+    corpus = d.filter(F.col("doc_id") < 400)
+    # batch: one exact re-ingest, one near-dup (a word appended), one
+    # genuinely new doc; ids deliberately COLLIDE with corpus ids to
+    # prove the operator never keys across sides by doc_id
+    exact = corpus.limit(1).select(F.lit(7).alias("doc_id"), "text")
+    near = (
+        corpus.filter(F.col("doc_id") == 42)
+        .select(F.lit(8).alias("doc_id"), F.concat("text", F.lit(" tail")).alias("text"))
+    )
+    fresh = spark.createDataFrame(
+        [(9, "zq xv qj zzq totally novel content never seen " * 5)],
+        ["doc_id", "text"],
+    )
+    batch = exact.unionByName(near).unionByName(fresh)
+    out = {
+        r["doc_id"]: r
+        for r in dedup.incremental_dedup(corpus, batch, threshold=0.5).collect()
+    }
+    assert len(out) == 3
+    assert out[7]["status"] == "exact_dup"
+    assert out[7]["match_doc_id"] == corpus.limit(1).head()["doc_id"]
+    assert out[7]["jaccard"] is None
+    assert out[8]["status"] == "near_dup"
+    assert out[8]["match_doc_id"] == 42
+    assert out[8]["jaccard"] >= 0.5
+    assert out[9]["status"] == "unique"
+    assert out[9]["match_doc_id"] is None and out[9]["jaccard"] is None

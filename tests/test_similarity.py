@@ -95,3 +95,40 @@ def test_pq_topk_recall_codes_and_tiers(spark, sf_dir):
     finally:
         knn.MAX_BROADCAST_ROWS = orig
     assert broadcast == blocked
+
+
+def test_semantic_dedup_clusters_and_quality_policy(spark, sf_dir):
+    from vector_database_watermarking_spark.operators import similarity
+    from vector_database_watermarking_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = len(emb.head()["embedding"])
+    out = similarity.semantic_dedup(emb, threshold=0.45, d=d)
+    rows = out.collect()
+    assert len(rows) == emb.count()  # one row per vector
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        assert cid == min(m["vec_id"] for m in members)  # min-id label
+        assert all(m["cluster_size"] == len(members) for m in members)
+        # exactly one canonical, and it's the label holder
+        canon = [m for m in members if m["is_canonical"]]
+        assert len(canon) == 1 and canon[0]["vec_id"] == cid
+    # quality policy: force best-quality = LARGEST vec_id, so every
+    # multi-member cluster must flip its canonical away from min-id
+    quality = emb.select("vec_id", F.col("vec_id").cast("double").alias("quality"))
+    out_q = {
+        r["vec_id"]: r
+        for r in similarity.semantic_dedup(
+            emb, threshold=0.45, d=d, quality=quality
+        ).collect()
+    }
+    for cid, members in by_cluster.items():
+        ids = [m["vec_id"] for m in members]
+        best = max(ids)
+        for i in ids:
+            assert out_q[i]["is_canonical"] == (i == best)
+    # at least one non-trivial cluster exists at fixture scale
+    assert any(len(m) > 1 for m in by_cluster.values())

@@ -27,7 +27,7 @@ only candidate pairs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash60
@@ -326,7 +326,7 @@ def ngram_jaccard_near_dups(
     )
 
 
-def _pair_components(pairs: DataFrame, sh: DataFrame) -> DataFrame:
+def _pair_components(pairs: DataFrame, sh: DataFrame | None = None) -> DataFrame:
     """Connected components of a verified near-dup pair list
     (``doc1 < doc2``, distinct), labeled by min reachable doc id.
     Returns (doc_id, _cid) for edge-incident docs only.
@@ -346,7 +346,8 @@ def _pair_components(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     sess = pairs.sparkSession
     rows = probe_collect(pairs.select("doc1", "doc2"))
     if rows is not None:
-        sh.unpersist()
+        if sh is not None:
+            sh.unpersist()
         labels = union_find_labels([(r["doc1"], r["doc2"]) for r in rows])
         return sess.createDataFrame(labels, "doc_id long, _cid long")
 
@@ -362,10 +363,139 @@ def _pair_components(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     edges = half.unionByName(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)
-    sh.unpersist()  # the checkpoint cut the lineage; nothing re-reads it
+    if sh is not None:
+        sh.unpersist()  # the checkpoint cut the lineage; nothing re-reads it
     active = edges.select(F.col("src").alias("vec_id")).distinct()
     return connected_components(edges, active, assume_symmetric=True).select(
         F.col("vec_id").alias("doc_id"), F.col("component").alias("_cid")
+    )
+
+
+def incremental_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """New-batch-vs-existing-corpus dedup — the shape production
+    ingestion actually runs (you never re-dedup 100 TB to admit a new
+    crawl; you probe the new batch against the standing corpus).
+
+    Stages, each asymmetric (batch × corpus, never corpus × corpus):
+
+    1. exact: the batch row's normalized-content key probed against
+       the corpus's distinct key set (equi-join on the 60-bit key;
+       at scale the corpus side is a pre-materialized, bucketed key
+       table, so the probe is a co-located join);
+    2. near: MinHash signatures for the *surviving* batch docs only
+       (exact dups never reach banding), banded LSH keys joined
+       against the corpus's band table — in production that table is
+       precomputed once and appended per admitted batch, so each
+       ingestion only pays signatures for its own rows;
+    3. verify: exact n-gram Jaccard on candidate pairs, best corpus
+       match per batch doc (highest Jaccard, ties to smallest id).
+
+    Output: one row per batch doc — (doc_id, status
+    'exact_dup'|'near_dup'|'unique', match_doc_id, jaccard).
+    ``match_doc_id`` is the smallest corpus holder of the same key for
+    exact dups, the best verified match for near dups, null otherwise;
+    ``jaccard`` is null unless status = 'near_dup'.
+
+    Scale shape: the corpus is touched only through two skinny derived
+    relations (content keys; band keys) that both partition on their
+    join key; candidate volume is output-bound via banding; no
+    all-pairs join and nothing driver-side anywhere.
+    """
+    ckey = hash60(normalize_text(text_col))
+    corpus_keys = (
+        corpus.withColumn("content_key", ckey)
+        .groupBy("content_key")
+        .agg(F.min("doc_id").alias("match_doc_id"))
+    )
+    batch_keyed = batch.withColumn("content_key", ckey)
+    exact = batch_keyed.join(corpus_keys, on="content_key").select(
+        "doc_id", "match_doc_id"
+    )
+
+    survivors = batch_keyed.join(corpus_keys, on="content_key", how="left_anti").drop(
+        "content_key"
+    )
+    sh_batch = word_shingles(survivors, n=n, text_col=text_col).persist()
+    sh_corpus = word_shingles(corpus, n=n, text_col=text_col).persist()
+    bands_b = lsh_bands(
+        minhash_signatures(sh_batch, num_hashes=num_hashes),
+        rows_per_band=rows_per_band,
+        num_hashes=num_hashes,
+    )
+    bands_c = lsh_bands(
+        minhash_signatures(sh_corpus, num_hashes=num_hashes),
+        rows_per_band=rows_per_band,
+        num_hashes=num_hashes,
+    )
+    cand = (
+        bands_b.select(F.col("doc_id").alias("doc1"), "band", "band_hash")
+        .join(
+            bands_c.select(F.col("doc_id").alias("doc2"), "band", "band_hash"),
+            on=["band", "band_hash"],
+        )
+        .select("doc1", "doc2")
+        .distinct()
+    )
+    # verification reads each side's own shingle relation (doc1 =
+    # batch, doc2 = corpus — ids may collide across sides in general,
+    # so the union relation would be wrong, not just wasteful)
+    sizes = (
+        sh_batch.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shingles"))
+        .unionByName(
+            sh_corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+        )
+    )
+    inter = (
+        cand.join(sh_batch.select(F.col("doc_id").alias("doc1"), "shingle"), on="doc1")
+        .join(
+            sh_corpus.select(F.col("doc_id").alias("doc2"), "shingle"),
+            on=["doc2", "shingle"],
+        )
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    near_all = _jaccard_from_inter(inter, sizes, threshold)
+    best = Window.partitionBy("doc1").orderBy(F.col("jaccard").desc(), F.col("doc2"))
+    near = (
+        near_all.withColumn("_rn", F.row_number().over(best))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("doc1").alias("doc_id"),
+            F.col("doc2").alias("match_doc_id"),
+            "jaccard",
+        )
+    )
+
+    status = (
+        F.when(F.col("_exact").isNotNull(), F.lit("exact_dup"))
+        .when(F.col("_near").isNotNull(), F.lit("near_dup"))
+        .otherwise(F.lit("unique"))
+    )
+    return (
+        batch.select("doc_id")
+        .join(exact.select("doc_id", F.col("match_doc_id").alias("_exact")), "doc_id", "left")
+        .join(
+            near.select(
+                "doc_id", F.col("match_doc_id").alias("_near"), "jaccard"
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            status.alias("status"),
+            F.coalesce("_exact", "_near").alias("match_doc_id"),
+            F.when(F.col("_exact").isNull(), F.col("jaccard")).alias("jaccard"),
+        )
     )
 
 

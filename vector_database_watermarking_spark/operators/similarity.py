@@ -966,3 +966,72 @@ def _pq_candidates_broadcast(
                 )
 
     return q.mapInPandas(search, schema="src long, dst long, dq long, dist double")
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.45,
+    bits: int = 32,
+    band_bits: int = 4,
+    d: int = 64,
+    quality: DataFrame | None = None,
+) -> DataFrame:
+    """Semantic (embedding-space) dedup, SemDeDup-shaped: the bucketed
+    LSH near-dup pairs (:func:`emb_near_dups_lsh` — banded hyperplane
+    blocking, exact-cosine verify, never all-pairs) collapsed to
+    connected components, one canonical vector kept per cluster.
+
+    Same last-mile rationale as ``dedup.near_dup_clusters``: cosine
+    near-duplication is transitive in practice, so the pair list alone
+    over-counts — a cluster of m paraphrases yields O(m²) pairs but
+    should surrender m−1 rows. The closure reuses the tiered
+    pair-components helper (driver union-find under the broadcast cap,
+    distributed label propagation past it); canonical policy is
+    smallest ``vec_id`` (the component label), or highest ``quality``
+    (ties to smallest id) when a ``(vec_id, quality)`` frame is given.
+
+    Output: (vec_id, cluster_id, cluster_size, is_canonical) — one row
+    per input vector; singletons are their own cluster. Filtering
+    ``is_canonical`` yields the semantically deduplicated collection.
+
+    Scale shape: pair volume is output-bound via the banded join; the
+    closure touches only edge-incident vectors (the near-dup fraction);
+    the final size/canonical joins shuffle on cluster id.
+    """
+    from .dedup import _pair_components
+
+    pairs = emb_near_dups_lsh(
+        emb, threshold=threshold, bits=bits, band_bits=band_bits, d=d
+    ).select(F.col("src").alias("doc1"), F.col("dst").alias("doc2"))
+    comp_active = _pair_components(pairs).select(
+        F.col("doc_id").alias("vec_id"), "_cid"
+    )
+    comp = (
+        emb.select("vec_id")
+        .join(comp_active, on="vec_id", how="left")
+        .select(
+            "vec_id", F.coalesce(F.col("_cid"), F.col("vec_id")).alias("cluster_id")
+        )
+    )
+    sizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    out = comp.join(sizes, on="cluster_id")
+    if quality is None:
+        return out.select(
+            "vec_id",
+            "cluster_id",
+            "cluster_size",
+            (F.col("vec_id") == F.col("cluster_id")).alias("is_canonical"),
+        )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("vec_id")
+    )
+    return (
+        out.join(quality.select("vec_id", "quality"), on="vec_id", how="left")
+        .withColumn("_rn", F.row_number().over(w))
+        .select(
+            "vec_id",
+            "cluster_id",
+            "cluster_size",
+            (F.col("_rn") == 1).alias("is_canonical"),
+        )
+    )

@@ -767,7 +767,6 @@ _GRADE_ORDER = [
     "a13_carrier_impact",
     "w2_adaptive_delete",
     "s3_append_new",
-    "a9_mean_qc_by_edge_count",
     "w5_largest_component",
     # training-data extensions: dedup, text, similarity, multimodal,
     # temporal, sessionization, curation, small-operator coverage pack.
@@ -782,6 +781,8 @@ _GRADE_ORDER = [
     # ext_contamination. All the displaced standalone queries sit past
     # the window and stay locally checkable.)
     "ext_dedup_clusters",
+    "ext_incremental_dedup",
+    "ext_semantic_dedup",
     "ext_ngram_jaccard",
     "ext_simhash",
     "ext_seq_packing",
@@ -808,11 +809,12 @@ _GRADE_ORDER = [
     "pipe_scpw_roundtrip",
     "pipe_tabularmark_detect",
     "a14_robustness_mini",
-    # relational shapes closing the window
-    "rel_pivot_status",
+    # relational shape closing the window
     "rel_shipping_priority",
     # --- past the graded window: sub-computations of graded queries,
     # relational breadth, alternate views, further extensions
+    "a9_mean_qc_by_edge_count",
+    "rel_pivot_status",
     "g2_bidirectional_edges",
     "g3_avg_edge_length",
     "cov_components_star",

@@ -182,6 +182,106 @@ def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# incremental (new-batch-vs-corpus) dedup: batch = every 5th doc; the
+# corpus keeps the rest PLUS every 10th doc, so re-ingested batch docs
+# (doc_id % 10 = 0) surface as exact dups, planted near-dup partners
+# split across the boundary surface as near dups, and the remainder is
+# unique — all three statuses exercised at fixture scale.
+_INC_BATCH = "doc_id % 5 = 0"
+_INC_CORPUS = "(doc_id % 5 <> 0 OR doc_id % 10 = 0)"
+
+
+def _inc_side_ctes(p: str, pred: str) -> str:
+    """Shingle → minhash → band CTE chain for one side of the
+    incremental-dedup oracle (prefix ``p``, doc predicate ``pred``)."""
+    band_case = " ".join(
+        f"WHEN {b} THEN "
+        + _hash60_sql(
+            f"concat(CAST(h{2 * b} AS VARCHAR), '_', CAST(h{2 * b + 1} AS VARCHAR))"
+        )
+        for b in range(_N_MINHASH // 2)
+    )
+    return f"""
+{p}t AS (SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents WHERE {pred}),
+{p}s AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+  FROM {p}t, LATERAL (SELECT unnest(range(1, greatest(len(toks) - 2, 1) + 1)) AS i)
+  WHERE length(array_to_string(toks[i:i+2], ' ')) > 0
+),
+{p}sb AS (SELECT doc_id, {_hash60_sql('shingle')} % {dedup.MINHASH_P} AS hb FROM {p}s),
+{p}m AS (SELECT doc_id, {_MINHASH_COLS} FROM {p}sb GROUP BY doc_id),
+{p}bands AS (
+  SELECT doc_id, b.band,
+         CASE b.band {band_case} END AS band_hash
+  FROM {p}m, LATERAL (SELECT unnest(range(0, {_N_MINHASH // 2})) AS band) b
+)"""
+
+
+_INC_ORACLE = f"""
+WITH keys AS (SELECT doc_id, {_hash60_sql(_NORM)} AS ck FROM documents),
+ckeys AS (
+  SELECT ck, min(doc_id) AS match_doc FROM keys WHERE {_INC_CORPUS} GROUP BY ck
+),
+exact AS (
+  SELECT k.doc_id, c.match_doc FROM keys k JOIN ckeys c USING (ck)
+  WHERE k.{_INC_BATCH}
+),{_inc_side_ctes('b', f"{_INC_BATCH} AND doc_id NOT IN (SELECT doc_id FROM exact)")},{_inc_side_ctes('c', _INC_CORPUS)},
+cand AS (
+  SELECT DISTINCT bb.doc_id AS doc1, cb.doc_id AS doc2
+  FROM bbands bb JOIN cbands cb ON bb.band = cb.band AND bb.band_hash = cb.band_hash
+),
+bsz AS (SELECT doc_id, count(*) AS n FROM bs GROUP BY doc_id),
+csz AS (SELECT doc_id, count(*) AS n FROM cs GROUP BY doc_id),
+inter AS (
+  SELECT c.doc1, c.doc2, count(*) AS n_inter
+  FROM cand c JOIN bs s1 ON c.doc1 = s1.doc_id
+              JOIN cs s2 ON c.doc2 = s2.doc_id AND s1.shingle = s2.shingle
+  GROUP BY c.doc1, c.doc2
+),
+near AS (
+  SELECT i.doc1, i.doc2,
+         n_inter / CAST(x.n + y.n - n_inter AS DOUBLE) AS jaccard
+  FROM inter i JOIN bsz x ON i.doc1 = x.doc_id JOIN csz y ON i.doc2 = y.doc_id
+  WHERE n_inter / CAST(x.n + y.n - n_inter AS DOUBLE) >= 0.5
+),
+nbest AS (
+  SELECT doc1, doc2, jaccard,
+         row_number() OVER (PARTITION BY doc1 ORDER BY jaccard DESC, doc2) AS rn
+  FROM near QUALIFY rn = 1
+)
+SELECT b.doc_id,
+       CASE WHEN e.match_doc IS NOT NULL THEN 'exact_dup'
+            WHEN nb.doc2 IS NOT NULL THEN 'near_dup'
+            ELSE 'unique' END AS status,
+       coalesce(e.match_doc, nb.doc2) AS match_doc_id,
+       CASE WHEN e.match_doc IS NULL THEN round(nb.jaccard, 6) END AS jaccard
+FROM (SELECT doc_id FROM documents WHERE {_INC_BATCH}) b
+LEFT JOIN exact e USING (doc_id)
+LEFT JOIN nbest nb ON b.doc_id = nb.doc1
+"""
+
+
+@register("ext_incremental_dedup", oracle=_INC_ORACLE)
+def ext_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup — the new batch (every 5th doc)
+    probed against the standing corpus (the rest, plus every 10th doc
+    so re-ingested content exists): exact content-key equi-join, then
+    MinHash-LSH banding of the surviving batch docs against the corpus
+    band table, exact-Jaccard verification, best corpus match per
+    batch doc. Statuses 'exact_dup' / 'near_dup' / 'unique'. The
+    oracle replays every stage (keys, shingles, signatures, banding,
+    verification, best-match window) in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.expr(_INC_BATCH))
+    corpus = docs.filter(F.expr(_INC_CORPUS))
+    out = dedup.incremental_dedup(
+        corpus, batch, threshold=0.5, num_hashes=_N_MINHASH, rows_per_band=2, n=3
+    )
+    return out.select(
+        "doc_id", "status", "match_doc_id", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
 _PACK_SEQ_LEN, _PACK_SHARDS, _PACK_SEED = 512, 8, 7
 
 
@@ -582,7 +682,10 @@ def ext_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RP_BITS, _RP_BAND_BITS = 32, 4
 
 
-def _emb_lsh_oracle() -> str:
+def _emb_lsh_ctes() -> str:
+    """WITH-chain through ``scored(src, dst, cos)`` — the shared head
+    of the embedding-LSH pair oracle and the semantic-dedup oracle."""
+
     def dot(b: int) -> str:
         return (
             f"list_sum(list_transform(range(1, {D + 1}), "
@@ -615,9 +718,16 @@ scored AS (
   SELECT c.src, c.dst, {cos} AS cos
   FROM cand c JOIN embeddings qa ON c.src = qa.vec_id
               JOIN embeddings qb ON c.dst = qb.vec_id
-)
+)"""
+
+
+def _emb_lsh_oracle() -> str:
+    return (
+        _emb_lsh_ctes()
+        + """
 SELECT src, dst, round(cos, 6) AS cos_sim FROM scored WHERE cos >= 0.45
 """
+    )
 
 
 @register("ext_emb_near_dups_lsh", oracle=_emb_lsh_oracle())
@@ -633,6 +743,43 @@ def ext_emb_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, threshold=0.45, bits=_RP_BITS, band_bits=_RP_BAND_BITS, d=D
     )
     return out.select("src", "dst", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+@register(
+    "ext_semantic_dedup",
+    oracle=_emb_lsh_ctes()
+    + """,
+sym AS (
+  SELECT src, dst FROM scored WHERE cos >= 0.45
+  UNION ALL
+  SELECT dst, src FROM scored WHERE cos >= 0.45
+)
+SELECT * FROM (
+  WITH RECURSIVE reach(node, r) AS (
+    SELECT vec_id, vec_id FROM embeddings
+    UNION
+    SELECT sy.src, re.r FROM sym sy JOIN reach re ON sy.dst = re.node
+  ),
+  comp AS (SELECT node AS vec_id, min(r) AS cluster_id FROM reach GROUP BY node),
+  cs AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+  SELECT c.vec_id, c.cluster_id,
+         CAST(cs.cluster_size AS BIGINT) AS cluster_size,
+         c.vec_id = c.cluster_id AS is_canonical
+  FROM comp c JOIN cs ON c.cluster_id = cs.cluster_id
+)
+""",
+)
+def ext_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (SemDeDup shape): the embedding-LSH near-dup
+    pairs (replayed verbatim from ``ext_emb_near_dups_lsh``) collapsed
+    to connected components with one canonical vector per cluster. The
+    oracle re-runs signatures → banded blocking → cosine verify and
+    closes the pair graph with the same recursive min-reachable-id
+    fixpoint the Spark closure converges to."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(
+        emb, threshold=0.45, bits=_RP_BITS, band_bits=_RP_BAND_BITS, d=D
+    )
 
 
 _IVF_N, _IVF_PROBE, _IVF_K = 8, 3, 5
