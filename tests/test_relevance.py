@@ -139,3 +139,32 @@ def test_weighted_sample_bias_determinism_and_plan(spark, sf_dir):
     # top-n compiles to TakeOrdered, not a global sort exchange
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_merge_apply_changes_semantics(spark):
+    from vector_database_watermarking_spark.operators import merge
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["doc_id", "text"]
+    )
+    changes = spark.createDataFrame(
+        [
+            # key 2: update at seq 10, later delete at seq 11 -> gone
+            (2, 10, "update", "b2"),
+            (2, 11, "delete", None),
+            # key 3: delete then a later upsert -> survives with new text
+            (3, 10, "delete", None),
+            (3, 12, "insert", "c2"),
+            # key 4: brand-new key inserted
+            (4, 5, "insert", "d"),
+            # key 5: delete of an absent key -> no-op
+            (5, 6, "delete", None),
+            # key 1: same-seq delete+update tie -> update wins (documented)
+            (1, 9, "delete", None),
+            (1, 9, "update", "a2"),
+        ],
+        ["doc_id", "seq", "op", "text"],
+    )
+    out = {r["doc_id"]: r["text"] for r in merge.apply_changes(base, changes).collect()}
+    assert out == {1: "a2", 3: "c2", 4: "d"}

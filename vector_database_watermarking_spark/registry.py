@@ -843,6 +843,7 @@ _GRADE_ORDER = [
     "ext_corpus_profile",
     "ext_vocab_topk",
     "rel_small_qty_revenue",
+    "rel_merge_upsert",
 ]
 
 

@@ -504,6 +504,70 @@ def rel_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MERGE_H3 = "CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 3"
+
+
+@register(
+    "rel_merge_upsert",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, text, lang, source FROM documents WHERE doc_id % 4 <> 3
+),
+ch AS (
+  SELECT (doc_id // 16) * 4 AS key, doc_id AS seq,
+         CASE {_MERGE_H3} WHEN 0 THEN 'insert'
+                          WHEN 1 THEN 'update' ELSE 'delete' END AS op,
+         text, lang, source
+  FROM documents WHERE doc_id % 4 = 3
+),
+latest AS (
+  SELECT * FROM (
+    SELECT ch.*, row_number() OVER (
+      PARTITION BY key
+      ORDER BY seq DESC,
+               CASE op WHEN 'delete' THEN 1 WHEN 'insert' THEN 2 ELSE 3 END DESC
+    ) AS rn FROM ch
+  ) WHERE rn = 1
+)
+SELECT coalesce(b.doc_id, l.key) AS doc_id,
+       CASE WHEN l.op IS NULL THEN b.text ELSE l.text END AS text,
+       CASE WHEN l.op IS NULL THEN b.lang ELSE l.lang END AS lang,
+       CASE WHEN l.op IS NULL THEN b.source ELSE l.source END AS source
+FROM base b FULL OUTER JOIN latest l ON b.doc_id = l.key
+WHERE l.op IS NULL OR l.op <> 'delete'
+""",
+)
+def rel_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO / upsert shape (``operators.merge.apply_changes``):
+    a deterministic change log (every doc_id ≡ 3 mod 4 becomes an
+    insert/update/delete against base key (doc_id // 16) * 4, op
+    chosen by content hash, seq = doc_id so several changes compete
+    per key) applied to the base corpus (doc_id ≢ 3 mod 4) with
+    last-wins semantics. The oracle replays the window + full-outer
+    merge in SQL."""
+    from .operators import merge
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 4 != 3).select(
+        "doc_id", "text", "lang", "source"
+    )
+    from .functions.hashing import hash60
+
+    opcode = hash60(F.col("text")) % 3
+    ch = docs.filter(F.col("doc_id") % 4 == 3).select(
+        (F.floor(F.col("doc_id") / 16) * 4).cast("long").alias("doc_id"),
+        F.col("doc_id").alias("seq"),
+        F.element_at(
+            F.array(F.lit("insert"), F.lit("update"), F.lit("delete")),
+            (opcode + 1).cast("int"),
+        ).alias("op"),
+        "text",
+        "lang",
+        "source",
+    )
+    return merge.apply_changes(base, ch, key="doc_id", seq="seq", op="op")
+
+
 # ------------------------------------------------------- coverage pack
 
 _W7_DIMS = [0, 1, 2, 0]  # TabularMark first-k content-id dims (k=3)
