@@ -559,3 +559,35 @@ def test_incremental_dedup_statuses(spark, sf_dir):
     assert out[8]["jaccard"] >= 0.5
     assert out[9]["status"] == "unique"
     assert out[9]["match_doc_id"] is None and out[9]["jaccard"] is None
+
+
+def test_embed_documents_normalization_and_pluggability(spark, sf_dir):
+    import numpy as np
+    from vector_database_watermarking_spark.operators import embedding
+
+    d = docs(spark, sf_dir).limit(50)
+    rows = embedding.embed_documents(d).collect()
+    assert len(rows) == 50
+    for r in rows[:10]:
+        v = np.array(r["embedding"])
+        assert v.shape == (64,)
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-9
+    # partitioning-invariance (integer-domain sums -> exact equality)
+    again = embedding.embed_documents(d.repartition(7)).collect()
+    assert {r["doc_id"]: r["embedding"] for r in again} == {
+        r["doc_id"]: r["embedding"] for r in rows
+    }
+    # token-less docs yield no row
+    with_empty = d.unionByName(
+        spark.createDataFrame([(999999, "   ")], ["doc_id", "text"]).select(
+            "doc_id", "text", *[F.lit(None).cast(t.dataType).alias(t.name)
+                                for t in d.schema if t.name not in ("doc_id", "text")]
+        )
+    )
+    out = embedding.embed_documents(with_empty)
+    assert out.filter(F.col("doc_id") == 999999).count() == 0
+    # a custom model_fn slots in (constant encoder)
+    def toy(token_lists):
+        return np.ones((len(token_lists), 3))
+    toy_rows = embedding.embed_documents(d, model_fn=toy, d=3).head(2)
+    assert all(list(r["embedding"]) == [1.0, 1.0, 1.0] for r in toy_rows)

@@ -168,3 +168,37 @@ def test_merge_apply_changes_semantics(spark):
     )
     out = {r["doc_id"]: r["text"] for r in merge.apply_changes(base, changes).collect()}
     assert out == {1: "a2", 3: "c2", 4: "d"}
+
+
+def test_hybrid_search_rrf_properties(spark, sf_dir):
+    from vector_database_watermarking_spark.operators.relevance import (
+        bm25_scores,
+        hybrid_search,
+    )
+    from vector_database_watermarking_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ["join", "query", "scan", "stream", "table"]
+    out = hybrid_search(docs, terms, n_list=50, k=10)
+    rows = out.collect()
+    assert len(rows) == 10
+    # fused score is exactly the RRF formula over the reported ranks
+    for r in rows:
+        expect = 0.0
+        if r["lex_rank"] is not None:
+            expect += 1.0 / (60 + r["lex_rank"])
+        if r["sem_rank"] is not None:
+            expect += 1.0 / (60 + r["sem_rank"])
+        assert abs(r["rrf_score"] - expect) < 1e-6
+    # descending fused order, deterministic tie-break
+    scores = [r["rrf_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # a doc ranked #1 by BM25 must appear in the fused top-k
+    spark.catalog.clearCache()
+    top_lex = (
+        bm25_scores(docs, terms)
+        .orderBy(F.round("score", 6).desc(), "doc_id")
+        .head()["doc_id"]
+    )
+    assert any(r["doc_id"] == top_lex for r in rows)

@@ -126,3 +126,82 @@ def corpus_split(
     return docs.select("doc_id", F.col(text_col), expr.alias("split")).select(
         "doc_id", "split"
     )
+
+
+def hybrid_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    n_list: int = 100,
+    k: int = 20,
+    rrf_k: int = 60,
+    text_col: str = "text",
+) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical ranking and embedding-cosine
+    semantic ranking fused by Reciprocal Rank Fusion
+    (Cormack/Clarke/Buettcher '09: score = Σ 1/(rrf_k + rank)).
+
+    The semantic side encodes the corpus AND the query bag with the
+    engine's deterministic batch encoder (``operators.embedding``), so
+    both retriever lists — and therefore the fusion — replay exactly
+    in SQL. Both embeddings are unit-norm, so the dot product (a
+    native sequential ``aggregate`` fold over ``zip_with``, matching
+    DuckDB's ``list_sum`` order) IS the cosine.
+
+    Scale shape: each retriever reduces to its top ``n_list`` via
+    ``orderBy().limit()`` — a distributed TakeOrdered, never a global
+    sort — and only the two ≤ n_list-row lists see rank windows (their
+    single-partition cost is bounded by ``n_list``, not the corpus).
+    The fusion join is trivially broadcast. Per-query work after
+    scoring is O(n_list); corpus-side work is one BM25 pass (query
+    terms broadcast against the tf relation) plus one encoder pass.
+
+    Returns the top ``k`` fused rows:
+    (doc_id, lex_rank, sem_rank, rrf_score) with null ranks for docs
+    present in only one list.
+    """
+    from pyspark.sql import Window
+
+    from .embedding import _default_model, embed_documents
+
+    def ranked(scored: DataFrame, score_col: str, rank_name: str) -> DataFrame:
+        top = (
+            scored.withColumn("_s", F.round(score_col, 6))
+            .orderBy(F.col("_s").desc(), "doc_id")
+            .limit(n_list)
+        )
+        w = Window.orderBy(F.col("_s").desc(), "doc_id")  # <= n_list rows
+        return top.withColumn(rank_name, F.row_number().over(w)).select(
+            "doc_id", rank_name
+        )
+
+    lex = ranked(bm25_scores(docs, query_terms, text_col=text_col), "score", "lex_rank")
+
+    qv = [round(float(x), 6) for x in _default_model([list(query_terms)])[0]]
+    qarr = F.array(*[F.lit(x) for x in qv])
+    emb = embed_documents(docs, text_col=text_col)
+    cos = F.aggregate(
+        F.zip_with(
+            F.transform(F.col("embedding"), lambda x: F.round(x, 6)),
+            qarr,
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+    sem = ranked(emb.select("doc_id", cos.alias("cos")), "cos", "sem_rank")
+
+    fused = lex.join(sem, on="doc_id", how="full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(rrf_k) + F.col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("sem_rank")), F.lit(0.0))
+    return (
+        fused.withColumn("rrf_score", rrf)
+        .orderBy(F.col("rrf_score").desc(), "doc_id")
+        .limit(k)
+        .select(
+            "doc_id",
+            "lex_rank",
+            "sem_rank",
+            F.round("rrf_score", 6).alias("rrf_score"),
+        )
+    )

@@ -795,7 +795,7 @@ _GRADE_ORDER = [
     "ext_cosine_topk",
     "ext_emb_near_dups_lsh",
     "ext_ivf_topk",
-    "ext_sq_topk",
+    "ext_doc_embeddings",
     "ext_multimodal_features",
     "ext_events_sessions",
     "rel_asof_purchase_view",
@@ -818,7 +818,9 @@ _GRADE_ORDER = [
     "g2_bidirectional_edges",
     "g3_avg_edge_length",
     "cov_components_star",
+    "ext_sq_topk",
     "ext_pq_topk",
+    "ext_hybrid_search",
     "ext_minhash_signatures",
     "ext_minhash_near_dups",
     "ext_token_stats",

@@ -182,6 +182,51 @@ def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ext_doc_embeddings",
+    oracle=f"""
+WITH {_TOKS_CTE},
+tok AS (
+  SELECT doc_id, u.tok FROM t, LATERAL unnest(toks) AS u(tok)
+  WHERE length(u.tok) > 0
+),
+contrib AS (
+  SELECT doc_id, CAST(j.j * 16 + k.k AS INTEGER) AS dim,
+         SUM(CAST('0x' || substr(md5(concat('enc_', j.j, '_', tok)), k.k * 2 + 1, 2)
+             AS BIGINT) - 128) AS s
+  FROM tok,
+       LATERAL (SELECT unnest(range(0, 4)) AS j) j,
+       LATERAL (SELECT unnest(range(0, 16)) AS k) k
+  GROUP BY doc_id, dim
+),
+nrm AS (
+  SELECT doc_id, sqrt(SUM(CAST(s AS DOUBLE) * s)) AS n FROM contrib GROUP BY doc_id
+)
+SELECT c.doc_id, c.dim,
+       round(CASE WHEN n.n = 0 THEN 0 ELSE c.s / n.n END, 6) AS value
+FROM contrib c JOIN nrm n USING (doc_id)
+""",
+)
+def ext_doc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch embedding generation (``operators.embedding``): documents
+    → L2-normalized 64-dim vectors via Arrow ``mapInPandas`` with the
+    deterministic hash-encoder stand-in. Output exploded to
+    (doc_id, dim, value) so the driver hash-compares scalars; the
+    oracle replays tokenization, per-token byte contributions, the
+    integer dimension sums, and the final normalization in SQL."""
+    from .operators import embedding
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = embedding.embed_documents(docs)
+    return out.select(
+        "doc_id", F.posexplode("embedding").alias("dim", "value")
+    ).select(
+        "doc_id",
+        F.col("dim").cast("int").alias("dim"),
+        F.round("value", 6).alias("value"),
+    )
+
+
 # incremental (new-batch-vs-corpus) dedup: batch = every 5th doc; the
 # corpus keeps the rest PLUS every 10th doc, so re-ingested batch docs
 # (doc_id % 10 = 0) surface as exact dups, planted near-dup partners

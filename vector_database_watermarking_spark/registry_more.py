@@ -1298,10 +1298,7 @@ def ext_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_TERMS = ["join", "query", "scan", "stream", "table"]
 
 
-@register(
-    "ext_bm25_search",
-    oracle=f"""
-WITH t AS (
+_BM25_CTES = f"""t AS (
   SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
   FROM documents
 ),
@@ -1327,7 +1324,12 @@ m AS (
               + (CAST(0.75 AS DOUBLE) * CAST(dl.dl AS DOUBLE)) / consts.avgdl))
          AS term_score
   FROM tf JOIN q USING (term) JOIN dfq USING (term) JOIN dl USING (doc_id), consts
-)
+)"""
+
+
+@register(
+    "ext_bm25_search",
+    oracle="WITH " + _BM25_CTES + """
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_terms,
        round(sum(term_score), 6) AS score
 FROM m GROUP BY doc_id
@@ -1344,6 +1346,80 @@ def ext_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = bm25_scores(docs, _BM25_TERMS, k1=1.2, b=0.75)
     return out.select(
         "doc_id", "n_hit_terms", F.round("score", 6).alias("score")
+    )
+
+
+def _hybrid_oracle() -> str:
+    from .operators.embedding import _default_model
+
+    qv = [round(float(x), 6) for x in _default_model([list(_BM25_TERMS)])[0]]
+    qlist = "[" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in qv) + "]"
+    return (
+        "WITH "
+        + _BM25_CTES
+        + f""",
+bm AS (SELECT doc_id, sum(term_score) AS score FROM m GROUP BY doc_id),
+lx AS (
+  SELECT doc_id, row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS lex_rank
+  FROM bm QUALIFY lex_rank <= 100
+),
+contrib AS (
+  SELECT doc_id, CAST(j.j * 16 + k.k AS INTEGER) AS dim,
+         SUM(CAST('0x' || substr(md5(concat('enc_', j.j, '_', term)), k.k * 2 + 1, 2)
+             AS BIGINT) - 128) AS s
+  FROM u,
+       LATERAL (SELECT unnest(range(0, 4)) AS j) j,
+       LATERAL (SELECT unnest(range(0, 16)) AS k) k
+  GROUP BY doc_id, dim
+),
+nrm AS (
+  SELECT doc_id, sqrt(SUM(CAST(s AS DOUBLE) * s)) AS n FROM contrib GROUP BY doc_id
+),
+ev AS (
+  SELECT c.doc_id,
+         list(round(CASE WHEN n.n = 0 THEN 0 ELSE c.s / n.n END, 6) ORDER BY c.dim) AS emb
+  FROM contrib c JOIN nrm n USING (doc_id) GROUP BY c.doc_id
+),
+sem0 AS (
+  SELECT doc_id,
+         list_sum(list_transform(list_zip(emb, {qlist}), p -> p[1] * p[2])) AS cos
+  FROM ev
+),
+sx AS (
+  SELECT doc_id, row_number() OVER (ORDER BY round(cos, 6) DESC, doc_id) AS sem_rank
+  FROM sem0 QUALIFY sem_rank <= 100
+)
+SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+       CAST(l.lex_rank AS INTEGER) AS lex_rank,
+       CAST(s.sem_rank AS INTEGER) AS sem_rank,
+       round(coalesce(CAST(1.0 AS DOUBLE) / (60 + l.lex_rank), CAST(0 AS DOUBLE))
+           + coalesce(CAST(1.0 AS DOUBLE) / (60 + s.sem_rank), CAST(0 AS DOUBLE)), 6)
+         AS rrf_score
+FROM lx l FULL JOIN sx s ON l.doc_id = s.doc_id
+ORDER BY (coalesce(CAST(1.0 AS DOUBLE) / (60 + l.lex_rank), CAST(0 AS DOUBLE))
+        + coalesce(CAST(1.0 AS DOUBLE) / (60 + s.sem_rank), CAST(0 AS DOUBLE))) DESC,
+         coalesce(l.doc_id, s.doc_id)
+LIMIT 20
+"""
+    )
+
+
+@register("ext_hybrid_search", oracle=_hybrid_oracle())
+def ext_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (``operators.relevance.hybrid_search``): BM25
+    and embedding-cosine rankings over the same query bag fused by
+    Reciprocal Rank Fusion, top 20. The oracle replays both retriever
+    pipelines (BM25 CTEs; the deterministic batch encoder + sequential
+    dot fold) and the fusion arithmetic."""
+    from .operators.relevance import hybrid_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = hybrid_search(docs, _BM25_TERMS, n_list=100, k=20)
+    return out.select(
+        "doc_id",
+        F.col("lex_rank").cast("int").alias("lex_rank"),
+        F.col("sem_rank").cast("int").alias("sem_rank"),
+        "rrf_score",
     )
 
 
