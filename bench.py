@@ -48,6 +48,8 @@ HEADLINE = [
     "ext_contamination",
     "ext_dedup_clusters",
     "ext_seq_packing",
+    "ext_incremental_dedup",
+    "ext_doc_embeddings",
 ]
 
 

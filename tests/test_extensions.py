@@ -591,3 +591,88 @@ def test_embed_documents_normalization_and_pluggability(spark, sf_dir):
         return np.ones((len(token_lists), 3))
     toy_rows = embedding.embed_documents(d, model_fn=toy, d=3).head(2)
     assert all(list(r["embedding"]) == [1.0, 1.0, 1.0] for r in toy_rows)
+
+
+def test_streaming_ingest_dedup_matches_batch(spark, sf_dir, tmp_path):
+    from vector_database_watermarking_spark.operators import dedup
+    from vector_database_watermarking_spark.streaming import ingest
+    from vector_database_watermarking_spark.functions.hashing import hash60
+
+    d = docs(spark, sf_dir)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    batch = d.filter(F.col("doc_id") % 5 == 0).unionByName(
+        # re-ingest two corpus docs verbatim so exact_dup fires
+        corpus.limit(2).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+
+    # per-row native signature == batch explode-groupBy signature
+    sh = dedup.word_shingles(corpus, n=3)
+    batch_sig = {
+        r["doc_id"]: list(r["sig"])
+        for r in dedup.minhash_signatures(sh, num_hashes=8).collect()
+    }
+    row_sig = {
+        r["doc_id"]: list(r["s"])
+        for r in corpus.select(
+            "doc_id", ingest.row_minhash(ingest.shingle_array("text"), 8).alias("s")
+        ).collect()
+    }
+    assert row_sig == batch_sig
+
+    corpus_keys = (
+        corpus.withColumn("content_key", hash60(dedup.normalize_text("text")))
+        .groupBy("content_key")
+        .agg(F.min("doc_id").alias("match_doc_id"))
+    )
+    corpus_bands = dedup.lsh_bands(
+        dedup.minhash_signatures(sh, num_hashes=8), rows_per_band=2, num_hashes=8
+    )
+
+    stream_dir = str(tmp_path / "docstream")
+    batch.write.parquet(stream_dir)
+    doc_stream = spark.readStream.schema(batch.schema).parquet(stream_dir)
+
+    for q, name in [
+        (ingest.ingest_exact_dedup_stream(doc_stream, corpus_keys), "ing_exact"),
+        (
+            ingest.ingest_band_candidates_stream(doc_stream, corpus_bands),
+            "ing_cand",
+        ),
+    ]:
+        s = q.writeStream.format("memory").queryName(name).outputMode("append").start()
+        try:
+            s.processAllAvailable()
+        finally:
+            s.stop()
+
+    exact = {r["doc_id"]: r for r in spark.sql("SELECT * FROM ing_exact").collect()}
+    assert len(exact) == batch.count()
+    re_ingested = [k for k in exact if k >= 1_000_000]
+    assert len(re_ingested) == 2
+    for k in re_ingested:
+        assert exact[k]["status"] == "exact_dup"
+        assert exact[k]["match_doc_id"] == k - 1_000_000
+    assert all(
+        v["status"] == "unknown" for k, v in exact.items() if k < 1_000_000
+    )
+
+    # candidate stream == the batch banded join, per (doc, corpus doc, band)
+    cand = {
+        (r["doc_id"], r["corpus_doc_id"], r["band"])
+        for r in spark.sql("SELECT * FROM ing_cand").collect()
+    }
+    bb = dedup.lsh_bands(
+        dedup.minhash_signatures(dedup.word_shingles(batch, n=3), num_hashes=8),
+        rows_per_band=2,
+        num_hashes=8,
+    )
+    expected = {
+        (r["doc_id"], r["corpus_doc_id"], r["band"])
+        for r in bb.join(
+            corpus_bands.select(
+                F.col("doc_id").alias("corpus_doc_id"), "band", "band_hash"
+            ),
+            on=["band", "band_hash"],
+        ).collect()
+    }
+    assert cand == expected and len(cand) > 0
