@@ -144,3 +144,34 @@ def test_accessibility_index_duplicate_edges_no_fanout(spark, sf_dir):
         assert b["bidir_edges"] == 2 * a["bidir_edges"], (a, b)
         if a["avg_edge_len"] is not None:
             assert abs(b["avg_edge_len"] - a["avg_edge_len"]) < 1e-12
+
+
+def test_pagerank_mass_and_exact_tier_parity(spark, sf_dir):
+    from vector_database_watermarking_spark.operators import graph, knn
+    from vector_database_watermarking_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = knn.knn_edges(emb, k=10).persist()
+    n = emb.count()
+    fl = graph.pagerank(edges, emb, damping=0.85, iters=3)
+    ex = graph.pagerank_exact(edges, emb, k=10, iters=3)
+    # rank mass is conserved (every node has out-degree k, no dangling)
+    assert abs(fl.agg(F.sum("pr")).head()[0] - 1.0) < 1e-9
+    assert abs(ex.agg(F.sum("pr")).head()[0] - 1.0) < 1e-9
+    # the integer formulation computes the same ranks as the float one
+    j = {r["vec_id"]: (r["pr"], r["pr2"]) for r in fl.join(
+        ex.select("vec_id", F.col("pr").alias("pr2")), on="vec_id"
+    ).collect()}
+    assert len(j) == n
+    assert all(abs(a - b) < 1e-12 for a, b in j.values())
+    # integer tier is partitioning-invariant EXACTLY
+    again = {
+        r["vec_id"]: r["pr_scaled"]
+        for r in graph.pagerank_exact(
+            edges.repartition(13), emb, k=10, iters=3
+        ).collect()
+    }
+    first = {r["vec_id"]: r["pr_scaled"] for r in ex.collect()}
+    assert again == first
+    edges.unpersist()

@@ -433,3 +433,125 @@ def component_sizes(components: DataFrame) -> DataFrame:
     ``max(clusters, key=len)`` at ``t_vector/e1:159``; small-cluster
     predicate ``size <= 10`` at ``t_vector/e1:97-98``)."""
     return components.groupBy("component").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    damping: float = 0.85,
+    iters: int = 3,
+) -> DataFrame:
+    """PageRank over the kNN graph — a principled node-visibility
+    score generalizing the reference's query-count profile
+    (``watermarking.py:302-308``: how often a vector is reached by
+    searches); low-rank nodes are the natural hidden/carrier
+    candidates the accessibility index approximates.
+
+    Fixed-iteration power method: pr₀ = 1/n; pr_{t+1}(v) = (1−d)/n +
+    d·Σ_{u→v} pr_t(u)/outdeg(u). On a kNN graph every node has
+    out-degree k, so there is no dangling-mass correction to model.
+
+    Scale shape: the edge relation joins the (vec_id, pr) vector on
+    ``src`` and aggregates on ``dst`` — two key-hash shuffles per
+    iteration over data proportional to |E|, the textbook distributed
+    PageRank step. The rank vector is localCheckpointed each iteration
+    so lineage stays O(1) across iterations (same hygiene as the
+    components loop). Fixed ``iters`` keeps the computation exactly
+    replayable; convergence-driven stopping would compare successive
+    vectors with one extra agg per iteration.
+    """
+    sess = edges.sparkSession
+    n = nodes.count()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    e = (
+        edges.select("src", "dst")
+        .join(deg, on="src")
+        .persist()  # static across iterations, consumed ``iters`` times
+    )
+    base = float(1.0 - damping) / n
+    pr = nodes.select("vec_id", F.lit(1.0 / n).alias("pr"))
+    for _ in range(iters):
+        contrib = (
+            e.join(pr, e.src == pr.vec_id)
+            .select("dst", (F.col("pr") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = (
+            nodes.select("vec_id")
+            .join(contrib, nodes.vec_id == contrib.dst, "left")
+            .select(
+                "vec_id",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    return pr
+
+
+def pagerank_exact(
+    edges: DataFrame,
+    nodes: DataFrame,
+    k: int,
+    damping_num: int = 17,
+    damping_den: int = 20,
+    iters: int = 3,
+) -> DataFrame:
+    """Integer-exact PageRank for uniform out-degree-``k`` graphs
+    (every kNN graph qualifies: ``knn_edges`` emits exactly k
+    out-edges per node).
+
+    The float power iteration accumulates per-node sums whose
+    floating-point value depends on aggregation order, so two engines
+    legitimately disagree in the last ulps — enough to flip a rounded
+    digit at any precision. With damping expressed as the rational
+    ``num/den`` and the rank vector rescaled by ``n·(den·k)^t``, the
+    recurrence becomes pure integer arithmetic::
+
+        A_0(v)     = 1
+        A_{t+1}(v) = (den − num)·k·(den·k)^t + num·Σ_{u→v} A_t(u)
+
+    with pr_t(v) = A_t(v) / (n·(den·k)^t) — associative, overflow-safe
+    far beyond any real collection (A grows like (den·k)^t·pr ≤ 8·10⁶
+    per unit of rank mass at the defaults), and therefore identical on
+    any engine and any partitioning. Same per-iteration plan as
+    :func:`pagerank`: one src join + one dst aggregation over |E|.
+
+    Returns (vec_id, pr_scaled, pr) with ``pr_scaled`` = A_iters and
+    ``pr`` the exact final division.
+    """
+    n = nodes.count()
+    e = edges.select("src", "dst").persist()
+    a = nodes.select("vec_id", F.lit(1).cast("long").alias("a"))
+    for t in range(iters):
+        const = (damping_den - damping_num) * k * (damping_den * k) ** t
+        summed = (
+            e.join(a, e.src == a.vec_id)
+            .groupBy("dst")
+            .agg(F.sum("a").alias("s"))
+        )
+        a = (
+            nodes.select("vec_id")
+            .join(summed, nodes.vec_id == summed.dst, "left")
+            .select(
+                "vec_id",
+                (
+                    F.lit(const)
+                    + F.lit(damping_num) * F.coalesce(F.col("s"), F.lit(0))
+                )
+                .cast("long")
+                .alias("a"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    denom = float(n * (damping_den * k) ** iters)
+    return a.select(
+        "vec_id",
+        F.col("a").alias("pr_scaled"),
+        (F.col("a") / F.lit(denom)).alias("pr"),
+    )

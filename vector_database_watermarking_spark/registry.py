@@ -846,6 +846,7 @@ _GRADE_ORDER = [
     "ext_vocab_topk",
     "rel_small_qty_revenue",
     "rel_merge_upsert",
+    "ext_graph_pagerank",
 ]
 
 

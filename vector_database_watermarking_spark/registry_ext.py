@@ -1041,6 +1041,51 @@ def cov_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.connected_components_star(mutual, emb)
 
 
+def _pagerank_oracle(iters: int = 3, num: int = 17, den: int = 20) -> str:
+    """Unrolled integer-exact PageRank over the kNN edges (see
+    ``graph.pagerank_exact``): A_{t+1} = (den−num)·k·(den·k)^t +
+    num·ΣA_t, pure BIGINT arithmetic at every stage, one final double
+    division."""
+    from .registry import _knn_cte
+
+    sql = (
+        _knn_cte()
+        + """,
+a0 AS (SELECT vec_id, CAST(1 AS BIGINT) AS a FROM embeddings)"""
+    )
+    for t in range(1, iters + 1):
+        const = (den - num) * K * (den * K) ** (t - 1)
+        sql += f""",
+s{t} AS (
+  SELECT e.dst, CAST(sum(p.a) AS BIGINT) AS s
+  FROM edges e JOIN a{t - 1} p ON e.src = p.vec_id GROUP BY e.dst
+),
+a{t} AS (
+  SELECT emb.vec_id,
+         CAST({const} + {num} * coalesce(s{t}.s, 0) AS BIGINT) AS a
+  FROM embeddings emb LEFT JOIN s{t} ON emb.vec_id = s{t}.dst
+)"""
+    return sql + f"""
+SELECT vec_id, a AS pr_scaled,
+       a / CAST((SELECT count(*) FROM embeddings) * power({den * K}, {iters}) AS DOUBLE) AS pr
+FROM a{iters}
+"""
+
+
+@register("ext_graph_pagerank", oracle=_pagerank_oracle())
+def ext_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 power iterations, damping 17/20) over the exact kNN
+    graph — the iterative graph-analytics shape beyond components, in
+    the integer-exact formulation (``graph.pagerank_exact``) so the
+    unrolled SQL oracle matches bit-for-bit with no rounding tolerance
+    at all."""
+    from .operators import graph, knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = knn.knn_edges(emb, k=K)
+    return graph.pagerank_exact(edges, emb, k=K, iters=3)
+
+
 @register(
     "g6_cluster_diagnostics",
     oracle=_components_oracle(
