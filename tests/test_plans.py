@@ -162,3 +162,34 @@ def test_correlated_subquery_decorrelates(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "HashJoin" in plan, plan
+
+
+def test_merge_upsert_reuses_key_partitioning(spark, sf_dir):
+    """apply_changes must not re-shuffle the change side between its
+    last-wins window and the merge join: both hash on the key, so the
+    plan carries exactly one Exchange per input (window + base), never
+    a third, and no nested-loop/cartesian fallback."""
+    from vector_database_watermarking_spark.operators import merge
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ch = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("doc_id").alias("seq"), F.lit("update").alias("op"), "text"
+    )
+    plan = plan_of(merge.apply_changes(base, ch))
+    assert plan.count("Exchange") <= 2, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_incremental_dedup_no_all_pairs(spark, sf_dir):
+    """The batch-vs-corpus probe must stay equi-join shaped end to
+    end: no cartesian/nested-loop anywhere, and the exact stage's key
+    join plus the banded candidate join are hash joins."""
+    from vector_database_watermarking_spark.operators import dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    out = dedup.incremental_dedup(
+        d.filter(F.col("doc_id") % 5 != 0), d.filter(F.col("doc_id") % 5 == 0)
+    )
+    plan = plan_of(out)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
