@@ -132,3 +132,35 @@ def test_semantic_dedup_clusters_and_quality_policy(spark, sf_dir):
             assert out_q[i]["is_canonical"] == (i == best)
     # at least one non-trivial cluster exists at fixture scale
     assert any(len(m) > 1 for m in by_cluster.values())
+
+
+def test_ivf_index_save_load_roundtrip(spark, sf_dir, tmp_path):
+    from vector_database_watermarking_spark.operators import similarity
+    from vector_database_watermarking_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+    import numpy as np
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, cents = similarity.ivf_build_fixed(emb, n_clusters=8)
+    path = str(tmp_path / "ivf")
+    similarity.save_ivf_index(assigned, cents, path)
+
+    # cluster-partitioned layout on disk (the partition-pruning surface)
+    dirs = {d for d in os.listdir(f"{path}/assigned") if d.startswith("cluster=")}
+    assert len(dirs) == 8
+
+    loaded_assigned, loaded_cents = similarity.load_ivf_index(spark, path)
+    assert np.array_equal(loaded_cents, cents)
+
+    # a single-cluster probe reads only its partition (pruned scan)
+    plan = loaded_assigned.filter(F.col("cluster") == 3)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "cluster" in plan
+
+    q = emb.filter(F.col("vec_id") < 20)
+    direct = similarity.ivf_search_fixed(q, assigned, cents, k=5, nprobe=3)
+    via_disk = similarity.ivf_search_fixed(q, loaded_assigned, loaded_cents, k=5, nprobe=3)
+    a = sorted(map(tuple, direct.collect()))
+    b = sorted(map(tuple, via_disk.collect()))
+    assert a == b and len(a) == 20 * 5
