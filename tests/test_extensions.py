@@ -676,3 +676,57 @@ def test_streaming_ingest_dedup_matches_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert cand == expected and len(cand) > 0
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-stream watermarked interval join end-to-end: view→purchase
+    attribution over two live file-source streams must emit exactly the
+    pairs the batch interval join produces on the same inputs."""
+    from vector_database_watermarking_spark.streaming.joins import (
+        attribution_join_streams,
+        interval_join,
+        run_to_append_sink,
+    )
+    from vector_database_watermarking_spark.streaming.windows import (
+        EVENTS_SCHEMA,
+        stream_events_from_files,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    views_b = ev.filter(F.col("event_type") == "view")
+    purch_b = ev.filter(F.col("event_type") == "purchase")
+
+    v_dir, p_dir = str(tmp_path / "views"), str(tmp_path / "purchases")
+    views_b.repartition(2).write.mode("overwrite").parquet(v_dir)
+    purch_b.repartition(2).write.mode("overwrite").parquet(p_dir)
+
+    batch = interval_join(
+        spark.read.schema(EVENTS_SCHEMA).parquet(v_dir),
+        spark.read.schema(EVENTS_SCHEMA).parquet(p_dir),
+        on="user_id",
+        horizon="1 hour",
+        left_prefix="v",
+        right_prefix="p",
+    )
+    expected = {
+        (r["v_event_id"], r["p_event_id"]) for r in batch.collect()
+    }
+    assert len(expected) > 0  # fixture must exercise the join
+
+    vs = stream_events_from_files(spark, v_dir, max_files_per_trigger=1)
+    ps = stream_events_from_files(spark, p_dir, max_files_per_trigger=1)
+    out = attribution_join_streams(vs, ps, horizon="1 hour", watermark="2 hours")
+    run_to_append_sink(out, "attribution")
+    got = {
+        (r["view_id"], r["purchase_id"])
+        for r in spark.sql("SELECT * FROM attribution").collect()
+    }
+    assert got == expected
+
+    # interval bound holds row-by-row on the emitted stream
+    bad = spark.sql(
+        "SELECT count(*) FROM attribution "
+        "WHERE purchase_ts < view_ts "
+        "   OR purchase_ts > view_ts + INTERVAL 1 HOUR"
+    ).head()[0]
+    assert bad == 0

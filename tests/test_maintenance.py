@@ -1,0 +1,87 @@
+"""Table-maintenance operators: small-file compaction and Z-order
+layout (operators/maintenance.py)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from vector_database_watermarking_spark.operators import maintenance
+from vector_database_watermarking_spark.sources.tables import load_table
+
+
+def _per_file_ranges(spark, path, col):
+    df = spark.read.parquet(path).select(
+        F.input_file_name().alias("f"), F.col(col).alias("v")
+    )
+    return {
+        r["f"]: (r["lo"], r["hi"])
+        for r in df.groupBy("f")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .collect()
+    }
+
+
+def test_compact_defragments_and_range_clusters(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events")
+    frag = str(tmp_path / "frag")
+    ev.repartition(64).write.mode("overwrite").parquet(frag)
+    assert maintenance.parquet_file_stats(frag)["n_files"] == 64
+
+    out = str(tmp_path / "compacted")
+    n = ev.count()
+    audit = maintenance.compact(
+        spark, frag, out, sort_key="event_id", target_rows_per_file=(n + 3) // 4
+    )
+    assert audit["rows"] == n
+    assert audit["after"]["n_files"] <= 5  # range boundaries are sampled
+    assert audit["after"]["n_files"] < audit["before"]["n_files"]
+    assert audit["after"]["avg_bytes"] > audit["before"]["avg_bytes"]
+
+    # nothing lost, nothing duplicated
+    a = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    b = sorted(r["event_id"] for r in ev.collect())
+    assert a == b
+
+    # files are range-clustered on the sort key: per-file [min,max]
+    # intervals are disjoint, so footer stats prune key predicates
+    ranges = sorted(_per_file_ranges(spark, out, "event_id").values())
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next
+
+
+@pytest.mark.parametrize("bits", [3])
+def test_zorder_bounds_file_span_on_both_dims(spark, bits):
+    # 64x64 grid; 16 files. A y-sorted layout leaves x full-span in
+    # every file; the Z-order layout bounds the span of BOTH columns.
+    side, n_files = 64, 16
+    grid = spark.range(side * side).select(
+        (F.col("id") % side).alias("x"), (F.col("id") / side).cast("long").alias("y")
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        zpath, ypath = f"{d}/z", f"{d}/y"
+        maintenance.zorder_by(grid, "x", "y", n_files=n_files, bits=bits).write.parquet(
+            zpath
+        )
+        grid.repartitionByRange(n_files, "y").sortWithinPartitions("y").write.parquet(
+            ypath
+        )
+
+        def max_span(path, col):
+            return max(
+                hi - lo for lo, hi in _per_file_ranges(spark, path, col).values()
+            )
+
+        # y-only layout: x is unclustered (full span) in every file
+        assert max_span(ypath, "x") == side - 1
+        # Z-order: both dims bounded well below full span → a filter on
+        # either column prunes most files by footer min/max
+        assert max_span(zpath, "x") <= side // 2
+        assert max_span(zpath, "y") <= side // 2
+
+        # layout rewrites preserve the data exactly
+        assert spark.read.parquet(zpath).count() == side * side
+        got = {
+            (r["x"], r["y"]) for r in spark.read.parquet(zpath).collect()
+        }
+        assert len(got) == side * side

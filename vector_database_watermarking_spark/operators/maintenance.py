@@ -1,0 +1,176 @@
+"""Table-maintenance operators (extension — the reference keeps its
+datasets as in-memory ndarrays / pickles and has no table lifecycle;
+at 100 TB the table layout IS the performance model).
+
+Two operators a long-lived corpus table needs:
+
+- :func:`compact` — small-file compaction. Streaming ingest (M6) and
+  incremental dedup admit micro-batches, which accretes thousands of
+  KB-sized parquet files; scans then pay one open/footer-parse per
+  file and lose row-group parallelism. Compaction rewrites to
+  ~``target_rows`` rows per file with ``repartitionByRange`` on the
+  sort key, so files are both few and range-clustered (min/max footer
+  stats become selective → row-group pruning on the key).
+- :func:`zorder_by` — multi-dimensional layout. Range-sorting on one
+  key leaves other predicate columns scattered across every file.
+  Interleaving the bits of two keys (Morton / Z-order curve) and
+  range-partitioning + sorting on the interleaved value clusters BOTH
+  columns at once: a filter on either key touches a bounded fraction
+  of files. The interleave is pure native bit arithmetic on rank
+  buckets (no UDF): each key is first rank-bucketed to ``bits``-bit
+  ints via ``ntile`` so the curve is data-distribution-aware (equal
+  population per cell, skew-proof), then the bits are woven.
+
+Both return plain DataFrames ready for ``write`` so they compose with
+any sink; ``compact`` also exposes the file-count/size audit used by
+the tests and by an operator that decides WHEN to compact.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def parquet_file_stats(path: str) -> dict:
+    """File-level audit of a parquet directory tree: count and byte
+    sizes (driver-side os.walk — metadata only, never reads data)."""
+    sizes = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                sizes.append(os.path.getsize(os.path.join(root, f)))
+    return {
+        "n_files": len(sizes),
+        "total_bytes": sum(sizes),
+        "avg_bytes": (sum(sizes) / len(sizes)) if sizes else 0.0,
+    }
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    sort_key: str,
+    target_rows_per_file: int = 1_000_000,
+) -> dict:
+    """Rewrite a fragmented parquet dataset into range-clustered files
+    of ~``target_rows_per_file`` rows, sorted by ``sort_key`` within
+    each file. Returns the before/after file audit.
+
+    Scale shape: ONE range shuffle (sampled range boundaries, so
+    output files are equal-sized even under key skew), then a local
+    sort per partition — the same cost as writing the data once.
+    ``maxRecordsPerFile`` caps stragglers if a range still overfills.
+    At 100 TB this runs per-partition-directory (date partition etc.),
+    embarrassingly parallel across partitions.
+    """
+    before = parquet_file_stats(path)
+    df = spark.read.parquet(path)
+    n = df.count()
+    n_files = max(1, (n + target_rows_per_file - 1) // target_rows_per_file)
+    (
+        df.repartitionByRange(n_files, F.col(sort_key))
+        .sortWithinPartitions(sort_key)
+        .write.option("maxRecordsPerFile", target_rows_per_file)
+        .mode("overwrite")
+        .parquet(out_path)
+    )
+    after = parquet_file_stats(out_path)
+    return {"rows": n, "before": before, "after": after}
+
+
+def _interleave(za, zb, bits: int):
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        bit_a = F.shiftright(za, i).bitwiseAND(F.lit(1))
+        bit_b = F.shiftright(zb, i).bitwiseAND(F.lit(1))
+        z = (
+            z.bitwiseOR(F.shiftleft(bit_a.cast("long"), 2 * i + 1))
+            .bitwiseOR(F.shiftleft(bit_b.cast("long"), 2 * i))
+        )
+    return z
+
+
+def zorder_key(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    bits: int = 8,
+    tiebreak: str | None = None,
+):
+    """Z-order (Morton) key column for two dimensions: rank-bucket each
+    column into ``2**bits`` equal-population cells, then interleave the
+    bucket bits. Returns (df_with_buckets, zkey_column).
+
+    ``tiebreak`` (a unique column) makes the rank order total, so cell
+    assignment is deterministic under any partitioning — required for
+    the oracle replay. ``ntile`` here is a global window — exact tier
+    only; :func:`zorder_key_binned` is the shuffle-light 100 TB tier
+    (broadcast quantile boundaries, no global sort).
+    """
+    cells = 2**bits
+    tb = [F.col(tiebreak)] if tiebreak else []
+    wa = Window.orderBy(F.col(col_a), F.col(col_b), *tb)
+    wb = Window.orderBy(F.col(col_b), F.col(col_a), *tb)
+    out = df.withColumn("_za", F.ntile(cells).over(wa) - 1).withColumn(
+        "_zb", F.ntile(cells).over(wb) - 1
+    )
+    return out, _interleave(F.col("_za"), F.col("_zb"), bits).alias("_zkey")
+
+
+def zorder_key_binned(
+    df: DataFrame, col_a: str, col_b: str, bits: int = 8
+):
+    """Scale tier of :func:`zorder_key`: bucket boundaries come from
+    ``approx_percentile`` (one partial-aggregated pass, tiny driver
+    collect of ``2**bits`` values per column) and are broadcast back as
+    literal arrays; cell assignment is a binary-search expression, no
+    global window, no extra shuffle. Cell populations are approximately
+    equal (sketch error) — fine for layout, not for the exact oracle.
+    """
+    cells = 2**bits
+    qs = [i / cells for i in range(1, cells)]
+    row = df.agg(
+        F.percentile_approx(col_a, qs, 10_000).alias("ba"),
+        F.percentile_approx(col_b, qs, 10_000).alias("bb"),
+    ).head()
+
+    def bucket(col, bounds):
+        arr = F.array(*[F.lit(b) for b in bounds])
+        # count of boundaries <= value == bucket index in [0, cells)
+        return F.aggregate(
+            arr,
+            F.lit(0),
+            lambda acc, b: acc + F.when(col >= b, 1).otherwise(0),
+        )
+
+    out = df.withColumn("_za", bucket(F.col(col_a), row["ba"])).withColumn(
+        "_zb", bucket(F.col(col_b), row["bb"])
+    )
+    return out, _interleave(F.col("_za"), F.col("_zb"), bits).alias("_zkey")
+
+
+def zorder_by(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    n_files: int,
+    bits: int = 8,
+    exact: bool = True,
+) -> DataFrame:
+    """Layout a DataFrame along the Z-order curve of (col_a, col_b):
+    range-partition + sort on the interleaved key, then drop the
+    helper columns. Writing the result yields files whose min/max
+    footer stats are selective for filters on EITHER column.
+    ``exact=False`` selects the broadcast-quantile tier (100 TB path)."""
+    key_fn = zorder_key if exact else zorder_key_binned
+    bucketed, zkey = key_fn(df, col_a, col_b, bits=bits)
+    return (
+        bucketed.withColumn("_zkey", zkey)
+        .repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_za", "_zb", "_zkey")
+    )

@@ -1690,3 +1690,45 @@ def rel_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+@register(
+    "ext_zorder_cells",
+    oracle="""
+WITH b AS (
+  SELECT event_id,
+         ntile(8) OVER (ORDER BY user_id, value, event_id) - 1 AS za,
+         ntile(8) OVER (ORDER BY value, user_id, event_id) - 1 AS zb
+  FROM events
+)
+SELECT event_id,
+       CAST(za AS INTEGER) AS za,
+       CAST(zb AS INTEGER) AS zb,
+       CAST(((za & 1) * 2 + (zb & 1))
+            + (((za >> 1) & 1) * 2 + ((zb >> 1) & 1)) * 4
+            + (((za >> 2) & 1) * 2 + ((zb >> 2) & 1)) * 16 AS BIGINT) AS zkey
+FROM b
+""",
+)
+def ext_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout cells (extension — table-maintenance family,
+    ``operators.maintenance``): rank-bucket (user_id, value) into an
+    8x8 grid and interleave the bucket bits into the Morton key that
+    ``zorder_by`` range-partitions on. The oracle replays the exact
+    curve (ntile + bit weave) in SQL; the layout effect itself
+    (bounded per-file span on BOTH dims → footer-stats pruning for
+    either predicate) is pinned by tests/test_maintenance.py. Exact
+    tier (global ntile) is graded; ``zorder_key_binned`` is the
+    broadcast-quantile 100 TB tier."""
+    from .operators.maintenance import zorder_key
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    bucketed, zkey = zorder_key(
+        ev, "user_id", "value", bits=3, tiebreak="event_id"
+    )
+    return bucketed.select(
+        "event_id",
+        F.col("_za").alias("za"),
+        F.col("_zb").alias("zb"),
+        zkey,
+    ).withColumnRenamed("_zkey", "zkey")
