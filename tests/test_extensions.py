@@ -730,3 +730,59 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
         "   OR purchase_ts > view_ts + INTERVAL 1 HOUR"
     ).head()[0]
     assert bad == 0
+
+
+def test_bloom_contamination_matches_exact_and_prunes(spark, sf_dir):
+    """The Bloom-prefiltered contamination scan must return exactly the
+    exact scan's rows, and the prefilter must actually cut the corpus
+    fingerprint stream (no false negatives, bounded false positives)."""
+    from vector_database_watermarking_spark.operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    probe = docs.filter(F.col("doc_id") % 2 == 1)
+
+    exact = {
+        tuple(r)
+        for r in T.contamination_scan(corpus, probe, 8, 4).collect()
+    }
+    bloomed = {
+        tuple(r)
+        for r in T.contamination_scan_bloom(corpus, probe, 8, 4).collect()
+    }
+    assert bloomed == exact and len(exact) > 0
+
+    # prefilter selectivity: corpus windows surviving the bitmap ≈
+    # true positives + fpr·rest; must be well under the full stream
+    c_fp = T.rolling_fingerprints(corpus, 8, 4).select(
+        F.col("doc_id").alias("corpus_doc"), "fp"
+    ).dropDuplicates(["corpus_doc", "fp"])
+    p_fp = T.rolling_fingerprints(probe, 8, 4).select("fp").distinct()
+    bloom, mask = T.build_bloom(p_fp, "fp")
+    total = c_fp.count()
+    kept = (
+        c_fp.join(F.broadcast(bloom))
+        .filter(T.bloom_might_contain(F.col("fp"), F.col("bm"), mask))
+        .count()
+    )
+    true_pos = c_fp.join(p_fp, on="fp", how="leftsemi").count()
+    assert kept >= true_pos  # no false negatives
+    assert kept - true_pos <= max(50, int(0.01 * total))  # fpr bound
+    assert kept < total  # it actually prunes
+
+
+def test_bloom_membership_exhaustive_small(spark):
+    """Every inserted key must probe TRUE (zero false negatives is a
+    hard guarantee, not a statistical one)."""
+    from vector_database_watermarking_spark.operators import text as T
+
+    keys = spark.range(500).select(
+        F.concat(F.lit("k"), F.col("id")).alias("fp")
+    )
+    bloom, mask = T.build_bloom(keys, "fp")
+    n_true = (
+        keys.join(F.broadcast(bloom))
+        .filter(T.bloom_might_contain(F.col("fp"), F.col("bm"), mask))
+        .count()
+    )
+    assert n_true == 500

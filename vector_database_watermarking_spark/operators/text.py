@@ -312,3 +312,127 @@ def pii_features(
         F.length(redacted).alias("redacted_len"),
         hash60(redacted).alias("redacted_h60"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-prefiltered contamination (explicit runtime row-level filter)
+# --------------------------------------------------------------------------
+
+def _pow2() -> Column:
+    """Literal array of the 64 single-bit longs (built lazily — Column
+    construction needs an active SparkContext)."""
+    return F.array(
+        *[
+            F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long")
+            for i in range(64)
+        ]
+    )
+
+
+def _bloom_positions(col: Column, n_hashes: int, mask: int) -> list[Column]:
+    """k bit positions for a value: independent xxhash64 draws (seed
+    column differentiates), masked to the power-of-two table size."""
+    return [
+        F.xxhash64(col, F.lit(j)).bitwiseAND(F.lit(mask))
+        for j in range(n_hashes)
+    ]
+
+
+def build_bloom(
+    keys: DataFrame,
+    key_col: str = "fp",
+    n_hashes: int = 4,
+    bits_per_key: int = 16,
+    min_bits: int = 1 << 12,
+) -> tuple[DataFrame, int]:
+    """Distributed Bloom-filter build over a key column: k positions
+    per key → 64-bit words via partial-aggregated ``bit_or`` → ONE row
+    holding the bitmap as a ``map<word_idx, bits>``. Returns
+    (single-row bitmap DataFrame, position mask).
+
+    This is the explicit form of the runtime row-level filtering
+    Catalyst injects for shuffle joins (``bloom_filter_agg`` /
+    ``might_contain`` are JVM-internal, not public SQL), rebuilt from
+    public primitives so the BROADCAST-join shape gets it too. The
+    bitmap costs ``bits_per_key/8`` bytes per key (2 B at the default)
+    versus the tens of bytes a broadcast fingerprint hash-set relation
+    carries per row — the difference between a benchmark-suite filter
+    that ships to 1000 executors at 100 TB and one that doesn't.
+    With k=4 and 16 bits/key the false-positive rate is
+    (1-e^(-1/4))^4 ≈ 0.24 %; false positives only cost wasted probe
+    work downstream, never correctness (the exact join re-verifies).
+    """
+    m = max(min_bits, 1 << (keys.count() * bits_per_key - 1).bit_length())
+    mask = m - 1
+    pos = keys.select(
+        F.explode(
+            F.array(*_bloom_positions(F.col(key_col), n_hashes, mask))
+        ).alias("pos")
+    )
+    words = (
+        pos.select(
+            F.shiftright("pos", 6).alias("w"),
+            F.element_at(_pow2(), (F.col("pos").bitwiseAND(F.lit(63)) + 1).cast("int")).alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+    bloom = words.agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("w", "bits")))
+        ).alias("bm")
+    )
+    return bloom, mask
+
+
+def bloom_might_contain(
+    col: Column, bm: Column, mask: int, n_hashes: int = 4
+) -> Column:
+    """Membership probe: TRUE iff every one of the k bit positions is
+    set in the bitmap map — pure codegen expressions, no UDF."""
+    cond = F.lit(True)
+    for p in _bloom_positions(col, n_hashes, mask):
+        word = F.coalesce(
+            F.element_at(bm, F.shiftright(p, 6)), F.lit(0).cast("long")
+        )
+        bit = F.element_at(_pow2(), (p.bitwiseAND(F.lit(63)) + 1).cast("int"))
+        cond = cond & (word.bitwiseAND(bit) != 0)
+    return cond
+
+
+def contamination_scan_bloom(
+    corpus: DataFrame,
+    probe: DataFrame,
+    window_tokens: int = 8,
+    stride: int = 4,
+    text_col: str = "text",
+    n_hashes: int = 4,
+    bits_per_key: int = 16,
+) -> DataFrame:
+    """:func:`contamination_scan` with an explicit Bloom prefilter:
+    the probe fingerprint set is folded into a broadcast bitmap and
+    the corpus fingerprint stream is filtered BEFORE the exact join,
+    so at 100 TB the join (and any shuffle fallback when the probe
+    side outgrows the broadcast threshold) sees ~0.3 % of corpus
+    windows instead of all of them. Output is bit-identical to the
+    exact scan — the Bloom admits no false negatives and the exact
+    join removes its false positives — so the two share one oracle.
+    """
+    c_fp = rolling_fingerprints(corpus, window_tokens, stride, text_col).select(
+        F.col("doc_id").alias("corpus_doc"), "fp"
+    ).dropDuplicates(["corpus_doc", "fp"])
+    p_fp = rolling_fingerprints(probe, window_tokens, stride, text_col).select(
+        F.col("doc_id").alias("probe_doc"), "fp"
+    ).dropDuplicates(["probe_doc", "fp"])
+    bloom, mask = build_bloom(
+        p_fp.select("fp").distinct(), "fp", n_hashes, bits_per_key
+    )
+    pruned = c_fp.join(F.broadcast(bloom)).filter(
+        bloom_might_contain(F.col("fp"), F.col("bm"), mask, n_hashes)
+    ).drop("bm")
+    hits = pruned.join(F.broadcast(p_fp), on="fp")
+    return hits.groupBy("corpus_doc").agg(
+        F.count_distinct("fp").alias("n_shared_windows"),
+        F.count_distinct("probe_doc").alias("n_probe_docs"),
+        F.min("probe_doc").alias("first_probe_doc"),
+    )

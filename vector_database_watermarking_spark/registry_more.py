@@ -1732,3 +1732,48 @@ def ext_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_zb").alias("zb"),
         zkey,
     ).withColumnRenamed("_zkey", "zkey")
+
+
+@register(
+    "ext_contamination_bloom",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+),
+w AS (
+  SELECT doc_id,
+         array_to_string(toks[i * 4 + 1 : i * 4 + 8], ' ') AS win
+  FROM t, LATERAL (
+    SELECT unnest(range(0, greatest(CAST(floor((len(toks) - 8) / 4.0) AS INTEGER) + 1, 1))) AS i
+  )
+),
+f AS (
+  SELECT DISTINCT doc_id, CAST('0x' || substr(md5(win), 1, 15) AS BIGINT) AS fp FROM w
+),
+c AS (SELECT doc_id AS corpus_doc, fp FROM f WHERE doc_id % 2 = 0),
+p AS (SELECT doc_id AS probe_doc, fp FROM f WHERE doc_id % 2 = 1)
+SELECT corpus_doc,
+       CAST(count(DISTINCT fp) AS BIGINT) AS n_shared_windows,
+       CAST(count(DISTINCT probe_doc) AS BIGINT) AS n_probe_docs,
+       min(probe_doc) AS first_probe_doc
+FROM c JOIN p USING (fp)
+GROUP BY corpus_doc
+""",
+)
+def ext_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered contamination scan (extension): identical
+    semantics — and oracle — to ``ext_contamination``, but the corpus
+    fingerprint stream is cut by a broadcast Bloom bitmap (native
+    bit_or aggregate + k-probe membership expression; the public-API
+    rebuild of Catalyst's runtime row-level filter) before the exact
+    join verifies survivors. The bitmap ships ~2 bytes per probe
+    window vs tens per row for a broadcast relation — the version of
+    this query that still works when the corpus is 100 TB and the
+    probe suite is every benchmark you own."""
+    from .operators.text import contamination_scan_bloom
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    probe = docs.filter(F.col("doc_id") % 2 == 1)
+    return contamination_scan_bloom(corpus, probe, window_tokens=8, stride=4)
