@@ -1,0 +1,84 @@
+"""Streaming CDC apply (streaming/cdc.py): the foreachBatch MERGE loop
+must converge to the same table as the one-shot batch MERGE."""
+
+import time
+
+import pyspark.sql.functions as F
+from pyspark.sql import types as T
+
+from vector_database_watermarking_spark.operators.merge import apply_changes
+from vector_database_watermarking_spark.streaming import cdc
+
+CHANGES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("val", T.LongType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("op", T.StringType()),
+    ]
+)
+
+
+def _rows(ids, val, seq0, op):
+    return [(i, val(i), seq0 + j, op) for j, i in enumerate(ids)]
+
+
+def test_cdc_stream_converges_to_batch_merge(spark, tmp_path):
+    base = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 10).alias("val")
+    )
+    table_dir = str(tmp_path / "table")
+    cdc.init_table(base, table_dir)
+    assert sorted(r["doc_id"] for r in cdc.read_current(spark, table_dir).collect()) == list(range(100))
+
+    batch1 = _rows(range(10), lambda i: i * 10 + 1, 100, "update") + _rows(
+        range(100, 105), lambda i: i * 10, 120, "insert"
+    ) + _rows(range(50, 55), lambda i: None, 140, "delete")
+    batch2 = _rows(range(5), lambda i: None, 200, "delete") + _rows(
+        range(100, 102), lambda i: i * 10 + 2, 220, "update"
+    ) + _rows([105], lambda i: i * 10, 240, "insert")
+
+    src_dir = str(tmp_path / "changes")
+    for b in (batch1, batch2):
+        spark.createDataFrame(b, CHANGES_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+        time.sleep(1.1)  # distinct mtimes → deterministic batch order
+
+    stream = (
+        spark.readStream.schema(CHANGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = cdc.cdc_apply_stream(
+        stream, table_dir, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # two non-empty micro-batches → two commits past v0
+    with open(f"{table_dir}/_CURRENT") as fh:
+        assert fh.read().strip() == "v2"
+
+    got = {
+        (r["doc_id"], r["val"])
+        for r in cdc.read_current(spark, table_dir).collect()
+    }
+    all_changes = spark.createDataFrame(batch1 + batch2, CHANGES_SCHEMA)
+    expected = {
+        (r["doc_id"], r["val"])
+        for r in apply_changes(base, all_changes).collect()
+    }
+    assert got == expected
+    # spot semantics: 0-4 deleted, 5-9 updated, 50-54 deleted,
+    # 100-101 updated after insert, 105 inserted late
+    d = dict(got)
+    for i in range(5):
+        assert i not in d
+    for i in range(5, 10):
+        assert d[i] == i * 10 + 1
+    for i in range(50, 55):
+        assert i not in d
+    assert d[100] == 1002 and d[101] == 1012 and d[105] == 1050

@@ -1,0 +1,91 @@
+"""Streaming CDC apply (extension — SURVEY §2.10/§2.11 combined): a
+live change-log stream continuously MERGEd into a parquet base table
+via ``foreachBatch`` over ``operators.merge.apply_changes``.
+
+This is the lakehouse ingestion loop without a table format: each
+micro-batch of (key, payload..., seq, op) rows is collapsed last-wins
+and full-outer-merged with the current base snapshot, and the result
+atomically replaces it (write to a new versioned directory, then flip
+a pointer file — parquet has no transactional overwrite, so the
+pointer IS the commit; readers resolve the pointer and never see a
+half-written snapshot).
+
+Why ``foreachBatch`` and not a streaming join: MERGE is not an
+append-only computation (updates and deletes rewrite prior output),
+so it cannot be a watermark-evicted streaming operator; the batch
+merge inside ``foreachBatch`` is the supported Spark shape for
+stateful sinks, and it reuses the exact batch operator — one MERGE
+definition for both modes.
+
+Scale notes: per trigger the cost is one key-shuffle of the (small)
+change batch plus one co-located join against the base (bucketed by
+key on disk at 100 TB); rewriting only the buckets that received
+changes — partition-pruned by joining the change-key set against the
+bucket index — is the standard refinement and composes with
+``operators.maintenance.compact`` for the file layout. Micro-batch
+replays are safe: ``apply_changes`` is idempotent on a replayed batch
+(insert is insert-or-replace, delete of an absent key is a no-op).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.merge import apply_changes
+
+
+def _pointer_path(table_dir: str) -> str:
+    return os.path.join(table_dir, "_CURRENT")
+
+
+def read_current(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Resolve the snapshot pointer and read the current base table."""
+    with open(_pointer_path(table_dir)) as fh:
+        version = fh.read().strip()
+    return spark.read.parquet(os.path.join(table_dir, version))
+
+
+def init_table(base: DataFrame, table_dir: str) -> None:
+    """Write snapshot v0 and the pointer."""
+    base.write.mode("overwrite").parquet(os.path.join(table_dir, "v0"))
+    with open(_pointer_path(table_dir), "w") as fh:
+        fh.write("v0")
+
+
+def _commit_snapshot(df: DataFrame, table_dir: str, version: int) -> None:
+    vdir = f"v{version}"
+    df.write.mode("overwrite").parquet(os.path.join(table_dir, vdir))
+    tmp = _pointer_path(table_dir) + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(vdir)
+    os.replace(tmp, _pointer_path(table_dir))  # atomic pointer flip
+
+
+def cdc_apply_stream(
+    changes_stream: DataFrame,
+    table_dir: str,
+    key: str = "doc_id",
+    seq: str = "seq",
+    op: str = "op",
+    checkpoint_dir: str | None = None,
+):
+    """Start the continuous MERGE: every micro-batch of the change
+    stream is applied to the current snapshot and committed as the
+    next version. Returns the StreamingQuery (caller stops it)."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        base = read_current(spark, table_dir)
+        merged = apply_changes(base, batch_df, key=key, seq=seq, op=op)
+        with open(_pointer_path(table_dir)) as fh:
+            cur = int(fh.read().strip().lstrip("v"))
+        _commit_snapshot(merged, table_dir, cur + 1)
+
+    writer = changes_stream.writeStream.foreachBatch(_apply).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
