@@ -193,3 +193,36 @@ def test_incremental_dedup_no_all_pairs(spark, sf_dir):
     plan = plan_of(out)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_bloom_contamination_prunes_before_join(spark, sf_dir):
+    """The Bloom prefilter must sit UNDER the exact fingerprint join
+    (corpus rows drop before any join/shuffle), the bitmap must arrive
+    by broadcast, and the probe expression must stay native (no
+    BatchEvalPython / pandas UDF in the plan)."""
+    q = QUERIES["ext_contamination_bloom"].fn(spark, sf_dir)
+    plan = plan_of(q)
+    assert "EvalPython" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    # the membership conjunction compiles to bitwise-AND filters
+    opt = optimized_of(q)
+    assert opt.count("& ") >= 1 or "AND" in opt
+
+
+def test_compact_is_single_range_shuffle(spark, sf_dir, tmp_path):
+    """Compaction = one RangePartitioning exchange + in-partition sort;
+    no hash shuffle, no global sort-merge."""
+    from vector_database_watermarking_spark.operators.maintenance import compact
+
+    ev = load_table(spark, sf_dir, "events")
+    frag = str(tmp_path / "frag")
+    ev.repartition(8).write.mode("overwrite").parquet(frag)
+    df = (
+        spark.read.parquet(frag)
+        .repartitionByRange(4, F.col("event_id"))
+        .sortWithinPartitions("event_id")
+    )
+    plan = plan_of(df)
+    assert "rangepartitioning" in plan.lower(), plan
+    assert plan.lower().count("exchange") == 1, plan
+    assert "global=true" not in plan.lower(), plan
