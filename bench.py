@@ -50,6 +50,7 @@ HEADLINE = [
     "ext_seq_packing",
     "ext_incremental_dedup",
     "ext_doc_embeddings",
+    "ext_contamination_bloom",
 ]
 
 

@@ -786,3 +786,31 @@ def test_bloom_membership_exhaustive_small(spark):
         .count()
     )
     assert n_true == 500
+
+
+def test_distribution_drift_psi_properties(spark, sf_dir):
+    """PSI ≥ 0 for every slice; a planted shifted slice must out-drift
+    every natural source; a slice sampled uniformly from the corpus
+    must sit near zero."""
+    from vector_database_watermarking_spark.operators.stats import distribution_drift
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    shifted = docs.limit(100).select(
+        "doc_id", F.lit("planted_shift").alias("source"),
+        (F.col("n_chars") * 5 + 10000).alias("n_chars"),
+    )
+    uniform = docs.filter(F.col("doc_id") % 7 == 3).select(
+        "doc_id", F.lit("planted_uniform").alias("source"), "n_chars"
+    )
+    out = {
+        r["grp"]: r["psi"]
+        for r in distribution_drift(
+            docs.unionByName(shifted).unionByName(uniform),
+            "n_chars", "source", n_bins=10,
+        ).collect()
+    }
+    assert all(v >= 0 for v in out.values()), out
+    planted = out.pop("planted_shift")
+    near_uniform = out.pop("planted_uniform")
+    assert planted > max(out.values())
+    assert near_uniform <= planted / 2

@@ -12,7 +12,7 @@ k, so rows stay small at any scale).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -151,4 +151,86 @@ def binned_means(df: DataFrame, x: str, y: str, n_bins: int) -> DataFrame:
         .groupBy("bin")
         .agg(F.avg(y).alias("mean_y"), F.count(F.lit(1)).alias("n"))
         .orderBy("bin")
+    )
+
+
+def distribution_drift(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    n_bins: int = 10,
+    smooth: float = 0.5,
+) -> DataFrame:
+    """Population-stability-index (PSI) drift of ``value_col``'s
+    distribution per ``group_col`` slice against the whole corpus —
+    the monitor a production pipeline runs per ingest source / corpus
+    version to catch a crawler or filter silently changing the data
+    (extension; the reference has no monitoring surface).
+
+    Equal-width bins over the global [min, max]; both the slice and
+    the reference histogram are additively smoothed (``smooth`` per
+    bin) so empty bins stay finite; PSI = Σ (p_g − p_all)·ln(p_g /
+    p_all) ≥ 0, with 0 iff identical distributions.
+
+    Scale shape: one partial-aggregated groupBy on (group, bin) — the
+    histogram, thousands of rows at most — then joins among
+    broadcast-sized aggregates; the raw table is scanned ONCE. The
+    (group × bin) completion grid is a cross join of two tiny derived
+    relations, never of data.
+    """
+    lo_hi = df.agg(
+        F.min(F.col(value_col).cast("double")).alias("lo"),
+        F.max(F.col(value_col).cast("double")).alias("hi"),
+    )
+    width = F.greatest(
+        (F.col("hi") - F.col("lo")) / n_bins, F.lit(1e-12)
+    )
+    bin_ = F.least(
+        F.floor((F.col(value_col).cast("double") - F.col("lo")) / width).cast(
+            "int"
+        ),
+        F.lit(n_bins - 1),
+    )
+    binned = df.crossJoin(F.broadcast(lo_hi)).select(
+        F.col(group_col).alias("grp"), bin_.alias("bin")
+    )
+    per = binned.groupBy("grp", "bin").agg(F.count(F.lit(1)).alias("n"))
+    spark = df.sparkSession
+    grid = (
+        per.select("grp")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+            )
+        )
+    )
+    full = grid.join(per, ["grp", "bin"], "left").select(
+        "grp", "bin", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    g_tot = full.groupBy("grp").agg(F.sum("n").alias("n_grp"))
+    a_tot = full.groupBy("bin").agg(F.sum("n").alias("n_bin"))
+    n_all = F.sum("n_bin").over(Window.partitionBy())  # n_bins rows only
+    a_frac = a_tot.select(
+        "bin",
+        ((F.col("n_bin") + smooth) / (n_all + smooth * n_bins)).alias("p_all"),
+    )
+    joined = (
+        full.join(F.broadcast(g_tot), "grp")
+        .join(F.broadcast(a_frac), "bin")
+        .select(
+            "grp",
+            (
+                (F.col("n") + smooth) / (F.col("n_grp") + smooth * n_bins)
+            ).alias("p_grp"),
+            "p_all",
+            "n_grp",
+        )
+    )
+    term = (F.col("p_grp") - F.col("p_all")) * F.log(
+        F.col("p_grp") / F.col("p_all")
+    )
+    return joined.groupBy("grp").agg(
+        F.round(F.sum(term), 6).alias("psi"),
+        F.first("n_grp").alias("n_rows"),
     )

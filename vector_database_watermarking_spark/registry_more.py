@@ -1777,3 +1777,59 @@ def ext_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     probe = docs.filter(F.col("doc_id") % 2 == 1)
     return contamination_scan_bloom(corpus, probe, window_tokens=8, stride=4)
+
+
+@register(
+    "ext_corpus_drift",
+    oracle="""
+WITH bounds AS (
+  SELECT CAST(min(n_chars) AS DOUBLE) AS lo,
+         greatest((CAST(max(n_chars) AS DOUBLE) - CAST(min(n_chars) AS DOUBLE)) / 10,
+                  CAST(1e-12 AS DOUBLE)) AS w
+  FROM documents
+),
+b AS (
+  SELECT source AS grp,
+         LEAST(CAST(floor((CAST(n_chars AS DOUBLE) - lo) / w) AS INTEGER), 9) AS bin
+  FROM documents, bounds
+),
+per AS (SELECT grp, bin, count(*) AS n FROM b GROUP BY 1, 2),
+grid AS (
+  SELECT grp, CAST(i AS INTEGER) AS bin
+  FROM (SELECT DISTINCT grp FROM per), range(10) t(i)
+),
+filled AS (
+  SELECT g.grp, g.bin, coalesce(p.n, 0) AS n
+  FROM grid g LEFT JOIN per p ON g.grp = p.grp AND g.bin = p.bin
+),
+gt AS (SELECT grp, sum(n) AS n_grp FROM filled GROUP BY 1),
+af AS (
+  SELECT bin,
+         (CAST(sum(n) AS DOUBLE) + CAST(0.5 AS DOUBLE))
+         / (CAST(sum(sum(n)) OVER () AS DOUBLE) + CAST(5.0 AS DOUBLE)) AS p_all
+  FROM filled GROUP BY bin
+)
+SELECT f.grp AS source,
+       round(sum(((CAST(f.n AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                    / (CAST(gt.n_grp AS DOUBLE) + CAST(5.0 AS DOUBLE)) - af.p_all)
+                 * ln(((CAST(f.n AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                       / (CAST(gt.n_grp AS DOUBLE) + CAST(5.0 AS DOUBLE))) / af.p_all)), 6) AS psi,
+       CAST(min(gt.n_grp) AS BIGINT) AS n_rows
+FROM filled f JOIN gt ON f.grp = gt.grp JOIN af ON f.bin = af.bin
+GROUP BY f.grp
+""",
+)
+def ext_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift (extension — pipeline monitoring):
+    PSI of each ingest source's document-length distribution against
+    the whole corpus (``operators.stats.distribution_drift``) — the
+    alarm that catches a crawler or filter silently changing one
+    source's data between corpus versions. One scan + histogram-sized
+    joins; every aggregate is partial (map-side) first."""
+    from .operators.stats import distribution_drift
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = distribution_drift(docs, "n_chars", "source", n_bins=10)
+    return out.select(
+        F.col("grp").alias("source"), "psi", F.col("n_rows").cast("long").alias("n_rows")
+    )
