@@ -50,8 +50,13 @@ HEADLINE = [
     "ext_seq_packing",
     "ext_incremental_dedup",
     "ext_doc_embeddings",
-    "ext_contamination_bloom",
 ]
+# ext_contamination_bloom is deliberately NOT a headline: at fixture
+# scale both fingerprint sides are equally tiny, so the exact one-job
+# plan computes them in parallel while the bloom pays a serialized
+# probe-job → bitmap → corpus-job round (measured ~3 s vs ~1 s at
+# sf0.1). The bloom wins when corpus >> probe — at 100 TB the round
+# costs seconds and removes the corpus-side join/shuffle volume.
 
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"

@@ -760,11 +760,9 @@ def test_bloom_contamination_matches_exact_and_prunes(spark, sf_dir):
     p_fp = T.rolling_fingerprints(probe, 8, 4).select("fp").distinct()
     bloom, mask = T.build_bloom(p_fp, "fp")
     total = c_fp.count()
-    kept = (
-        c_fp.join(F.broadcast(bloom))
-        .filter(T.bloom_might_contain(F.col("fp"), F.col("bm"), mask))
-        .count()
-    )
+    kept = c_fp.filter(
+        T.bloom_might_contain(F.col("fp"), bloom, mask)
+    ).count()
     true_pos = c_fp.join(p_fp, on="fp", how="leftsemi").count()
     assert kept >= true_pos  # no false negatives
     assert kept - true_pos <= max(50, int(0.01 * total))  # fpr bound
@@ -780,11 +778,9 @@ def test_bloom_membership_exhaustive_small(spark):
         F.concat(F.lit("k"), F.col("id")).alias("fp")
     )
     bloom, mask = T.build_bloom(keys, "fp")
-    n_true = (
-        keys.join(F.broadcast(bloom))
-        .filter(T.bloom_might_contain(F.col("fp"), F.col("bm"), mask))
-        .count()
-    )
+    n_true = keys.filter(
+        T.bloom_might_contain(F.col("fp"), bloom, mask)
+    ).count()
     assert n_true == 500
 
 

@@ -344,11 +344,11 @@ def build_bloom(
     n_hashes: int = 4,
     bits_per_key: int = 16,
     min_bits: int = 1 << 12,
-) -> tuple[DataFrame, int]:
+    m_bits: int | None = None,
+) -> tuple[bytes, int]:
     """Distributed Bloom-filter build over a key column: k positions
-    per key → 64-bit words via partial-aggregated ``bit_or`` → ONE row
-    holding the bitmap as a ``map<word_idx, bits>``. Returns
-    (single-row bitmap DataFrame, position mask).
+    per key → 64-bit words via partial-aggregated ``bit_or`` →
+    driver-densified bitmap. Returns (bitmap ``bytes``, position mask).
 
     This is the explicit form of the runtime row-level filtering
     Catalyst injects for shuffle joins (``bloom_filter_agg`` /
@@ -361,42 +361,73 @@ def build_bloom(
     With k=4 and 16 bits/key the false-positive rate is
     (1-e^(-1/4))^4 ≈ 0.24 %; false positives only cost wasted probe
     work downstream, never correctness (the exact join re-verifies).
+
+    ``m_bits`` (power of two) pins the bitmap size up front and skips
+    the sizing ``count()`` action — use it when the key cardinality is
+    known a priori (a benchmark suite's size is); otherwise one count
+    of the (small) key side picks m = next-pow2(16·n).
     """
-    m = max(min_bits, 1 << (keys.count() * bits_per_key - 1).bit_length())
+    if m_bits is not None:
+        m = m_bits
+    else:
+        m = max(min_bits, 1 << (keys.count() * bits_per_key - 1).bit_length())
     mask = m - 1
     pos = keys.select(
         F.explode(
             F.array(*_bloom_positions(F.col(key_col), n_hashes, mask))
         ).alias("pos")
     )
-    words = (
+    word_rows = (
         pos.select(
             F.shiftright("pos", 6).alias("w"),
-            F.element_at(_pow2(), (F.col("pos").bitwiseAND(F.lit(63)) + 1).cast("int")).alias("bit"),
+            F.element_at(
+                _pow2(), (F.col("pos").bitwiseAND(F.lit(63)) + 1).cast("int")
+            ).alias("bit"),
         )
         .groupBy("w")
         .agg(F.bit_or("bit").alias("bits"))
     )
-    bloom = words.agg(
-        F.map_from_entries(
-            F.sort_array(F.collect_list(F.struct("w", "bits")))
-        ).alias("bm")
-    )
-    return bloom, mask
+    # DENSE bitmap, densified driver-side into ``bytes`` and shipped
+    # as ONE BinaryType Literal in the probe expression. Rejected
+    # alternatives, all measured at sf0.1: a map column (element_at
+    # on MapType linear-scans per lookup), a broadcast-joined array
+    # column (the join copies the whole bitmap into every probe-side
+    # row), and an array literal (PySpark expands Python lists to
+    # per-element CreateArray nodes, and even numpy Literals cross
+    # py4j element-wise — 51 s for 256 KB; bytes cross as one block
+    # in 16 ms). The byte table is broadcast state by contract
+    # (``bits_per_key/8`` bytes per key, small-side bounded) — the
+    # same budget a real deployment ships to every executor.
+    # 64-bit-word aggregation keeps the collect 8× smaller than
+    # byte-level; each word unpacks little-endian so bit j of word w
+    # lands in byte 8w + (j>>3) at bit j&7 — the layout the probe's
+    # ``pos>>3`` / ``pos&7`` indexing expects.
+    arr = bytearray(m // 8)
+    for r in word_rows.collect():
+        arr[r["w"] * 8 : r["w"] * 8 + 8] = int(r["bits"] & ((1 << 64) - 1)).to_bytes(
+            8, "little"
+        )
+    return bytes(arr), mask
 
 
 def bloom_might_contain(
-    col: Column, bm: Column, mask: int, n_hashes: int = 4
+    col: Column, bm: bytes, mask: int, n_hashes: int = 4
 ) -> Column:
     """Membership probe: TRUE iff every one of the k bit positions is
-    set in the bitmap map — pure codegen expressions, no UDF."""
+    set in the bitmap — pure codegen expressions, no UDF. The byte at
+    ``pos >> 3`` comes out of the single BinaryType Literal via a
+    dynamic one-byte ``substring`` (O(1)), decoded with hex/conv; the
+    bit test is an AND against an 8-entry power-of-two lookup."""
+    bm_lit = F.lit(bm)
     cond = F.lit(True)
     for p in _bloom_positions(col, n_hashes, mask):
-        word = F.coalesce(
-            F.element_at(bm, F.shiftright(p, 6)), F.lit(0).cast("long")
-        )
-        bit = F.element_at(_pow2(), (p.bitwiseAND(F.lit(63)) + 1).cast("int"))
-        cond = cond & (word.bitwiseAND(bit) != 0)
+        byte = F.conv(
+            F.hex(F.substring(bm_lit, (F.shiftright(p, 3) + 1).cast("int"), 1)),
+            16,
+            10,
+        ).cast("int")
+        bit = F.element_at(_pow2(), (p.bitwiseAND(F.lit(7)) + 1).cast("int"))
+        cond = cond & (byte.bitwiseAND(bit) != 0)
     return cond
 
 
@@ -408,6 +439,7 @@ def contamination_scan_bloom(
     text_col: str = "text",
     n_hashes: int = 4,
     bits_per_key: int = 16,
+    m_bits: int | None = None,
 ) -> DataFrame:
     """:func:`contamination_scan` with an explicit Bloom prefilter:
     the probe fingerprint set is folded into a broadcast bitmap and
@@ -418,18 +450,26 @@ def contamination_scan_bloom(
     exact scan — the Bloom admits no false negatives and the exact
     join removes its false positives — so the two share one oracle.
     """
+    # corpus side: NO dedup before the bloom — the filter commutes
+    # with distinct, and running it first means the only corpus-wide
+    # shuffle (dropDuplicates) sees ~0.3 % of the windows
     c_fp = rolling_fingerprints(corpus, window_tokens, stride, text_col).select(
         F.col("doc_id").alias("corpus_doc"), "fp"
-    ).dropDuplicates(["corpus_doc", "fp"])
+    )
+    # the probe fingerprint relation is consumed three times (bitmap
+    # sizing count, bitmap build, exact verify join) — persist it so
+    # the window/hash pipeline runs once (it is the SMALL side by
+    # contract; measured 2.5 s → ~1 s at sf0.1)
     p_fp = rolling_fingerprints(probe, window_tokens, stride, text_col).select(
         F.col("doc_id").alias("probe_doc"), "fp"
-    ).dropDuplicates(["probe_doc", "fp"])
+    ).dropDuplicates(["probe_doc", "fp"]).persist()
     bloom, mask = build_bloom(
-        p_fp.select("fp").distinct(), "fp", n_hashes, bits_per_key
+        p_fp.select("fp").distinct(), "fp", n_hashes, bits_per_key,
+        m_bits=m_bits,
     )
-    pruned = c_fp.join(F.broadcast(bloom)).filter(
-        bloom_might_contain(F.col("fp"), F.col("bm"), mask, n_hashes)
-    ).drop("bm")
+    pruned = c_fp.filter(
+        bloom_might_contain(F.col("fp"), bloom, mask, n_hashes)
+    ).dropDuplicates(["corpus_doc", "fp"])
     hits = pruned.join(F.broadcast(p_fp), on="fp")
     return hits.groupBy("corpus_doc").agg(
         F.count_distinct("fp").alias("n_shared_windows"),

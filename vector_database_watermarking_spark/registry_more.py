@@ -1776,7 +1776,11 @@ def ext_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     probe = docs.filter(F.col("doc_id") % 2 == 1)
-    return contamination_scan_bloom(corpus, probe, window_tokens=8, stride=4)
+    # m pinned a priori (suite size is known): skips the sizing count
+    # action; 2^21 bits ≥ 16 bits/key through sf0.1's ~60k windows
+    return contamination_scan_bloom(
+        corpus, probe, window_tokens=8, stride=4, m_bits=1 << 21
+    )
 
 
 @register(
