@@ -1837,3 +1837,92 @@ def ext_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("grp").alias("source"), "psi", F.col("n_rows").cast("long").alias("n_rows")
     )
+
+
+@register(
+    "ext_bpe_merges",
+    oracle="""
+WITH words AS (
+  SELECT word, count(*) AS freq FROM (
+    SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+    FROM documents
+  ) WHERE regexp_matches(word, '^[a-z0-9]+$')
+  GROUP BY word
+),
+s0 AS (
+  SELECT '  ' || regexp_replace(word, '(.)', '\\1  ', 'g') || '_  ' AS s, freq
+  FROM words
+),
+p1 AS (
+  SELECT t.toks[i.i] AS l, t.toks[i.i + 1] AS r, sum(t.freq) AS c
+  FROM (SELECT string_split(trim(s), '  ') AS toks, freq FROM s0) t,
+       LATERAL (SELECT unnest(range(1, len(t.toks))) AS i) i
+  GROUP BY 1, 2
+),
+m1 AS (SELECT l, r, c FROM p1 ORDER BY c DESC, l, r LIMIT 1),
+s1 AS (
+  SELECT replace(x.s, ' ' || m.l || '  ' || m.r || ' ', ' ' || m.l || m.r || ' ') AS s, x.freq
+  FROM s0 x, m1 m
+),
+p2 AS (
+  SELECT t.toks[i.i] AS l, t.toks[i.i + 1] AS r, sum(t.freq) AS c
+  FROM (SELECT string_split(trim(s), '  ') AS toks, freq FROM s1) t,
+       LATERAL (SELECT unnest(range(1, len(t.toks))) AS i) i
+  GROUP BY 1, 2
+),
+m2 AS (SELECT l, r, c FROM p2 ORDER BY c DESC, l, r LIMIT 1),
+s2 AS (
+  SELECT replace(x.s, ' ' || m.l || '  ' || m.r || ' ', ' ' || m.l || m.r || ' ') AS s, x.freq
+  FROM s1 x, m2 m
+),
+p3 AS (
+  SELECT t.toks[i.i] AS l, t.toks[i.i + 1] AS r, sum(t.freq) AS c
+  FROM (SELECT string_split(trim(s), '  ') AS toks, freq FROM s2) t,
+       LATERAL (SELECT unnest(range(1, len(t.toks))) AS i) i
+  GROUP BY 1, 2
+),
+m3 AS (SELECT l, r, c FROM p3 ORDER BY c DESC, l, r LIMIT 1),
+s3 AS (
+  SELECT replace(x.s, ' ' || m.l || '  ' || m.r || ' ', ' ' || m.l || m.r || ' ') AS s, x.freq
+  FROM s2 x, m3 m
+),
+p4 AS (
+  SELECT t.toks[i.i] AS l, t.toks[i.i + 1] AS r, sum(t.freq) AS c
+  FROM (SELECT string_split(trim(s), '  ') AS toks, freq FROM s3) t,
+       LATERAL (SELECT unnest(range(1, len(t.toks))) AS i) i
+  GROUP BY 1, 2
+),
+m4 AS (SELECT l, r, c FROM p4 ORDER BY c DESC, l, r LIMIT 1)
+SELECT * FROM (
+  SELECT 1 AS rank, l AS lhs, r AS rhs, l || r AS merged, CAST(c AS BIGINT) AS pair_count FROM m1
+  UNION ALL
+  SELECT 2, l, r, l || r, CAST(c AS BIGINT) FROM m2
+  UNION ALL
+  SELECT 3, l, r, l || r, CAST(c AS BIGINT) FROM m3
+  UNION ALL
+  SELECT 4, l, r, l || r, CAST(c AS BIGINT) FROM m4
+)
+""",
+)
+def ext_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (extension —
+    ``operators.tokenizer``): the first 4 merges learned from the
+    documents corpus, word-frequency-table formulation. The oracle
+    replays training STAGE FOR STAGE — pair counting over the spaced
+    word table, deterministic argmax (count desc, lexicographic), and
+    the same plain-``replace`` merge application — so even this
+    iterative algorithm is value-hash-checked end to end, not
+    rows-only. Scale: one corpus scan builds the word table; each
+    merge is a partial-aggregated groupBy over unique words plus a
+    1-row argmax collect."""
+    from .operators.tokenizer import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = bpe_train(docs, num_merges=4)
+    return spark.createDataFrame(
+        [
+            (m["rank"], m["left"], m["right"], m["merged"], m["pair_count"])
+            for m in merges
+        ],
+        "rank int, lhs string, rhs string, merged string, pair_count long",
+    )
