@@ -175,3 +175,51 @@ def test_pagerank_mass_and_exact_tier_parity(spark, sf_dir):
     first = {r["vec_id"]: r["pr_scaled"] for r in ex.collect()}
     assert again == first
     edges.unpersist()
+
+
+def test_triangle_counts_brute_force_parity(spark):
+    """Triangle counts via degree-ordered wedges must equal the brute
+    force enumeration on a hand-made graph (two triangles sharing an
+    edge, one pendant, one isolate)."""
+    from itertools import combinations
+
+    from vector_database_watermarking_spark.operators.graph import triangle_counts
+
+    #   0-1, 1-2, 0-2   (triangle A)
+    #   1-3, 2-3        (triangle B = 1,2,3)
+    #   3-4             (pendant), 5 isolated
+    und = [(0, 1), (1, 2), (0, 2), (1, 3), (2, 3), (3, 4)]
+    directed = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(directed, "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "vec_id long")
+    got = {
+        r["vec_id"]: (r["degree"], r["n_triangles"], r["clustering"])
+        for r in triangle_counts(edges, nodes).collect()
+    }
+
+    adj = {i: set() for i in range(6)}
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    for n in range(6):
+        tri = sum(
+            1 for x, y in combinations(sorted(adj[n]), 2) if y in adj[x]
+        )
+        d = len(adj[n])
+        coeff = round(2.0 * tri / (d * (d - 1)), 6) if d >= 2 else 0.0
+        assert got[n] == (d, tri, coeff), (n, got[n], (d, tri, coeff))
+    # global count: triangles {0,1,2} and {1,2,3}
+    assert sum(v[1] for v in got.values()) == 6  # 2 triangles × 3 nodes
+
+
+def test_triangle_counts_ignores_one_way_edges(spark):
+    """Only MUTUAL pairs form the undirected graph: one-way kNN edges
+    must not create triangles."""
+    from vector_database_watermarking_spark.operators.graph import triangle_counts
+
+    directed = [(0, 1), (1, 0), (1, 2), (2, 1), (0, 2)]  # 0→2 one-way
+    edges = spark.createDataFrame(directed, "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in range(3)], "vec_id long")
+    out = triangle_counts(edges, nodes).collect()
+    assert all(r["n_triangles"] == 0 for r in out)
+    assert {r["vec_id"]: r["degree"] for r in out} == {0: 1, 1: 2, 2: 1}

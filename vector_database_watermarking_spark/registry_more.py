@@ -1926,3 +1926,61 @@ def ext_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "rank int, lhs string, rhs string, merged string, pair_count long",
     )
+
+
+@register(
+    "ext_graph_triangles",
+    oracle=_knn_cte()
+    + """
+, und AS (
+  SELECT DISTINCT LEAST(e1.src, e1.dst) AS a, GREATEST(e1.src, e1.dst) AS b
+  FROM edges e1 JOIN edges e2 ON e1.src = e2.dst AND e1.dst = e2.src
+  WHERE e1.src < e1.dst
+),
+deg AS (
+  SELECT n, count(*) AS d FROM (
+    SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und
+  ) GROUP BY n
+),
+ori AS (
+  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b) THEN u.a ELSE u.b END AS u,
+         CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b) THEN u.b ELSE u.a END AS v,
+         CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b) THEN db.d ELSE da.d END AS dv
+  FROM und u JOIN deg da ON da.n = u.a JOIN deg db ON db.n = u.b
+),
+tri AS (
+  SELECT e1.u AS u, e1.v AS x, e2.v AS y
+  FROM ori e1
+  JOIN ori e2 ON e1.u = e2.u
+             AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))
+  JOIN ori e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+per_node AS (
+  SELECT n, count(*) AS t FROM (
+    SELECT u AS n FROM tri UNION ALL SELECT x FROM tri UNION ALL SELECT y FROM tri
+  ) GROUP BY n
+)
+SELECT emb.vec_id,
+       CAST(coalesce(deg.d, 0) AS BIGINT) AS degree,
+       CAST(coalesce(per_node.t, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN coalesce(deg.d, 0) >= 2
+            THEN round(CAST(2.0 AS DOUBLE) * coalesce(per_node.t, 0)
+                       / (deg.d * (deg.d - 1)), 6)
+            ELSE CAST(0.0 AS DOUBLE) END AS clustering
+FROM embeddings emb
+LEFT JOIN deg ON emb.vec_id = deg.n
+LEFT JOIN per_node ON emb.vec_id = per_node.n
+""",
+)
+def ext_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts + local clustering coefficient over the mutual
+    kNN graph (extension — ``operators.graph.triangle_counts``):
+    degree-ordered orientation, one triangle per wedge at its lowest
+    endpoint, O(m^1.5) join volume. The oracle replays the exact kNN
+    edges, orientation, wedge join, and closure in SQL."""
+    from .operators import knn
+    from .operators.graph import triangle_counts
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = knn.knn_edges(emb, k=K)
+    return triangle_counts(edges, emb)
