@@ -245,6 +245,52 @@ _AI_CTES = """
     GROUP BY e1.src
   ) m ON emb.vec_id = m.src
 ),
+und AS (
+  SELECT DISTINCT e1.src AS a, e1.dst AS b
+  FROM edges e1 JOIN edges e2 ON e1.src = e2.dst AND e1.dst = e2.src
+  WHERE e1.src < e1.dst
+),
+tdeg AS (
+  SELECT n, count(*) AS d FROM (
+    SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und
+  ) GROUP BY n
+),
+ori AS (
+  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b) THEN u.a ELSE u.b END AS u,
+         CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b) THEN u.b ELSE u.a END AS v,
+         CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b) THEN db.d ELSE da.d END AS dv
+  FROM und u JOIN tdeg da ON da.n = u.a JOIN tdeg db ON db.n = u.b
+),
+tri AS (
+  SELECT e1.u AS u, e1.v AS x, e2.v AS y
+  FROM ori e1
+  JOIN ori e2 ON e1.u = e2.u
+             AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))
+  JOIN ori e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+bwords AS (
+  SELECT word, count(*) AS freq FROM (
+    SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+    FROM documents
+  ) WHERE regexp_matches(word, '^[a-z0-9]+$')
+  GROUP BY word
+),
+bs0 AS (
+  SELECT '  ' || regexp_replace(word, '(.)', '\\1  ', 'g') || '_  ' AS s, freq
+  FROM bwords
+),
+bp1 AS (
+  SELECT t.toks[i.i] AS l, t.toks[i.i + 1] AS r, sum(t.freq) AS c
+  FROM (SELECT string_split(trim(s), '  ') AS toks, freq FROM bs0) t,
+       LATERAL (SELECT unnest(range(1, len(t.toks))) AS i) i
+  GROUP BY 1, 2
+),
+bm1 AS (SELECT l, r, c FROM bp1 ORDER BY c DESC, l, r LIMIT 1),
+zcell AS (
+  SELECT ntile(8) OVER (ORDER BY user_id, value, event_id) - 1 AS za,
+         ntile(8) OVER (ORDER BY value, user_id, event_id) - 1 AS zb
+  FROM events
+),
 lens AS (SELECT src AS vec_id, avg(round(sqrt(dist_sq), 6)) AS avg_edge_len FROM edges GROUP BY src),
 per_node AS (
   SELECT b.vec_id, b.bidir_edges, l.avg_edge_len
@@ -423,6 +469,52 @@ bidir AS (
     FROM edges e1 JOIN edges e2 ON e1.src = e2.dst AND e1.dst = e2.src
     GROUP BY e1.src
   ) m ON emb.vec_id = m.src
+),
+und AS (
+  SELECT DISTINCT e1.src AS a, e1.dst AS b
+  FROM edges e1 JOIN edges e2 ON e1.src = e2.dst AND e1.dst = e2.src
+  WHERE e1.src < e1.dst
+),
+tdeg AS (
+  SELECT n, count(*) AS d FROM (
+    SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und
+  ) GROUP BY n
+),
+ori AS (
+  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b) THEN u.a ELSE u.b END AS u,
+         CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b) THEN u.b ELSE u.a END AS v,
+         CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b) THEN db.d ELSE da.d END AS dv
+  FROM und u JOIN tdeg da ON da.n = u.a JOIN tdeg db ON db.n = u.b
+),
+tri AS (
+  SELECT e1.u AS u, e1.v AS x, e2.v AS y
+  FROM ori e1
+  JOIN ori e2 ON e1.u = e2.u
+             AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))
+  JOIN ori e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+bwords AS (
+  SELECT word, count(*) AS freq FROM (
+    SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+    FROM documents
+  ) WHERE regexp_matches(word, '^[a-z0-9]+$')
+  GROUP BY word
+),
+bs0 AS (
+  SELECT '  ' || regexp_replace(word, '(.)', '\\1  ', 'g') || '_  ' AS s, freq
+  FROM bwords
+),
+bp1 AS (
+  SELECT t.toks[i.i] AS l, t.toks[i.i + 1] AS r, sum(t.freq) AS c
+  FROM (SELECT string_split(trim(s), '  ') AS toks, freq FROM bs0) t,
+       LATERAL (SELECT unnest(range(1, len(t.toks))) AS i) i
+  GROUP BY 1, 2
+),
+bm1 AS (SELECT l, r, c FROM bp1 ORDER BY c DESC, l, r LIMIT 1),
+zcell AS (
+  SELECT ntile(8) OVER (ORDER BY user_id, value, event_id) - 1 AS za,
+         ntile(8) OVER (ORDER BY value, user_id, event_id) - 1 AS zb
+  FROM events
 )
 SELECT b.bidir_edges, round(avg(q.query_count), 6) AS mean_query_count,
        CAST(count(*) AS BIGINT) AS n_nodes
@@ -594,6 +686,52 @@ bidir AS (
     FROM edges e1 JOIN edges e2 ON e1.src = e2.dst AND e1.dst = e2.src
     GROUP BY e1.src
   ) m ON emb.vec_id = m.src
+),
+und AS (
+  SELECT DISTINCT e1.src AS a, e1.dst AS b
+  FROM edges e1 JOIN edges e2 ON e1.src = e2.dst AND e1.dst = e2.src
+  WHERE e1.src < e1.dst
+),
+tdeg AS (
+  SELECT n, count(*) AS d FROM (
+    SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und
+  ) GROUP BY n
+),
+ori AS (
+  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b) THEN u.a ELSE u.b END AS u,
+         CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b) THEN u.b ELSE u.a END AS v,
+         CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b) THEN db.d ELSE da.d END AS dv
+  FROM und u JOIN tdeg da ON da.n = u.a JOIN tdeg db ON db.n = u.b
+),
+tri AS (
+  SELECT e1.u AS u, e1.v AS x, e2.v AS y
+  FROM ori e1
+  JOIN ori e2 ON e1.u = e2.u
+             AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))
+  JOIN ori e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+bwords AS (
+  SELECT word, count(*) AS freq FROM (
+    SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+    FROM documents
+  ) WHERE regexp_matches(word, '^[a-z0-9]+$')
+  GROUP BY word
+),
+bs0 AS (
+  SELECT '  ' || regexp_replace(word, '(.)', '\\1  ', 'g') || '_  ' AS s, freq
+  FROM bwords
+),
+bp1 AS (
+  SELECT t.toks[i.i] AS l, t.toks[i.i + 1] AS r, sum(t.freq) AS c
+  FROM (SELECT string_split(trim(s), '  ') AS toks, freq FROM bs0) t,
+       LATERAL (SELECT unnest(range(1, len(t.toks))) AS i) i
+  GROUP BY 1, 2
+),
+bm1 AS (SELECT l, r, c FROM bp1 ORDER BY c DESC, l, r LIMIT 1),
+zcell AS (
+  SELECT ntile(8) OVER (ORDER BY user_id, value, event_id) - 1 AS za,
+         ntile(8) OVER (ORDER BY value, user_id, event_id) - 1 AS zb
+  FROM events
 )
 SELECT 's2_tail_count' AS metric, CAST(count(*) AS BIGINT) AS value FROM tail
 UNION ALL SELECT 's2_tail_idsum', CAST(sum(vec_id) AS BIGINT) FROM tail
@@ -606,6 +744,16 @@ UNION ALL SELECT 'p14_moments_ok', CAST(1 AS BIGINT)
 UNION ALL SELECT 'lsh_recall_ge_090', CAST(1 AS BIGINT)
 UNION ALL SELECT 'approx_distinct_within_5pct', CAST(1 AS BIGINT)
 UNION ALL SELECT 'g7_total_nodes', CAST(count(*) AS BIGINT) FROM embeddings
+UNION ALL SELECT 'tri_total_triangles', CAST(3 * count(*) AS BIGINT) FROM tri
+UNION ALL SELECT 'tri_closed_nodes', CAST(count(DISTINCT n) AS BIGINT)
+  FROM (SELECT u AS n FROM tri UNION ALL SELECT x FROM tri UNION ALL SELECT y FROM tri)
+UNION ALL SELECT 'bpe_merge1_count', CAST(c AS BIGINT) FROM bm1
+UNION ALL SELECT 'bpe_merge1_tokenhash', CAST({oracle_hash60('l || r')} % 1000003 AS BIGINT) FROM bm1
+UNION ALL SELECT 'zorder_zkey_sum',
+  CAST(sum(((za & 1) * 2 + (zb & 1))
+           + (((za >> 1) & 1) * 2 + ((zb >> 1) & 1)) * 4
+           + (((za >> 2) & 1) * 2 + ((zb >> 2) & 1)) * 16) AS BIGINT) FROM zcell
+UNION ALL SELECT 'bloom_equals_exact', CAST(1 AS BIGINT)
 UNION ALL
 SELECT concat('g7_edges_', CAST(bidir_edges AS VARCHAR)), CAST(count(*) AS BIGINT)
 FROM bidir GROUP BY bidir_edges
@@ -633,6 +781,14 @@ def cov_operator_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
       default band count (measured 0.97 at sf0.01).
     - **Approx-distinct gate**: HLL (rsd 2%) within ±5% of exact per
       source.
+    - **Round-4 rows** (driver-graded here so the 50-slot window stays
+      stable): triangle totals + closed-node count over the mutual
+      graph (full SQL replay), the first BPE merge's pair count and
+      merged-token hash (stage-1 replay), the Z-order curve checksum
+      (ntile + bit-weave replay), and a bloom-equals-exact gate (the
+      Bloom prefilter's output compared row-for-row Spark-side against
+      the exact scan — engine-specific xxhash64 bitmap, so the oracle
+      pins the PASS value).
 
     The three ``*_ok``/``*_ge_*`` gates are bound checks whose
     measured quantity is engine-specific (RNG of the MLlib projections
@@ -742,6 +898,69 @@ def cov_operator_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "long"
                     )
                 ).alias("value")
+            ),
+        )
+    )
+
+    # --- round-4 operators, driver-graded through the pack ---
+    tri = graph.triangle_counts(edges, emb)
+    parts.append(
+        scalar(
+            "tri_total_triangles", tri.agg(F.sum("n_triangles").alias("value"))
+        )
+    )
+    parts.append(
+        scalar(
+            "tri_closed_nodes",
+            tri.filter(F.col("n_triangles") > 0).agg(
+                F.count(F.lit(1)).alias("value")
+            ),
+        )
+    )
+
+    from .operators.tokenizer import bpe_train
+
+    m1 = bpe_train(docs, num_merges=1)[0][0]
+    parts.append(
+        scalar(
+            "bpe_merge1_count",
+            spark.range(1).select(F.lit(m1["pair_count"]).alias("value")),
+        )
+    )
+    parts.append(
+        scalar(
+            "bpe_merge1_tokenhash",
+            spark.range(1).select(
+                (hash60(F.lit(m1["merged"])) % 1000003).alias("value")
+            ),
+        )
+    )
+
+    from .operators.maintenance import zorder_key
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    bz, zk = zorder_key(ev, "user_id", "value", bits=3, tiebreak="event_id")
+    parts.append(
+        scalar(
+            "zorder_zkey_sum",
+            bz.select(zk).agg(F.sum("_zkey").alias("value")),
+        )
+    )
+
+    from .operators.text import contamination_scan, contamination_scan_bloom
+
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    probe = docs.filter(F.col("doc_id") % 2 == 1)
+    ex = contamination_scan(corpus, probe, 8, 4)
+    bl = contamination_scan_bloom(corpus, probe, 8, 4)
+    sym_diff = ex.exceptAll(bl).unionByName(bl.exceptAll(ex))
+    parts.append(
+        scalar(
+            "bloom_equals_exact",
+            sym_diff.agg(
+                (F.count(F.lit(1)) == 0).cast("long").alias("value")
             ),
         )
     )
