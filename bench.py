@@ -50,6 +50,7 @@ HEADLINE = [
     "ext_seq_packing",
     "ext_incremental_dedup",
     "ext_doc_embeddings",
+    "ext_graph_triangles",
 ]
 # ext_contamination_bloom is deliberately NOT a headline: at fixture
 # scale both fingerprint sides are equally tiny, so the exact one-job
