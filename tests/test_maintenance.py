@@ -85,3 +85,36 @@ def test_zorder_bounds_file_span_on_both_dims(spark, bits):
             (r["x"], r["y"]) for r in spark.read.parquet(zpath).collect()
         }
         assert len(got) == side * side
+
+
+def test_zorder_binned_tier_bounds_spans_without_global_window(spark):
+    """The broadcast-quantile tier must produce the same layout
+    property (bounded per-file span on both dims) with NO global
+    ntile window in its plan."""
+    import tempfile
+
+    side, n_files = 64, 16
+    grid = spark.range(side * side).select(
+        (F.col("id") % side).alias("x"),
+        (F.col("id") / side).cast("long").alias("y"),
+    )
+    laid = maintenance.zorder_by(grid, "x", "y", n_files=n_files, bits=3, exact=False)
+    plan = laid._jdf.queryExecution().executedPlan().toString()
+    assert "ntile" not in plan.lower(), plan
+
+    with tempfile.TemporaryDirectory() as d:
+        laid.write.parquet(f"{d}/z")
+        # The Morton guarantee is aggregate, not per-file: files that
+        # straddle a major curve boundary legitimately span a full dim
+        # (the sketch-approximate buckets shift range splits off block
+        # alignment, so 1-2 straddlers appear). Pruning power = most
+        # files tightly bounded + low average span on BOTH dims.
+        for col in ("x", "y"):
+            spans = [
+                hi - lo
+                for lo, hi in _per_file_ranges(spark, f"{d}/z", col).values()
+            ]
+            assert sum(spans) / len(spans) <= 0.55 * side, (col, spans)
+            wide = sum(1 for s in spans if s > (3 * side) // 4)
+            assert wide <= 2, (col, spans)
+        assert spark.read.parquet(f"{d}/z").count() == side * side
