@@ -754,6 +754,7 @@ UNION ALL SELECT 'zorder_zkey_sum',
            + (((za >> 1) & 1) * 2 + ((zb >> 1) & 1)) * 4
            + (((za >> 2) & 1) * 2 + ((zb >> 2) & 1)) * 16) AS BIGINT) FROM zcell
 UNION ALL SELECT 'bloom_equals_exact', CAST(1 AS BIGINT)
+UNION ALL SELECT 'ivf_disk_parity', CAST(1 AS BIGINT)
 UNION ALL
 SELECT concat('g7_edges_', CAST(bidir_edges AS VARCHAR)), CAST(count(*) AS BIGINT)
 FROM bidir GROUP BY bidir_edges
@@ -785,10 +786,12 @@ def cov_operator_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
       stable): triangle totals + closed-node count over the mutual
       graph (full SQL replay), the first BPE merge's pair count and
       merged-token hash (stage-1 replay), the Z-order curve checksum
-      (ntile + bit-weave replay), and a bloom-equals-exact gate (the
+      (ntile + bit-weave replay), a bloom-equals-exact gate (the
       Bloom prefilter's output compared row-for-row Spark-side against
       the exact scan — engine-specific xxhash64 bitmap, so the oracle
-      pins the PASS value).
+      pins the PASS value), and an IVF index save→load→search parity
+      gate (cluster-partitioned on-disk layout must reproduce the
+      in-memory search exactly).
 
     The three ``*_ok``/``*_ge_*`` gates are bound checks whose
     measured quantity is engine-specific (RNG of the MLlib projections
@@ -953,17 +956,53 @@ def cov_operator_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     probe = docs.filter(F.col("doc_id") % 2 == 1)
+
+    def _multiset_hash(df: DataFrame) -> DataFrame:
+        # order-insensitive exact multiset checksum: one pass per side
+        # (exceptAll-based symmetric diff evaluates each side twice)
+        cols = [F.col(c).cast("string") for c in df.columns]
+        h40 = F.pmod(F.xxhash64(*cols), F.lit(1 << 40))  # ANSI: no long overflow
+        return df.agg(
+            F.coalesce(F.sum(h40), F.lit(0)).alias("h"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    def _parity_gate(metric: str, a: DataFrame, b: DataFrame) -> DataFrame:
+        ha = _multiset_hash(a).select(
+            F.col("h").alias("ha"), F.col("n").alias("na")
+        )
+        hb = _multiset_hash(b).select(
+            F.col("h").alias("hb"), F.col("n").alias("nb")
+        )
+        return ha.crossJoin(hb).select(
+            F.lit(metric).alias("metric"),
+            (
+                (F.col("ha") == F.col("hb")) & (F.col("na") == F.col("nb"))
+            )
+            .cast("long")
+            .alias("value"),
+        )
+
     ex = contamination_scan(corpus, probe, 8, 4)
     bl = contamination_scan_bloom(corpus, probe, 8, 4)
-    sym_diff = ex.exceptAll(bl).unionByName(bl.exceptAll(ex))
-    parts.append(
-        scalar(
-            "bloom_equals_exact",
-            sym_diff.agg(
-                (F.count(F.lit(1)) == 0).cast("long").alias("value")
-            ),
-        )
+    parts.append(_parity_gate("bloom_equals_exact", ex, bl))
+
+    from .operators import similarity
+
+    assigned, cents = similarity.ivf_build_fixed(emb, n_clusters=8)
+    assigned = assigned.persist()
+    ivf_dir = _os.path.join(
+        "/root/repo/_scratch",
+        f"ivf_{_os.path.basename(sf_dir.rstrip('/'))}",
     )
+    similarity.save_ivf_index(assigned, cents, ivf_dir)
+    l_assigned, l_cents = similarity.load_ivf_index(spark, ivf_dir)
+    q10 = emb.filter(F.col("vec_id") < 10)
+    direct = similarity.ivf_search_fixed(q10, assigned, cents, k=5, nprobe=3)
+    via_disk = similarity.ivf_search_fixed(
+        q10, l_assigned, l_cents, k=5, nprobe=3
+    )
+    parts.append(_parity_gate("ivf_disk_parity", direct, via_disk))
 
     out = parts[0]
     for df in parts[1:]:
