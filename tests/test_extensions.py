@@ -715,7 +715,12 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
 
     vs = stream_events_from_files(spark, v_dir, max_files_per_trigger=1)
     ps = stream_events_from_files(spark, p_dir, max_files_per_trigger=1)
-    out = attribution_join_streams(vs, ps, horizon="1 hour", watermark="2 hours")
+    # the fixture's files are round-robin partitioned, so each
+    # micro-batch spans the table's whole ~30-day event-time range;
+    # the watermark must cover that span or later batches' rows land
+    # below it and are (correctly, per streaming semantics) dropped —
+    # this test pins BATCH-EQUALITY, so lateness must not bind
+    out = attribution_join_streams(vs, ps, horizon="1 hour", watermark="60 days")
     run_to_append_sink(out, "attribution")
     got = {
         (r["view_id"], r["purchase_id"])

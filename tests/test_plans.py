@@ -203,25 +203,32 @@ def test_bloom_contamination_prunes_before_join(spark, sf_dir):
     q = QUERIES["ext_contamination_bloom"].fn(spark, sf_dir)
     plan = plan_of(q)
     assert "EvalPython" not in plan, plan
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
-    # the membership conjunction compiles to bitwise-AND filters
-    opt = optimized_of(q)
-    assert opt.count("& ") >= 1 or "AND" in opt
+    # the bitmap probe (xxhash64 positions) must be present, and must
+    # sit BELOW the exact verify join: a plan tree prints parents
+    # above children, so the join's first appearance must precede the
+    # probe expression's
+    assert "xxhash64" in plan, plan
+    join_at = min(
+        i
+        for i in (
+            plan.find("BroadcastHashJoin"),
+            plan.find("SortMergeJoin"),
+        )
+        if i >= 0
+    )
+    assert join_at < plan.find("xxhash64"), plan
 
 
 def test_compact_is_single_range_shuffle(spark, sf_dir, tmp_path):
     """Compaction = one RangePartitioning exchange + in-partition sort;
-    no hash shuffle, no global sort-merge."""
-    from vector_database_watermarking_spark.operators.maintenance import compact
+    no hash shuffle, no global sort-merge. Asserted on the OPERATOR's
+    own plan (compact_plan is what compact writes through)."""
+    from vector_database_watermarking_spark.operators.maintenance import compact_plan
 
     ev = load_table(spark, sf_dir, "events")
     frag = str(tmp_path / "frag")
     ev.repartition(8).write.mode("overwrite").parquet(frag)
-    df = (
-        spark.read.parquet(frag)
-        .repartitionByRange(4, F.col("event_id"))
-        .sortWithinPartitions("event_id")
-    )
+    df = compact_plan(spark.read.parquet(frag), "event_id", 4)
     plan = plan_of(df)
     assert "rangepartitioning" in plan.lower(), plan
     assert plan.lower().count("exchange") == 1, plan

@@ -153,10 +153,14 @@ def test_ivf_index_save_load_roundtrip(spark, sf_dir, tmp_path):
     loaded_assigned, loaded_cents = similarity.load_ivf_index(spark, path)
     assert np.array_equal(loaded_cents, cents)
 
-    # a single-cluster probe reads only its partition (pruned scan)
+    # a single-cluster probe reads only its partition: the equality
+    # predicate must land in the scan's PartitionFilters (directory
+    # pruning), not survive as a post-scan Filter over all files
     plan = loaded_assigned.filter(F.col("cluster") == 3)._jdf.queryExecution(
     ).executedPlan().toString()
-    assert "cluster" in plan
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cluster" in m.group(1) and "= 3" in m.group(1), plan
 
     q = emb.filter(F.col("vec_id") < 20)
     direct = similarity.ivf_search_fixed(q, assigned, cents, k=5, nprobe=3)

@@ -61,6 +61,12 @@ def test_cdc_stream_converges_to_batch_merge(spark, tmp_path):
     # two non-empty micro-batches → two commits past v0
     with open(f"{table_dir}/_CURRENT") as fh:
         assert fh.read().strip() == "v2"
+    # default retain=2 vacuums superseded snapshots (v0), keeps a
+    # one-version grace window (v1) plus current (v2)
+    import os
+
+    versions = sorted(d for d in os.listdir(table_dir) if d.startswith("v"))
+    assert versions == ["v1", "v2"], versions
 
     got = {
         (r["doc_id"], r["val"])

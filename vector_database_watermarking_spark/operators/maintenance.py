@@ -72,14 +72,22 @@ def compact(
     n = df.count()
     n_files = max(1, (n + target_rows_per_file - 1) // target_rows_per_file)
     (
-        df.repartitionByRange(n_files, F.col(sort_key))
-        .sortWithinPartitions(sort_key)
+        compact_plan(df, sort_key, n_files)
         .write.option("maxRecordsPerFile", target_rows_per_file)
         .mode("overwrite")
         .parquet(out_path)
     )
     after = parquet_file_stats(out_path)
     return {"rows": n, "before": before, "after": after}
+
+
+def compact_plan(df: DataFrame, sort_key: str, n_files: int) -> DataFrame:
+    """The compaction transformation itself (range partition + local
+    sort), exposed so plan-shape tests guard the operator's actual
+    plan — exactly one RangePartitioning exchange, no global sort."""
+    return df.repartitionByRange(n_files, F.col(sort_key)).sortWithinPartitions(
+        sort_key
+    )
 
 
 def _interleave(za, zb, bits: int):

@@ -456,10 +456,9 @@ def contamination_scan_bloom(
     c_fp = rolling_fingerprints(corpus, window_tokens, stride, text_col).select(
         F.col("doc_id").alias("corpus_doc"), "fp"
     )
-    # the probe fingerprint relation is consumed three times (bitmap
-    # sizing count, bitmap build, exact verify join) — persist it so
-    # the window/hash pipeline runs once (it is the SMALL side by
-    # contract; measured 2.5 s → ~1 s at sf0.1)
+    # the probe fingerprint relation is consumed by the bitmap build
+    # (sizing count when m_bits is None, plus the bit aggregation) —
+    # persist it across those driver actions, released right after
     p_fp = rolling_fingerprints(probe, window_tokens, stride, text_col).select(
         F.col("doc_id").alias("probe_doc"), "fp"
     ).dropDuplicates(["probe_doc", "fp"]).persist()
@@ -467,6 +466,12 @@ def contamination_scan_bloom(
         p_fp.select("fp").distinct(), "fp", n_hashes, bits_per_key,
         m_bits=m_bits,
     )
+    # build_bloom's driver actions are done with the cache; release it
+    # now so repeated calls don't accumulate storage-memory blocks.
+    # The final verify join below recomputes the (small) probe side
+    # once inside the main job — in parallel with the corpus scan,
+    # the same cost profile as the exact scan.
+    p_fp.unpersist()
     pruned = c_fp.filter(
         bloom_might_contain(F.col("fp"), bloom, mask, n_hashes)
     ).dropDuplicates(["corpus_doc", "fp"])

@@ -128,6 +128,12 @@ def bpe_train(
             ).alias("s"),
             "freq",
         ).persist()
+        # materialize the new table from the OLD cache before dropping
+        # it — unpersisting first would evict the only materialized
+        # ancestor and every later iteration would recompute from the
+        # corpus scan (verified: k merges = k corpus reads without
+        # this; with it, the corpus is read once)
+        nxt.count()
         spaced.unpersist()
         spaced = nxt
     return merges, spaced

@@ -814,10 +814,11 @@ _GRADE_ORDER = [
     # --- past the graded window: sub-computations of graded queries,
     # relational breadth, alternate views, further extensions.
     # Round-4 additions (ext_zorder_cells, ext_contamination_bloom,
-    # ext_corpus_drift, ext_bpe_merges) also sit here deliberately:
-    # the 50 in-window slots stay stable across rounds so driver rows
-    # are comparable r03 → r04; all four are locally hash-checked by
-    # tools/check_oracles.py with full-value oracles.
+    # ext_corpus_drift, ext_bpe_merges, ext_graph_triangles) also sit
+    # here deliberately: the 50 in-window slots stay stable across
+    # rounds so driver rows are comparable r03 → r04; all five are
+    # locally hash-checked with full-value oracles, and each is ALSO
+    # driver-graded through cov_operator_pack's round-4 rows.
     "a9_mean_qc_by_edge_count",
     "rel_pivot_status",
     "g2_bidirectional_edges",

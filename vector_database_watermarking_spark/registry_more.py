@@ -232,19 +232,9 @@ def a13_carrier_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- W2
 
 
-# AI per node (round 5, over 6-decimal edge lengths) as a reusable CTE
-# chain reading `edges` from _knn_cte — shared by w2_adaptive_delete and
-# pipe_tvp_select so the two oracles cannot diverge.
-_AI_CTES = """
-, bidir AS (
-  SELECT emb.vec_id, CAST(coalesce(m.bidir, 0) AS BIGINT) AS bidir_edges
-  FROM embeddings emb
-  LEFT JOIN (
-    SELECT e1.src, count(*) AS bidir
-    FROM edges e1 JOIN edges e2 ON e1.src = e2.dst AND e1.dst = e2.src
-    GROUP BY e1.src
-  ) m ON emb.vec_id = m.src
-),
+# Mutual-graph triangle chain over _knn_cte's `edges` — single source
+# of truth shared by _cov_pack_oracle and ext_graph_triangles.
+_TRI_CTES = r"""
 und AS (
   SELECT DISTINCT e1.src AS a, e1.dst AS b
   FROM edges e1 JOIN edges e2 ON e1.src = e2.dst AND e1.dst = e2.src
@@ -267,16 +257,20 @@ tri AS (
   JOIN ori e2 ON e1.u = e2.u
              AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))
   JOIN ori e3 ON e3.u = e1.v AND e3.v = e2.v
-),
+)
+"""
+
+# BPE stage-1 + Z-order cell CTEs (cov pack only)
+_BPEZ_CTES = r"""
 bwords AS (
   SELECT word, count(*) AS freq FROM (
-    SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+    SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
     FROM documents
   ) WHERE regexp_matches(word, '^[a-z0-9]+$')
   GROUP BY word
 ),
 bs0 AS (
-  SELECT '  ' || regexp_replace(word, '(.)', '\\1  ', 'g') || '_  ' AS s, freq
+  SELECT '  ' || regexp_replace(word, '(.)', '\1  ', 'g') || '_  ' AS s, freq
   FROM bwords
 ),
 bp1 AS (
@@ -290,6 +284,21 @@ zcell AS (
   SELECT ntile(8) OVER (ORDER BY user_id, value, event_id) - 1 AS za,
          ntile(8) OVER (ORDER BY value, user_id, event_id) - 1 AS zb
   FROM events
+)
+"""
+
+# AI per node (round 5, over 6-decimal edge lengths) as a reusable CTE
+# chain reading `edges` from _knn_cte — shared by w2_adaptive_delete and
+# pipe_tvp_select so the two oracles cannot diverge.
+_AI_CTES = """
+, bidir AS (
+  SELECT emb.vec_id, CAST(coalesce(m.bidir, 0) AS BIGINT) AS bidir_edges
+  FROM embeddings emb
+  LEFT JOIN (
+    SELECT e1.src, count(*) AS bidir
+    FROM edges e1 JOIN edges e2 ON e1.src = e2.dst AND e1.dst = e2.src
+    GROUP BY e1.src
+  ) m ON emb.vec_id = m.src
 ),
 lens AS (SELECT src AS vec_id, avg(round(sqrt(dist_sq), 6)) AS avg_edge_len FROM edges GROUP BY src),
 per_node AS (
@@ -469,52 +478,6 @@ bidir AS (
     FROM edges e1 JOIN edges e2 ON e1.src = e2.dst AND e1.dst = e2.src
     GROUP BY e1.src
   ) m ON emb.vec_id = m.src
-),
-und AS (
-  SELECT DISTINCT e1.src AS a, e1.dst AS b
-  FROM edges e1 JOIN edges e2 ON e1.src = e2.dst AND e1.dst = e2.src
-  WHERE e1.src < e1.dst
-),
-tdeg AS (
-  SELECT n, count(*) AS d FROM (
-    SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und
-  ) GROUP BY n
-),
-ori AS (
-  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b) THEN u.a ELSE u.b END AS u,
-         CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b) THEN u.b ELSE u.a END AS v,
-         CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b) THEN db.d ELSE da.d END AS dv
-  FROM und u JOIN tdeg da ON da.n = u.a JOIN tdeg db ON db.n = u.b
-),
-tri AS (
-  SELECT e1.u AS u, e1.v AS x, e2.v AS y
-  FROM ori e1
-  JOIN ori e2 ON e1.u = e2.u
-             AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))
-  JOIN ori e3 ON e3.u = e1.v AND e3.v = e2.v
-),
-bwords AS (
-  SELECT word, count(*) AS freq FROM (
-    SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
-    FROM documents
-  ) WHERE regexp_matches(word, '^[a-z0-9]+$')
-  GROUP BY word
-),
-bs0 AS (
-  SELECT '  ' || regexp_replace(word, '(.)', '\\1  ', 'g') || '_  ' AS s, freq
-  FROM bwords
-),
-bp1 AS (
-  SELECT t.toks[i.i] AS l, t.toks[i.i + 1] AS r, sum(t.freq) AS c
-  FROM (SELECT string_split(trim(s), '  ') AS toks, freq FROM bs0) t,
-       LATERAL (SELECT unnest(range(1, len(t.toks))) AS i) i
-  GROUP BY 1, 2
-),
-bm1 AS (SELECT l, r, c FROM bp1 ORDER BY c DESC, l, r LIMIT 1),
-zcell AS (
-  SELECT ntile(8) OVER (ORDER BY user_id, value, event_id) - 1 AS za,
-         ntile(8) OVER (ORDER BY value, user_id, event_id) - 1 AS zb
-  FROM events
 )
 SELECT b.bidir_edges, round(avg(q.query_count), 6) AS mean_query_count,
        CAST(count(*) AS BIGINT) AS n_nodes
@@ -687,52 +650,11 @@ bidir AS (
     GROUP BY e1.src
   ) m ON emb.vec_id = m.src
 ),
-und AS (
-  SELECT DISTINCT e1.src AS a, e1.dst AS b
-  FROM edges e1 JOIN edges e2 ON e1.src = e2.dst AND e1.dst = e2.src
-  WHERE e1.src < e1.dst
-),
-tdeg AS (
-  SELECT n, count(*) AS d FROM (
-    SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und
-  ) GROUP BY n
-),
-ori AS (
-  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b) THEN u.a ELSE u.b END AS u,
-         CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b) THEN u.b ELSE u.a END AS v,
-         CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b) THEN db.d ELSE da.d END AS dv
-  FROM und u JOIN tdeg da ON da.n = u.a JOIN tdeg db ON db.n = u.b
-),
-tri AS (
-  SELECT e1.u AS u, e1.v AS x, e2.v AS y
-  FROM ori e1
-  JOIN ori e2 ON e1.u = e2.u
-             AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))
-  JOIN ori e3 ON e3.u = e1.v AND e3.v = e2.v
-),
-bwords AS (
-  SELECT word, count(*) AS freq FROM (
-    SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
-    FROM documents
-  ) WHERE regexp_matches(word, '^[a-z0-9]+$')
-  GROUP BY word
-),
-bs0 AS (
-  SELECT '  ' || regexp_replace(word, '(.)', '\\1  ', 'g') || '_  ' AS s, freq
-  FROM bwords
-),
-bp1 AS (
-  SELECT t.toks[i.i] AS l, t.toks[i.i + 1] AS r, sum(t.freq) AS c
-  FROM (SELECT string_split(trim(s), '  ') AS toks, freq FROM bs0) t,
-       LATERAL (SELECT unnest(range(1, len(t.toks))) AS i) i
-  GROUP BY 1, 2
-),
-bm1 AS (SELECT l, r, c FROM bp1 ORDER BY c DESC, l, r LIMIT 1),
-zcell AS (
-  SELECT ntile(8) OVER (ORDER BY user_id, value, event_id) - 1 AS za,
-         ntile(8) OVER (ORDER BY value, user_id, event_id) - 1 AS zb
-  FROM events
-)
+"""
+        + _TRI_CTES
+        + ","
+        + _BPEZ_CTES
+        + f"""
 SELECT 's2_tail_count' AS metric, CAST(count(*) AS BIGINT) AS value FROM tail
 UNION ALL SELECT 's2_tail_idsum', CAST(sum(vec_id) AS BIGINT) FROM tail
 UNION ALL SELECT 's4_roundtrip_count', CAST(count(*) AS BIGINT) FROM tail
@@ -2189,44 +2111,23 @@ def ext_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ext_graph_triangles",
     oracle=_knn_cte()
-    + """
-, und AS (
-  SELECT DISTINCT LEAST(e1.src, e1.dst) AS a, GREATEST(e1.src, e1.dst) AS b
-  FROM edges e1 JOIN edges e2 ON e1.src = e2.dst AND e1.dst = e2.src
-  WHERE e1.src < e1.dst
-),
-deg AS (
-  SELECT n, count(*) AS d FROM (
-    SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und
-  ) GROUP BY n
-),
-ori AS (
-  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b) THEN u.a ELSE u.b END AS u,
-         CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b) THEN u.b ELSE u.a END AS v,
-         CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b) THEN db.d ELSE da.d END AS dv
-  FROM und u JOIN deg da ON da.n = u.a JOIN deg db ON db.n = u.b
-),
-tri AS (
-  SELECT e1.u AS u, e1.v AS x, e2.v AS y
-  FROM ori e1
-  JOIN ori e2 ON e1.u = e2.u
-             AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))
-  JOIN ori e3 ON e3.u = e1.v AND e3.v = e2.v
-),
+    + ","
+    + _TRI_CTES
+    + """,
 per_node AS (
   SELECT n, count(*) AS t FROM (
     SELECT u AS n FROM tri UNION ALL SELECT x FROM tri UNION ALL SELECT y FROM tri
   ) GROUP BY n
 )
 SELECT emb.vec_id,
-       CAST(coalesce(deg.d, 0) AS BIGINT) AS degree,
+       CAST(coalesce(tdeg.d, 0) AS BIGINT) AS degree,
        CAST(coalesce(per_node.t, 0) AS BIGINT) AS n_triangles,
-       CASE WHEN coalesce(deg.d, 0) >= 2
+       CASE WHEN coalesce(tdeg.d, 0) >= 2
             THEN round(CAST(2.0 AS DOUBLE) * coalesce(per_node.t, 0)
-                       / (deg.d * (deg.d - 1)), 6)
+                       / (tdeg.d * (tdeg.d - 1)), 6)
             ELSE CAST(0.0 AS DOUBLE) END AS clustering
 FROM embeddings emb
-LEFT JOIN deg ON emb.vec_id = deg.n
+LEFT JOIN tdeg ON emb.vec_id = tdeg.n
 LEFT JOIN per_node ON emb.vec_id = per_node.n
 """,
 )

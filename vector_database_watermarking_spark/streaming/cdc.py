@@ -63,6 +63,27 @@ def _commit_snapshot(df: DataFrame, table_dir: str, version: int) -> None:
     os.replace(tmp, _pointer_path(table_dir))  # atomic pointer flip
 
 
+def vacuum(table_dir: str, retain: int = 2) -> list[str]:
+    """Delete snapshot directories older than the ``retain`` most
+    recent (the current one is always kept). Returns removed names.
+    Without this, every micro-batch leaves a full table copy behind —
+    the parquet analogue of a table format's VACUUM; ``retain > 1``
+    keeps a grace window for readers that resolved the pointer just
+    before a flip."""
+    import shutil
+
+    with open(_pointer_path(table_dir)) as fh:
+        cur = int(fh.read().strip().lstrip("v"))
+    removed = []
+    for name in sorted(os.listdir(table_dir)):
+        if not name.startswith("v") or not name[1:].isdigit():
+            continue
+        if int(name[1:]) <= cur - retain:
+            shutil.rmtree(os.path.join(table_dir, name))
+            removed.append(name)
+    return removed
+
+
 def cdc_apply_stream(
     changes_stream: DataFrame,
     table_dir: str,
@@ -70,10 +91,13 @@ def cdc_apply_stream(
     seq: str = "seq",
     op: str = "op",
     checkpoint_dir: str | None = None,
+    retain: int = 2,
 ):
     """Start the continuous MERGE: every micro-batch of the change
     stream is applied to the current snapshot and committed as the
-    next version. Returns the StreamingQuery (caller stops it)."""
+    next version; superseded snapshots past ``retain`` are vacuumed
+    per trigger (``retain=0`` disables GC, keeping every version for
+    time travel). Returns the StreamingQuery (caller stops it)."""
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
@@ -84,6 +108,8 @@ def cdc_apply_stream(
         with open(_pointer_path(table_dir)) as fh:
             cur = int(fh.read().strip().lstrip("v"))
         _commit_snapshot(merged, table_dir, cur + 1)
+        if retain:
+            vacuum(table_dir, retain)
 
     writer = changes_stream.writeStream.foreachBatch(_apply).outputMode("update")
     if checkpoint_dir:
