@@ -2019,9 +2019,10 @@ def ext_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ext_bpe_merges",
-    oracle="""
+# Full 4-stage BPE training chain (word table -> spaced strings ->
+# per-stage pair argmax + replace) — shared by ext_bpe_merges and
+# ext_bpe_tokens so the trainer and encoder oracles cannot diverge.
+_BPE4_CTES = """
 WITH words AS (
   SELECT word, count(*) AS freq FROM (
     SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
@@ -2072,7 +2073,13 @@ p4 AS (
        LATERAL (SELECT unnest(range(1, len(t.toks))) AS i) i
   GROUP BY 1, 2
 ),
-m4 AS (SELECT l, r, c FROM p4 ORDER BY c DESC, l, r LIMIT 1)
+m4 AS (SELECT l, r, c FROM p4 ORDER BY c DESC, l, r LIMIT 1)"""
+
+
+@register(
+    "ext_bpe_merges",
+    oracle=_BPE4_CTES
+    + """
 SELECT * FROM (
   SELECT 1 AS rank, l AS lhs, r AS rhs, l || r AS merged, CAST(c AS BIGINT) AS pair_count FROM m1
   UNION ALL
@@ -2143,3 +2150,46 @@ def ext_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     edges = knn.knn_edges(emb, k=K)
     return triangle_counts(edges, emb)
+
+
+@register(
+    "ext_bpe_tokens",
+    oracle=_BPE4_CTES
+    + """,
+dwords AS (
+  SELECT doc_id, word FROM (
+    SELECT doc_id,
+           unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+    FROM documents
+  ) WHERE regexp_matches(word, '^[a-z0-9]+$')
+),
+denc AS (
+  SELECT doc_id,
+         len(string_split(trim(
+           replace(replace(replace(replace(
+             '  ' || regexp_replace(word, '(.)', '\\1  ', 'g') || '_  ',
+             ' ' || m1.l || '  ' || m1.r || ' ', ' ' || m1.l || m1.r || ' '),
+             ' ' || m2.l || '  ' || m2.r || ' ', ' ' || m2.l || m2.r || ' '),
+             ' ' || m3.l || '  ' || m3.r || ' ', ' ' || m3.l || m3.r || ' '),
+             ' ' || m4.l || '  ' || m4.r || ' ', ' ' || m4.l || m4.r || ' ')
+         ), '  ')) AS nt
+  FROM dwords, m1, m2, m3, m4
+)
+SELECT doc_id, CAST(sum(nt) AS BIGINT) AS n_tokens
+FROM denc GROUP BY doc_id
+""",
+)
+def ext_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING with the trained merges (extension —
+    ``operators.tokenizer.bpe_encode``): per-document token counts
+    after applying the 4 learned merges. The oracle re-trains the
+    merges (shared ``_BPE4_CTES`` chain, so trainer and encoder
+    oracles cannot diverge) and replays the encode as the same nested
+    ``replace`` chain per word — the full train→encode pipeline is
+    value-hash-checked. Encode itself is one shuffle-free projection
+    plus the per-doc count aggregation."""
+    from .operators.tokenizer import bpe_encode, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = bpe_train(docs, num_merges=4)
+    return bpe_encode(docs, merges).select("doc_id", "n_tokens")
