@@ -83,3 +83,55 @@ def test_bpe_train_on_fixture_compresses(spark, sf_dir):
     a = enc.agg(F.sum("n_tokens")).head()[0]
     b = base.agg(F.sum("n_tokens")).head()[0]
     assert a < b
+
+
+def test_bpe_train_matches_pure_python_reference(spark):
+    """Differential test: the distributed trainer must produce exactly
+    the merges of a direct single-process BPE implementation (greedy
+    argmax with (count desc, lexicographic) tie-break) on randomized
+    word multisets."""
+    import random
+
+    def ref_bpe(word_freqs, k):
+        seqs = {w: tuple(w) + ("_",) for w in word_freqs}
+        merges = []
+        for _ in range(k):
+            counts = {}
+            for w, seq in seqs.items():
+                f = word_freqs[w]
+                for a, b in zip(seq, seq[1:]):
+                    counts[(a, b)] = counts.get((a, b), 0) + f
+            if not counts:
+                break
+            (l, r), c = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merges.append((l, r, c))
+            for w, seq in seqs.items():
+                out, i = [], 0
+                while i < len(seq):
+                    if i + 1 < len(seq) and seq[i] == l and seq[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(seq[i])
+                        i += 1
+                seqs[w] = tuple(out)
+        return merges
+
+    rng = random.Random(7)
+    vocab = ["ab", "abc", "banana", "bandana", "cab", "aa", "aaa", "x"]
+    for trial in range(3):
+        words = [rng.choice(vocab) for _ in range(40)]
+        freqs = {}
+        for w in words:
+            freqs[w] = freqs.get(w, 0) + 1
+        docs = spark.createDataFrame(
+            [(i, " ".join(words[i::4])) for i in range(4)],
+            "doc_id long, text string",
+        )
+        got, _ = tok.bpe_train(docs, num_merges=5)
+        want = ref_bpe(freqs, 5)
+        assert [
+            (m["left"], m["right"], m["pair_count"]) for m in got
+        ] == want, (trial, words)
