@@ -817,11 +817,16 @@ def cov_operator_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts.append(
         scalar(
             "approx_distinct_within_5pct",
+            # same bound as ext_approx_distinct: ±max(2, 5%·exact) —
+            # the absolute floor keeps the gate meaningful at tiny
+            # per-source counts (sf0.001: 25/source, where one HLL
+            # register off is already 4%)
             ad.agg(
                 F.min(
-                    (F.abs(F.col("ap") - F.col("ex")) <= 0.05 * F.col("ex")).cast(
-                        "long"
-                    )
+                    (
+                        F.abs(F.col("ap") - F.col("ex"))
+                        <= F.greatest(F.lit(2.0), 0.05 * F.col("ex"))
+                    ).cast("long")
                 ).alias("value")
             ),
         )
