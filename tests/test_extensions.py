@@ -556,7 +556,20 @@ def test_incremental_dedup_statuses(spark, sf_dir):
     assert out[7]["jaccard"] is None
     assert out[8]["status"] == "near_dup"
     assert out[8]["match_doc_id"] == 42
-    assert out[8]["jaccard"] >= 0.5
+    # exact-value check: the reported jaccard must equal the true
+    # pair jaccard computed under collision-FREE ids (guards against
+    # size relations keyed across sides by doc_id)
+    sh = dedup.word_shingles(
+        corpus.filter(F.col("doc_id") == 42)
+        .select("doc_id", "text")
+        .unionByName(near.select(F.lit(10042).alias("doc_id"), "text")),
+        n=3,
+    )
+    true_j = dedup.jaccard_verify(
+        spark.createDataFrame([(42, 10042)], ["doc1", "doc2"]), sh
+    ).head()["jaccard"]
+    assert 0.5 <= out[8]["jaccard"] <= 1.0
+    assert abs(out[8]["jaccard"] - true_j) < 1e-12
     assert out[9]["status"] == "unique"
     assert out[9]["match_doc_id"] is None and out[9]["jaccard"] is None
 

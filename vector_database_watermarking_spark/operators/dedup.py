@@ -445,15 +445,12 @@ def incremental_dedup(
         .distinct()
     )
     # verification reads each side's own shingle relation (doc1 =
-    # batch, doc2 = corpus — ids may collide across sides in general,
-    # so the union relation would be wrong, not just wasteful)
-    sizes = (
-        sh_batch.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shingles"))
-        .unionByName(
-            sh_corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-        )
-    )
+    # batch, doc2 = corpus — ids may collide across sides, so sizes
+    # must stay per-side too: batch sizes join on doc1 only, corpus
+    # sizes on doc2 only (a unioned sizes relation would double-join
+    # a colliding id and report jaccard > 1)
+    bsz = sh_batch.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n1"))
+    csz = sh_corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n2"))
     inter = (
         cand.join(sh_batch.select(F.col("doc_id").alias("doc1"), "shingle"), on="doc1")
         .join(
@@ -463,7 +460,15 @@ def incremental_dedup(
         .groupBy("doc1", "doc2")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    near_all = _jaccard_from_inter(inter, sizes, threshold)
+    near_all = (
+        inter.join(bsz.withColumnRenamed("doc_id", "doc1"), on="doc1")
+        .join(csz.withColumnRenamed("doc_id", "doc2"), on="doc2")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n1") + F.col("n2") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
     best = Window.partitionBy("doc1").orderBy(F.col("jaccard").desc(), F.col("doc2"))
     near = (
         near_all.withColumn("_rn", F.row_number().over(best))
@@ -474,6 +479,12 @@ def incremental_dedup(
             "jaccard",
         )
     )
+    # materialize the skinny near-match relation, then release the two
+    # cached shingle relations (they leak storage blocks across calls
+    # otherwise); localCheckpoint keeps `near` valid after unpersist.
+    near = near.localCheckpoint(eager=True)
+    sh_batch.unpersist()
+    sh_corpus.unpersist()
 
     status = (
         F.when(F.col("_exact").isNotNull(), F.lit("exact_dup"))

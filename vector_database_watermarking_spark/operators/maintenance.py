@@ -67,6 +67,11 @@ def compact(
     At 100 TB this runs per-partition-directory (date partition etc.),
     embarrassingly parallel across partitions.
     """
+    if os.path.realpath(out_path) == os.path.realpath(path):
+        raise ValueError(
+            "compact: out_path must differ from path — the overwrite would "
+            "delete the source before the lazy read executes"
+        )
     before = parquet_file_stats(path)
     df = spark.read.parquet(path)
     n = df.count()

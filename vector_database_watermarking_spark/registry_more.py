@@ -931,6 +931,12 @@ def cov_operator_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     parts.append(_parity_gate("ivf_disk_parity", direct, via_disk))
 
+    # the persist existed to back the eager save_ivf_index write;
+    # release it now so repeated pack invocations don't leak storage
+    # blocks (ivf_build_fixed is deterministic, so the lazy re-read
+    # of `direct` recomputes identically)
+    assigned.unpersist()
+
     out = parts[0]
     for df in parts[1:]:
         out = out.unionByName(df)

@@ -78,6 +78,8 @@ def vacuum(table_dir: str, retain: int = 2) -> list[str]:
     for name in sorted(os.listdir(table_dir)):
         if not name.startswith("v") or not name[1:].isdigit():
             continue
+        if int(name[1:]) == cur:
+            continue  # the live snapshot is never deleted, even retain=0
         if int(name[1:]) <= cur - retain:
             shutil.rmtree(os.path.join(table_dir, name))
             removed.append(name)
