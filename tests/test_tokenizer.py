@@ -85,6 +85,29 @@ def test_bpe_train_on_fixture_compresses(spark, sf_dir):
     assert a < b
 
 
+def test_bpe_driver_tier_equals_distributed_tier(spark, sf_dir):
+    """The driver-finish tier (incremental pair counts, one collect)
+    and the distributed per-merge loop must produce identical merge
+    lists and identical final word tables."""
+    docs = load_table(spark, sf_dir, "documents").limit(120)
+    fast, spaced_fast = tok.bpe_train(docs, num_merges=12)
+    slow, spaced_slow = tok.bpe_train(docs, num_merges=12, force_distributed=True)
+    assert [
+        (m["left"], m["right"], m["pair_count"]) for m in fast
+    ] == [(m["left"], m["right"], m["pair_count"]) for m in slow]
+    rows_f = {(r["s"], r["freq"]) for r in spaced_fast.collect()}
+    rows_s = {(r["s"], r["freq"]) for r in spaced_slow.collect()}
+    assert rows_f == rows_s
+    # exhausting the pair space terminates early on both tiers
+    tiny = spark.createDataFrame([(0, "ab ab")], "doc_id long, text string")
+    m_fast, _ = tok.bpe_train(tiny, num_merges=50)
+    m_slow, _ = tok.bpe_train(tiny, num_merges=50, force_distributed=True)
+    assert [(m["left"], m["right"]) for m in m_fast] == [
+        (m["left"], m["right"]) for m in m_slow
+    ]
+    assert len(m_fast) < 50
+
+
 def test_bpe_train_matches_pure_python_reference(spark):
     """Differential test: the distributed trainer must produce exactly
     the merges of a direct single-process BPE implementation (greedy

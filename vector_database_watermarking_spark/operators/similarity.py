@@ -736,29 +736,74 @@ def _sq_candidates_broadcast(
     )
 
     def search(batches):
+        # chunked batch-matrix form (same shape as _exact_knn_broadcast):
+        # the integer candidate metric is accumulated dim-by-dim over a
+        # (chunk, n) buffer for a whole chunk of queries at once, and
+        # the exact rerank distances for all selected candidates of the
+        # chunk are folded in one (Σ|sel|, d) pass — no per-query-row
+        # Python scan of the base. Working set is three (chunk, n)
+        # int64 buffers, bounded by the chunk size.
         b_ids, b_C, b_X = bc.value
+        n, d = b_C.shape
+        chunk = max(1, int(2e7 // max(n, 1)))
+        sent = np.iinfo(np.int64).max  # self-exclusion sentinel
+        take = min(refine, n)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            for src, qcodes, qemb in zip(pdf["src"], pdf["qcodes"], pdf["qemb"]):
-                qc = np.asarray(qcodes, dtype=np.int64)
-                dq = ((b_C - qc[None, :]) ** 2).sum(axis=1)
-                mask = np.ones(len(b_ids), dtype=bool)
-                if exclude_self:
-                    mask &= b_ids != src
-                cand = np.nonzero(mask)[0]
-                sel = cand[np.lexsort((b_ids[cand], dq[cand]))][:refine]
-                qe = np.asarray(qemb, dtype=np.float64)
-                E = b_X[sel]
-                dist = np.zeros(len(sel))
-                for i in range(E.shape[1]):  # sequential fold parity
-                    diff = E[:, i] - qe[i]
-                    dist += diff * diff
+            all_src = pdf["src"].to_numpy(dtype=np.int64)
+            all_QC = np.array(list(pdf["qcodes"]), dtype=np.int64)
+            all_QE = np.array(list(pdf["qemb"]), dtype=np.float64)
+            for s in range(0, len(all_src), chunk):
+                src = all_src[s : s + chunk]
+                QC = all_QC[s : s + chunk]
+                QE = all_QE[s : s + chunk]
+                m = len(src)
+                dq = np.zeros((m, n), dtype=np.int64)
+                diff = np.empty((m, n), dtype=np.int64)
+                for i in range(d):
+                    np.subtract(QC[:, i][:, None], b_C[:, i][None, :], out=diff)
+                    diff *= diff
+                    dq += diff
+                keyed = (
+                    np.where(src[:, None] == b_ids[None, :], sent, dq)
+                    if exclude_self
+                    else dq
+                )
+                sel_rows: list = []
+                sel_cols: list = []
+                for r in range(m):
+                    row = keyed[r]
+                    if n > 4 * take:
+                        # tie-safe pre-select: keep everything ≤ the max
+                        # of the 2·take smallest so equal dq values still
+                        # resolve by the ascending-id tiebreak exactly
+                        part = np.argpartition(row, min(2 * take, n - 1))[
+                            : 2 * take
+                        ]
+                        part = np.nonzero(row <= row[part].max())[0]
+                    else:
+                        part = np.arange(n)
+                    # b_ids is globally ascending, so index order == id
+                    # order: lexsort (dq primary, index tiebreak) is the
+                    # same (dq, dst) key as the single-row path had
+                    part = part[np.lexsort((part, row[part]))][:take]
+                    part = part[row[part] != sent]
+                    sel_rows.append(np.full(len(part), r, dtype=np.int64))
+                    sel_cols.append(part)
+                rr = np.concatenate(sel_rows)
+                cc = np.concatenate(sel_cols)
+                E = b_X[cc]
+                Qe = QE[rr]
+                dist = np.zeros(len(cc))
+                for i in range(d):  # sequential fold parity
+                    dd = E[:, i] - Qe[:, i]
+                    dist += dd * dd
                 yield pd.DataFrame(
                     {
-                        "src": np.full(len(sel), src, dtype=np.int64),
-                        "dst": b_ids[sel],
-                        "dq": dq[sel],
+                        "src": src[rr],
+                        "dst": b_ids[cc],
+                        "dq": dq[rr, cc],
                         "dist": np.sqrt(dist),
                     }
                 )

@@ -80,26 +80,136 @@ def pair_counts(spaced: DataFrame) -> DataFrame:
     )
 
 
+def _merge_tokens(toks: list, l: str, r: str, lr: str) -> tuple[list, bool]:
+    """Leftmost-non-overlapping greedy merge of the pair (l, r) in one
+    token list — the list form of the spaced-string ``replace``."""
+    out: list = []
+    i, n, changed = 0, len(toks), False
+    while i < n:
+        if i + 1 < n and toks[i] == l and toks[i + 1] == r:
+            out.append(lr)
+            i += 2
+            changed = True
+        else:
+            out.append(toks[i])
+            i += 1
+    return out, changed
+
+
+def _driver_bpe(
+    seqs: list[list], num_merges: int
+) -> list[dict]:
+    """Driver-finish tier: run the whole merge loop over the collected
+    word table with INCREMENTAL pair-count maintenance — a lazy
+    max-heap of (−count, l, r) plus a pair→word-index occurrence map,
+    so each merge touches only the words containing the winning pair
+    (the classic single-process BPE optimization; near-linear in total
+    token updates rather than O(merges × vocab)). Mutates ``seqs``
+    ([tokens, freq] entries) to the final trained state.
+
+    Selection order is identical to the distributed tier: pair count
+    desc, then (l, r) lexicographic — the heap orders exactly that and
+    stale entries are discarded by comparing against the live count.
+    """
+    import heapq
+    from collections import defaultdict
+
+    counts: dict = defaultdict(int)
+    where: dict = defaultdict(set)
+    for idx, (toks, f) in enumerate(seqs):
+        for a, b in zip(toks, toks[1:]):
+            counts[(a, b)] += f
+            where[(a, b)].add(idx)
+    heap = [(-c, l, r) for (l, r), c in counts.items()]
+    heapq.heapify(heap)
+
+    merges: list[dict] = []
+    for rank in range(1, num_merges + 1):
+        pair = None
+        while heap:
+            negc, l, r = heapq.heappop(heap)
+            if counts.get((l, r), 0) == -negc and -negc > 0:
+                pair = (l, r, -negc)
+                break
+        if pair is None:
+            break
+        l, r, c = pair
+        lr = l + r
+        merges.append(
+            {"rank": rank, "left": l, "right": r, "merged": lr, "pair_count": c}
+        )
+        touched: set = set()
+        for idx in sorted(where.pop((l, r), ())):
+            toks, f = seqs[idx]
+            new_toks, changed = _merge_tokens(toks, l, r, lr)
+            if not changed:  # stale occurrence entry
+                continue
+            for a, b in zip(toks, toks[1:]):
+                counts[(a, b)] -= f
+                touched.add((a, b))
+            for a, b in zip(new_toks, new_toks[1:]):
+                counts[(a, b)] += f
+                where[(a, b)].add(idx)
+                touched.add((a, b))
+            seqs[idx][0] = new_toks
+        counts.pop((l, r), None)
+        for p in touched:
+            cp = counts.get(p, 0)
+            if cp > 0:
+                heapq.heappush(heap, (-cp, p[0], p[1]))
+            else:
+                counts.pop(p, None)
+    return merges
+
+
 def bpe_train(
     docs: DataFrame,
     num_merges: int = 8,
     text_col: str = "text",
+    force_distributed: bool = False,
 ) -> tuple[list[dict], DataFrame]:
     """Train ``num_merges`` BPE merges. Returns (merge list — dicts of
     rank/left/right/merged/pair_count — and the final spaced word
     table for inspection/encoding parity tests).
 
-    Per iteration: one groupBy over unique words (pair counts), one
-    deterministic argmax (count desc, then lexicographic — a 1-row
-    collect), one ``replace`` projection. The word table is persisted
-    and re-persisted each round so the k-deep replace chain never
-    re-executes from the corpus scan.
+    Tier choice: after the one corpus scan the word-freq table is
+    probed against the broadcast budget (``knn.probe_collect``); when
+    it fits — which normalization makes the common case, since the
+    table holds unique alnum words, not corpus rows — ALL merges
+    finish driver-side in one pass over the collected table with
+    incremental pair counts, so a 32k-merge production vocabulary
+    costs one Spark job + one driver pass instead of 2 driver-
+    synchronized Spark rounds per merge. Past the budget, the
+    distributed loop below runs: per iteration one groupBy over
+    unique words (pair counts), one deterministic argmax (count desc,
+    then lexicographic — a 1-row collect), one ``replace`` projection,
+    with the word table re-persisted each round so the k-deep replace
+    chain never re-executes from the corpus scan. Both tiers implement
+    the same (count desc, lexicographic) selection and leftmost-non-
+    overlapping merge; the differential test against a pure-Python
+    trainer and the cross-tier equality test pin them together.
     """
+    from .knn import probe_collect
+
+    spark = docs.sparkSession
     spaced = (
         word_freq_table(docs, text_col)
         .select(char_spaced(F.col("word")).alias("s"), "freq")
         .persist()
     )
+    if not force_distributed:
+        rows = probe_collect(spaced)
+        if rows is not None:
+            seqs = [
+                [r["s"].strip().split(SEP), int(r["freq"])] for r in rows
+            ]
+            spaced.unpersist()
+            merges = _driver_bpe(seqs, num_merges)
+            final = spark.createDataFrame(
+                [(SEP + SEP.join(toks) + SEP, f) for toks, f in seqs],
+                "s string, freq bigint",
+            )
+            return merges, final
     merges: list[dict] = []
     for rank in range(1, num_merges + 1):
         top = (

@@ -694,6 +694,36 @@ def pipe_roundtrip_ber(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipe_rs_roundtrip",
+    oracle="""
+SELECT '10101' AS watermark, '10101' AS extracted, CAST(0.0 AS DOUBLE) AS ber
+""",
+)
+def pipe_rs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2→C3 round trip (``watermark_embedding``, ``watermarking.py:
+    345-400`` — the random-selection ablation of TVP — then blind
+    extraction ``watermarking.py:402-427``): embed 10101 with
+    uniformly-selected carriers, extract, report BER. The oracle pins
+    the same lossless invariant as ``pipe_roundtrip_ber``: the F5
+    deficit gate (``watermarking.py:367-379``) raises every group's
+    agreeing share to ≥ ceil(0.7·n) > n/2 regardless of HOW carriers
+    are picked, so majority decode must return the watermark exactly.
+    Selection-policy differences between RS and TVP are graded by
+    ``a14_robustness_mini``'s attack grid, where they diverge."""
+    from .operators.grouping import ber
+    from .watermark.tvp import rs_embed, tvp_extract
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    wm = "10101"
+    wm_df, _ = rs_embed(emb, wm, strength=0.7, seed=SEED)
+    clean = tvp_extract(wm_df, len(wm), seed=SEED)
+    return spark.createDataFrame(
+        [(wm, clean, ber(wm, clean))],
+        "watermark string, extracted string, ber double",
+    )
+
+
+@register(
     "rel_order_rank_window",
     oracle="""
 SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
@@ -741,11 +771,18 @@ from . import registry_more  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 _GRADE_ORDER = [
-    # SURVEY §2 core: classification/decode, kNN graph family, attacks,
-    # stats, set ops, components. (G2/G3 are graded INSIDE
-    # g4_accessibility_index, whose oracle recomputes both metrics —
-    # their standalone queries sit past the window but stay
-    # locally checkable.)
+    # Round-5 rotation (VERDICT r04 "Next round" #1): r04 was 50/50
+    # green, so the alternate-view slots that justified window
+    # stability are swapped for the operators that had only local
+    # check_oracles runs. Demoted rows remain registered, locally
+    # hash-checked, and pytest-covered; each one's operator is ALSO
+    # graded inside an in-window superset (noted per family below).
+    #
+    # SURVEY §2 core. Past-window coverage notes: G2/G3 are recomputed
+    # inside g4's oracle; a6/a7/a8/a9 stat shapes inside g6/the pack;
+    # SO1/A12 set algebra + A11 hit-rate shapes inside a13's oracle;
+    # a10/so3 overlap ratios inside the pack's parity gates; s3's
+    # anti-join inside ext_corpus_clean; w5 inside g5/g6 components.
     "a1_group_classify",
     "a2_majority_decode",
     "j1_knn_edges",
@@ -754,37 +791,20 @@ _GRADE_ORDER = [
     "w4_hidden_nodes",
     "w6_random_delete",
     "c8_random_modify",
-    "a10_jaccard_overlap",
-    "a6_event_type_histogram",
-    "a7_graph_correlation",
-    "a8_binned_means",
     "ext_events_tumbling_daily",
     "g5_connected_components",
     "g6_cluster_diagnostics",
-    "so3_hidden_overlap",
-    "a11_hit_rate",
-    "a12_missed_false",
     "a13_carrier_impact",
     "w2_adaptive_delete",
-    "s3_append_new",
-    "w5_largest_component",
-    # training-data extensions: dedup, text, similarity, multimodal,
-    # temporal, sessionization, curation, small-operator coverage pack.
-    # (ext_minhash_signatures and ext_minhash_near_dups are stages of —
-    # and replayed verbatim inside — ext_dedup_clusters' oracle;
-    # ext_token_stats' tokenizer is replayed verbatim inside
-    # ext_seq_packing; ext_cosine_near_dups is ext_cosine_topk + a
-    # threshold; ext_exact_dedup and ext_lang_id are the
-    # dedup/lang-gate stages replayed inside ext_corpus_clean's
-    # oracle; ext_quality_scores is replayed verbatim inside
-    # ext_quality_deciles; ext_fingerprints is stage one of
-    # ext_contamination. All the displaced standalone queries sit past
-    # the window and stay locally checkable.)
+    # training-data extensions. Demoted this round: ext_ngram_jaccard
+    # (verify stage replayed inside ext_dedup_clusters' oracle),
+    # ext_simhash (pack gates), ext_cosine_topk (exact-cosine math
+    # replayed as ext_ivf_topk's rerank + pack LSH recall gate),
+    # ext_multimodal_features (same mapInPandas Arrow plumbing graded
+    # via ext_doc_embeddings; fake-decode tier pytest-covered).
     "ext_dedup_clusters",
     "ext_incremental_dedup",
     "ext_semantic_dedup",
-    "ext_ngram_jaccard",
-    "ext_simhash",
     "ext_seq_packing",
     "ext_repetition",
     "ext_pii_scrub",
@@ -792,33 +812,58 @@ _GRADE_ORDER = [
     "ext_quality_deciles",
     "ext_source_mix",
     "ext_contamination",
-    "ext_cosine_topk",
+    "ext_contamination_bloom",
     "ext_emb_near_dups_lsh",
     "ext_ivf_topk",
     "ext_doc_embeddings",
-    "ext_multimodal_features",
     "ext_events_sessions",
     "rel_asof_purchase_view",
     "rel_range_activity",
+    # promoted round 5: merge/CDC, skew, layout, graph, retrieval,
+    # curation, drift, tokenizer — the never-driver-graded unique
+    # operators from VERDICT r04.
+    "rel_merge_upsert",
+    "stream_cdc_replay",
+    "rel_salted_join",
+    "ext_zorder_cells",
+    "ext_graph_pagerank",
+    "ext_hybrid_search",
+    "ext_bm25_search",
+    "ext_corpus_split",
+    "ext_stratified_sample",
+    "ext_weighted_sample",
+    "ext_corpus_drift",
+    "ext_bpe_merges",
     "cov_operator_pack",
     # watermark pipelines: the oracle-checked native selection, the
-    # invariant-oracled round-trips and grids
+    # invariant-oracled round-trips (TVP, RS, SCPW, TabularMark) and
+    # the robustness grid
     "pipe_tvp_select",
     "pipe_tvp_carriers",
     "pipe_roundtrip_ber",
+    "pipe_rs_roundtrip",
     "pipe_scpw_roundtrip",
     "pipe_tabularmark_detect",
     "a14_robustness_mini",
-    # relational shape closing the window
-    "rel_shipping_priority",
     # --- past the graded window: sub-computations of graded queries,
-    # relational breadth, alternate views, further extensions.
-    # Round-4 additions (ext_zorder_cells, ext_contamination_bloom,
-    # ext_corpus_drift, ext_bpe_merges, ext_graph_triangles) also sit
-    # here deliberately: the 50 in-window slots stay stable across
-    # rounds so driver rows are comparable r03 → r04; all five are
-    # locally hash-checked with full-value oracles, and each is ALSO
-    # driver-graded through cov_operator_pack's round-4 rows.
+    # relational breadth, alternate views, further extensions. All
+    # locally hash-checked via tools/check_oracles.py; rows demoted in
+    # the round-5 rotation sit first so the next rotation can cycle
+    # them back in if desired.
+    "a10_jaccard_overlap",
+    "a6_event_type_histogram",
+    "a7_graph_correlation",
+    "a8_binned_means",
+    "so3_hidden_overlap",
+    "a11_hit_rate",
+    "a12_missed_false",
+    "s3_append_new",
+    "w5_largest_component",
+    "ext_ngram_jaccard",
+    "ext_simhash",
+    "ext_cosine_topk",
+    "ext_multimodal_features",
+    "rel_shipping_priority",
     "a9_mean_qc_by_edge_count",
     "rel_pivot_status",
     "g2_bidirectional_edges",
@@ -826,7 +871,6 @@ _GRADE_ORDER = [
     "cov_components_star",
     "ext_sq_topk",
     "ext_pq_topk",
-    "ext_hybrid_search",
     "ext_minhash_signatures",
     "ext_minhash_near_dups",
     "ext_token_stats",
@@ -835,9 +879,6 @@ _GRADE_ORDER = [
     "ext_lang_id",
     "ext_quality_scores",
     "ext_fingerprints",
-    "ext_bm25_search",
-    "ext_corpus_split",
-    "ext_stratified_sample",
     "rel_pricing_summary",
     "rel_top_revenue_nations",
     "rel_customers_without_orders",
@@ -851,8 +892,8 @@ _GRADE_ORDER = [
     "ext_corpus_profile",
     "ext_vocab_topk",
     "rel_small_qty_revenue",
-    "rel_merge_upsert",
-    "ext_graph_pagerank",
+    "ext_graph_triangles",
+    "ext_bpe_tokens",
 ]
 
 

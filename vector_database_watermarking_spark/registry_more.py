@@ -8,6 +8,8 @@ Imported by ``registry.py`` alongside ``registry_ext``.
 
 from __future__ import annotations
 
+import os as _os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -561,10 +563,7 @@ def rel_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MERGE_H3 = "CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 3"
 
-
-@register(
-    "rel_merge_upsert",
-    oracle=f"""
+_MERGE_ORACLE = f"""
 WITH base AS (
   SELECT doc_id, text, lang, source FROM documents WHERE doc_id % 4 <> 3
 ),
@@ -590,24 +589,21 @@ SELECT coalesce(b.doc_id, l.key) AS doc_id,
        CASE WHEN l.op IS NULL THEN b.source ELSE l.source END AS source
 FROM base b FULL OUTER JOIN latest l ON b.doc_id = l.key
 WHERE l.op IS NULL OR l.op <> 'delete'
-""",
-)
-def rel_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MERGE INTO / upsert shape (``operators.merge.apply_changes``):
-    a deterministic change log (every doc_id ≡ 3 mod 4 becomes an
-    insert/update/delete against base key (doc_id // 16) * 4, op
+"""
+
+
+def _merge_inputs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Shared inputs of the MERGE family: base corpus (doc_id ≢ 3 mod
+    4) and a deterministic change log (every doc_id ≡ 3 mod 4 becomes
+    an insert/update/delete against base key (doc_id // 16) * 4, op
     chosen by content hash, seq = doc_id so several changes compete
-    per key) applied to the base corpus (doc_id ≢ 3 mod 4) with
-    last-wins semantics. The oracle replays the window + full-outer
-    merge in SQL."""
-    from .operators import merge
+    per key)."""
+    from .functions.hashing import hash60
 
     docs = load_table(spark, sf_dir, "documents")
     base = docs.filter(F.col("doc_id") % 4 != 3).select(
         "doc_id", "text", "lang", "source"
     )
-    from .functions.hashing import hash60
-
     opcode = hash60(F.col("text")) % 3
     ch = docs.filter(F.col("doc_id") % 4 == 3).select(
         (F.floor(F.col("doc_id") / 16) * 4).cast("long").alias("doc_id"),
@@ -620,7 +616,76 @@ def rel_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "source",
     )
+    return base, ch
+
+
+@register("rel_merge_upsert", oracle=_MERGE_ORACLE)
+def rel_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO / upsert shape (``operators.merge.apply_changes``)
+    applied to the deterministic change log with last-wins semantics.
+    The oracle replays the window + full-outer merge in SQL."""
+    from .operators import merge
+
+    base, ch = _merge_inputs(spark, sf_dir)
     return merge.apply_changes(base, ch, key="doc_id", seq="seq", op="op")
+
+
+@register("stream_cdc_replay", oracle=_MERGE_ORACLE)
+def stream_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply (``streaming/cdc.py``) graded end-to-end:
+    ``rel_merge_upsert``'s exact change log is split into three
+    KEY-DISJOINT micro-batch files (key % 3), driven through a real
+    Structured Streaming file source (one file per trigger) into the
+    ``foreachBatch`` MERGE loop, and the final committed snapshot is
+    read back through the version pointer. Key-disjoint batching makes
+    the converged snapshot independent of file-discovery order, so the
+    oracle is the same SQL as the one-shot MERGE — the stream must
+    converge to exactly the batch answer (the streaming analogue of
+    the stream-vs-batch parity pytest suite, but driver-graded).
+    ``retain=1`` also exercises vacuum: only the live snapshot and one
+    grace version survive."""
+    import shutil
+
+    from .streaming import cdc
+
+    base, ch = _merge_inputs(spark, sf_dir)
+    scratch = _os.path.join(
+        "/root/repo/_scratch",
+        f"cdc_replay_{_os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    changes_dir = _os.path.join(scratch, "changes")
+    table_dir = _os.path.join(scratch, "table")
+    ckpt_dir = _os.path.join(scratch, "ckpt")
+
+    cdc.init_table(base, table_dir)
+    for b in range(3):
+        (
+            ch.filter(F.pmod(F.col("doc_id"), F.lit(3)) == b)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(changes_dir)
+        )
+
+    stream = (
+        spark.readStream.schema(ch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(changes_dir)
+    )
+    q = cdc.cdc_apply_stream(
+        stream,
+        table_dir,
+        key="doc_id",
+        seq="seq",
+        op="op",
+        checkpoint_dir=ckpt_dir,
+        retain=1,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return cdc.read_current(spark, table_dir)
 
 
 # ------------------------------------------------------- coverage pack
