@@ -51,6 +51,12 @@ HEADLINE = [
     "ext_incremental_dedup",
     "ext_doc_embeddings",
     "ext_graph_triangles",
+    # round-5 breadth: layout rewrite, iterative-integer graph loop,
+    # driver-finish tokenizer training, and the MERGE shape
+    "ext_zorder_cells",
+    "ext_graph_pagerank",
+    "ext_bpe_merges",
+    "rel_merge_upsert",
 ]
 # ext_contamination_bloom is deliberately NOT a headline: at fixture
 # scale both fingerprint sides are equally tiny, so the exact one-job

@@ -98,10 +98,67 @@ def test_lang_id_values(spark, sf_dir):
     assert vals <= {"en", "fr", "de", "es", "und"}
 
 
-def test_multimodal_stub_raises_without_fake(spark, sf_dir):
+def test_multimodal_auto_tier_decodes_wav_and_quarantines_rest(spark):
+    """The auto tier really decodes WAV via the stdlib codec, returns
+    decoded=false (not an error) for payloads no codec handles, and
+    its byte statistics agree exactly with the fake tier."""
+    import io
+    import struct
+    import wave as wavmod
+
+    buf = io.BytesIO()
+    with wavmod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack("<16h", *range(16)))
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(buf.getvalue())),
+            (2, bytearray(b"plain text payload, no codec")),
+            (3, bytearray(b"RIFF....WAVEgarbage-not-a-real-wav")),
+        ],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in multimodal.extract_features(media).collect()}
+    assert multimodal.codecs_available()["audio_wav"]
+    assert rows[1]["decoded"] and rows[1]["codec"] == "wav"
+    assert rows[1]["sample_rate"] == 8000 and rows[1]["n_samples"] == 16
+    assert rows[1]["format"] == "riff"
+    assert not rows[2]["decoded"] and rows[2]["codec"] is None
+    assert not rows[3]["decoded"]  # corrupt header quarantined, no crash
+    fake = {
+        r["media_id"]: r
+        for r in multimodal.extract_features(media, fake=True).collect()
+    }
+    for mid in (1, 2, 3):
+        assert rows[mid]["n_bytes"] == fake[mid]["n_bytes"]
+        assert rows[mid]["byte_mean"] == fake[mid]["byte_mean"]
+        assert rows[mid]["byte_std"] == fake[mid]["byte_std"]
+
+
+def test_multimodal_image_decode_where_pillow_exists(spark):
+    """Image decode upgrades itself when Pillow is installed; skipped
+    (honestly) in codec-free containers."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (5, 3)).save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()))], "media_id long, payload binary"
+    )
+    r = multimodal.extract_features(media).head()
+    assert r["decoded"] and r["codec"] == "image/png"
+    assert (r["width"], r["height"]) == (5, 3)
+
+
+def test_multimodal_frames_stub_raises_without_fake(spark, sf_dir):
     media = multimodal.attach_fake_payload(docs(spark, sf_dir))
     with pytest.raises(NotImplementedError):
-        multimodal.extract_features(media, fake=False)
+        multimodal.sample_frames(media, fake=False)
 
 
 def test_multimodal_fake_features_and_frames(spark, sf_dir):

