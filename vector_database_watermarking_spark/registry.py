@@ -811,7 +811,9 @@ _GRADE_ORDER = [
     "ext_corpus_clean",
     "ext_quality_deciles",
     "ext_source_mix",
-    "ext_contamination",
+    # (ext_contamination sits past the window: the bloom variant below
+    # is graded against the SAME exact-scan oracle, so the exact
+    # contamination computation keeps a driver row through it)
     "ext_contamination_bloom",
     "ext_emb_near_dups_lsh",
     "ext_ivf_topk",
@@ -835,6 +837,7 @@ _GRADE_ORDER = [
     "ext_corpus_drift",
     "ext_bpe_merges",
     "cov_operator_pack",
+    "cov_pipeline_pack",
     # watermark pipelines: the oracle-checked native selection, the
     # invariant-oracled round-trips (TVP, RS, SCPW, TabularMark) and
     # the robustness grid
@@ -850,6 +853,7 @@ _GRADE_ORDER = [
     # locally hash-checked via tools/check_oracles.py; rows demoted in
     # the round-5 rotation sit first so the next rotation can cycle
     # them back in if desired.
+    "ext_contamination",
     "a10_jaccard_overlap",
     "a6_event_type_histogram",
     "a7_graph_correlation",

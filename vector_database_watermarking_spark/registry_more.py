@@ -13,7 +13,17 @@ import os as _os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .registry import D, DIMS, K, SEED, _ID, _components_oracle, _knn_cte, register
+from .registry import (
+    D,
+    DIMS,
+    K,
+    QUERIES,
+    SEED,
+    _ID,
+    _components_oracle,
+    _knn_cte,
+    register,
+)
 from .sources.tables import load_table
 
 # ---------------------------------------------------------------- A11/A12
@@ -2269,3 +2279,105 @@ def ext_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     merges, _ = bpe_train(docs, num_merges=4)
     return bpe_encode(docs, merges).select("doc_id", "n_tokens")
+
+
+# ------------------------------------------------- pipeline coverage pack
+#
+# Registered LAST in this module so it can embed the oracles of the
+# queries it checksums (corpus profile, vocabulary, BPE encode) as
+# subqueries — the full-value oracles stay the single source of truth
+# and the pack can never drift from them.
+
+
+def _pipeline_pack_oracle() -> str:
+    from .functions.hashing import oracle_hash60
+
+    from .registry import QUERIES
+
+    prof = QUERIES["ext_corpus_profile"].oracle
+    vocab = QUERIES["ext_vocab_topk"].oracle
+    bpe = QUERIES["ext_bpe_tokens"].oracle
+    h_sl = oracle_hash60("source || '|' || lang_guess")
+    h_tok = oracle_hash60("tok")
+    return f"""
+SELECT 'profile_rows' AS metric, CAST(count(*) AS BIGINT) AS value FROM ({prof})
+UNION ALL
+SELECT 'profile_check', CAST(sum(({h_sl} % 1000003) + n_docs + sum_tokens
+  + CAST(floor(avg_tokens * 1000 + 0.5) AS BIGINT)
+  + CAST(floor(p50_tokens * 1000 + 0.5) AS BIGINT)
+  + CAST(floor(p95_tokens * 1000 + 0.5) AS BIGINT)) AS BIGINT) FROM ({prof})
+UNION ALL
+SELECT 'vocab_rows', CAST(count(*) AS BIGINT) FROM ({vocab})
+UNION ALL
+SELECT 'vocab_check', CAST(sum(({h_tok} % 1000003) * df) AS BIGINT) FROM ({vocab})
+UNION ALL
+SELECT 'bpe_tokens_total', CAST(sum(n_tokens) AS BIGINT) FROM ({bpe})
+UNION ALL
+SELECT 'bpe_tokens_check',
+  CAST(sum((doc_id % 997 + 1) * (n_tokens % 1000003)) AS BIGINT) FROM ({bpe})
+"""
+
+
+@register("cov_pipeline_pack", oracle=_pipeline_pack_oracle())
+def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-graded checksums of the three pipeline queries past the
+    grading window that have no in-window superset: the corpus profile
+    rollup (row count + a sum over groups of the keyed group hash,
+    exact counts, and milli-scaled avg/p50/p95 token percentiles), the
+    top-df vocabulary (row count + Σ hash(tok)·df — order-insensitive,
+    sensitive to both membership and df), and the BPE train→encode
+    pipeline (total token count + a doc-id-weighted token-count sum,
+    so per-doc mismatches cannot cancel). Each oracle side embeds the
+    corresponding full-value oracle verbatim as a subquery, so a pass
+    here certifies the same computation the standalone query would."""
+    from .functions.hashing import hash60
+
+    prof = QUERIES["ext_corpus_profile"].fn(spark, sf_dir)
+    vocab = QUERIES["ext_vocab_topk"].fn(spark, sf_dir)
+    bpe = QUERIES["ext_bpe_tokens"].fn(spark, sf_dir)
+
+    def milli(c: str):
+        return F.floor(F.col(c) * 1000 + F.lit(0.5)).cast("long")
+
+    def scalar(metric: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(metric).alias("metric"), F.col("value").cast("long").alias("value")
+        )
+
+    h_sl = hash60(F.concat_ws("|", "source", "lang_guess")) % 1000003
+    parts = [
+        scalar("profile_rows", prof.agg(F.count(F.lit(1)).alias("value"))),
+        scalar(
+            "profile_check",
+            prof.agg(
+                F.sum(
+                    h_sl
+                    + F.col("n_docs")
+                    + F.col("sum_tokens")
+                    + milli("avg_tokens")
+                    + milli("p50_tokens")
+                    + milli("p95_tokens")
+                ).alias("value")
+            ),
+        ),
+        scalar("vocab_rows", vocab.agg(F.count(F.lit(1)).alias("value"))),
+        scalar(
+            "vocab_check",
+            vocab.agg(
+                F.sum((hash60(F.col("tok")) % 1000003) * F.col("df")).alias("value")
+            ),
+        ),
+        scalar("bpe_tokens_total", bpe.agg(F.sum("n_tokens").alias("value"))),
+        scalar(
+            "bpe_tokens_check",
+            bpe.agg(
+                F.sum(
+                    (F.col("doc_id") % 997 + 1) * (F.col("n_tokens") % 1000003)
+                ).alias("value")
+            ),
+        ),
+    ]
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df)
+    return out
