@@ -885,3 +885,106 @@ def test_distribution_drift_psi_properties(spark, sf_dir):
     near_uniform = out.pop("planted_uniform")
     assert planted > max(out.values())
     assert near_uniform <= planted / 2
+
+
+def _ref_dup_spans(texts, w):
+    """Brute-force reference for duplicate_spans: dict doc -> list of
+    (start, end) covered-position islands, first global occurrence of
+    each window canonical."""
+    import re
+
+    toks = {
+        d: re.sub(r"\s+", " ", t.lower()).strip().split(" ") for d, t in texts
+    }
+    occ: dict = {}
+    for d in sorted(toks):
+        tk = toks[d]
+        for s in range(1, len(tk) - w + 2):
+            occ.setdefault(" ".join(tk[s - 1 : s - 1 + w]), []).append((d, s))
+    covered: dict = {}
+    for lst in occ.values():
+        for d, s in sorted(lst)[1:]:
+            covered.setdefault(d, set()).update(range(s, s + w))
+    spans = {}
+    for d, pos in covered.items():
+        ps = sorted(pos)
+        out, st, prev = [], ps[0], ps[0]
+        for p in ps[1:]:
+            if p == prev + 1:
+                prev = p
+            else:
+                out.append((st, prev))
+                st = prev = p
+        out.append((st, prev))
+        spans[d] = out
+    return spans
+
+
+def test_duplicate_spans_matches_bruteforce(spark):
+    texts = [
+        (0, "a b c d e f g h"),
+        (1, "x a b c d e y z"),          # cross-doc repeat of 'a b c d e'
+        (2, "a b c d e q a b c d e"),    # within-doc repeat
+        (3, "totally unique words only here"),
+        (4, "a b c d e f g h"),          # full-doc duplicate of doc 0
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    w = 5
+    got: dict = {}
+    for r in dedup.duplicate_spans(docs, w=w).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"])
+        )
+        assert r["span_len"] == r["span_end"] - r["span_start"] + 1
+    got = {d: sorted(v) for d, v in got.items()}
+    assert got == _ref_dup_spans(texts, w)
+    # stats view: clean docs present with zeros, ratios consistent
+    stats = {
+        r["doc_id"]: r for r in dedup.duplicate_span_stats(docs, w=w).collect()
+    }
+    assert set(stats) == {0, 1, 2, 3, 4}
+    assert stats[3]["n_spans"] == 0 and stats[3]["dup_ratio"] == 0.0
+    assert stats[4]["dup_tokens"] == 8 and stats[4]["dup_ratio"] == 1.0
+    for d, r in stats.items():
+        assert r["dup_tokens"] == sum(
+            e - s + 1 for s, e in got.get(d, [])
+        )
+    # partitioning invariance
+    again = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in dedup.duplicate_spans(docs.repartition(7), w=w).collect()
+    }
+    assert again == {
+        (d, s, e) for d, sp in got.items() for s, e in sp
+    }
+
+
+def test_unigram_nll_hand_computed_and_oov(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "b c")], "doc_id long, text string"
+    )
+    # counts: a=2 b=2 c=1; T=5, V=3, alpha=0.5
+    def e4(c):
+        p = (c + 0.5) / (5 + 0.5 * 4)
+        return math.floor(-math.log2(p) * 10000 + 0.5)
+
+    out = {r["doc_id"]: r for r in text.unigram_nll_scores(docs).collect()}
+    assert out[0]["n_tokens"] == 3
+    assert out[0]["nll_e4_sum"] == 3 * e4(2)
+    assert out[1]["nll_e4_sum"] == e4(2) + e4(1)
+    assert out[1]["avg_nll"] == round((e4(2) + e4(1)) / 1e4 / 2, 6)
+    # rarer tokens => higher nll
+    assert out[1]["avg_nll"] > out[0]["avg_nll"]
+    # foreign vocab: unseen token takes the OOV slot (c = 0)
+    vocab = text.unigram_vocab(docs)
+    new = spark.createDataFrame([(9, "zzz a")], "doc_id long, text string")
+    r9 = text.unigram_nll_scores(new, vocab=vocab).head()
+    assert r9["nll_e4_sum"] == e4(0) + e4(2)
+    # partitioning invariance (integer sums)
+    again = {
+        r["doc_id"]: r["nll_e4_sum"]
+        for r in text.unigram_nll_scores(docs.repartition(5)).collect()
+    }
+    assert again == {d: out[d]["nll_e4_sum"] for d in out}

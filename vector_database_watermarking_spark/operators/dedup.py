@@ -597,3 +597,118 @@ def near_dup_clusters(
             (F.col("_rn") == 1).alias("is_canonical"),
         )
     )
+
+
+# ------------------------------------------------ duplicate-span removal
+
+
+def window_occurrences(
+    docs: DataFrame, w: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, s, whash): every w-token window of the normalized
+    text, 1-based start position, 60-bit keyed hash of the joined
+    window. The substring-level analogue of :func:`word_shingles`
+    (which is position-less and distinct); token arrays are
+    materialized behind a doc-keyed exchange for the same
+    inline-regex reason."""
+    nparts = docs.sparkSession.sparkContext.defaultParallelism
+    toks = docs.select(
+        "doc_id", F.split(normalize_text(text_col), " ").alias("_toks")
+    ).repartition(nparts, "doc_id")
+    idx = F.when(
+        F.size("_toks") >= w, F.sequence(F.lit(1), F.size("_toks") - w + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    wins = F.transform(
+        idx,
+        lambda s: F.struct(
+            s.alias("s"),
+            hash60(F.concat_ws(" ", F.slice(F.col("_toks"), s, w))).alias("whash"),
+        ),
+    )
+    return toks.select("doc_id", F.explode(wins).alias("_w")).select(
+        "doc_id", F.col("_w.s").alias("s"), F.col("_w.whash").alias("whash")
+    )
+
+
+def duplicate_spans(docs: DataFrame, w: int = 5, text_col: str = "text") -> DataFrame:
+    """Exact repeated-substring spans — the training-data dedup step
+    that drops REPEATED PASSAGES rather than whole near-duplicate
+    documents (boilerplate headers, license blocks, templated
+    paragraphs survive document-level dedup; this is the
+    suffix-array-free, window-hash formulation of that pass).
+
+    Semantics: a w-token window is *duplicated* when it occurs more
+    than once corpus-wide (across or within documents). The first
+    occurrence in global (doc_id, s) order is canonical and kept;
+    every other occurrence marks its w token positions as duplicate
+    coverage. Per document, covered positions merge into maximal
+    spans (gaps-and-islands over overlapping/adjacent windows).
+    Output: (doc_id, span_start, span_end, span_len), token positions
+    1-based inclusive.
+
+    Scale shape: the window relation is one skinny row per token
+    (doc_id, s, hash) — no text payload; duplicate marking is ONE
+    shuffle on the window hash (row_number per hash, deterministic
+    (doc_id, s) order); span merging is ONE shuffle on doc_id over
+    duplicate occurrences only (output-bound — the duplicated
+    fraction, not the corpus). No all-pairs join anywhere. Hot hashes
+    (ubiquitous boilerplate windows) concentrate one hash's
+    occurrences in a partition; AQE skew splitting does not apply
+    inside a window function, so a pathological single window repeated
+    ~10^8 times would need the same keyed-downsample cap the LSH tier
+    uses — document-scale corpora sit far below that.
+    """
+    wins = window_occurrences(docs, w, text_col)
+    wocc = Window.partitionBy("whash").orderBy("doc_id", "s")
+    dup = (
+        wins.withColumn("_rn", F.row_number().over(wocc))
+        .filter(F.col("_rn") > 1)
+        .select("doc_id", "s")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("s")
+    prev_end = F.max(F.col("s") + w - 1).over(
+        wdoc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = dup.withColumn(
+        "_new",
+        F.when(F.col("s") > F.coalesce(prev_end, F.lit(-1)) + 1, 1).otherwise(0),
+    ).withColumn("_isl", F.sum("_new").over(wdoc))
+    return (
+        isl.groupBy("doc_id", "_isl")
+        .agg(
+            F.min("s").alias("span_start"),
+            F.max(F.col("s") + w - 1).alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
+        )
+    )
+
+
+def duplicate_span_stats(
+    docs: DataFrame, w: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Per-document duplicate-coverage profile over
+    :func:`duplicate_spans`: (doc_id, n_tokens, n_spans, dup_tokens,
+    dup_ratio) — zero rows for clean documents, so the output is a
+    full curation view (filter ``dup_ratio > x`` to quarantine, or
+    feed the spans to a text rewriter)."""
+    spans = duplicate_spans(docs, w, text_col)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"), F.sum("span_len").alias("dup_tokens")
+    )
+    base = docs.select(
+        "doc_id", F.size(F.split(normalize_text(text_col), " ")).alias("n_tokens")
+    )
+    return base.join(per_doc, on="doc_id", how="left").select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        F.round(
+            F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens"), 6
+        ).alias("dup_ratio"),
+    )

@@ -481,3 +481,70 @@ def contamination_scan_bloom(
         F.count_distinct("probe_doc").alias("n_probe_docs"),
         F.min("probe_doc").alias("first_probe_doc"),
     )
+
+
+# ---------------------------------------------------- unigram LM scoring
+
+
+def unigram_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(tok, c): corpus unigram counts over the normalized tokens —
+    the training pass of the LM quality scorer. One partial-aggregated
+    shuffle on the token."""
+    u = materialized_tokens(docs, text_col).select(
+        "doc_id", F.explode("_toks").alias("tok")
+    ).filter(F.length("tok") > 0)
+    return u.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+
+
+def unigram_nll_scores(
+    docs: DataFrame,
+    vocab: DataFrame | None = None,
+    alpha: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document unigram language-model negative log-likelihood —
+    the CCNet-style quality signal (a doc whose tokens are improbable
+    under the corpus LM is head/tail noise; one scoring in-domain vs
+    out-of-domain when ``vocab`` is trained on a reference corpus).
+
+    p(tok) = (c + α) / (T + α·(V + 1)) — add-α smoothing with one
+    reserved OOV slot, so scoring a corpus against a FOREIGN vocab is
+    well-defined (unknown tokens take c = 0).
+
+    Output: (doc_id, n_tokens, nll_e4_sum, avg_nll) where per-token
+    −log2 p is rounded to 1e-4 and summed as INTEGERS — summation is
+    order-free, so the result is partitioning-invariant and replayable
+    bit-for-bit by any engine computing the same doubles (the 1e-4
+    bucket absorbs cross-libm last-ulp log2 differences);
+    ``avg_nll = round(nll_e4_sum / 1e4 / n_tokens, 6)`` derives from
+    those integers.
+
+    Scale shape: train = one token shuffle; score = explode + an
+    equi-join on the token (the vocab side is orders of magnitude
+    smaller than the token stream — broadcast while it fits, AQE
+    otherwise) + one per-doc aggregation. Nothing driver-side.
+    """
+    if vocab is None:
+        vocab = unigram_vocab(docs, text_col)
+    tot = vocab.agg(
+        F.sum("c").alias("T"), F.count(F.lit(1)).alias("V")
+    )
+    u = materialized_tokens(docs, text_col).select(
+        "doc_id", F.explode("_toks").alias("tok")
+    ).filter(F.length("tok") > 0)
+    p = (F.coalesce(F.col("c"), F.lit(0)) + F.lit(alpha)) / (
+        F.col("T") + F.lit(alpha) * (F.col("V") + 1)
+    )
+    e4 = F.floor(-F.log2(p) * 10000 + F.lit(0.5)).cast("long")
+    scored = (
+        u.join(F.broadcast(vocab), on="tok", how="left")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", e4.alias("e4"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("e4").alias("nll_e4_sum"),
+        F.round(
+            F.sum("e4") / F.lit(10000.0) / F.count(F.lit(1)), 6
+        ).alias("avg_nll"),
+    )

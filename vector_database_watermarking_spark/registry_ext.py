@@ -1396,3 +1396,106 @@ WHERE l1.l_quantity < (
 )
 """
     )
+
+
+# ----------------------------------------- round-5 pipeline operators
+
+_DUP_W = 5  # window width for the duplicate-span queries
+
+
+def _dup_span_ctes(w: int = _DUP_W) -> str:
+    """Shared CTE chain: windows -> non-canonical occurrences ->
+    merged spans -> per-doc aggregate (mirrors
+    ``dedup.duplicate_spans`` stage for stage)."""
+    return (
+        _TOKS_CTE
+        + f""",
+wins AS (
+  SELECT doc_id, CAST(i.i AS INTEGER) AS s,
+         {_hash60_sql(f"array_to_string(toks[i.i : i.i + {w - 1}], ' ')")} AS whash
+  FROM t, LATERAL (SELECT unnest(range(1, len(toks) - {w} + 2)) AS i) i
+  WHERE len(toks) >= {w}
+),
+dupocc AS (
+  SELECT doc_id, s FROM (
+    SELECT doc_id, s,
+           row_number() OVER (PARTITION BY whash ORDER BY doc_id, s) AS rn
+    FROM wins
+  ) WHERE rn > 1
+),
+isl AS (
+  SELECT doc_id, s,
+         CASE WHEN s > coalesce(max(s + {w} - 1) OVER (
+                  PARTITION BY doc_id ORDER BY s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+              THEN 1 ELSE 0 END AS nw
+  FROM dupocc
+),
+grp AS (
+  SELECT doc_id, s, sum(nw) OVER (PARTITION BY doc_id ORDER BY s) AS g
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, min(s) AS span_start, max(s + {w} - 1) AS span_end
+  FROM grp GROUP BY doc_id, g
+),
+spanagg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(span_end - span_start + 1) AS BIGINT) AS dup_tokens
+  FROM spans GROUP BY doc_id
+)"""
+    )
+
+
+@register(
+    "ext_dup_spans",
+    oracle="WITH "
+    + _dup_span_ctes()
+    + """
+SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       coalesce(a.n_spans, 0) AS n_spans,
+       coalesce(a.dup_tokens, 0) AS dup_tokens,
+       round(CAST(coalesce(a.dup_tokens, 0) AS DOUBLE) / len(t.toks), 6) AS dup_ratio
+FROM t LEFT JOIN spanagg a ON t.doc_id = a.doc_id
+""",
+)
+def ext_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-span profile (``dedup.duplicate_span_stats``): exact
+    repeated w-token windows corpus-wide, first occurrence canonical,
+    the rest merged into per-doc spans — the repeated-passage dedup
+    pass document-level dedup cannot express. The oracle replays
+    windows, the global occurrence ranking, the gaps-and-islands
+    merge, and the per-doc rollup in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.duplicate_span_stats(docs, w=_DUP_W)
+
+
+@register(
+    "ext_unigram_nll",
+    oracle="WITH "
+    + _TOKS_CTE
+    + """,
+u AS (
+  SELECT doc_id, tok FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+  WHERE length(tok) > 0
+),
+v AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY tok),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS T, CAST(count(*) AS BIGINT) AS V FROM v),
+sc AS (
+  SELECT u.doc_id,
+         CAST(floor(-log2((v.c + 0.5) / (tot.T + 0.5 * (tot.V + 1))) * 10000 + 0.5) AS BIGINT) AS e4
+  FROM u JOIN v USING (tok) CROSS JOIN tot
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(e4) AS BIGINT) AS nll_e4_sum,
+       round(sum(e4) / 10000.0 / count(*), 6) AS avg_nll
+FROM sc GROUP BY doc_id
+""",
+)
+def ext_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scoring (``text.unigram_nll_scores``): add-α
+    corpus LM, per-doc mean −log2 p in integer 1e-4 buckets (order-free
+    sums → partitioning-invariant and engine-replayable). The CCNet-
+    style perplexity filter a curation pipeline thresholds on."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.unigram_nll_scores(docs)

@@ -2297,6 +2297,8 @@ def _pipeline_pack_oracle() -> str:
     prof = QUERIES["ext_corpus_profile"].oracle
     vocab = QUERIES["ext_vocab_topk"].oracle
     bpe = QUERIES["ext_bpe_tokens"].oracle
+    spans = QUERIES["ext_dup_spans"].oracle
+    nll = QUERIES["ext_unigram_nll"].oracle
     h_sl = oracle_hash60("source || '|' || lang_guess")
     h_tok = oracle_hash60("tok")
     return f"""
@@ -2315,6 +2317,16 @@ SELECT 'bpe_tokens_total', CAST(sum(n_tokens) AS BIGINT) FROM ({bpe})
 UNION ALL
 SELECT 'bpe_tokens_check',
   CAST(sum((doc_id % 997 + 1) * (n_tokens % 1000003)) AS BIGINT) FROM ({bpe})
+UNION ALL
+SELECT 'dup_spans_docs_hit', CAST(count(*) AS BIGINT) FROM ({spans}) WHERE n_spans > 0
+UNION ALL
+SELECT 'dup_spans_check',
+  CAST(sum((doc_id % 997 + 1) * (n_spans * 131 + dup_tokens)) AS BIGINT) FROM ({spans})
+UNION ALL
+SELECT 'unigram_total_tokens', CAST(sum(n_tokens) AS BIGINT) FROM ({nll})
+UNION ALL
+SELECT 'unigram_check',
+  CAST(sum((doc_id % 997 + 1) * (nll_e4_sum % 1000003)) AS BIGINT) FROM ({nll})
 """
 
 
@@ -2327,14 +2339,19 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-df vocabulary (row count + Σ hash(tok)·df — order-insensitive,
     sensitive to both membership and df), and the BPE train→encode
     pipeline (total token count + a doc-id-weighted token-count sum,
-    so per-doc mismatches cannot cancel). Each oracle side embeds the
-    corresponding full-value oracle verbatim as a subquery, so a pass
-    here certifies the same computation the standalone query would."""
+    so per-doc mismatches cannot cancel), the duplicate-span profile
+    (docs-hit count + a doc-id-weighted span/coverage sum), and the
+    unigram-LM scores (total tokens + a doc-id-weighted NLL-bucket
+    sum). Each oracle side embeds the corresponding full-value oracle
+    verbatim as a subquery, so a pass here certifies the same
+    computation the standalone query would."""
     from .functions.hashing import hash60
 
     prof = QUERIES["ext_corpus_profile"].fn(spark, sf_dir)
     vocab = QUERIES["ext_vocab_topk"].fn(spark, sf_dir)
     bpe = QUERIES["ext_bpe_tokens"].fn(spark, sf_dir)
+    spans = QUERIES["ext_dup_spans"].fn(spark, sf_dir)
+    nll = QUERIES["ext_unigram_nll"].fn(spark, sf_dir)
 
     def milli(c: str):
         return F.floor(F.col(c) * 1000 + F.lit(0.5)).cast("long")
@@ -2373,6 +2390,30 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             bpe.agg(
                 F.sum(
                     (F.col("doc_id") % 997 + 1) * (F.col("n_tokens") % 1000003)
+                ).alias("value")
+            ),
+        ),
+        scalar(
+            "dup_spans_docs_hit",
+            spans.filter(F.col("n_spans") > 0).agg(
+                F.count(F.lit(1)).alias("value")
+            ),
+        ),
+        scalar(
+            "dup_spans_check",
+            spans.agg(
+                F.sum(
+                    (F.col("doc_id") % 997 + 1)
+                    * (F.col("n_spans") * 131 + F.col("dup_tokens"))
+                ).alias("value")
+            ),
+        ),
+        scalar("unigram_total_tokens", nll.agg(F.sum("n_tokens").alias("value"))),
+        scalar(
+            "unigram_check",
+            nll.agg(
+                F.sum(
+                    (F.col("doc_id") % 997 + 1) * (F.col("nll_e4_sum") % 1000003)
                 ).alias("value")
             ),
         ),
