@@ -57,6 +57,9 @@ HEADLINE = [
     "ext_graph_pagerank",
     "ext_bpe_merges",
     "rel_merge_upsert",
+    # round-5 operators: repeated-passage dedup and LM quality scoring
+    "ext_dup_spans",
+    "ext_unigram_nll",
 ]
 # ext_contamination_bloom is deliberately NOT a headline: at fixture
 # scale both fingerprint sides are equally tiny, so the exact one-job

@@ -233,3 +233,26 @@ def test_compact_is_single_range_shuffle(spark, sf_dir, tmp_path):
     assert "rangepartitioning" in plan.lower(), plan
     assert plan.lower().count("exchange") == 1, plan
     assert "global=true" not in plan.lower(), plan
+
+
+def test_dup_spans_no_all_pairs_bounded_shuffles(spark, sf_dir):
+    """Duplicate-span detection: skinny window relation, never a pair
+    join — no cartesian/nested-loop anywhere, exactly one hash
+    exchange on the window hash and doc-keyed exchanges otherwise."""
+    q = QUERIES["ext_dup_spans"].fn(spark, sf_dir)
+    plan = plan_of(q)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("hashpartitioning(whash") == 1, plan
+
+
+def test_unigram_nll_vocab_join_is_broadcast(spark, sf_dir):
+    """LM scoring joins the token stream against the (much smaller)
+    vocab via broadcast — the token stream must NOT shuffle on the
+    join key."""
+    q = QUERIES["ext_unigram_nll"].fn(spark, sf_dir)
+    plan = plan_of(q)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    # the trained vocab is checkpointed: the corpus token scan feeds
+    # training once and scoring once, not the totals aggregate too
+    assert plan.count("FileScan parquet") == 1, plan

@@ -525,7 +525,11 @@ def unigram_nll_scores(
     otherwise) + one per-doc aggregation. Nothing driver-side.
     """
     if vocab is None:
-        vocab = unigram_vocab(docs, text_col)
+        # materialize the trained vocab once: both the totals aggregate
+        # and the broadcast probe read it, and without the checkpoint
+        # each would re-run the corpus token scan (3 scans -> 2: train
+        # + score, the minimum)
+        vocab = unigram_vocab(docs, text_col).localCheckpoint(eager=True)
     tot = vocab.agg(
         F.sum("c").alias("T"), F.count(F.lit(1)).alias("V")
     )
