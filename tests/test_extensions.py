@@ -988,3 +988,26 @@ def test_unigram_nll_hand_computed_and_oov(spark):
         for r in text.unigram_nll_scores(docs.repartition(5)).collect()
     }
     assert again == {d: out[d]["nll_e4_sum"] for d in out}
+
+
+def test_remove_duplicate_spans_rewrites(spark):
+    texts = [
+        (0, "a b c d e f g h"),
+        (1, "x a b c d e y z"),
+        (2, "totally unique words only here"),
+        (3, "A  B c d e f g H"),  # normalizes to a full dup of doc 0's head
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.remove_duplicate_spans(docs, w=5).collect()}
+    # canonical doc survives verbatim (normalized)
+    assert out[0]["clean_text"] == "a b c d e f g h"
+    # doc 1: positions 2..6 covered -> 'x y z' remains
+    assert out[1]["clean_text"] == "x y z"
+    # clean doc passes through
+    assert out[2]["clean_text"] == "totally unique words only here"
+    # kept-token counts reconcile with the stats view
+    stats = {
+        r["doc_id"]: r for r in dedup.duplicate_span_stats(docs, w=5).collect()
+    }
+    for d, r in out.items():
+        assert r["n_kept_tokens"] == stats[d]["n_tokens"] - stats[d]["dup_tokens"]

@@ -712,3 +712,57 @@ def duplicate_span_stats(
             F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens"), 6
         ).alias("dup_ratio"),
     )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame, w: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Rewrite each document with its duplicate-covered tokens REMOVED
+    (the canonical first occurrence of every window survives, so
+    corpus-wide each repeated passage is kept exactly once). The
+    consuming end of :func:`duplicate_spans`.
+
+    Output: (doc_id, clean_text, n_kept_tokens) — one row per input
+    document; clean documents pass through verbatim (normalized), a
+    fully-duplicate document becomes the empty string.
+
+    Scale shape: token positions explode to one skinny row per token;
+    covered positions (output-bound — only duplicated spans) anti-join
+    them on (doc_id, position); the rebuild is one doc-keyed
+    aggregation whose per-group state is the document itself — the
+    unavoidable cost of emitting rewritten text, same as any
+    tokenize-detokenize pass.
+    """
+    spans = duplicate_spans(docs, w, text_col)
+    toks = docs.select(
+        "doc_id", F.split(normalize_text(text_col), " ").alias("_toks")
+    )
+    pos = toks.select(
+        "doc_id", F.posexplode("_toks").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
+    covered = spans.select(
+        "doc_id",
+        F.explode(F.sequence("span_start", "span_end")).alias("p"),
+    )
+    kept = pos.join(covered, on=["doc_id", "p"], how="left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept_tokens"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(rebuilt, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept_tokens", F.lit(0)).cast("long").alias(
+                "n_kept_tokens"
+            ),
+        )
+    )

@@ -1499,3 +1499,37 @@ def ext_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     style perplexity filter a curation pipeline thresholds on."""
     docs = load_table(spark, sf_dir, "documents")
     return text.unigram_nll_scores(docs)
+
+
+@register(
+    "ext_dup_clean",
+    oracle="WITH "
+    + _dup_span_ctes()
+    + f""",
+pos AS (
+  SELECT doc_id, CAST(u.i AS INTEGER) AS p, toks[u.i] AS tok
+  FROM t, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) u
+),
+cov AS (
+  SELECT DISTINCT doc_id, CAST(u.i AS INTEGER) AS p
+  FROM spans, LATERAL (SELECT unnest(range(span_start, span_end + 1)) AS i) u
+),
+kept AS (SELECT pos.* FROM pos ANTI JOIN cov USING (doc_id, p)),
+re AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+         CAST(count(*) AS BIGINT) AS n_kept_tokens
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, coalesce(re.clean_text, '') AS clean_text,
+       coalesce(re.n_kept_tokens, 0) AS n_kept_tokens
+FROM t LEFT JOIN re USING (doc_id)
+""",
+)
+def ext_dup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-span REMOVAL (``dedup.remove_duplicate_spans``): the
+    corpus rewritten with every repeated passage kept exactly once
+    (canonical occurrence survives, later occurrences dropped). The
+    oracle replays span detection and the anti-join + ordered rebuild,
+    comparing the rewritten text byte for byte."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.remove_duplicate_spans(docs, w=_DUP_W)

@@ -2298,7 +2298,9 @@ def _pipeline_pack_oracle() -> str:
     vocab = QUERIES["ext_vocab_topk"].oracle
     bpe = QUERIES["ext_bpe_tokens"].oracle
     spans = QUERIES["ext_dup_spans"].oracle
+    clean = QUERIES["ext_dup_clean"].oracle
     nll = QUERIES["ext_unigram_nll"].oracle
+    h_ct = oracle_hash60("clean_text")
     h_sl = oracle_hash60("source || '|' || lang_guess")
     h_tok = oracle_hash60("tok")
     return f"""
@@ -2322,6 +2324,9 @@ SELECT 'dup_spans_docs_hit', CAST(count(*) AS BIGINT) FROM ({spans}) WHERE n_spa
 UNION ALL
 SELECT 'dup_spans_check',
   CAST(sum((doc_id % 997 + 1) * (n_spans * 131 + dup_tokens)) AS BIGINT) FROM ({spans})
+UNION ALL
+SELECT 'dup_clean_check',
+  CAST(sum((doc_id % 997 + 1) * ({h_ct} % 1000003)) AS BIGINT) FROM ({clean})
 UNION ALL
 SELECT 'unigram_total_tokens', CAST(sum(n_tokens) AS BIGINT) FROM ({nll})
 UNION ALL
@@ -2405,6 +2410,17 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(
                     (F.col("doc_id") % 997 + 1)
                     * (F.col("n_spans") * 131 + F.col("dup_tokens"))
+                ).alias("value")
+            ),
+        ),
+        scalar(
+            "dup_clean_check",
+            QUERIES["ext_dup_clean"]
+            .fn(spark, sf_dir)
+            .agg(
+                F.sum(
+                    (F.col("doc_id") % 997 + 1)
+                    * (hash60(F.col("clean_text")) % 1000003)
                 ).alias("value")
             ),
         ),
