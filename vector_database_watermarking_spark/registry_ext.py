@@ -1533,3 +1533,67 @@ def ext_dup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparing the rewritten text byte for byte."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.remove_duplicate_spans(docs, w=_DUP_W)
+
+
+@register(
+    "stream_dedup_replay",
+    oracle=f"""
+SELECT DISTINCT {_hash60_sql(_NORM)} AS content_key FROM documents
+""",
+)
+def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion dedup graded end-to-end (``streaming`` tier
+    of ``operators.dedup.exact_dedup``): the corpus PLUS a full
+    duplicate copy (shifted doc_ids, identical text) is streamed
+    through a file source one file per trigger into a stateful
+    ``dropDuplicates`` on the normalized-content key, append-mode
+    memory sink. The surviving key SET is arrival-order-independent,
+    so the oracle is simply the batch distinct-key query — and the
+    sink rows are returned WITHOUT re-deduplication: if streaming
+    state ever re-admitted a key (or dropped one), the row count and
+    hash would diverge. First-winner doc identity is deliberately not
+    graded (it depends on file-discovery order)."""
+    import os as _o
+    import shutil
+
+    from .functions.hashing import hash60
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.withColumn("doc_id", F.col("doc_id") + 10_000_000)
+    scratch = _o.path.join(
+        "/root/repo/_scratch",
+        f"stream_dedup_{_o.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    for b in range(3):
+        (
+            docs.unionByName(dup)
+            .filter(F.pmod(F.col("doc_id"), F.lit(3)) == b)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(scratch)
+        )
+
+    name = f"stream_dedup_sink_{_o.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
+    spark.catalog.dropTempView(name)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(scratch)
+    )
+    keyed = stream.select(
+        hash60(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))).alias(
+            "content_key"
+        )
+    ).dropDuplicates(["content_key"])
+    q = (
+        keyed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select("content_key")

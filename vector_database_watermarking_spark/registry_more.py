@@ -2300,6 +2300,7 @@ def _pipeline_pack_oracle() -> str:
     spans = QUERIES["ext_dup_spans"].oracle
     clean = QUERIES["ext_dup_clean"].oracle
     nll = QUERIES["ext_unigram_nll"].oracle
+    sdd = QUERIES["stream_dedup_replay"].oracle
     h_ct = oracle_hash60("clean_text")
     h_sl = oracle_hash60("source || '|' || lang_guess")
     h_tok = oracle_hash60("tok")
@@ -2332,6 +2333,11 @@ SELECT 'unigram_total_tokens', CAST(sum(n_tokens) AS BIGINT) FROM ({nll})
 UNION ALL
 SELECT 'unigram_check',
   CAST(sum((doc_id % 997 + 1) * (nll_e4_sum % 1000003)) AS BIGINT) FROM ({nll})
+UNION ALL
+SELECT 'stream_dedup_keys', CAST(count(*) AS BIGINT) FROM ({sdd})
+UNION ALL
+SELECT 'stream_dedup_keyhash',
+  CAST(sum(content_key % 1000003) AS BIGINT) FROM ({sdd})
 """
 
 
@@ -2434,6 +2440,16 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ]
+    # (already materialized: the fn drained the stream into a memory
+    # sink; this is just two aggregates over that in-memory table)
+    sdd = QUERIES["stream_dedup_replay"].fn(spark, sf_dir)
+    parts.append(scalar("stream_dedup_keys", sdd.agg(F.count(F.lit(1)).alias("value"))))
+    parts.append(
+        scalar(
+            "stream_dedup_keyhash",
+            sdd.agg(F.sum(F.col("content_key") % 1000003).alias("value")),
+        )
+    )
     out = parts[0]
     for df in parts[1:]:
         out = out.unionByName(df)
