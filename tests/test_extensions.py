@@ -1011,3 +1011,37 @@ def test_remove_duplicate_spans_rewrites(spark):
     }
     for d, r in out.items():
         assert r["n_kept_tokens"] == stats[d]["n_tokens"] - stats[d]["dup_tokens"]
+
+
+# ---- duplicate-span property test (random corpora vs brute force) ----
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_span_docs = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=12),
+    min_size=1,
+    max_size=5,
+)
+
+
+@given(_span_docs)
+@settings(max_examples=10, deadline=None)
+def _check_dup_spans_property(doclists):
+    """On tiny-alphabet random corpora (heavy window collisions,
+    overlapping within-doc repeats) the operator must equal the brute-
+    force reference exactly."""
+    spark = _check_dup_spans_property._spark
+    texts = [(i, " ".join(d)) for i, d in enumerate(doclists)]
+    w = 3
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got: dict = {}
+    for r in dedup.duplicate_spans(df, w=w).collect():
+        got.setdefault(r["doc_id"], []).append((r["span_start"], r["span_end"]))
+    got = {d: sorted(v) for d, v in got.items()}
+    assert got == _ref_dup_spans(texts, w)
+
+
+def test_duplicate_spans_property(spark):
+    _check_dup_spans_property._spark = spark
+    _check_dup_spans_property()
