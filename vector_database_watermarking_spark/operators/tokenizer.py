@@ -246,7 +246,13 @@ def bpe_train(
         nxt.count()
         spaced.unpersist()
         spaced = nxt
-    return merges, spaced
+    # hand back a checkpointed table and release the loop's last cache
+    # (same storage-hygiene rule as the driver tier, which collects and
+    # unpersists): repeated distributed-tier trainings must not
+    # accumulate orphaned storage blocks
+    final = spaced.localCheckpoint(eager=True)
+    spaced.unpersist()
+    return merges, final
 
 
 def bpe_encode(

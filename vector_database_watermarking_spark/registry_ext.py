@@ -1582,9 +1582,7 @@ def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(scratch)
     )
     keyed = stream.select(
-        hash60(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))).alias(
-            "content_key"
-        )
+        hash60(dedup.normalize_text("text")).alias("content_key")
     ).dropDuplicates(["content_key"])
     q = (
         keyed.writeStream.format("memory")

@@ -652,8 +652,9 @@ def stream_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is the same SQL as the one-shot MERGE — the stream must
     converge to exactly the batch answer (the streaming analogue of
     the stream-vs-batch parity pytest suite, but driver-graded).
-    ``retain=1`` also exercises vacuum: only the live snapshot and one
-    grace version survive."""
+    ``retain=1`` also exercises vacuum: every superseded version is
+    removed per trigger and only the live snapshot survives (a reader
+    grace window would be ``retain=2``)."""
     import shutil
 
     from .streaming import cdc
@@ -2291,8 +2292,6 @@ def ext_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pipeline_pack_oracle() -> str:
     from .functions.hashing import oracle_hash60
-
-    from .registry import QUERIES
 
     prof = QUERIES["ext_corpus_profile"].oracle
     vocab = QUERIES["ext_vocab_topk"].oracle
