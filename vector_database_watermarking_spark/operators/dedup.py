@@ -647,22 +647,29 @@ def duplicate_spans(docs: DataFrame, w: int = 5, text_col: str = "text") -> Data
     1-based inclusive.
 
     Scale shape: the window relation is one skinny row per token
-    (doc_id, s, hash) — no text payload; duplicate marking is ONE
-    shuffle on the window hash (row_number per hash, deterministic
-    (doc_id, s) order); span merging is ONE shuffle on doc_id over
-    duplicate occurrences only (output-bound — the duplicated
-    fraction, not the corpus). No all-pairs join anywhere. Hot hashes
-    (ubiquitous boilerplate windows) concentrate one hash's
-    occurrences in a partition; AQE skew splitting does not apply
-    inside a window function, so a pathological single window repeated
-    ~10^8 times would need the same keyed-downsample cap the LSH tier
-    uses — document-scale corpora sit far below that.
+    (doc_id, s, hash) — no text payload. The canonical occurrence per
+    hash comes from a ``groupBy(whash).agg(min(struct(doc_id, s)))``
+    — MAP-SIDE COMBINABLE, so a boilerplate window repeated 10^8
+    times still reduces to one row per (hash, input partition) before
+    the exchange — followed by an equi-join of the occurrences
+    against that (distinct-hash-sized) relation, which AQE can
+    skew-split; a ``row_number`` window per hash would instead sort
+    the hot hash's entire occurrence list in one task. Span merging
+    is ONE shuffle on doc_id over duplicate occurrences only
+    (output-bound — the duplicated fraction, not the corpus). No
+    all-pairs join anywhere.
     """
     wins = window_occurrences(docs, w, text_col)
-    wocc = Window.partitionBy("whash").orderBy("doc_id", "s")
+    canon = wins.groupBy("whash").agg(
+        F.min(F.struct("doc_id", "s")).alias("_first"),
+        F.count(F.lit(1)).alias("_cnt"),
+    )
     dup = (
-        wins.withColumn("_rn", F.row_number().over(wocc))
-        .filter(F.col("_rn") > 1)
+        wins.join(canon.filter(F.col("_cnt") > 1), on="whash")
+        .filter(
+            (F.col("doc_id") != F.col("_first.doc_id"))
+            | (F.col("s") != F.col("_first.s"))
+        )
         .select("doc_id", "s")
     )
     wdoc = Window.partitionBy("doc_id").orderBy("s")
