@@ -427,6 +427,30 @@ def rel_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_orders_cube",
+    oracle="""
+SELECT o_orderpriority, o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+""",
+)
+def rel_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation — completes the grouping-sets family next to
+    the rollup above (all four grouping combinations in one pass;
+    Spark expands to a single expand+aggregate plan, no re-scan per
+    grouping set). Both grouping dims are non-null in the fixture, so
+    the NULL markers identify grouping sets unambiguously without a
+    grouping_id column (whose bit order differs across engines)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
     "ext_events_sessions",
     oracle="""
 WITH ordered AS (
@@ -741,6 +765,7 @@ UNION ALL SELECT 'so2_union_count', CAST(count(*) + 50 AS BIGINT) FROM embedding
 UNION ALL SELECT 'p14_moments_ok', CAST(1 AS BIGINT)
 UNION ALL SELECT 'lsh_recall_ge_090', CAST(1 AS BIGINT)
 UNION ALL SELECT 'approx_distinct_within_5pct', CAST(1 AS BIGINT)
+UNION ALL SELECT 'approx_pctl_within_2pct', CAST(1 AS BIGINT)
 UNION ALL SELECT 'g7_total_nodes', CAST(count(*) AS BIGINT) FROM embeddings
 UNION ALL SELECT 'tri_total_triangles', CAST(3 * count(*) AS BIGINT) FROM tri
 UNION ALL SELECT 'tri_closed_nodes', CAST(count(DISTINCT n) AS BIGINT)
@@ -902,6 +927,28 @@ def cov_operator_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (
                         F.abs(F.col("ap") - F.col("ex"))
                         <= F.greatest(F.lit(2.0), 0.05 * F.col("ex"))
+                    ).cast("long")
+                ).alias("value")
+            ),
+        )
+    )
+
+    ap = docs.groupBy("source").agg(
+        F.percentile("n_chars", F.lit(0.5)).alias("exq"),
+        F.percentile_approx("n_chars", F.lit(0.5), F.lit(10000)).alias("apq"),
+    )
+    parts.append(
+        scalar(
+            "approx_pctl_within_2pct",
+            # sketch-tier gate (t-digest-style approx median within
+            # ±max(2, 2%·exact) of the exact percentile per source) —
+            # the same engine-specific-measurement pattern as the HLL
+            # gate above; the oracle pins the PASS value
+            ap.agg(
+                F.min(
+                    (
+                        F.abs(F.col("apq") - F.col("exq"))
+                        <= F.greatest(F.lit(2.0), 0.02 * F.col("exq"))
                     ).cast("long")
                 ).alias("value")
             ),
