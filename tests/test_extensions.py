@@ -1045,3 +1045,26 @@ def _check_dup_spans_property(doclists):
 def test_duplicate_spans_property(spark):
     _check_dup_spans_property._spark = spark
     _check_dup_spans_property()
+
+
+def test_importance_weights_prefer_target_domain(spark, sf_dir):
+    """DSIR sanity: with the English slice as target, English docs
+    must average a higher importance weight than non-English docs
+    (their tokens are likelier under the target LM), and the integer
+    log-ratio must reconcile with the two NLL scorers it composes."""
+    d = docs(spark, sf_dir).limit(200)
+    target = d.filter(F.col("lang") == "en")
+    iw = text.importance_weights(d, target)
+    joined = iw.join(d.select("doc_id", "lang"), "doc_id")
+    rows = joined.collect()
+    en = [r["avg_logratio"] for r in rows if r["lang"] == "en"]
+    non = [r["avg_logratio"] for r in rows if r["lang"] != "en"]
+    assert en and non
+    assert sum(en) / len(en) > sum(non) / len(non)
+    # exact composition check on one doc
+    vr = text.unigram_vocab(d)
+    vt = text.unigram_vocab(target)
+    raw = {r["doc_id"]: r["nll_e4_sum"] for r in text.unigram_nll_scores(d, vocab=vr).collect()}
+    tgt = {r["doc_id"]: r["nll_e4_sum"] for r in text.unigram_nll_scores(d, vocab=vt).collect()}
+    got = {r["doc_id"]: r["logratio_e4"] for r in rows}
+    assert got == {k: raw[k] - tgt[k] for k in got}

@@ -552,3 +552,44 @@ def unigram_nll_scores(
             F.sum("e4") / F.lit(10000.0) / F.count(F.lit(1)), 6
         ).alias("avg_nll"),
     )
+
+
+def importance_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    alpha: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al.,
+    "Data Selection for Language Models via Importance Resampling"):
+    per document, log p_target(x) − log p_raw(x) under two unigram
+    LMs — one trained on a target-domain sample, one on the raw
+    corpus. Documents that look more like the target than like the
+    raw pool get positive weights and are preferentially sampled.
+
+    Expressed entirely through :func:`unigram_nll_scores`, so the
+    weight inherits its integer 1e-4 bucketing: ``logratio_e4 =
+    nll_raw_e4 − nll_target_e4`` is an exact integer (order-free,
+    engine-replayable); ``avg_logratio`` normalizes per token.
+
+    Scale shape: two vocab trainings (one token shuffle each, the
+    target side typically a small sample), two broadcast-probe
+    scorings of the same exploded token stream, one doc-keyed join.
+    """
+    vr = unigram_vocab(docs, text_col)
+    vt = unigram_vocab(target, text_col)
+    raw = unigram_nll_scores(docs, vocab=vr, alpha=alpha, text_col=text_col).select(
+        "doc_id", "n_tokens", F.col("nll_e4_sum").alias("_raw_e4")
+    )
+    tgt = unigram_nll_scores(docs, vocab=vt, alpha=alpha, text_col=text_col).select(
+        "doc_id", F.col("nll_e4_sum").alias("_tgt_e4")
+    )
+    diff = F.col("_raw_e4") - F.col("_tgt_e4")
+    return raw.join(tgt, on="doc_id").select(
+        "doc_id",
+        "n_tokens",
+        diff.alias("logratio_e4"),
+        F.round(diff / F.lit(10000.0) / F.col("n_tokens"), 6).alias(
+            "avg_logratio"
+        ),
+    )

@@ -1595,3 +1595,44 @@ def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name).select("content_key")
+
+
+@register(
+    "ext_importance_weights",
+    oracle="WITH "
+    + _TOKS_CTE
+    + """,
+u AS (
+  SELECT doc_id, tok FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+  WHERE length(tok) > 0
+),
+vr AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY tok),
+totr AS (SELECT CAST(sum(c) AS BIGINT) AS T, CAST(count(*) AS BIGINT) AS V FROM vr),
+ut AS (
+  SELECT u.doc_id, u.tok FROM u JOIN documents d ON u.doc_id = d.doc_id
+  WHERE d.lang = 'en'
+),
+vt AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM ut GROUP BY tok),
+tott AS (SELECT CAST(sum(c) AS BIGINT) AS T, CAST(count(*) AS BIGINT) AS V FROM vt),
+sc AS (
+  SELECT u.doc_id,
+    CAST(floor(-log2((vr.c + 0.5) / (totr.T + 0.5 * (totr.V + 1))) * 10000 + 0.5) AS BIGINT) AS re4,
+    CAST(floor(-log2((coalesce(vt.c, 0) + 0.5) / (tott.T + 0.5 * (tott.V + 1))) * 10000 + 0.5) AS BIGINT) AS te4
+  FROM u JOIN vr USING (tok) LEFT JOIN vt USING (tok)
+       CROSS JOIN totr CROSS JOIN tott
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(re4) - sum(te4) AS BIGINT) AS logratio_e4,
+       round((sum(re4) - sum(te4)) / 10000.0 / count(*), 6) AS avg_logratio
+FROM sc GROUP BY doc_id
+""",
+)
+def ext_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (``text.importance_weights``):
+    target LM trained on the English slice, raw LM on the whole
+    corpus; weight = per-doc NLL difference in integer 1e-4 units.
+    The oracle replays both LMs (the target side with the OOV slot
+    exercised — non-English tokens are absent from its vocab) and the
+    exact integer differences."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.importance_weights(docs, docs.filter(F.col("lang") == "en"))

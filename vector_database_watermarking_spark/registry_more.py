@@ -2347,6 +2347,7 @@ def _pipeline_pack_oracle() -> str:
     clean = QUERIES["ext_dup_clean"].oracle
     nll = QUERIES["ext_unigram_nll"].oracle
     sdd = QUERIES["stream_dedup_replay"].oracle
+    dsir = QUERIES["ext_importance_weights"].oracle
     h_ct = oracle_hash60("clean_text")
     h_sl = oracle_hash60("source || '|' || lang_guess")
     h_tok = oracle_hash60("tok")
@@ -2379,6 +2380,9 @@ SELECT 'unigram_total_tokens', CAST(sum(n_tokens) AS BIGINT) FROM ({nll})
 UNION ALL
 SELECT 'unigram_check',
   CAST(sum((doc_id % 997 + 1) * (nll_e4_sum % 1000003)) AS BIGINT) FROM ({nll})
+UNION ALL
+SELECT 'dsir_check',
+  CAST(sum((doc_id % 997 + 1) * (logratio_e4 % 1000003)) AS BIGINT) FROM ({dsir})
 UNION ALL
 SELECT 'stream_dedup_keys', CAST(count(*) AS BIGINT) FROM ({sdd})
 UNION ALL
@@ -2486,6 +2490,19 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ]
+    parts.append(
+        scalar(
+            "dsir_check",
+            QUERIES["ext_importance_weights"]
+            .fn(spark, sf_dir)
+            .agg(
+                F.sum(
+                    (F.col("doc_id") % 997 + 1)
+                    * (F.col("logratio_e4") % 1000003)
+                ).alias("value")
+            ),
+        )
+    )
     # (already materialized: the fn drained the stream into a memory
     # sink; this is just two aggregates over that in-memory table)
     sdd = QUERIES["stream_dedup_replay"].fn(spark, sf_dir)
