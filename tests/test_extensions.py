@@ -974,7 +974,8 @@ def test_unigram_nll_hand_computed_and_oov(spark):
     assert out[0]["n_tokens"] == 3
     assert out[0]["nll_e4_sum"] == 3 * e4(2)
     assert out[1]["nll_e4_sum"] == e4(2) + e4(1)
-    assert out[1]["avg_nll"] == round((e4(2) + e4(1)) / 1e4 / 2, 6)
+    # raw integer-derived division — exact double equality, no rounding
+    assert out[1]["avg_nll"] == (e4(2) + e4(1)) / 1e4 / 2
     # rarer tokens => higher nll
     assert out[1]["avg_nll"] > out[0]["avg_nll"]
     # foreign vocab: unseen token takes the OOV slot (c = 0)

@@ -715,9 +715,11 @@ def duplicate_span_stats(
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
         F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
-        F.round(
-            F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens"), 6
-        ).alias("dup_ratio"),
+        # exact-integer division: raw double is engine-deterministic,
+        # rounding would add a half-boundary hazard (see unigram NLL)
+        (F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens")).alias(
+            "dup_ratio"
+        ),
     )
 
 

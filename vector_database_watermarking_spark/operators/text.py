@@ -545,12 +545,15 @@ def unigram_nll_scores(
         .crossJoin(F.broadcast(tot))
         .select("doc_id", e4.alias("e4"))
     )
+    # avg derives from exact integers (sum_e4, n), so the raw IEEE
+    # division is bit-identical across engines — rounding it would
+    # INTRODUCE a half-way-boundary hazard (Spark rounds the binary
+    # double via BigDecimal, DuckDB via multiply-round-divide; they
+    # disagree on values like 4.8971125 — observed at sf0.001)
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum("e4").alias("nll_e4_sum"),
-        F.round(
-            F.sum("e4") / F.lit(10000.0) / F.count(F.lit(1)), 6
-        ).alias("avg_nll"),
+        (F.sum("e4") / F.lit(10000.0) / F.count(F.lit(1))).alias("avg_nll"),
     )
 
 
@@ -589,7 +592,7 @@ def importance_weights(
         "doc_id",
         "n_tokens",
         diff.alias("logratio_e4"),
-        F.round(diff / F.lit(10000.0) / F.col("n_tokens"), 6).alias(
-            "avg_logratio"
-        ),
+        # raw division of exact integers — see unigram_nll_scores on
+        # why rounding would be LESS deterministic here
+        (diff / F.lit(10000.0) / F.col("n_tokens")).alias("avg_logratio"),
     )

@@ -1455,7 +1455,7 @@ spanagg AS (
 SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
        coalesce(a.n_spans, 0) AS n_spans,
        coalesce(a.dup_tokens, 0) AS dup_tokens,
-       round(CAST(coalesce(a.dup_tokens, 0) AS DOUBLE) / len(t.toks), 6) AS dup_ratio
+       CAST(coalesce(a.dup_tokens, 0) AS DOUBLE) / len(t.toks) AS dup_ratio
 FROM t LEFT JOIN spanagg a ON t.doc_id = a.doc_id
 """,
 )
@@ -1488,7 +1488,7 @@ sc AS (
 )
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
        CAST(sum(e4) AS BIGINT) AS nll_e4_sum,
-       round(sum(e4) / 10000.0 / count(*), 6) AS avg_nll
+       sum(e4) / 10000.0 / count(*) AS avg_nll
 FROM sc GROUP BY doc_id
 """,
 )
@@ -1623,7 +1623,7 @@ sc AS (
 )
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
        CAST(sum(re4) - sum(te4) AS BIGINT) AS logratio_e4,
-       round((sum(re4) - sum(te4)) / 10000.0 / count(*), 6) AS avg_logratio
+       (sum(re4) - sum(te4)) / 10000.0 / count(*) AS avg_logratio
 FROM sc GROUP BY doc_id
 """,
 )
