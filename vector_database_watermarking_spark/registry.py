@@ -9,6 +9,13 @@ Determinism policy (SURVEY §4.2): every float that reaches an output is
 rounded (sums to 2-3 decimals, unit-scale values to 6) so that
 summation-order ulp differences between Spark and DuckDB can't flip the
 hash; every ranking orders by a rounded key with an id tie-break.
+EXCEPTION: a double computed purely from exact integers (a ratio of
+counts, a scaled-integer average) ships UNROUNDED — the raw IEEE
+quotient of identical integers is bit-identical across engines, while
+round() itself diverges on half-way values (Spark rounds the binary
+double via BigDecimal, DuckDB multiplies-rounds-divides; observed on
+avg_nll at sf0.001). Rounding is for taming float aggregation order,
+not integer-derived values.
 """
 
 from __future__ import annotations
