@@ -1069,3 +1069,77 @@ def test_importance_weights_prefer_target_domain(spark, sf_dir):
     tgt = {r["doc_id"]: r["nll_e4_sum"] for r in text.unigram_nll_scores(d, vocab=vt).collect()}
     got = {r["doc_id"]: r["logratio_e4"] for r in rows}
     assert got == {k: raw[k] - tgt[k] for k in got}
+
+
+# ---- incremental-dedup property test (forced id collisions) ----
+
+
+def _ref_shingles(text, n=3):
+    import re
+
+    toks = re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+    return {
+        " ".join(toks[i : i + n])
+        for i in range(max(len(toks) - n + 1, 1))
+        if "".join(toks[i : i + n])
+    }
+
+
+_corpus_texts = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), min_size=3, max_size=8),
+    min_size=2,
+    max_size=5,
+)
+
+
+@given(_corpus_texts, _corpus_texts)
+@settings(max_examples=8, deadline=None)
+def _check_incremental_dedup_property(corpus_words, batch_words):
+    """With batch ids deliberately equal to corpus ids: exact statuses
+    must match brute force exactly; every reported near-dup must carry
+    the TRUE pair jaccard (>= threshold, <= 1); every 'unique' must
+    truly have no exact match. (LSH may miss near-dups — that is the
+    contract — but must never fabricate or mis-measure one.)"""
+    spark = _check_incremental_dedup_property._spark
+    corpus_t = [" ".join(w) for w in corpus_words]
+    batch_t = [" ".join(w) for w in batch_words]
+    corpus = spark.createDataFrame(
+        list(enumerate(corpus_t)), "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        list(enumerate(batch_t)), "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.incremental_dedup(corpus, batch, threshold=0.5).collect()
+    }
+    assert set(out) == set(range(len(batch_t)))
+    corpus_norm = {}
+    import re as _re
+
+    for i, t in enumerate(corpus_t):
+        corpus_norm.setdefault(
+            _re.sub(r"\s+", " ", t.lower()).strip(), i
+        )
+    for bid, r in out.items():
+        bnorm = _re.sub(r"\s+", " ", batch_t[bid].lower()).strip()
+        if bnorm in corpus_norm:
+            assert r["status"] == "exact_dup", (bid, r)
+            assert r["match_doc_id"] == min(
+                i
+                for i, t in enumerate(corpus_t)
+                if _re.sub(r"\s+", " ", t.lower()).strip() == bnorm
+            )
+        else:
+            assert r["status"] != "exact_dup", (bid, r)
+            if r["status"] == "near_dup":
+                sa = _ref_shingles(batch_t[bid])
+                sb = _ref_shingles(corpus_t[r["match_doc_id"]])
+                true_j = len(sa & sb) / len(sa | sb)
+                assert 0.5 <= r["jaccard"] <= 1.0, (bid, r)
+                assert abs(r["jaccard"] - true_j) < 1e-9, (bid, r, true_j)
+
+
+def test_incremental_dedup_property(spark):
+    _check_incremental_dedup_property._spark = spark
+    _check_incremental_dedup_property()
