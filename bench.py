@@ -108,31 +108,38 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark("bench")
     _warmup(spark, sf_dir)
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        q = QUERIES.get(name)
-        if q is None:
-            continue
-        # host-level CPU-steal spikes are bursty and multi-second
-        # (measured: the same query swings 4s → 20s → 4s back-to-back,
-        # and a burst can span all of a fixed min-of-3). Sample until
-        # the two fastest runs agree within 1.5x (the min is then
-        # reproducible, not lucky), min 3 / max 6 attempts.
-        samples: list[float] = []
-        while len(samples) < 3 or (
-            len(samples) < 6 and sorted(samples)[1] > 1.5 * sorted(samples)[0]
+    names = [n for n in HEADLINE if n in QUERIES]
+
+    def run_once(name: str) -> float:
+        # isolate queries: drop persisted blocks left by the previous
+        # run (otherwise storage-memory pressure distorts later
+        # timings by 5-10x via spill + GC), and nudge the collector so
+        # orphaned localCheckpoint RDDs from iterative queries are
+        # actually freed between attempts
+        spark.catalog.clearCache()
+        gc.collect()
+        t0 = time.time()
+        QUERIES[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    # host-level CPU-steal spikes are bursty and MULTI-MINUTE (measured:
+    # identical code benched 21.1 s and 29.2 s an hour apart). Sampling
+    # a query's attempts back-to-back lets one burst poison all of
+    # them, so the three base samples run as three INTERLEAVED full
+    # passes — a burst then costs every query one sample instead of
+    # one query every sample. Queries whose two fastest samples still
+    # disagree by >1.5x get up to 3 extra attempts (min is then
+    # reproducible, not lucky).
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    for _pass in range(3):
+        for name in names:
+            samples[name].append(run_once(name))
+    for name in names:
+        while len(samples[name]) < 6 and (
+            sorted(samples[name])[1] > 1.5 * sorted(samples[name])[0]
         ):
-            # isolate queries: drop persisted blocks left by the
-            # previous run (otherwise storage-memory pressure distorts
-            # later timings by 5-10x via spill + GC), and nudge the
-            # collector so orphaned localCheckpoint RDDs from iterative
-            # queries are actually freed between attempts
-            spark.catalog.clearCache()
-            gc.collect()
-            t0 = time.time()
-            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            samples.append(time.time() - t0)
-        timings[name] = round(min(samples), 3)
+            samples[name].append(run_once(name))
+    timings = {n: round(min(samples[n]), 3) for n in names}
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
