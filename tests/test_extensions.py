@@ -155,10 +155,35 @@ def test_multimodal_image_decode_where_pillow_exists(spark):
     assert (r["width"], r["height"]) == (5, 3)
 
 
-def test_multimodal_frames_stub_raises_without_fake(spark, sf_dir):
-    media = multimodal.attach_fake_payload(docs(spark, sf_dir))
-    with pytest.raises(NotImplementedError):
-        multimodal.sample_frames(media, fake=False)
+def test_multimodal_frames_auto_tier_decodes_wav(spark):
+    """Auto frame tier: WAV payloads yield sample-aligned PCM windows
+    via the stdlib codec; codec-less payloads yield no rows
+    (quarantine by omission)."""
+    import io
+    import struct
+    import wave as wavmod
+
+    buf = io.BytesIO()
+    with wavmod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack("<64h", *range(64)))
+    media = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue())), (2, bytearray(b"no codec for this"))],
+        "media_id long, payload binary",
+    )
+    rows = multimodal.sample_frames(media, n_frames=4, frame_bytes=16).collect()
+    assert {r["media_id"] for r in rows} == {1}  # doc 2 quarantined
+    assert len(rows) == 4
+    pcm = struct.pack("<64h", *range(64))
+    for r in rows:
+        frame = bytes(r["frame"])
+        assert len(frame) == 16 and len(frame) % 2 == 0  # sample-aligned
+        assert frame in pcm  # really slices of the decoded PCM stream
+    # first window starts at the stream head
+    first = min(rows, key=lambda r: r["frame_idx"])
+    assert bytes(first["frame"]) == pcm[:16]
 
 
 def test_multimodal_fake_features_and_frames(spark, sf_dir):
