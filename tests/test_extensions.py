@@ -1168,3 +1168,28 @@ def _check_incremental_dedup_property(corpus_words, batch_words):
 def test_incremental_dedup_property(spark):
     _check_incremental_dedup_property._spark = spark
     _check_incremental_dedup_property()
+
+
+def test_bucketed_batches_bounds_padding(spark, sf_dir):
+    from vector_database_watermarking_spark.operators import packing
+
+    d = docs(spark, sf_dir).limit(300)
+    out = packing.bucketed_batches(d, batch_size=8, bucket_width=16).collect()
+    assert len(out) == 300
+    from collections import Counter
+
+    sizes = Counter((r["shard"], r["bucket"], r["batch_idx"]) for r in out)
+    assert max(sizes.values()) <= 8  # batch size respected
+    for r in out:
+        # padding is bounded by the bucket width, the operator's point
+        assert 0 <= r["pad_tokens"] < 16
+        # bucket really contains the doc's length
+        assert (r["bucket"] - 1) * 16 < r["n_tokens"] <= r["bucket"] * 16
+    # deterministic under repartitioning
+    again = {
+        (r["doc_id"], r["batch_idx"], r["pad_tokens"])
+        for r in packing.bucketed_batches(
+            d.repartition(7), batch_size=8, bucket_width=16
+        ).collect()
+    }
+    assert again == {(r["doc_id"], r["batch_idx"], r["pad_tokens"]) for r in out}

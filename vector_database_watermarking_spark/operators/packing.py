@@ -94,3 +94,60 @@ def packing_stats(packed: DataFrame, seq_len: int) -> DataFrame:
             F.sum("n_tokens") / ((F.max("end_seq") + 1) * F.lit(seq_len)), 6
         ).alias("fill_ratio"),
     )
+
+
+def bucketed_batches(
+    docs: DataFrame,
+    batch_size: int = 8,
+    bucket_width: int = 16,
+    n_shards: int = 8,
+    seed: int = 7,
+    text_col: str = "text",
+) -> DataFrame:
+    """Length-bucketed batch assembly — the inference/SFT counterpart
+    of :func:`pack_sequences`: instead of concatenating documents,
+    group similar-length documents into fixed-size batches so padding
+    (batch is padded to its longest member) is bounded by the bucket
+    width rather than the corpus-wide length spread.
+
+    A document of ``n`` tokens lands in bucket ``ceil(n /
+    bucket_width)``; within each (shard, bucket), documents are
+    numbered in keyed-hash order and cut every ``batch_size`` rows.
+    ``pad_tokens`` is the per-document padding cost: its batch's max
+    length minus its own.
+
+    Output, one row per document: (doc_id, shard, bucket, n_tokens,
+    batch_idx, batch_max_tokens, pad_tokens).
+
+    Scale shape: same shard trick as packing — the row numbering is a
+    window PARTITIONED by (shard, bucket), never global, so the
+    per-task cost is O(corpus / (shards × buckets)); batch statistics
+    are a second window over the assembled (shard, bucket, batch) key
+    with no extra exchange (same partitioning prefix). Routing and
+    order are pure functions of (seed, doc_id) — partitioning-
+    invariant and SQL-replayable.
+    """
+    key = hash60(F.concat(F.lit(f"bb_{seed}_"), F.col("doc_id").cast("string")))
+    d = docs.select(
+        "doc_id",
+        token_count(text_col).cast("long").alias("n_tokens"),
+        key.alias("_k"),
+        (key % F.lit(n_shards)).cast("int").alias("shard"),
+    ).withColumn(
+        "bucket", F.ceil(F.col("n_tokens") / F.lit(bucket_width)).cast("int")
+    )
+    w = Window.partitionBy("shard", "bucket").orderBy("_k", "doc_id")
+    d = d.withColumn(
+        "batch_idx", F.floor((F.row_number().over(w) - 1) / batch_size)
+    )
+    wb = Window.partitionBy("shard", "bucket", "batch_idx")
+    bmax = F.max("n_tokens").over(wb)
+    return d.select(
+        "doc_id",
+        "shard",
+        "bucket",
+        "n_tokens",
+        "batch_idx",
+        bmax.alias("batch_max_tokens"),
+        (bmax - F.col("n_tokens")).alias("pad_tokens"),
+    )

@@ -1636,3 +1636,46 @@ def ext_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer differences."""
     docs = load_table(spark, sf_dir, "documents")
     return text.importance_weights(docs, docs.filter(F.col("lang") == "en"))
+
+
+@register(
+    "ext_bucketed_batches",
+    oracle="WITH "
+    + _TOKS_CTE
+    + """,
+d AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         """
+    + _hash60_sql("'bb_7_' || CAST(doc_id AS VARCHAR)")
+    + """ AS k
+  FROM t
+),
+b AS (
+  SELECT doc_id, n_tokens, k,
+         CAST(k % 8 AS INTEGER) AS shard,
+         CAST(ceil(n_tokens / 16.0) AS INTEGER) AS bucket
+  FROM d
+),
+numbered AS (
+  SELECT *, CAST((row_number() OVER (PARTITION BY shard, bucket ORDER BY k, doc_id) - 1) // 8 AS BIGINT) AS batch_idx
+  FROM b
+)
+SELECT doc_id, shard, bucket, n_tokens, batch_idx,
+       max(n_tokens) OVER wb AS batch_max_tokens,
+       max(n_tokens) OVER wb - n_tokens AS pad_tokens
+FROM numbered
+WINDOW wb AS (PARTITION BY shard, bucket, batch_idx)
+""",
+)
+def ext_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assembly (``packing.bucketed_batches``):
+    similar-length documents batched together so padding is bounded by
+    the bucket width. The oracle replays shard routing, bucketing, the
+    per-(shard, bucket) numbering, and the per-batch max."""
+    from .operators import packing
+
+    docs = load_table(spark, sf_dir, "documents")
+    return packing.bucketed_batches(
+        docs, batch_size=8, bucket_width=16, n_shards=8, seed=7
+    )
