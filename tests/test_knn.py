@@ -167,3 +167,22 @@ def test_lsh_dense_cluster_queries_still_get_candidates(spark):
     # cluster queries' neighbors are overwhelmingly other cluster members
     frac = in_cluster.filter("dst < 1500").count() / in_cluster.count()
     assert frac > 0.9, frac
+
+
+def test_blas_tier_matches_fold_tier(spark, sf_dir):
+    """fold_parity=False (Gram-matmul distances) must produce the same
+    (src, rank) -> dst assignment as the fold tier on the fixture."""
+    from vector_database_watermarking_spark.operators import knn
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    a = {
+        (r["src"], r["rank"]): r["dst"]
+        for r in knn.knn_join(emb, emb, k=5).collect()
+    }
+    b = {
+        (r["src"], r["rank"]): r["dst"]
+        for r in knn.knn_join(emb, emb, k=5, fold_parity=False).collect()
+    }
+    assert a == b
