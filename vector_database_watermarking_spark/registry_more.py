@@ -2348,6 +2348,8 @@ def _pipeline_pack_oracle() -> str:
     nll = QUERIES["ext_unigram_nll"].oracle
     sdd = QUERIES["stream_dedup_replay"].oracle
     dsir = QUERIES["ext_importance_weights"].oracle
+    sq = QUERIES["ext_sq_topk"].oracle
+    pq = QUERIES["ext_pq_topk"].oracle
     h_ct = oracle_hash60("clean_text")
     h_sl = oracle_hash60("source || '|' || lang_guess")
     h_tok = oracle_hash60("tok")
@@ -2383,6 +2385,12 @@ SELECT 'unigram_check',
 UNION ALL
 SELECT 'dsir_check',
   CAST(sum((doc_id % 997 + 1) * (logratio_e4 % 1000003)) AS BIGINT) FROM ({dsir})
+UNION ALL
+SELECT 'sq_topk_check',
+  CAST(sum((src % 997 + 1) * (dst % 1000003 + rank * 131)) AS BIGINT) FROM ({sq})
+UNION ALL
+SELECT 'pq_topk_check',
+  CAST(sum((src % 997 + 1) * (dst % 1000003 + rank * 131)) AS BIGINT) FROM ({pq})
 UNION ALL
 SELECT 'stream_dedup_keys', CAST(count(*) AS BIGINT) FROM ({sdd})
 UNION ALL
@@ -2490,6 +2498,21 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ]
+    def _ann_check(metric: str, qname: str) -> DataFrame:
+        return scalar(
+            metric,
+            QUERIES[qname]
+            .fn(spark, sf_dir)
+            .agg(
+                F.sum(
+                    (F.col("src") % 997 + 1)
+                    * (F.col("dst") % 1000003 + F.col("rank") * 131)
+                ).alias("value")
+            ),
+        )
+
+    parts.append(_ann_check("sq_topk_check", "ext_sq_topk"))
+    parts.append(_ann_check("pq_topk_check", "ext_pq_topk"))
     parts.append(
         scalar(
             "dsir_check",
