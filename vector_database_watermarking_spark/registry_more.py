@@ -2409,9 +2409,12 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     sensitive to both membership and df), and the BPE train→encode
     pipeline (total token count + a doc-id-weighted token-count sum,
     so per-doc mismatches cannot cancel), the duplicate-span profile
-    (docs-hit count + a doc-id-weighted span/coverage sum), and the
-    unigram-LM scores (total tokens + a doc-id-weighted NLL-bucket
-    sum). Each oracle side embeds the corresponding full-value oracle
+    (docs-hit count + a doc-id-weighted span/coverage sum), the
+    span-removal rewrite (doc-id-weighted clean-text hash), the
+    unigram-LM scores and DSIR weights (doc-id-weighted integer-bucket
+    sums), the SQ/PQ ANN tiers (query-weighted (dst, rank) sums), and
+    the streaming exact-dedup replay (surviving-key count + hash).
+    Each oracle side embeds the corresponding full-value oracle
     verbatim as a subquery, so a pass here certifies the same
     computation the standalone query would."""
     from .functions.hashing import hash60
