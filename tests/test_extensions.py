@@ -1193,3 +1193,23 @@ def test_bucketed_batches_bounds_padding(spark, sf_dir):
         ).collect()
     }
     assert again == {(r["doc_id"], r["batch_idx"], r["pad_tokens"]) for r in out}
+
+
+def test_multimodal_null_payload_quarantined(spark):
+    """NULL payloads (failed fetches) must never crash a tier: feature
+    tiers emit an empty undecodable row, frame tiers emit nothing."""
+    media = spark.createDataFrame(
+        [(1, None), (2, bytearray(b"ok bytes"))],
+        "media_id long, payload binary",
+    )
+    rich = {r["media_id"]: r for r in multimodal.extract_features(media).collect()}
+    assert rich[1]["n_bytes"] == 0 and not rich[1]["decoded"]
+    fake = {r["media_id"]: r for r in multimodal.extract_features(media, fake=True).collect()}
+    assert fake[1]["n_bytes"] == 0
+    assert multimodal.sample_frames(media).filter(F.col("media_id") == 1).count() == 0
+    assert (
+        multimodal.sample_frames(media, fake=True)
+        .filter(F.col("media_id") == 1)
+        .count()
+        == 0
+    )

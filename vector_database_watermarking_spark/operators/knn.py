@@ -260,8 +260,9 @@ def _exact_knn_broadcast(
                         acc += diff
                 else:
                     # BLAS tier: |q−b|² = |q|² + |b|² − 2·q·b via one
-                    # Gram matmul — measured ~25× the fold loop at a
-                    # 20k base (80 s → ~3 s end to end). Last-ulp
+                    # Gram matmul — measured 3.7× end to end at a 20k
+                    # base (80 s → 22 s; the kernel itself is ~25× but
+                    # selection/Arrow costs remain). Last-ulp
                     # differences vs the fold can flip a 1e-6 rounding
                     # boundary, so graded/oracle paths keep the
                     # default fold tier; this one is for production

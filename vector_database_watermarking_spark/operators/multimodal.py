@@ -8,10 +8,13 @@ operator upgrades itself to whatever the environment provides:
 additionally attempts a real decode dispatched on the magic bytes —
 WAV through the stdlib ``wave`` module (always available), PNG/JPEG
 through Pillow when importable (absent in this container; those
-payloads simply come back ``decoded = false``). The ``fake=True``
-tier keeps the original codec-free schema so the driver-graded query
-is environment-independent. ``sample_frames`` remains an honest stub
-outside the fake tier — video frame extraction has no stdlib path.
+payloads simply come back ``decoded = false``). ``sample_frames``'s
+auto tier likewise really decodes WAV (sample-aligned PCM windows via
+stdlib) and quarantines codec-less payloads by omission — video frame
+extraction has no stdlib path, so such payloads emit no rows rather
+than fake frames. The ``fake=True`` tiers keep the original
+codec-free schemas so the driver-graded query is
+environment-independent.
 
 Scale notes: payloads travel through ``mapInPandas`` as Arrow binary
 arrays (zero-copy batches); feature extraction is embarrassingly
@@ -131,7 +134,9 @@ def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:
             for pdf in batches:
                 out = []
                 for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                    raw = bytes(payload)
+                    # NULL payload (failed fetch): quarantine as an
+                    # empty undecodable blob, never a task crash
+                    raw = b"" if payload is None else bytes(payload)
                     b = np.frombuffer(raw, dtype=np.uint8)
                     header = raw[:3]
                     dec = _try_decode(raw)
@@ -177,8 +182,9 @@ def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:
         for pdf in batches:
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                b = np.frombuffer(bytes(payload), dtype=np.uint8)
-                header = bytes(payload[:3])
+                raw = b"" if payload is None else bytes(payload)
+                b = np.frombuffer(raw, dtype=np.uint8)
+                header = raw[:3]
                 out.append(
                     (
                         int(mid),
@@ -223,6 +229,8 @@ def sample_frames(
             for pdf in batches:
                 mids, idxs, payloads = [], [], []
                 for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                    if payload is None:
+                        continue  # failed fetch: quarantine, don't crash
                     raw = bytes(payload)
                     if not (raw[:4] == b"RIFF" and raw[8:12] == b"WAVE"):
                         continue
@@ -257,7 +265,7 @@ def sample_frames(
         for pdf in batches:
             mids, idxs, payloads = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                raw = bytes(payload)
+                raw = b"" if payload is None else bytes(payload)
                 if len(raw) == 0:
                     continue
                 step = max((len(raw) - frame_bytes) // max(n_frames - 1, 1), 1)

@@ -516,8 +516,10 @@ def unigram_nll_scores(
     order-free, so the result is partitioning-invariant and replayable
     bit-for-bit by any engine computing the same doubles (the 1e-4
     bucket absorbs cross-libm last-ulp log2 differences);
-    ``avg_nll = round(nll_e4_sum / 1e4 / n_tokens, 6)`` derives from
-    those integers.
+    ``avg_nll = nll_e4_sum / 1e4 / n_tokens`` ships UNROUNDED — the
+    quotient of exact integers is already bit-identical across
+    engines, and round() itself diverges on half-way values (see the
+    registry determinism note).
 
     Scale shape: train = one token shuffle; score = explode + an
     equi-join on the token (the vocab side is orders of magnitude
@@ -579,8 +581,12 @@ def importance_weights(
     target side typically a small sample), two broadcast-probe
     scorings of the same exploded token stream, one doc-keyed join.
     """
-    vr = unigram_vocab(docs, text_col)
-    vt = unigram_vocab(target, text_col)
+    # checkpoint both vocabs: each is read twice downstream (totals
+    # aggregate + broadcast probe), and without materialization each
+    # read would re-run a full corpus token shuffle — the same 3→2
+    # scan reduction unigram_nll_scores applies on its trained path
+    vr = unigram_vocab(docs, text_col).localCheckpoint(eager=True)
+    vt = unigram_vocab(target, text_col).localCheckpoint(eager=True)
     raw = unigram_nll_scores(docs, vocab=vr, alpha=alpha, text_col=text_col).select(
         "doc_id", "n_tokens", F.col("nll_e4_sum").alias("_raw_e4")
     )
