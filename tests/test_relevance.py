@@ -202,3 +202,36 @@ def test_hybrid_search_rrf_properties(spark, sf_dir):
         .head()["doc_id"]
     )
     assert any(r["doc_id"] == top_lex for r in rows)
+
+
+def test_hard_negatives_exclude_near_dups(spark, sf_dir):
+    """A planted near-duplicate is the most similar document by
+    construction — it must be excluded from the negatives while
+    ordinary similar docs survive."""
+    from pyspark.sql import functions as F
+
+    from vector_database_watermarking_spark.operators.relevance import hard_negatives
+    from vector_database_watermarking_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    clone = docs.filter(F.col("doc_id") == 3).select(
+        F.lit(9001).alias("doc_id"),
+        F.concat("text", F.lit(" tail")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    corpus = docs.unionByName(clone)
+    q = corpus.filter(F.col("doc_id") == 3).select("doc_id")
+    out = hard_negatives(corpus, q, k=5, jaccard_max=0.5, overfetch=2).collect()
+    assert len(out) == 5
+    dsts = [r["dst"] for r in out]
+    assert 9001 not in dsts  # the near-dup is filtered despite top similarity
+    assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2, 3, 4, 5]
+    # sanity: the clone IS the top cosine candidate before filtering
+    from vector_database_watermarking_spark.operators.embedding import embed_documents
+    from vector_database_watermarking_spark.operators.similarity import cosine_topk
+
+    emb = embed_documents(corpus).select(F.col("doc_id").alias("vec_id"), "embedding")
+    raw = cosine_topk(emb.filter(F.col("vec_id") == 3), emb, k=1).head()
+    assert raw["dst"] == 9001

@@ -205,3 +205,71 @@ def hybrid_search(
             F.round("rrf_score", 6).alias("rrf_score"),
         )
     )
+
+
+def hard_negatives(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    jaccard_max: float = 0.5,
+    overfetch: int = 2,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Hard-negative mining for retrieval/contrastive training: for
+    each query document, the ``k`` most semantically similar corpus
+    documents that are NOT near-duplicates of it — similar enough to
+    be hard, distinct enough to be true negatives (a near-dup used as
+    a negative poisons the contrastive objective; this is the
+    standard mined-negatives + dedup-filter recipe).
+
+    Pipeline (each stage an existing operator): deterministic batch
+    embeddings → exact cosine top-(k·overfetch) candidates →
+    exact n-gram Jaccard on the CANDIDATE PAIRS ONLY (never all
+    pairs) → drop pairs with jaccard ≥ ``jaccard_max`` → re-rank,
+    keep top k. ``queries`` is a (doc_id) relation selecting the
+    query subset of ``docs``.
+
+    Output: (src, dst, cos_sim, rank) — rank 1-based by descending
+    rounded similarity, ties by dst.
+
+    Scale shape: the encoder output is checkpointed (one encoder pass
+    feeds both join sides); candidates come from the tiered cosine
+    top-k (broadcast/blocked — no all-pairs shuffle); the Jaccard
+    stage touches k·overfetch pairs per query, output-bound.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import jaccard_verify, word_shingles
+    from .embedding import embed_documents
+    from .similarity import cosine_topk
+
+    emb = (
+        embed_documents(docs, text_col=text_col)
+        .select(F.col("doc_id").alias("vec_id"), "embedding")
+        .localCheckpoint(eager=True)
+    )
+    qe = emb.join(
+        queries.select(F.col("doc_id").alias("vec_id")), on="vec_id", how="left_semi"
+    )
+    cands = cosine_topk(qe, emb, k=k * overfetch, exclude_self=True)
+    sh = word_shingles(docs, n=n, text_col=text_col)
+    dup = jaccard_verify(
+        cands.select(F.col("src").alias("doc1"), F.col("dst").alias("doc2")),
+        sh,
+        threshold=jaccard_max,
+    ).select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
+    negs = cands.join(dup, on=["src", "dst"], how="left_anti")
+    w = Window.partitionBy("src").orderBy(
+        F.round("cos_sim", 6).desc(), F.col("dst")
+    )
+    return (
+        negs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "src",
+            "dst",
+            F.round("cos_sim", 6).alias("cos_sim"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -1679,3 +1679,91 @@ def ext_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.bucketed_batches(
         docs, batch_size=8, bucket_width=16, n_shards=8, seed=7
     )
+
+
+_HN_COS = """
+list_sum(list_transform(range(1, 65), kk -> a.embedding[kk] * b.embedding[kk]))
+/ (sqrt(list_sum(list_transform(range(1, 65), kk -> a.embedding[kk] * a.embedding[kk])))
+ * sqrt(list_sum(list_transform(range(1, 65), kk -> b.embedding[kk] * b.embedding[kk]))))
+"""
+
+
+@register(
+    "ext_hard_negatives",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS toks
+  FROM documents WHERE doc_id < 300
+),
+tok AS (
+  SELECT doc_id, u.tok FROM t, LATERAL unnest(toks) AS u(tok)
+  WHERE length(u.tok) > 0
+),
+contrib AS (
+  SELECT doc_id, CAST(j.j * 16 + kb.k AS INTEGER) AS dim,
+         SUM(CAST('0x' || substr(md5(concat('enc_', j.j, '_', tok)), kb.k * 2 + 1, 2)
+             AS BIGINT) - 128) AS s
+  FROM tok,
+       LATERAL (SELECT unnest(range(0, 4)) AS j) j,
+       LATERAL (SELECT unnest(range(0, 16)) AS k) kb
+  GROUP BY doc_id, dim
+),
+nrm AS (
+  SELECT doc_id, sqrt(SUM(CAST(s AS DOUBLE) * s)) AS nn FROM contrib GROUP BY doc_id
+),
+vemb AS (
+  SELECT c.doc_id,
+         list(CASE WHEN n.nn = 0 THEN CAST(0 AS DOUBLE) ELSE c.s / n.nn END ORDER BY c.dim) AS embedding
+  FROM contrib c JOIN nrm n USING (doc_id) GROUP BY c.doc_id
+),
+pairs AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst, {_HN_COS} AS cos
+  FROM vemb a CROSS JOIN vemb b
+  WHERE a.doc_id < 40 AND a.doc_id <> b.doc_id
+),
+cand AS (
+  SELECT src, dst, cos,
+         row_number() OVER (PARTITION BY src ORDER BY round(cos, 6) DESC, dst) AS rn
+  FROM pairs QUALIFY rn <= 10
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+  FROM t, LATERAL (SELECT unnest(range(1, greatest(len(toks) - 2, 1) + 1)) AS i)
+  WHERE length(array_to_string(toks[i:i+2], ' ')) > 0
+),
+ssz AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.src, c.dst, count(*) AS ni
+  FROM cand c
+  JOIN sh s1 ON s1.doc_id = c.src
+  JOIN sh s2 ON s2.doc_id = c.dst AND s2.shingle = s1.shingle
+  GROUP BY c.src, c.dst
+),
+dup AS (
+  SELECT i.src, i.dst
+  FROM inter i JOIN ssz za ON za.doc_id = i.src JOIN ssz zb ON zb.doc_id = i.dst
+  WHERE i.ni / CAST(za.nsh + zb.nsh - i.ni AS DOUBLE) >= 0.5
+),
+kept AS (
+  SELECT c.src, c.dst, c.cos FROM cand c
+  ANTI JOIN dup d ON c.src = d.src AND c.dst = d.dst
+)
+SELECT src, dst, round(cos, 6) AS cos_sim,
+       CAST(row_number() OVER (PARTITION BY src ORDER BY round(cos, 6) DESC, dst) AS INTEGER) AS rank
+FROM kept
+QUALIFY rank <= 5
+""",
+)
+def ext_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (``relevance.hard_negatives``): per query
+    doc, the 5 most cosine-similar corpus docs that are NOT near-
+    duplicates (candidate top-10, exact-Jaccard filter at 0.5,
+    re-rank). The oracle replays the deterministic encoder, the
+    cosine fold, the candidate ranking, the pair-only Jaccard, and
+    the final re-rank — the full embeddings→ANN→dedup-filter
+    composition in one value-hashed query."""
+    from .operators.relevance import hard_negatives
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    q = docs.filter(F.col("doc_id") < 40).select("doc_id")
+    return hard_negatives(docs, q, k=5, jaccard_max=0.5, overfetch=2)
