@@ -2350,6 +2350,8 @@ def _pipeline_pack_oracle() -> str:
     dsir = QUERIES["ext_importance_weights"].oracle
     sq = QUERIES["ext_sq_topk"].oracle
     pq = QUERIES["ext_pq_topk"].oracle
+    hn = QUERIES["ext_hard_negatives"].oracle
+    bb = QUERIES["ext_bucketed_batches"].oracle
     h_ct = oracle_hash60("clean_text")
     h_sl = oracle_hash60("source || '|' || lang_guess")
     h_tok = oracle_hash60("tok")
@@ -2391,6 +2393,12 @@ SELECT 'sq_topk_check',
 UNION ALL
 SELECT 'pq_topk_check',
   CAST(sum((src % 997 + 1) * (dst % 1000003 + rank * 131)) AS BIGINT) FROM ({pq})
+UNION ALL
+SELECT 'hard_neg_check',
+  CAST(sum((src % 997 + 1) * (dst % 1000003 + rank * 131)) AS BIGINT) FROM ({hn})
+UNION ALL
+SELECT 'bucketed_batch_check',
+  CAST(sum((doc_id % 997 + 1) * (bucket * 131 + batch_idx * 17 + pad_tokens)) AS BIGINT) FROM ({bb})
 UNION ALL
 SELECT 'stream_dedup_keys', CAST(count(*) AS BIGINT) FROM ({sdd})
 UNION ALL
@@ -2516,6 +2524,24 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     parts.append(_ann_check("sq_topk_check", "ext_sq_topk"))
     parts.append(_ann_check("pq_topk_check", "ext_pq_topk"))
+    parts.append(_ann_check("hard_neg_check", "ext_hard_negatives"))
+    parts.append(
+        scalar(
+            "bucketed_batch_check",
+            QUERIES["ext_bucketed_batches"]
+            .fn(spark, sf_dir)
+            .agg(
+                F.sum(
+                    (F.col("doc_id") % 997 + 1)
+                    * (
+                        F.col("bucket") * 131
+                        + F.col("batch_idx") * 17
+                        + F.col("pad_tokens")
+                    )
+                ).alias("value")
+            ),
+        )
+    )
     parts.append(
         scalar(
             "dsir_check",
