@@ -1213,3 +1213,24 @@ def test_multimodal_null_payload_quarantined(spark):
         .count()
         == 0
     )
+
+
+def test_char_entropy_hand_computed(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(0, "aaaa"), (1, "abab"), (2, "abcd"), (3, "   ")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.char_entropy(docs).collect()}
+    # doc 3 normalizes to "" -> no row
+    assert set(out) == {0, 1, 2}
+    assert out[0]["entropy_e4"] == 0  # single class
+    def e4(counts, t):
+        return sum(
+            math.floor((c / t) * (-math.log2(c / t)) * 10000 + 0.5) for c in counts
+        )
+    assert out[1]["entropy_e4"] == e4([2, 2], 4)   # 1 bit
+    assert out[2]["entropy_e4"] == e4([1, 1, 1, 1], 4)  # 2 bits
+    assert out[2]["entropy"] == out[2]["entropy_e4"] / 1e4
+    assert out[2]["entropy"] > out[1]["entropy"] > out[0]["entropy"]

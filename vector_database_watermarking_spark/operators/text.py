@@ -602,3 +602,53 @@ def importance_weights(
         # why rounding would be LESS deterministic here
         (diff / F.lit(10000.0) / F.col("n_tokens")).alias("avg_logratio"),
     )
+
+
+def char_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Shannon entropy of the character distribution —
+    the cheap gibberish / low-diversity detector quality pipelines pair
+    with the token-level signals (near-zero entropy = repeated-char
+    junk; implausibly high = random bytes/base64 blobs).
+
+    Per-character-class terms ``p·(−log2 p)`` are floored into integer
+    1e-4 buckets and summed — order-free exact integers, so the score
+    is partitioning-invariant and SQL-replayable; ``entropy`` is the
+    raw (deterministic) division of those integers. Documents whose
+    normalized text is empty emit no row.
+
+    Scale shape: one char explode (bounded by text length), one
+    (doc, char) partial-aggregated shuffle over ≤ alphabet-size rows
+    per doc, one doc-keyed join for the length, one doc rollup.
+    """
+    nparts = docs.sparkSession.sparkContext.defaultParallelism
+    # materialize the normalized text behind an exchange — the per-char
+    # substr lambda would otherwise re-run the normalization regex per
+    # character (the word_shingles O(len²) hazard)
+    base = docs.select(
+        "doc_id",
+        normalize_text(text_col).alias("_t"),
+    ).repartition(nparts, "doc_id")
+    base = base.withColumn("n_chars", F.length("_t"))
+    chars = base.select(
+        "doc_id",
+        "n_chars",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.col("n_chars"), F.lit(1))),
+                lambda i: F.col("_t").substr(i, F.lit(1)),
+            )
+        ).alias("ch"),
+    ).filter(F.length("ch") > 0)
+    cnt = chars.groupBy("doc_id", "n_chars", "ch").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    p = F.col("c") / F.col("n_chars")
+    term = F.floor(p * (-F.log2(p)) * 10000 + F.lit(0.5)).cast("long")
+    return cnt.groupBy("doc_id", "n_chars").agg(
+        F.sum(term).alias("entropy_e4")
+    ).select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "entropy_e4",
+        (F.col("entropy_e4") / F.lit(10000.0)).alias("entropy"),
+    )

@@ -1767,3 +1767,34 @@ def ext_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     q = docs.filter(F.col("doc_id") < 40).select("doc_id")
     return hard_negatives(docs, q, k=5, jaccard_max=0.5, overfetch=2)
+
+
+@register(
+    "ext_char_entropy",
+    oracle=f"""
+WITH b AS (SELECT doc_id, {_NORM} AS t2 FROM documents),
+ch AS (
+  SELECT doc_id, length(t2) AS n_chars,
+         substr(t2, CAST(i.i AS INTEGER), 1) AS c1
+  FROM b, LATERAL (SELECT unnest(range(1, greatest(length(t2), 1) + 1)) AS i) i
+  WHERE length(substr(t2, CAST(i.i AS INTEGER), 1)) > 0
+),
+cnt AS (SELECT doc_id, n_chars, c1, count(*) AS c FROM ch GROUP BY doc_id, n_chars, c1),
+e AS (
+  SELECT doc_id, n_chars,
+         CAST(sum(floor((c / CAST(n_chars AS DOUBLE))
+                        * (-log2(c / CAST(n_chars AS DOUBLE))) * 10000 + 0.5)) AS BIGINT) AS entropy_e4
+  FROM cnt GROUP BY doc_id, n_chars
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, entropy_e4,
+       entropy_e4 / 10000.0 AS entropy
+FROM e
+""",
+)
+def ext_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality signal (``text.char_entropy``):
+    per-class 1e-4-bucketed Shannon terms summed as integers. The
+    oracle replays the char explode, class counts, and bucketed
+    terms."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.char_entropy(docs)
