@@ -2351,6 +2351,7 @@ def _pipeline_pack_oracle() -> str:
     sq = QUERIES["ext_sq_topk"].oracle
     pq = QUERIES["ext_pq_topk"].oracle
     hn = QUERIES["ext_hard_negatives"].oracle
+    ce = QUERIES["ext_char_entropy"].oracle
     bb = QUERIES["ext_bucketed_batches"].oracle
     h_ct = oracle_hash60("clean_text")
     h_sl = oracle_hash60("source || '|' || lang_guess")
@@ -2393,6 +2394,9 @@ SELECT 'sq_topk_check',
 UNION ALL
 SELECT 'pq_topk_check',
   CAST(sum((src % 997 + 1) * (dst % 1000003 + rank * 131)) AS BIGINT) FROM ({pq})
+UNION ALL
+SELECT 'char_entropy_check',
+  CAST(sum((doc_id % 997 + 1) * (entropy_e4 % 1000003)) AS BIGINT) FROM ({ce})
 UNION ALL
 SELECT 'hard_neg_check',
   CAST(sum((src % 997 + 1) * (dst % 1000003 + rank * 131)) AS BIGINT) FROM ({hn})
@@ -2524,6 +2528,18 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     parts.append(_ann_check("sq_topk_check", "ext_sq_topk"))
     parts.append(_ann_check("pq_topk_check", "ext_pq_topk"))
+    parts.append(
+        scalar(
+            "char_entropy_check",
+            QUERIES["ext_char_entropy"]
+            .fn(spark, sf_dir)
+            .agg(
+                F.sum(
+                    (F.col("doc_id") % 997 + 1) * (F.col("entropy_e4") % 1000003)
+                ).alias("value")
+            ),
+        )
+    )
     parts.append(_ann_check("hard_neg_check", "ext_hard_negatives"))
     parts.append(
         scalar(
