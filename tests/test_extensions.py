@@ -1234,3 +1234,44 @@ def test_char_entropy_hand_computed(spark):
     assert out[2]["entropy_e4"] == e4([1, 1, 1, 1], 4)  # 2 bits
     assert out[2]["entropy"] == out[2]["entropy_e4"] / 1e4
     assert out[2]["entropy"] > out[1]["entropy"] > out[0]["entropy"]
+
+
+def test_bucketed_batches_matches_pure_python(spark, sf_dir):
+    """Full differential: shard routing, bucketing, ordering, batch
+    cuts, and per-batch max must equal a direct reference built from
+    the same keyed md5 hash."""
+    import hashlib
+    import math
+    import re
+
+    from vector_database_watermarking_spark.operators import packing
+
+    d = docs(spark, sf_dir).limit(150).select("doc_id", "text").collect()
+    ref_rows = []
+    for r in d:
+        toks = re.sub(r"\s+", " ", r["text"].lower()).strip().split(" ")
+        k = int(hashlib.md5(f"bb_7_{r['doc_id']}".encode()).hexdigest()[:15], 16)
+        ref_rows.append((r["doc_id"], len(toks), k, k % 8, math.ceil(len(toks) / 16)))
+    expected = {}
+    groups: dict = {}
+    for doc_id, n, k, shard, bucket in ref_rows:
+        groups.setdefault((shard, bucket), []).append((k, doc_id, n))
+    for (shard, bucket), members in groups.items():
+        members.sort()
+        for i, (k, doc_id, n) in enumerate(members):
+            bidx = i // 8
+            batch = members[bidx * 8 : (bidx + 1) * 8]
+            bmax = max(m[2] for m in batch)
+            expected[doc_id] = (shard, bucket, bidx, bmax, bmax - n)
+    df = docs(spark, sf_dir).limit(150)
+    got = {
+        r["doc_id"]: (
+            r["shard"],
+            r["bucket"],
+            r["batch_idx"],
+            r["batch_max_tokens"],
+            r["pad_tokens"],
+        )
+        for r in packing.bucketed_batches(df, batch_size=8, bucket_width=16).collect()
+    }
+    assert got == expected
