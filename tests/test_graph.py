@@ -243,3 +243,22 @@ def test_triangle_counts_ignores_one_way_edges(spark):
     out = triangle_counts(edges, nodes).collect()
     assert all(r["n_triangles"] == 0 for r in out)
     assert {r["vec_id"]: r["degree"] for r in out} == {0: 1, 1: 2, 2: 1}
+
+
+def test_k_core_matches_bruteforce_and_tiers(spark, monkeypatch):
+    """k-core on a hand-built graph: triangle+tail — the tail peels
+    off, the triangle survives at k=2; driver and distributed tiers
+    agree."""
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    sym = edges + [(b, a) for a, b in edges]
+    e = spark.createDataFrame(sym, "src long, dst long")
+    out = {r["vec_id"]: r["core_degree"] for r in graph.k_core(e, k=2).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}  # 4-5 tail peeled, triangle stays
+    # force the distributed loop and compare
+    from vector_database_watermarking_spark.operators import knn as knn_mod
+
+    monkeypatch.setattr(knn_mod, "MAX_BROADCAST_ROWS", 2)
+    dist = {r["vec_id"]: r["core_degree"] for r in graph.k_core(e, k=2).collect()}
+    assert dist == out
+    # k above the max degree empties the core on both tiers
+    assert graph.k_core(e, k=4).count() == 0

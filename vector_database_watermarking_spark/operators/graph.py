@@ -632,3 +632,67 @@ def triangle_counts(edges: DataFrame, nodes: DataFrame) -> DataFrame:
             d >= 2, F.round(2.0 * t / (d * (d - 1)), 6)
         ).otherwise(F.lit(0.0)).alias("clustering"),
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 3,
+    max_iter: int = 50,
+) -> DataFrame:
+    """k-core decomposition of the (symmetric) graph: iteratively
+    remove every node of degree < k until the remaining subgraph's
+    minimum degree is ≥ k. The k-core is the unique maximal such
+    subgraph, so the result is independent of peeling order — parallel
+    per-round peeling (remove ALL under-degree nodes each round)
+    converges to the same fixpoint. Output: (vec_id, core_degree) —
+    one row per surviving node with its degree INSIDE the core.
+
+    ``edges`` must be symmetric (both directions present), e.g. the
+    mutual-kNN edge table.
+
+    Tiered like the components loop: while the edge list fits the
+    broadcast cap, a driver peel runs in microseconds (the distributed
+    loop pays ~2 scheduled jobs per round); past the cap, per round
+    ONE degree aggregation plus two anti-joins against the (small,
+    shrinking) removed-node set, ``localCheckpoint`` per round to cut
+    lineage. Rounds are bounded by the degeneracy ordering length —
+    O(peel depth), not O(n).
+    """
+    from .knn import probe_collect
+
+    sess = edges.sparkSession
+    rows = probe_collect(edges.select("src", "dst"))
+    if rows is not None:
+        adj: dict = {}
+        for r in rows:
+            adj.setdefault(r["src"], set()).add(r["dst"])
+        changed = True
+        while changed:
+            changed = False
+            for node in [n for n, nb in adj.items() if len(nb) < k]:
+                for nb in adj.pop(node):
+                    if nb in adj:
+                        adj[nb].discard(node)
+                changed = True
+        return sess.createDataFrame(
+            [(n, len(nb)) for n, nb in adj.items()],
+            "vec_id long, core_degree long",
+        )
+
+    cur = edges.select("src", "dst").localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
+        bad = deg.filter(F.col("_d") < k).select("src").localCheckpoint(eager=True)
+        if not bad.take(1):
+            break
+        nxt = (
+            cur.join(bad, on="src", how="left_anti")
+            .join(bad.select(F.col("src").alias("dst")), on="dst", how="left_anti")
+            .localCheckpoint(eager=True)
+        )
+        cur = nxt
+    return (
+        cur.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .select(F.col("src").alias("vec_id"), "core_degree")
+    )

@@ -2585,3 +2585,61 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in parts[1:]:
         out = out.unionByName(df)
     return out
+
+
+def _kcore_oracle(k: int = 6, rounds: int = 12) -> str:
+    """Unrolled parallel-peel replay: each round keeps nodes of degree
+    ≥ k on the current edge set and restricts edges to kept endpoints.
+    The peel converges in ≤ 8 rounds on both fixture scale factors
+    (measured); extra unrolled rounds are no-ops at the fixpoint, so
+    12 rounds replays the Spark loop's converged answer exactly.
+    Every stage is MATERIALIZED — default CTE inlining would expand
+    the round chain exponentially (each round reads its predecessor
+    twice), re-opening the parquet scan 2^rounds times."""
+    parts = [
+        """
+mutual AS MATERIALIZED (
+  SELECT e1.src, e1.dst FROM edges e1
+  JOIN edges e2 ON e1.src = e2.dst AND e1.dst = e2.src
+),
+m0 AS MATERIALIZED (SELECT src, dst FROM mutual)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""
+r{i} AS MATERIALIZED (
+  SELECT src FROM (SELECT src, count(*) AS c FROM m{i-1} GROUP BY src)
+  WHERE c >= {k}
+),
+m{i} AS MATERIALIZED (
+  SELECT m.src, m.dst FROM m{i-1} m
+  JOIN r{i} a ON m.src = a.src
+  JOIN r{i} b ON m.dst = b.src
+)"""
+        )
+    return (
+        _knn_cte()
+        + ","
+        + ",".join(parts)
+        + f"""
+SELECT src AS vec_id, CAST(count(*) AS BIGINT) AS core_degree
+FROM m{rounds} GROUP BY src
+"""
+    )
+
+
+@register("ext_graph_kcore", oracle=_kcore_oracle())
+def ext_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition of the mutual-kNN graph (extension —
+    ``operators.graph.k_core``): the maximal subgraph of minimum
+    degree ≥ 6, found by iterative parallel peeling (driver tier under
+    the broadcast cap; per-round degree-aggregate + anti-join loop
+    past it). The oracle replays the peel round for round — another
+    iterative algorithm graded by value hash, not rows-only."""
+    from .operators import graph, knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = knn.knn_edges(emb, k=K).select("src", "dst")
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    mutual = e.join(rev, on=["src", "dst"], how="left_semi")
+    return graph.k_core(mutual, k=6)
