@@ -542,8 +542,19 @@ def unigram_nll_scores(
         F.col("T") + F.lit(alpha) * (F.col("V") + 1)
     )
     e4 = F.floor(-F.log2(p) * 10000 + F.lit(0.5)).cast("long")
+    # probe the vocab against the shared broadcast budget before
+    # hinting: a production-scale corpus vocabulary can exceed the
+    # driver/broadcast budget, and an unconditional hint would fail
+    # the job instead of degrading — past the cap, leave the strategy
+    # to AQE (sort-merge / shuffled-hash on the token key)
+    from .knn import MAX_BROADCAST_ROWS
+
+    vocab_fits = (
+        vocab.limit(MAX_BROADCAST_ROWS + 1).count() <= MAX_BROADCAST_ROWS
+    )
+    vside = F.broadcast(vocab) if vocab_fits else vocab
     scored = (
-        u.join(F.broadcast(vocab), on="tok", how="left")
+        u.join(vside, on="tok", how="left")
         .crossJoin(F.broadcast(tot))
         .select("doc_id", e4.alias("e4"))
     )
@@ -629,15 +640,15 @@ def char_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
         normalize_text(text_col).alias("_t"),
     ).repartition(nparts, "doc_id")
     base = base.withColumn("n_chars", F.length("_t"))
+    # split-on-empty-regex chunks the string into its characters in ONE
+    # head-to-tail pass; the earlier per-position substr(i, 1) variant
+    # was O(len²) per document (UTF8String substring scans from the
+    # string head every call), which broke the "bounded by text
+    # length" scale shape for long documents
     chars = base.select(
         "doc_id",
         "n_chars",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.col("n_chars"), F.lit(1))),
-                lambda i: F.col("_t").substr(i, F.lit(1)),
-            )
-        ).alias("ch"),
+        F.explode(F.split(F.col("_t"), "")).alias("ch"),
     ).filter(F.length("ch") > 0)
     cnt = chars.groupBy("doc_id", "n_chars", "ch").agg(
         F.count(F.lit(1)).alias("c")
