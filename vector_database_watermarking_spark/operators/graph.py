@@ -638,6 +638,7 @@ def k_core(
     edges: DataFrame,
     k: int = 3,
     max_iter: int = 50,
+    dedup: bool = True,
 ) -> DataFrame:
     """k-core decomposition of the (symmetric) graph: iteratively
     remove every node of degree < k until the remaining subgraph's
@@ -648,7 +649,13 @@ def k_core(
     one row per surviving node with its degree INSIDE the core.
 
     ``edges`` must be symmetric (both directions present), e.g. the
-    mutual-kNN edge table.
+    mutual-kNN edge table. With ``dedup=True`` (default) the edge list
+    is made distinct first, so both tiers define degree as the number
+    of DISTINCT neighbors even on multigraph input (the driver tier's
+    adjacency sets dedup implicitly; without this the distributed
+    tier's raw row-count degree would diverge on duplicate edges).
+    Callers that guarantee duplicate-free edges can pass
+    ``dedup=False`` to skip the extra shuffle.
 
     Tiered like the components loop: while the edge list fits the
     broadcast cap, a driver peel runs in microseconds (the distributed
@@ -661,7 +668,10 @@ def k_core(
     from .knn import probe_collect
 
     sess = edges.sparkSession
-    rows = probe_collect(edges.select("src", "dst"))
+    edges = edges.select("src", "dst")
+    if dedup:
+        edges = edges.distinct()
+    rows = probe_collect(edges)
     if rows is not None:
         adj: dict = {}
         for r in rows:
@@ -679,11 +689,13 @@ def k_core(
             "vec_id long, core_degree long",
         )
 
-    cur = edges.select("src", "dst").localCheckpoint(eager=True)
+    cur = edges.localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iter):
         deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
         bad = deg.filter(F.col("_d") < k).select("src").localCheckpoint(eager=True)
         if not bad.take(1):
+            converged = True
             break
         nxt = (
             cur.join(bad, on="src", how="left_anti")
@@ -691,6 +703,17 @@ def k_core(
             .localCheckpoint(eager=True)
         )
         cur = nxt
+    if not converged:
+        # a silent max_iter exit would return a subgraph that still
+        # contains under-degree nodes — not a k-core at all
+        import warnings
+
+        warnings.warn(
+            f"k_core: peel did not reach a fixpoint within max_iter="
+            f"{max_iter} rounds; result may contain nodes of degree < {k}",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return (
         cur.groupBy("src")
         .agg(F.count(F.lit(1)).alias("core_degree"))

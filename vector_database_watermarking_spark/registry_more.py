@@ -2329,6 +2329,58 @@ def ext_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(docs, merges).select("doc_id", "n_tokens")
 
 
+def _kcore_oracle(k: int = 6, rounds: int = 12) -> str:
+    """Unrolled parallel-peel replay: each round keeps nodes of degree
+    ≥ k on the current edge set and restricts edges to kept endpoints.
+    The peel converges in ≤ 8 rounds on both fixture scale factors
+    (measured); extra unrolled rounds are no-ops at the fixpoint, so
+    12 rounds replays the Spark loop's converged answer exactly.
+    Every stage is MATERIALIZED — default CTE inlining would expand
+    the round chain exponentially (each round reads its predecessor
+    twice), re-opening the parquet scan 2^rounds times.
+
+    Fixpoint assertion: the peel shrinks the edge multiset
+    monotonically, so equal edge counts in the last two unrolled
+    rounds prove convergence. If a future fixture or k needs more
+    than ``rounds`` peels, the guard emits a sentinel row (-1, -1)
+    that the Spark side can never produce — the compare then fails
+    LOUDLY on row count instead of silently diverging from a
+    still-correct deeper-converging Spark answer."""
+    parts = [
+        """
+mutual AS MATERIALIZED (
+  SELECT e1.src, e1.dst FROM edges e1
+  JOIN edges e2 ON e1.src = e2.dst AND e1.dst = e2.src
+),
+m0 AS MATERIALIZED (SELECT src, dst FROM mutual)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""
+r{i} AS MATERIALIZED (
+  SELECT src FROM (SELECT src, count(*) AS c FROM m{i-1} GROUP BY src)
+  WHERE c >= {k}
+),
+m{i} AS MATERIALIZED (
+  SELECT m.src, m.dst FROM m{i-1} m
+  JOIN r{i} a ON m.src = a.src
+  JOIN r{i} b ON m.dst = b.src
+)"""
+        )
+    return (
+        _knn_cte()
+        + ","
+        + ",".join(parts)
+        + f"""
+SELECT src AS vec_id, CAST(count(*) AS BIGINT) AS core_degree
+FROM m{rounds} GROUP BY src
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+WHERE (SELECT count(*) FROM m{rounds - 1}) <> (SELECT count(*) FROM m{rounds})
+"""
+    )
+
+
 # ------------------------------------------------- pipeline coverage pack
 #
 # Registered LAST in this module so it can embed the oracles of the
@@ -2353,9 +2405,14 @@ def _pipeline_pack_oracle() -> str:
     hn = QUERIES["ext_hard_negatives"].oracle
     ce = QUERIES["ext_char_entropy"].oracle
     bb = QUERIES["ext_bucketed_batches"].oracle
+    kc = _kcore_oracle()
+    cube = QUERIES["rel_orders_cube"].oracle
     h_ct = oracle_hash60("clean_text")
     h_sl = oracle_hash60("source || '|' || lang_guess")
     h_tok = oracle_hash60("tok")
+    h_grp = oracle_hash60(
+        "coalesce(o_orderpriority, '~') || '|' || coalesce(o_orderstatus, '~')"
+    )
     return f"""
 SELECT 'profile_rows' AS metric, CAST(count(*) AS BIGINT) AS value FROM ({prof})
 UNION ALL
@@ -2408,6 +2465,17 @@ SELECT 'stream_dedup_keys', CAST(count(*) AS BIGINT) FROM ({sdd})
 UNION ALL
 SELECT 'stream_dedup_keyhash',
   CAST(sum(content_key % 1000003) AS BIGINT) FROM ({sdd})
+UNION ALL
+SELECT 'kcore_members', CAST(count(*) AS BIGINT) FROM ({kc})
+UNION ALL
+SELECT 'kcore_check',
+  CAST(sum((vec_id % 997 + 1) * (core_degree % 1000003)) AS BIGINT) FROM ({kc})
+UNION ALL
+SELECT 'cube_rows', CAST(count(*) AS BIGINT) FROM ({cube})
+UNION ALL
+SELECT 'cube_check',
+  CAST(sum(({h_grp} % 1000003) + n_orders
+           + CAST(floor(total * 100 + 0.5) AS BIGINT)) AS BIGINT) FROM ({cube})
 """
 
 
@@ -2424,8 +2492,13 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs-hit count + a doc-id-weighted span/coverage sum), the
     span-removal rewrite (doc-id-weighted clean-text hash), the
     unigram-LM scores and DSIR weights (doc-id-weighted integer-bucket
-    sums), the SQ/PQ ANN tiers (query-weighted (dst, rank) sums), and
-    the streaming exact-dedup replay (surviving-key count + hash).
+    sums), the SQ/PQ ANN tiers (query-weighted (dst, rank) sums), the
+    streaming exact-dedup replay (surviving-key count + hash), the
+    k-core decomposition (member count + node-weighted core-degree
+    sum against the unrolled-peel oracle with its fixpoint guard), and
+    the CUBE rollup (grouping-set row count + a per-group sum of
+    sentinel-coalesced group hash, order count, and cent-scaled
+    total).
     Each oracle side embeds the corresponding full-value oracle
     verbatim as a subquery, so a pass here certifies the same
     computation the standalone query would."""
@@ -2581,51 +2654,48 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             sdd.agg(F.sum(F.col("content_key") % 1000003).alias("value")),
         )
     )
+    kc = QUERIES["ext_graph_kcore"].fn(spark, sf_dir)
+    parts.append(scalar("kcore_members", kc.agg(F.count(F.lit(1)).alias("value"))))
+    parts.append(
+        scalar(
+            "kcore_check",
+            kc.agg(
+                F.sum(
+                    (F.col("vec_id") % 997 + 1) * (F.col("core_degree") % 1000003)
+                ).alias("value")
+            ),
+        )
+    )
+    cube = QUERIES["rel_orders_cube"].fn(spark, sf_dir)
+    # grouping-set NULL markers hashed through an explicit sentinel so
+    # the Spark concat and the DuckDB || expression agree on NULL rows
+    h_grp = (
+        hash60(
+            F.concat_ws(
+                "|",
+                F.coalesce(F.col("o_orderpriority"), F.lit("~")),
+                F.coalesce(F.col("o_orderstatus"), F.lit("~")),
+            )
+        )
+        % 1000003
+    )
+    parts.append(scalar("cube_rows", cube.agg(F.count(F.lit(1)).alias("value"))))
+    parts.append(
+        scalar(
+            "cube_check",
+            cube.agg(
+                F.sum(
+                    h_grp
+                    + F.col("n_orders")
+                    + F.floor(F.col("total") * 100 + F.lit(0.5)).cast("long")
+                ).alias("value")
+            ),
+        )
+    )
     out = parts[0]
     for df in parts[1:]:
         out = out.unionByName(df)
     return out
-
-
-def _kcore_oracle(k: int = 6, rounds: int = 12) -> str:
-    """Unrolled parallel-peel replay: each round keeps nodes of degree
-    ≥ k on the current edge set and restricts edges to kept endpoints.
-    The peel converges in ≤ 8 rounds on both fixture scale factors
-    (measured); extra unrolled rounds are no-ops at the fixpoint, so
-    12 rounds replays the Spark loop's converged answer exactly.
-    Every stage is MATERIALIZED — default CTE inlining would expand
-    the round chain exponentially (each round reads its predecessor
-    twice), re-opening the parquet scan 2^rounds times."""
-    parts = [
-        """
-mutual AS MATERIALIZED (
-  SELECT e1.src, e1.dst FROM edges e1
-  JOIN edges e2 ON e1.src = e2.dst AND e1.dst = e2.src
-),
-m0 AS MATERIALIZED (SELECT src, dst FROM mutual)"""
-    ]
-    for i in range(1, rounds + 1):
-        parts.append(
-            f"""
-r{i} AS MATERIALIZED (
-  SELECT src FROM (SELECT src, count(*) AS c FROM m{i-1} GROUP BY src)
-  WHERE c >= {k}
-),
-m{i} AS MATERIALIZED (
-  SELECT m.src, m.dst FROM m{i-1} m
-  JOIN r{i} a ON m.src = a.src
-  JOIN r{i} b ON m.dst = b.src
-)"""
-        )
-    return (
-        _knn_cte()
-        + ","
-        + ",".join(parts)
-        + f"""
-SELECT src AS vec_id, CAST(count(*) AS BIGINT) AS core_degree
-FROM m{rounds} GROUP BY src
-"""
-    )
 
 
 @register("ext_graph_kcore", oracle=_kcore_oracle())
