@@ -87,6 +87,26 @@ def test_zorder_bounds_file_span_on_both_dims(spark, bits):
         assert len(got) == side * side
 
 
+def test_zorder_auto_tier_picks_binned_past_cap(spark):
+    """Default (exact=None) tier selection: under the cap the exact
+    ntile tier runs; past the cap the plan must contain NO global
+    ntile window — the scale tier engages without any caller flag."""
+    side = 64
+    grid = spark.range(side * side).select(
+        (F.col("id") % side).alias("x"),
+        (F.col("id") / side).cast("long").alias("y"),
+    )
+    small = maintenance.zorder_by(grid, "x", "y", n_files=4, bits=3)
+    assert "ntile" in small._jdf.queryExecution().executedPlan().toString().lower()
+    big = maintenance.zorder_by(
+        grid, "x", "y", n_files=4, bits=3, exact_max_rows=100
+    )
+    plan = big._jdf.queryExecution().executedPlan().toString()
+    assert "ntile" not in plan.lower(), plan
+    # both tiers preserve the data exactly
+    assert big.count() == side * side
+
+
 def test_zorder_binned_tier_bounds_spans_without_global_window(spark):
     """The broadcast-quantile tier must produce the same layout
     property (bounded per-file span on both dims) with NO global

