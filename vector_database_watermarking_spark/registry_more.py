@@ -2713,3 +2713,418 @@ def ext_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     mutual = e.join(rev, on=["src", "dst"], how="left_semi")
     return graph.k_core(mutual, k=6)
+
+
+# ----------------------------------------------- streaming replay gates
+#
+# Bounded batch-replays in the stream_cdc_replay / stream_dedup_replay
+# style for the four streaming operators that had no driver-graded
+# form through round 5: the stream-stream interval join, streaming
+# detection, ingestion dedup (exact + band candidates), and streaming
+# curation. Each drives the REAL Structured Streaming operator through
+# a file source (one file per trigger) into a memory sink, constructed
+# so the converged result is file-discovery-order independent — the
+# oracle is then plain batch SQL over the same inputs.
+
+from .registry import L  # noqa: E402
+from .registry_ext import _NORM, _hash60_sql, _lang_score_sql  # noqa: E402
+
+
+def _scratch_dir(tag: str, sf_dir: str) -> str:
+    return _os.path.join(
+        "/root/repo/_scratch", f"{tag}_{_os.path.basename(sf_dir.rstrip('/'))}"
+    )
+
+
+def _sink_name(tag: str, sf_dir: str) -> str:
+    base = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    return f"{tag}_sink_{base}"
+
+
+def _drain_to_memory(
+    stream_df: DataFrame, name: str, mode: str, state_partitions: int = 4
+) -> None:
+    """Run a stream to completion against a memory sink. Stateful
+    operators provision one state store (four for a stream-stream
+    join) per shuffle partition per trigger; at replay scale (three
+    tiny files) that lifecycle dominates wall time, so the shuffle
+    partition count is pinned low for the streaming query only (state
+    partitioning is fixed at query start; the session value is
+    restored after, leaving batch queries untouched)."""
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def _write_batches(df: DataFrame, key_col: str, out_dir: str, n: int = 3) -> None:
+    """Split ``df`` into ``n`` single-file micro-batches keyed on
+    ``key_col % n`` (deterministic membership; discovery order is the
+    only nondeterminism left, and each replay below is constructed to
+    be insensitive to it)."""
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    for b in range(n):
+        (
+            df.filter(F.pmod(F.col(key_col), F.lit(n)) == b)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+
+@register(
+    "stream_interval_join_replay",
+    oracle="""
+WITH v AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT v.user_id AS user_id, v.event_id AS view_id, v.ts AS view_ts,
+       p.event_id AS purchase_id, p.ts AS purchase_ts,
+       p.value AS purchase_value
+FROM v JOIN p ON v.user_id = p.user_id
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+""",
+)
+def stream_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (``streaming.joins``) graded
+    end-to-end: the events table's view and purchase slices are
+    replayed through two file-source streams (one file per trigger,
+    three files each) into the watermarked interval join, append-mode
+    memory sink. The watermark delay (365 days) exceeds the fixture's
+    whole time span, so no buffered row is ever evicted before its
+    matches arrive and the converged append output equals the batch
+    interval join EXACTLY regardless of file-discovery order — which
+    is what the oracle computes. (Watermark-bounded state eviction
+    itself is pytest-covered where arrival order is controlled.)"""
+    from .streaming import joins as sjoins
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    scratch = _scratch_dir("sij", sf_dir)
+    _write_batches(views, "event_id", _os.path.join(scratch, "views"))
+    _write_batches(purchases, "event_id", _os.path.join(scratch, "purchases"))
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    vs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_os.path.join(scratch, "views"))
+    )
+    ps = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_os.path.join(scratch, "purchases"))
+    )
+    out = sjoins.attribution_join_streams(
+        vs, ps, horizon="1 hour", watermark="365 days"
+    )
+    name = _sink_name("sij", sf_dir)
+    spark.catalog.dropTempView(name)
+    _drain_to_memory(out, name, "append")
+    return spark.table(name)
+
+
+@register(
+    "stream_detection_replay",
+    oracle=QUERIES["a1_group_classify"].oracle,
+)
+def stream_detection_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming watermark detection (``streaming.detection``) graded
+    end-to-end: the embeddings table replayed through a file source
+    (one file per trigger, three files) into the incremental
+    group/classify aggregate, complete-mode memory sink. The running
+    (group_id, hidden_bit) counts are a pure aggregation over all rows
+    seen, so the converged snapshot is arrival-order independent and
+    the oracle is EXACTLY the batch A1 query's oracle — stream and
+    batch detection must agree bit for bit."""
+    from .streaming import detection
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scratch = _scratch_dir("sdet", sf_dir)
+    _write_batches(
+        emb.select("vec_id", "embedding", "label"), "vec_id", scratch
+    )
+    stream = detection.stream_embeddings_from_files(spark, scratch)
+    counts = detection.streaming_group_counts(stream, L=L, d=D, seed=SEED)
+    name = _sink_name("sdet", sf_dir)
+    spark.catalog.dropTempView(name)
+    _drain_to_memory(counts, name, "complete")
+    return spark.table(name)
+
+
+# Ingestion replay inputs: the corpus is doc_id % 4 != 3; the stream
+# is the held-out quarter PLUS exact copies (shifted ids) of every
+# 16th corpus doc, so the exact-dup and band-collision paths both
+# have guaranteed hits (the synthetic corpus has no natural dups).
+_INGEST_STREAM_SQL = f"""
+  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 3
+  UNION ALL
+  SELECT doc_id + 20000000 AS doc_id, text FROM documents
+  WHERE doc_id % 4 <> 3 AND doc_id % 16 = 0
+"""
+
+
+def _ingest_inputs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 4 != 3)
+    stream_batch = docs.filter(F.col("doc_id") % 4 == 3).unionByName(
+        corpus.filter(F.col("doc_id") % 16 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 20_000_000
+        )
+    )
+    return corpus, stream_batch
+
+
+@register(
+    "stream_ingest_replay",
+    oracle=f"""
+WITH ck AS (
+  SELECT {_hash60_sql(_NORM)} AS content_key,
+         CAST(min(doc_id) AS BIGINT) AS match_doc_id
+  FROM documents WHERE doc_id % 4 <> 3 GROUP BY 1
+),
+s AS ({_INGEST_STREAM_SQL}),
+sk AS (SELECT doc_id, {_hash60_sql(_NORM)} AS content_key FROM s)
+SELECT sk.doc_id,
+       CASE WHEN ck.match_doc_id IS NOT NULL
+            THEN 'exact_dup' ELSE 'unknown' END AS status,
+       ck.match_doc_id
+FROM sk LEFT JOIN ck USING (content_key)
+""",
+)
+def stream_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion exact-dedup (``streaming.ingest``) graded
+    end-to-end: the held-out+copies stream replayed through a file
+    source into the stateless stream-static left join against the
+    corpus content-key table (canonical = min doc_id per key), append
+    sink. Stateless ⇒ the output multiset is trigger-slicing and
+    discovery-order independent; the oracle is the equivalent batch
+    left join."""
+    from .streaming import ingest
+    from .functions.hashing import hash60
+    from .operators.dedup import normalize_text
+
+    corpus, stream_batch = _ingest_inputs(spark, sf_dir)
+    corpus_keys = (
+        corpus.select(
+            hash60(normalize_text("text")).alias("content_key"), "doc_id"
+        )
+        .groupBy("content_key")
+        .agg(F.min("doc_id").alias("match_doc_id"))
+    )
+    scratch = _scratch_dir("sing", sf_dir)
+    _write_batches(stream_batch, "doc_id", scratch)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(scratch)
+    )
+    out = ingest.ingest_exact_dedup_stream(stream, corpus_keys)
+    name = _sink_name("sing", sf_dir)
+    spark.catalog.dropTempView(name)
+    _drain_to_memory(out, name, "append")
+    return spark.table(name)
+
+
+def _mh_band_ctes(pfx: str, src_sql: str, num_hashes: int = 8) -> str:
+    """Prefixed minhash-band CTE chain over an arbitrary (doc_id,
+    text) source — the two-sided generalization of registry_ext's
+    ``_MINHASH_CTE``/band fragment (same shingling, same universal
+    hash family, same band hashing, so the streaming per-row signature
+    is held to the proven batch-tier math)."""
+    from .operators.dedup import MINHASH_P, minhash_coeffs
+
+    mh_cols = ", ".join(
+        f"min(({a} * hb + {b}) % {MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    )
+    whens = "\n           ".join(
+        f"WHEN {b} THEN "
+        + _hash60_sql(
+            f"concat(CAST(h{2 * b} AS VARCHAR), '_', CAST(h{2 * b + 1} AS VARCHAR))"
+        )
+        for b in range(num_hashes // 2)
+    )
+    return f"""
+{pfx}src AS ({src_sql}),
+{pfx}t AS (SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM {pfx}src),
+{pfx}s AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+  FROM {pfx}t, LATERAL (SELECT unnest(range(1, greatest(len(toks) - 2, 1) + 1)) AS i)
+  WHERE length(array_to_string(toks[i:i+2], ' ')) > 0
+),
+{pfx}sb AS (SELECT doc_id, {_hash60_sql('shingle')} % {MINHASH_P} AS hb FROM {pfx}s),
+{pfx}m AS (SELECT doc_id, {mh_cols} FROM {pfx}sb GROUP BY doc_id),
+{pfx}bands AS (
+  SELECT doc_id, b.band,
+         CASE b.band
+           {whens}
+         END AS band_hash
+  FROM {pfx}m, LATERAL (SELECT unnest(range(0, {num_hashes // 2})) AS band) b
+)"""
+
+
+@register(
+    "stream_ingest_candidates_replay",
+    oracle="WITH "
+    + _mh_band_ctes(
+        "c", "SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 3"
+    )
+    + ","
+    + _mh_band_ctes("x", _INGEST_STREAM_SQL)
+    + """
+SELECT x.doc_id, c.doc_id AS corpus_doc_id, CAST(x.band AS INTEGER) AS band
+FROM xbands x JOIN cbands c ON x.band = c.band AND x.band_hash = c.band_hash
+""",
+)
+def stream_ingest_candidates_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion near-dup band candidates
+    (``streaming.ingest.ingest_band_candidates_stream``) graded
+    end-to-end: the stream doc's MinHash signature is computed PER ROW
+    (stateless ``array_min`` fold — no streaming aggregation), banded,
+    and probed against the corpus band table through a stream-static
+    inner join. The oracle recomputes BOTH sides' signatures with the
+    batch-tier SQL, so a pass certifies the per-row streaming
+    signature math equals the explode-groupBy batch tier on top of the
+    join itself. Stateless ⇒ trigger-slicing independent."""
+    from .operators import dedup as ddp
+    from .streaming import ingest
+
+    corpus, stream_batch = _ingest_inputs(spark, sf_dir)
+    sh = ddp.word_shingles(corpus, n=3)
+    sig = ddp.minhash_signatures(sh, num_hashes=8)
+    # a stream-static join re-evaluates the static side EVERY trigger;
+    # checkpoint the band table once so three triggers don't pay the
+    # shingle→minhash pipeline three times (the at-scale analogue: the
+    # corpus band table lives materialized, bucketed on its join key)
+    corpus_bands = ddp.lsh_bands(
+        sig, rows_per_band=2, num_hashes=8
+    ).localCheckpoint(eager=True)
+    scratch = _scratch_dir("sing", sf_dir)
+    _write_batches(stream_batch, "doc_id", scratch)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(scratch)
+    )
+    out = ingest.ingest_band_candidates_stream(
+        stream, corpus_bands, num_hashes=8, rows_per_band=2, n=3
+    )
+    name = _sink_name("singc", sf_dir)
+    spark.catalog.dropTempView(name)
+    _drain_to_memory(out, name, "append")
+    return spark.table(name).select(
+        "doc_id", "corpus_doc_id", F.col("band").cast("int").alias("band")
+    )
+
+
+@register(
+    "stream_curation_replay",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents
+),
+base AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+  FROM t
+),
+u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+c AS (SELECT doc_id, tok, count(*) AS cnt FROM u GROUP BY doc_id, tok),
+mx AS (SELECT doc_id, max(cnt) AS max_uni, count(*) AS n_distinct FROM c GROUP BY doc_id),
+rep AS (
+  SELECT b.doc_id,
+         round(CAST(mx.n_distinct AS DOUBLE) / b.n, 6) AS distinct_ratio,
+         round(CAST(mx.max_uni AS DOUBLE) / b.n, 6) AS top_unigram_frac,
+         round(CASE WHEN len(b.bigrams) > 0
+                    THEN 1 - CAST(len(list_distinct(b.bigrams)) AS DOUBLE) / len(b.bigrams)
+                    ELSE 0 END, 6) AS dup_bigram_frac
+  FROM base b JOIN mx USING (doc_id)
+),
+q AS (
+  SELECT t.doc_id,
+    CAST(len(toks) AS INTEGER) AS n_tokens,
+    round(0.4 * least(len(toks) / 64.0, 1.0)
+        + 0.3 * least({_lang_score_sql('en')}
+            / CAST(len(toks) AS DOUBLE) * 4, 1.0)
+        + 0.3 * (1 - least(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                 / CAST(greatest(length(text), 1) AS DOUBLE) * 10, 1.0)), 6)
+      AS quality_score
+  FROM t JOIN documents USING (doc_id)
+)
+SELECT {_hash60_sql(_NORM)} AS content_key, d.lang,
+       q.n_tokens, rep.distinct_ratio, rep.top_unigram_frac,
+       rep.dup_bigram_frac, q.quality_score
+FROM documents d JOIN rep ON d.doc_id = rep.doc_id
+                 JOIN q ON d.doc_id = q.doc_id
+WHERE q.quality_score >= 0.4 AND rep.top_unigram_frac <= 0.6
+""",
+)
+def stream_curation_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus curation (``streaming.curation.curate_stream``)
+    graded end-to-end: the corpus PLUS a full duplicate copy (shifted
+    doc_ids, identical text/lang) is replayed through a file source
+    into the watermark-bounded exact-dedup + repetition/quality gates,
+    append sink. Every graded column is text/lang-derived and thus
+    identical across the two copies of a key, so the output keyed by
+    content_key is discovery-order independent even though the
+    surviving doc_id is not (same trick as ``stream_dedup_replay``) —
+    and the 3650-day horizon means no state eviction, so exactly one
+    row per content key survives. If the streaming dedup re-admitted
+    or dropped a key, or any feature/gate diverged from the batch
+    expressions, the row count or value hash would fail. The oracle is
+    the batch repetition+quality pipeline over the distinct-content
+    corpus with the same gates."""
+    from .streaming import curation
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    dup = docs.withColumn("doc_id", F.col("doc_id") + 10_000_000)
+    both = docs.unionByName(dup).withColumn(
+        "ts",
+        F.timestamp_seconds(F.lit(1704067200) + F.pmod(F.col("doc_id"), F.lit(86400))),
+    )
+    scratch = _scratch_dir("scur", sf_dir)
+    _write_batches(both, "doc_id", scratch)
+    stream = (
+        spark.readStream.schema("doc_id long, text string, lang string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(scratch)
+    )
+    out = curation.curate_stream(stream, watermark="3650 days")
+    name = _sink_name("scur", sf_dir)
+    spark.catalog.dropTempView(name)
+    _drain_to_memory(out, name, "append")
+    return spark.table(name).select(
+        "content_key",
+        "lang",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "distinct_ratio",
+        "top_unigram_frac",
+        "dup_bigram_frac",
+        "quality_score",
+    )
