@@ -137,6 +137,41 @@ def test_multimodal_auto_tier_decodes_wav_and_quarantines_rest(spark):
         assert rows[mid]["byte_std"] == fake[mid]["byte_std"]
 
 
+def test_multimodal_image_decode_stdlib_bmp_ppm(spark):
+    """The image path is exercisable WITHOUT Pillow: uncompressed BMP
+    and PNM headers parse via stdlib struct/bytes, corrupt ones
+    quarantine. (The Pillow test below stays the compressed-format
+    sibling.)"""
+    import struct
+
+    # minimal 2x3 24-bit BMP: file header (14) + BITMAPINFOHEADER (40)
+    bmp = (
+        b"BM"
+        + struct.pack("<IHHI", 54, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 3, 1, 24, 0, 0, 0, 0, 0, 0)
+    )
+    ppm = b"P6\n# a comment\n7 4\n255\n" + b"\x00" * (7 * 4 * 3)
+    pgm_ascii = b"P2 5 9 255\n" + b"0 " * 45
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(bmp)),
+            (2, bytearray(ppm)),
+            (3, bytearray(pgm_ascii)),
+            (4, bytearray(b"BMnot-actually-a-bitmap-header")),
+        ],
+        "media_id long, payload binary",
+    )
+    assert multimodal.codecs_available()["image_simple"]
+    rows = {r["media_id"]: r for r in multimodal.extract_features(media).collect()}
+    assert rows[1]["decoded"] and rows[1]["codec"] == "image/bmp"
+    assert (rows[1]["width"], rows[1]["height"]) == (2, 3)
+    assert rows[2]["decoded"] and rows[2]["codec"] == "image/ppm"
+    assert (rows[2]["width"], rows[2]["height"]) == (7, 4)
+    assert rows[3]["decoded"] and rows[3]["codec"] == "image/pgm"
+    assert (rows[3]["width"], rows[3]["height"]) == (5, 9)
+    assert not rows[4]["decoded"]  # corrupt BMP header quarantined
+
+
 def test_multimodal_image_decode_where_pillow_exists(spark):
     """Image decode upgrades itself when Pillow is installed; skipped
     (honestly) in codec-free containers."""

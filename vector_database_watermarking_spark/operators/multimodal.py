@@ -47,6 +47,57 @@ _FORMAT_MAGIC = {
 }
 
 
+def _decode_bmp(raw: bytes):
+    """Header-only BMP parse (stdlib struct — no codec dependency):
+    width/height from the BITMAPINFOHEADER. Height may be negative
+    (top-down rows); dimensions are reported as magnitudes."""
+    import struct
+
+    if len(raw) < 26:
+        return None
+    # BITMAPCOREHEADER (12 bytes) uses uint16 dims; all later header
+    # versions (40+) use int32
+    (hdr_size,) = struct.unpack_from("<I", raw, 14)
+    if hdr_size == 12:
+        w, h = struct.unpack_from("<HH", raw, 18)
+    else:
+        if len(raw) < 26:
+            return None
+        w, h = struct.unpack_from("<ii", raw, 18)
+    if w <= 0 or h == 0 or w > 1 << 24 or abs(h) > 1 << 24:
+        return None
+    return ("image/bmp", int(w), int(abs(h)), None, None)
+
+
+def _decode_pnm(raw: bytes):
+    """Header parse for binary/ASCII PNM (PPM ``P6``/``P3``, PGM
+    ``P5``/``P2``): whitespace-separated width/height tokens with
+    ``#`` comments allowed between them."""
+    kind = raw[:2].decode("ascii", "replace")
+    pos, dims = 2, []
+    while len(dims) < 2 and pos < min(len(raw), 4096):
+        c = raw[pos : pos + 1]
+        if c.isspace():
+            pos += 1
+        elif c == b"#":  # comment to end of line
+            nl = raw.find(b"\n", pos)
+            if nl < 0:
+                return None
+            pos = nl + 1
+        elif c.isdigit():
+            end = pos
+            while end < len(raw) and raw[end : end + 1].isdigit():
+                end += 1
+            dims.append(int(raw[pos:end]))
+            pos = end
+        else:
+            return None
+    if len(dims) < 2 or dims[0] <= 0 or dims[1] <= 0:
+        return None
+    fmt = "ppm" if kind in ("P3", "P6") else "pgm"
+    return (f"image/{fmt}", dims[0], dims[1], None, None)
+
+
 def attach_fake_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Build a media table from the documents fixture: the UTF-8 bytes
     of the text stand in for an opaque payload. Output:
@@ -67,9 +118,12 @@ RICH_FEATURE_SCHEMA = FEATURE_SCHEMA + (
 
 def codecs_available() -> dict[str, bool]:
     """Which real decoders this environment offers. ``audio_wav`` is
-    stdlib (``wave``) and effectively always true; ``image`` needs
-    Pillow."""
-    out = {"audio_wav": True, "image": False}
+    stdlib (``wave``) and effectively always true; ``image`` (the
+    compressed formats: PNG/JPEG) needs Pillow; ``image_simple``
+    (uncompressed BMP/PNM header parse) is pure stdlib and always
+    true, so the image path is exercisable in codec-free
+    containers."""
+    out = {"audio_wav": True, "image": False, "image_simple": True}
     try:
         import wave  # noqa: F401
     except Exception:  # pragma: no cover - stdlib
@@ -95,6 +149,16 @@ def _try_decode(raw: bytes):
 
             with wave.open(io.BytesIO(raw)) as w:
                 return ("wav", None, None, w.getframerate(), w.getnframes())
+        except Exception:
+            return None
+    if raw[:2] == b"BM":
+        try:
+            return _decode_bmp(raw)
+        except Exception:
+            return None
+    if raw[:2] in (b"P2", b"P3", b"P5", b"P6") and raw[2:3].isspace():
+        try:
+            return _decode_pnm(raw)
         except Exception:
             return None
     if raw[:3] == b"\xff\xd8\xff" or raw[:4] == b"\x89PNG":
