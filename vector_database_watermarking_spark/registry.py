@@ -778,6 +778,12 @@ from . import registry_more  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 _GRADE_ORDER = [
+    # Round-6 rotation (VERDICT r05 "Next round" #3/#6): the five new
+    # streaming replay gates and three round-5 pack-checksummed
+    # operators get full-output driver rows; the eight demoted rows
+    # each keep a driver-graded form elsewhere (noted inline below)
+    # and stay registered, locally hash-checked, and pytest-covered.
+    #
     # Round-5 rotation (VERDICT r04 "Next round" #1): r04 was 50/50
     # green, so the alternate-view slots that justified window
     # stability are swapped for the operators that had only local
@@ -809,14 +815,17 @@ _GRADE_ORDER = [
     # replayed as ext_ivf_topk's rerank + pack LSH recall gate),
     # ext_multimodal_features (same mapInPandas Arrow plumbing graded
     # via ext_doc_embeddings; fake-decode tier pytest-covered).
+    # Round-6 demotions from this block: ext_repetition (its exact
+    # feature expressions are replayed verbatim inside the in-window
+    # stream_curation_replay oracle) and ext_quality_deciles (quality
+    # features replayed in ext_corpus_clean AND stream_curation_replay;
+    # the ntile shape replayed by the pack's zorder_zkey_sum row).
     "ext_dedup_clusters",
     "ext_incremental_dedup",
     "ext_semantic_dedup",
     "ext_seq_packing",
-    "ext_repetition",
     "ext_pii_scrub",
     "ext_corpus_clean",
-    "ext_quality_deciles",
     "ext_source_mix",
     # (ext_contamination sits past the window: the bloom variant below
     # is graded against the SAME exact-scan oracle, so the exact
@@ -828,23 +837,37 @@ _GRADE_ORDER = [
     "ext_events_sessions",
     "rel_asof_purchase_view",
     "rel_range_activity",
-    # promoted round 5: merge/CDC, skew, layout, graph, retrieval,
-    # curation, drift, tokenizer — the never-driver-graded unique
-    # operators from VERDICT r04.
-    "rel_merge_upsert",
+    # promoted round 5: merge/CDC, skew, graph, retrieval, curation,
+    # drift — the never-driver-graded unique operators from VERDICT
+    # r04. Round-6 demotions from this block: rel_merge_upsert
+    # (stream_cdc_replay grades the identical _MERGE_ORACLE end to
+    # end), ext_zorder_cells (full ntile+bit-weave replay in the
+    # pack's zorder_zkey_sum row), ext_bm25_search (the BM25 CTEs are
+    # embedded verbatim in ext_hybrid_search's oracle),
+    # ext_bpe_merges (pack bpe_merge1_* rows + the pipeline pack's
+    # full train→encode bpe_tokens checksum), and
+    # ext_stratified_sample / ext_weighted_sample (keyed-hash exact-n
+    # selection family stays graded via in-window w6/w2 and
+    # ext_corpus_split keeps the splits op's row).
     "stream_cdc_replay",
     "rel_salted_join",
-    "ext_zorder_cells",
     "ext_graph_pagerank",
     "ext_hybrid_search",
-    "ext_bm25_search",
     "ext_corpus_split",
-    "ext_stratified_sample",
-    "ext_weighted_sample",
     "ext_corpus_drift",
-    "ext_bpe_merges",
     "cov_operator_pack",
     "cov_pipeline_pack",
+    # promoted round 6: the streaming replay gates (VERDICT r05 #3)
+    # and full-output rows for three round-5 operators that rode pack
+    # checksums (VERDICT r05 #6).
+    "stream_interval_join_replay",
+    "stream_detection_replay",
+    "stream_ingest_replay",
+    "stream_ingest_candidates_replay",
+    "stream_curation_replay",
+    "ext_dup_spans",
+    "ext_unigram_nll",
+    "ext_hard_negatives",
     # watermark pipelines: the oracle-checked native selection, the
     # invariant-oracled round-trips (TVP, RS, SCPW, TabularMark) and
     # the robustness grid
@@ -858,8 +881,16 @@ _GRADE_ORDER = [
     # --- past the graded window: sub-computations of graded queries,
     # relational breadth, alternate views, further extensions. All
     # locally hash-checked via tools/check_oracles.py; rows demoted in
-    # the round-5 rotation sit first so the next rotation can cycle
+    # the round-6 rotation sit first so the next rotation can cycle
     # them back in if desired.
+    "rel_merge_upsert",
+    "ext_zorder_cells",
+    "ext_bm25_search",
+    "ext_bpe_merges",
+    "ext_repetition",
+    "ext_quality_deciles",
+    "ext_stratified_sample",
+    "ext_weighted_sample",
     "ext_contamination",
     "a10_jaccard_overlap",
     "a6_event_type_histogram",
