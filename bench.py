@@ -69,6 +69,27 @@ HEADLINE = [
 # costs seconds and removes the corpus-side join/shuffle volume.
 
 
+def _j1_knn_edges_blas(spark, sf_dir):
+    """Bench-only variant: the exact-kNN BLAS tier (fold_parity=False,
+    one Gram matmul per Arrow batch — the production tier, 3.7x at a
+    20k base). Graded paths keep fold_parity=True for last-ulp oracle
+    bit-parity, so this rides the bench as a tracked number instead of
+    a registry row."""
+    from vector_database_watermarking_spark.operators import knn
+    from vector_database_watermarking_spark.registry import K
+    from vector_database_watermarking_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return knn.knn_join(
+        emb, emb, k=K, exact=True, exclude_self=True, fold_parity=False
+    )
+
+
+# bench-only callables (same (spark, sf_dir) -> DataFrame contract as
+# registry fns); benched after the registry headliners
+BENCH_EXTRA = {"j1_knn_edges_blas": _j1_knn_edges_blas}
+
+
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
 
 
@@ -93,12 +114,11 @@ def _warmup(spark, sf_dir: str) -> None:
         F.count(F.lit(1))
     ).collect()
     warm_dir = WARMUP_SF_DIR if os.path.isdir(WARMUP_SF_DIR) else sf_dir
-    for name in HEADLINE:
-        q = QUERIES.get(name)
-        if q is None:
-            continue
+    fns = {n: QUERIES[n].fn for n in HEADLINE if n in QUERIES}
+    fns.update(BENCH_EXTRA)
+    for fn in fns.values():
         try:
-            q.fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+            fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
         except Exception:  # noqa: BLE001 - warmup must never fail the bench
             pass
 
@@ -108,7 +128,9 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark("bench")
     _warmup(spark, sf_dir)
-    names = [n for n in HEADLINE if n in QUERIES]
+    fns = {n: QUERIES[n].fn for n in HEADLINE if n in QUERIES}
+    fns.update(BENCH_EXTRA)
+    names = list(fns)
 
     def run_once(name: str) -> float:
         # isolate queries: drop persisted blocks left by the previous
@@ -119,7 +141,7 @@ def main() -> None:
         spark.catalog.clearCache()
         gc.collect()
         t0 = time.time()
-        QUERIES[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        fns[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
     # host-level CPU-steal spikes are bursty and MULTI-MINUTE (measured:

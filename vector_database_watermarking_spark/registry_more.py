@@ -3128,3 +3128,92 @@ def stream_curation_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_bigram_frac",
         "quality_score",
     )
+
+
+# ------------------------------------------- last relational shapes
+#
+# VERDICT r05 "Next round" #8: GROUPING SETS proper (a set list
+# neither rollup nor cube can express) and EXCEPT ALL / INTERSECT ALL
+# multiset semantics — the final untouched relational shapes from
+# SURVEY §2.7's breadth note.
+
+
+@register(
+    "rel_orders_grouping_sets",
+    oracle="""
+SELECT o_orderpriority, o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+""",
+)
+def rel_orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS proper: the two single-dimension marginals and
+    NOTHING else — a set list neither ROLLUP (which would add the
+    grand total and the pair) nor CUBE (all four combos) can express,
+    completing the grouping-sets family next to rel_orders_rollup /
+    rel_orders_cube. One expand+aggregate pass, no re-scan per set;
+    both dims are non-null in the fixture so the NULL markers identify
+    the sets unambiguously."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderpriority"], ["o_orderstatus"]],
+        "o_orderpriority",
+        "o_orderstatus",
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "rel_qty_except_all",
+    oracle="""
+SELECT CAST(l_quantity AS INTEGER) AS qty
+FROM lineitem WHERE l_returnflag = 'A'
+EXCEPT ALL
+SELECT CAST(l_quantity AS INTEGER) AS qty
+FROM lineitem WHERE l_returnflag = 'R'
+""",
+)
+def rel_qty_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL multiset difference (bag semantics — each surviving
+    row keeps its EXCESS multiplicity, which plain EXCEPT/distinct
+    destroys): the returned-flag quantity multiset minus the
+    refused-flag one. Exercised on a column with heavy duplication
+    (~20k rows over ~50 distinct values) so the multiplicity
+    arithmetic, not just membership, is graded. Spark plans this as
+    one aggregate-style shuffle on the value (no join explosion)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select(
+        F.col("l_quantity").cast("int").alias("qty")
+    )
+    r = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_quantity").cast("int").alias("qty")
+    )
+    return a.exceptAll(r)
+
+
+@register(
+    "rel_qty_intersect_all",
+    oracle="""
+SELECT CAST(l_quantity AS INTEGER) AS qty
+FROM lineitem WHERE l_returnflag = 'A'
+INTERSECT ALL
+SELECT CAST(l_quantity AS INTEGER) AS qty
+FROM lineitem WHERE l_returnflag = 'N'
+""",
+)
+def rel_qty_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL multiset intersection (min multiplicity per
+    value) — the companion bag operator to rel_qty_except_all, same
+    duplication-heavy column so multiplicities are graded."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select(
+        F.col("l_quantity").cast("int").alias("qty")
+    )
+    n = li.filter(F.col("l_returnflag") == "N").select(
+        F.col("l_quantity").cast("int").alias("qty")
+    )
+    return a.intersectAll(n)
