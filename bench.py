@@ -60,6 +60,9 @@ HEADLINE = [
     # round-5 operators: repeated-passage dedup and LM quality scoring
     "ext_dup_spans",
     "ext_unigram_nll",
+    # round-6 operators: transition-LM scoring and the memorization audit
+    "ext_bigram_nll",
+    "ext_ngram_novelty",
 ]
 # ext_contamination_bloom is deliberately NOT a headline: at fixture
 # scale both fingerprint sides are equally tiny, so the exact one-job

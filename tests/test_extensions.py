@@ -1019,6 +1019,58 @@ def test_duplicate_spans_matches_bruteforce(spark):
     }
 
 
+def test_bigram_nll_hand_computed(spark):
+    """Bigram LM against a by-hand reference on a 3-doc corpus,
+    including within-doc repeated transitions and the <2-token
+    exclusion; plus partitioning invariance of the integer buckets."""
+    import math
+
+    texts = [(0, "a b a b"), (1, "a b c"), (2, "x")]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.bigram_nll_scores(docs).collect()}
+    # corpus bigram stream: (a,b)x3, (b,a)x1, (b,c)x1 ; V = 4 (a b c x)
+    bc = {("a", "b"): 3, ("b", "a"): 1, ("b", "c"): 1}
+    cc = {"a": 3, "b": 2}
+    V, alpha = 4, 0.5
+
+    def e4(prev, tok):
+        p = (bc[(prev, tok)] + alpha) / (cc[prev] + alpha * (V + 1))
+        return math.floor(-math.log2(p) * 10000 + 0.5)
+
+    exp0 = e4("a", "b") + e4("b", "a") + e4("a", "b")
+    exp1 = e4("a", "b") + e4("b", "c")
+    assert out[0]["n_bigrams"] == 3 and out[0]["nll_e4_sum"] == exp0
+    assert out[1]["n_bigrams"] == 2 and out[1]["nll_e4_sum"] == exp1
+    assert out[0]["avg_nll"] == exp0 / 10000.0 / 3
+    assert 2 not in out  # single-token doc: no bigrams, no row
+    again = {
+        r["doc_id"]: r["nll_e4_sum"]
+        for r in text.bigram_nll_scores(docs.repartition(5)).collect()
+    }
+    assert again == {0: exp0, 1: exp1}
+
+
+def test_ngram_novelty_hand_computed(spark):
+    """8-gram novelty on a corpus with a planted shared passage: the
+    shared window's shingles count per-doc-distinct, the zero-shingle
+    doc gets a 0-row, and fractions are exact integer quotients."""
+    shared = "one two three four five six seven eight"  # exactly 8 tokens
+    texts = [
+        (0, shared + " alpha beta"),   # 3 shingles, 1 shared
+        (1, "prefix " + shared),       # 2 shingles, 1 shared
+        (2, "totally different words here nothing matches at all"),
+        (3, ""),                       # no shingles
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.ngram_novelty(docs, n=8).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert out[0]["n_shingles"] == 3 and out[0]["n_shared"] == 1
+    assert out[1]["n_shingles"] == 2 and out[1]["n_shared"] == 1
+    assert out[0]["shared_frac"] == 1 / 3
+    assert out[2]["n_shingles"] == 1 and out[2]["n_shared"] == 0
+    assert out[3]["n_shingles"] == 0 and out[3]["shared_frac"] == 0.0
+
+
 def test_unigram_nll_hand_computed_and_oov(spark):
     import math
 

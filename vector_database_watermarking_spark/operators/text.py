@@ -663,3 +663,127 @@ def char_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "entropy_e4",
         (F.col("entropy_e4") / F.lit(10000.0)).alias("entropy"),
     )
+
+
+def bigram_nll_scores(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document bigram language-model negative log-likelihood —
+    the KenLM-style quality signal one order up from
+    :func:`unigram_nll_scores` (a doc whose token TRANSITIONS are
+    improbable under the corpus LM is scrambled/boilerplate text even
+    when its unigram profile looks normal — the filter CCNet actually
+    ships uses a 5-gram LM; bigrams are the same computation shape).
+
+    p(tok | prev) = (c(prev,tok) + α) / (c(prev) + α·(V + 1)) —
+    add-α smoothing over the unigram vocabulary with one reserved
+    OOV slot, context counts taken over the bigram stream.
+
+    Output: (doc_id, n_bigrams, nll_e4_sum, avg_nll) for documents
+    with at least one bigram (≥ 2 tokens). Per-transition −log2 p is
+    bucketed to integer 1e-4 units and summed (order-free →
+    partitioning-invariant, engine-replayable); ``avg_nll`` ships
+    UNROUNDED per the registry determinism note.
+
+    Scale shape: train = one (prev, tok) shuffle + one prev shuffle
+    (both partial-aggregated); score = the bigram stream equi-joined
+    on (prev, tok) and prev with NO broadcast hint — both LM tables
+    are aggregation outputs whose size AQE measures at runtime, so it
+    broadcasts them while they fit and shuffle-joins past that without
+    any extra driver-side probe job. Nothing driver-side.
+    """
+    toks = materialized_tokens(docs, text_col)
+    n = F.size("_toks")
+    n_pairs = F.greatest(n - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(F.col("_toks"), F.lit(1), n_pairs),
+        F.slice(F.col("_toks"), F.lit(2), n_pairs),
+        lambda a, b: F.struct(a.alias("prev"), b.alias("tok")),
+    )
+    bg = (
+        toks.select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", "p.prev", "p.tok")
+        .filter((F.length("prev") > 0) & (F.length("tok") > 0))
+        # both LM tables and the scoring pass read this stream; the
+        # checkpoint pins it to ONE tokenization scan
+        .localCheckpoint(eager=True)
+    )
+    v = (
+        toks.select(F.explode("_toks").alias("tok"))
+        .filter(F.length("tok") > 0)
+        .agg(F.countDistinct("tok").alias("V"))
+    )
+    bc = bg.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("cb"))
+    cc = bg.groupBy("prev").agg(F.count(F.lit(1)).alias("cp"))
+    p = (F.col("cb") + F.lit(alpha)) / (
+        F.col("cp") + F.lit(alpha) * (F.col("V") + 1)
+    )
+    e4 = F.floor(-F.log2(p) * 10000 + F.lit(0.5)).cast("long")
+    scored = (
+        bg.join(bc, on=["prev", "tok"])
+        .join(cc, on="prev")
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", e4.alias("e4"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("e4").alias("nll_e4_sum"),
+        (F.sum("e4") / F.lit(10000.0) / F.count(F.lit(1))).alias("avg_nll"),
+    )
+
+
+def ngram_novelty(
+    docs: DataFrame, n: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Per-document n-gram novelty / memorization audit: what fraction
+    of a document's distinct word n-grams also appear in OTHER
+    documents? High shared fraction flags near-boilerplate and
+    memorization-prone passages — the self-corpus counterpart of the
+    cross-corpus :func:`contamination_scan` (which probes a separate
+    benchmark set) and the span-level :func:`dedup
+    <..operators.dedup.find_duplicate_spans>` profile (which localizes
+    the overlap).
+
+    Output: (doc_id, n_shingles, n_shared, shared_frac) — shingles
+    counted DISTINCT per doc, ``n_shared`` = those present in ≥ 2
+    docs, ``shared_frac`` an integer-derived ratio shipped UNROUNDED
+    (registry determinism note). Docs with no shingles (empty text)
+    get a 0/0/0.0 row.
+
+    Scale shape: one shuffle on the shingle (map-side partial agg to
+    per-shingle doc counts — the uniform-ish 8-gram key resists skew;
+    stop-gram hot keys are bounded by the distinct-per-doc cap), one
+    equi-join back, one per-doc aggregation. No all-pairs relation
+    anywhere, unlike a naive doc×doc overlap formulation.
+    """
+    from .dedup import word_shingles
+
+    sh = word_shingles(docs, n=n, text_col=text_col).localCheckpoint(eager=True)
+    df_counts = sh.groupBy("shingle").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    per_doc = (
+        sh.join(df_counts, on="shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("n_docs") >= 2).cast("long")).alias("n_shared"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            F.when(
+                F.coalesce("n_shingles", F.lit(0)) > 0,
+                F.col("n_shared") / F.col("n_shingles"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("shared_frac"),
+        )
+    )

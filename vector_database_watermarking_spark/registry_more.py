@@ -3217,3 +3217,89 @@ def rel_qty_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("int").alias("qty")
     )
     return a.intersectAll(n)
+
+
+# --------------------------------------------- round-6 text operators
+
+_BG_T_CTE = (
+    "t AS (SELECT doc_id, string_split("
+    + _NORM
+    + ", ' ') AS toks FROM documents)"
+)
+
+
+@register(
+    "ext_bigram_nll",
+    oracle="WITH "
+    + _BG_T_CTE
+    + """,
+bg AS (
+  SELECT doc_id, toks[i] AS prev, toks[i + 1] AS tok
+  FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) u
+  WHERE length(toks[i]) > 0 AND length(toks[i + 1]) > 0
+),
+v AS (
+  SELECT count(DISTINCT tok) AS V
+  FROM (SELECT unnest(toks) AS tok FROM t) WHERE length(tok) > 0
+),
+bc AS (SELECT prev, tok, CAST(count(*) AS BIGINT) AS cb FROM bg GROUP BY 1, 2),
+cc AS (SELECT prev, CAST(count(*) AS BIGINT) AS cp FROM bg GROUP BY 1),
+sc AS (
+  SELECT bg.doc_id,
+         CAST(floor(-log2((bc.cb + 0.5) / (cc.cp + 0.5 * (v.V + 1))) * 10000 + 0.5) AS BIGINT) AS e4
+  FROM bg JOIN bc USING (prev, tok) JOIN cc USING (prev) CROSS JOIN v
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(e4) AS BIGINT) AS nll_e4_sum,
+       sum(e4) / 10000.0 / count(*) AS avg_nll
+FROM sc GROUP BY doc_id
+""",
+)
+def ext_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring (``text.bigram_nll_scores``): add-α
+    transition model trained on the corpus, per-doc mean −log2
+    p(tok|prev) in integer 1e-4 buckets — the KenLM-style filter one
+    order above ``ext_unigram_nll``. The oracle replays both LM tables
+    and the per-transition integer buckets exactly."""
+    from .operators import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bigram_nll_scores(docs)
+
+
+@register(
+    "ext_ngram_novelty",
+    oracle="WITH "
+    + _BG_T_CTE
+    + """,
+s AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+7], ' ') AS shingle
+  FROM t, LATERAL (SELECT unnest(range(1, greatest(len(toks) - 7, 1) + 1)) AS i) u
+  WHERE length(array_to_string(toks[i:i+7], ' ')) > 0
+),
+dc AS (SELECT shingle, count(DISTINCT doc_id) AS n_docs FROM s GROUP BY 1),
+pd AS (
+  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(sum(CASE WHEN dc.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+  FROM s JOIN dc USING (shingle) GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       coalesce(pd.n_shingles, 0) AS n_shingles,
+       coalesce(pd.n_shared, 0) AS n_shared,
+       CASE WHEN coalesce(pd.n_shingles, 0) > 0
+            THEN pd.n_shared / CAST(pd.n_shingles AS DOUBLE)
+            ELSE CAST(0.0 AS DOUBLE) END AS shared_frac
+FROM documents d LEFT JOIN pd USING (doc_id)
+""",
+)
+def ext_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram novelty / memorization audit (``text.ngram_novelty``):
+    per doc, the fraction of its distinct 8-gram shingles that appear
+    in at least one other document — the self-corpus counterpart of
+    the benchmark contamination scan. One shingle shuffle, one join
+    back; the oracle replays shingling, cross-doc counts, and the
+    unrounded integer-derived fraction."""
+    from .operators import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    return text.ngram_novelty(docs, n=8)
