@@ -2407,6 +2407,9 @@ def _pipeline_pack_oracle() -> str:
     bb = QUERIES["ext_bucketed_batches"].oracle
     kc = _kcore_oracle()
     cube = QUERIES["rel_orders_cube"].oracle
+    strat = QUERIES["ext_stratified_sample"].oracle
+    wsamp = QUERIES["ext_weighted_sample"].oracle
+    h_lang = oracle_hash60("lang")
     h_ct = oracle_hash60("clean_text")
     h_sl = oracle_hash60("source || '|' || lang_guess")
     h_tok = oracle_hash60("tok")
@@ -2476,6 +2479,16 @@ UNION ALL
 SELECT 'cube_check',
   CAST(sum(({h_grp} % 1000003) + n_orders
            + CAST(floor(total * 100 + 0.5) AS BIGINT)) AS BIGINT) FROM ({cube})
+UNION ALL
+SELECT 'strat_rows', CAST(count(*) AS BIGINT) FROM ({strat})
+UNION ALL
+SELECT 'strat_check',
+  CAST(sum((doc_id % 997 + 1) * ({h_lang} % 1000003)) AS BIGINT) FROM ({strat})
+UNION ALL
+SELECT 'wsample_rows', CAST(count(*) AS BIGINT) FROM ({wsamp})
+UNION ALL
+SELECT 'wsample_check',
+  CAST(sum((doc_id % 997 + 1) * ((n_chars + {h_lang}) % 1000003)) AS BIGINT) FROM ({wsamp})
 """
 
 
@@ -2495,10 +2508,12 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums), the SQ/PQ ANN tiers (query-weighted (dst, rank) sums), the
     streaming exact-dedup replay (surviving-key count + hash), the
     k-core decomposition (member count + node-weighted core-degree
-    sum against the unrolled-peel oracle with its fixpoint guard), and
-    the CUBE rollup (grouping-set row count + a per-group sum of
+    sum against the unrolled-peel oracle with its fixpoint guard), the
+    CUBE rollup (grouping-set row count + a per-group sum of
     sentinel-coalesced group hash, order count, and cent-scaled
-    total).
+    total), and the stratified / weighted exact-n samples (row counts
+    + doc-weighted member hashes against the keyed-hash-order
+    oracles).
     Each oracle side embeds the corresponding full-value oracle
     verbatim as a subquery, so a pass here certifies the same
     computation the standalone query would."""
@@ -2688,6 +2703,31 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                     h_grp
                     + F.col("n_orders")
                     + F.floor(F.col("total") * 100 + F.lit(0.5)).cast("long")
+                ).alias("value")
+            ),
+        )
+    )
+    # keyed-hash sampling family: direct checksums for the two
+    # round-6-demoted rows, so their grading doesn't rest on the
+    # in-window w6/w2 family argument alone
+    h_lang = hash60(F.col("lang")) % 1000003
+    strat = QUERIES["ext_stratified_sample"].fn(spark, sf_dir)
+    parts.append(scalar("strat_rows", strat.agg(F.count(F.lit(1)).alias("value"))))
+    parts.append(
+        scalar(
+            "strat_check",
+            strat.agg(F.sum((F.col("doc_id") % 997 + 1) * h_lang).alias("value")),
+        )
+    )
+    wsamp = QUERIES["ext_weighted_sample"].fn(spark, sf_dir)
+    parts.append(scalar("wsample_rows", wsamp.agg(F.count(F.lit(1)).alias("value"))))
+    parts.append(
+        scalar(
+            "wsample_check",
+            wsamp.agg(
+                F.sum(
+                    (F.col("doc_id") % 997 + 1)
+                    * ((F.col("n_chars") + hash60(F.col("lang"))) % 1000003)
                 ).alias("value")
             ),
         )
