@@ -3343,3 +3343,33 @@ def ext_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return text.ngram_novelty(docs, n=8)
+
+
+@register(
+    "rel_events_json_agg",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS k_min,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS k_max
+FROM events
+GROUP BY event_type
+""",
+)
+def rel_events_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column processing: extract a typed field from
+    the JSON ``props`` payload (``get_json_object`` — JVM-side JSON
+    path, no UDF) and aggregate it per event type. The shape every
+    event pipeline needs at 100 TB: the extraction is a projection
+    inside the scan stage (whole-stage codegen), the aggregate is
+    partial — one shuffle of 5 groups. The oracle replays the JSON
+    path with DuckDB's json_extract_string."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).cast("long").alias("k_sum"),
+        F.min(k).alias("k_min"),
+        F.max(k).alias("k_max"),
+    )
