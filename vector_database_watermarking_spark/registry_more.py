@@ -3373,3 +3373,79 @@ def rel_events_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(k).alias("k_min"),
         F.max(k).alias("k_max"),
     )
+
+
+@register(
+    "stream_session_replay",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ordered
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id, sid
+""",
+)
+def stream_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful sessionization (``streaming.sessions`` —
+    ``applyInPandasWithState``) graded end-to-end, completing driver
+    coverage of every streaming operator. The events table plus ONE
+    far-future sentinel event per user rides a real file-source stream
+    into the stateful operator; the sentinel exceeds the gap for every
+    user's last real session, so ALL real sessions close and emit
+    inside the replay while the sentinel's own 1-event session stays
+    open in state (never emitted, filtered here by construction). The
+    emitted session STRUCTURE (boundaries, event counts) is a pure
+    function of event times — independent of trigger slicing and float
+    ordering — so the oracle is the batch gap-sessionization SQL
+    aggregated to sessions. ``total_value`` is deliberately not
+    graded: it is a float sum whose addition order differs between the
+    state loop and any SQL engine; the stream-vs-batch pytest parity
+    suite covers it."""
+    from .streaming.sessions import sessionize_stream
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    max_ts = ev.agg(F.max("ts").alias("m")).head()["m"]
+    sentinel = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            (F.lit(max_ts) + F.expr("INTERVAL 10 DAYS")).alias("ts"),
+            F.lit(0.0).alias("value"),
+        )
+    )
+    scratch = _scratch_dir("ssess", sf_dir)
+    import shutil
+
+    shutil.rmtree(scratch, ignore_errors=True)
+    (
+        ev.unionByName(sentinel)
+        .orderBy("user_id", "ts")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(scratch)
+    )
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(scratch)
+    )
+    out = sessionize_stream(stream, watermark="1 hour")
+    name = _sink_name("ssess", sf_dir)
+    spark.catalog.dropTempView(name)
+    _drain_to_memory(out, name, "append")
+    return spark.table(name).select(
+        "user_id", "session_start", "session_end", "n_events"
+    )
