@@ -256,3 +256,27 @@ def test_unigram_nll_vocab_join_is_broadcast(spark, sf_dir):
     # the trained vocab is checkpointed: the corpus token scan feeds
     # training once and scoring once, not the totals aggregate too
     assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_bigram_nll_lm_joins_no_cartesian_no_probe(spark, sf_dir):
+    """Bigram LM scoring: the two LM-table joins never degenerate to a
+    cartesian/nested-loop, and at fixture scale AQE broadcasts the
+    aggregation outputs (chosen from RUNTIME sizes — the operator
+    carries no broadcast hint and runs no driver probe jobs)."""
+    q = QUERIES["ext_bigram_nll"].fn(spark, sf_dir)
+    q.write.format("noop").mode("overwrite").save()  # let AQE finalize
+    plan = plan_of(q)
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_ngram_novelty_single_shingle_shuffle_no_pairs(spark, sf_dir):
+    """n-gram novelty: per-shingle doc counts + join back — never a
+    doc-pair relation (no cartesian/nested-loop), and the distinct
+    count aggregates partially (two HashAggregate phases around the
+    shingle exchange)."""
+    q = QUERIES["ext_ngram_novelty"].fn(spark, sf_dir)
+    plan = plan_of(q)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
