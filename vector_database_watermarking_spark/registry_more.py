@@ -2381,363 +2381,6 @@ WHERE (SELECT count(*) FROM m{rounds - 1}) <> (SELECT count(*) FROM m{rounds})
     )
 
 
-# ------------------------------------------------- pipeline coverage pack
-#
-# Registered LAST in this module so it can embed the oracles of the
-# queries it checksums (corpus profile, vocabulary, BPE encode) as
-# subqueries — the full-value oracles stay the single source of truth
-# and the pack can never drift from them.
-
-
-def _pipeline_pack_oracle() -> str:
-    from .functions.hashing import oracle_hash60
-
-    prof = QUERIES["ext_corpus_profile"].oracle
-    vocab = QUERIES["ext_vocab_topk"].oracle
-    bpe = QUERIES["ext_bpe_tokens"].oracle
-    spans = QUERIES["ext_dup_spans"].oracle
-    clean = QUERIES["ext_dup_clean"].oracle
-    nll = QUERIES["ext_unigram_nll"].oracle
-    sdd = QUERIES["stream_dedup_replay"].oracle
-    dsir = QUERIES["ext_importance_weights"].oracle
-    sq = QUERIES["ext_sq_topk"].oracle
-    pq = QUERIES["ext_pq_topk"].oracle
-    hn = QUERIES["ext_hard_negatives"].oracle
-    ce = QUERIES["ext_char_entropy"].oracle
-    bb = QUERIES["ext_bucketed_batches"].oracle
-    kc = _kcore_oracle()
-    cube = QUERIES["rel_orders_cube"].oracle
-    strat = QUERIES["ext_stratified_sample"].oracle
-    wsamp = QUERIES["ext_weighted_sample"].oracle
-    h_lang = oracle_hash60("lang")
-    h_ct = oracle_hash60("clean_text")
-    h_sl = oracle_hash60("source || '|' || lang_guess")
-    h_tok = oracle_hash60("tok")
-    h_grp = oracle_hash60(
-        "coalesce(o_orderpriority, '~') || '|' || coalesce(o_orderstatus, '~')"
-    )
-    return f"""
-SELECT 'profile_rows' AS metric, CAST(count(*) AS BIGINT) AS value FROM ({prof})
-UNION ALL
-SELECT 'profile_check', CAST(sum(({h_sl} % 1000003) + n_docs + sum_tokens
-  + CAST(floor(avg_tokens * 1000 + 0.5) AS BIGINT)
-  + CAST(floor(p50_tokens * 1000 + 0.5) AS BIGINT)
-  + CAST(floor(p95_tokens * 1000 + 0.5) AS BIGINT)) AS BIGINT) FROM ({prof})
-UNION ALL
-SELECT 'vocab_rows', CAST(count(*) AS BIGINT) FROM ({vocab})
-UNION ALL
-SELECT 'vocab_check', CAST(sum(({h_tok} % 1000003) * df) AS BIGINT) FROM ({vocab})
-UNION ALL
-SELECT 'bpe_tokens_total', CAST(sum(n_tokens) AS BIGINT) FROM ({bpe})
-UNION ALL
-SELECT 'bpe_tokens_check',
-  CAST(sum((doc_id % 997 + 1) * (n_tokens % 1000003)) AS BIGINT) FROM ({bpe})
-UNION ALL
-SELECT 'dup_spans_docs_hit', CAST(count(*) AS BIGINT) FROM ({spans}) WHERE n_spans > 0
-UNION ALL
-SELECT 'dup_spans_check',
-  CAST(sum((doc_id % 997 + 1) * (n_spans * 131 + dup_tokens)) AS BIGINT) FROM ({spans})
-UNION ALL
-SELECT 'dup_clean_check',
-  CAST(sum((doc_id % 997 + 1) * ({h_ct} % 1000003)) AS BIGINT) FROM ({clean})
-UNION ALL
-SELECT 'unigram_total_tokens', CAST(sum(n_tokens) AS BIGINT) FROM ({nll})
-UNION ALL
-SELECT 'unigram_check',
-  CAST(sum((doc_id % 997 + 1) * (nll_e4_sum % 1000003)) AS BIGINT) FROM ({nll})
-UNION ALL
-SELECT 'dsir_check',
-  CAST(sum((doc_id % 997 + 1) * (logratio_e4 % 1000003)) AS BIGINT) FROM ({dsir})
-UNION ALL
-SELECT 'sq_topk_check',
-  CAST(sum((src % 997 + 1) * (dst % 1000003 + rank * 131)) AS BIGINT) FROM ({sq})
-UNION ALL
-SELECT 'pq_topk_check',
-  CAST(sum((src % 997 + 1) * (dst % 1000003 + rank * 131)) AS BIGINT) FROM ({pq})
-UNION ALL
-SELECT 'char_entropy_check',
-  CAST(sum((doc_id % 997 + 1) * (entropy_e4 % 1000003)) AS BIGINT) FROM ({ce})
-UNION ALL
-SELECT 'hard_neg_check',
-  CAST(sum((src % 997 + 1) * (dst % 1000003 + rank * 131)) AS BIGINT) FROM ({hn})
-UNION ALL
-SELECT 'bucketed_batch_check',
-  CAST(sum((doc_id % 997 + 1) * (bucket * 131 + batch_idx * 17 + pad_tokens)) AS BIGINT) FROM ({bb})
-UNION ALL
-SELECT 'stream_dedup_keys', CAST(count(*) AS BIGINT) FROM ({sdd})
-UNION ALL
-SELECT 'stream_dedup_keyhash',
-  CAST(sum(content_key % 1000003) AS BIGINT) FROM ({sdd})
-UNION ALL
-SELECT 'kcore_members', CAST(count(*) AS BIGINT) FROM ({kc})
-UNION ALL
-SELECT 'kcore_check',
-  CAST(sum((vec_id % 997 + 1) * (core_degree % 1000003)) AS BIGINT) FROM ({kc})
-UNION ALL
-SELECT 'cube_rows', CAST(count(*) AS BIGINT) FROM ({cube})
-UNION ALL
-SELECT 'cube_check',
-  CAST(sum(({h_grp} % 1000003) + n_orders
-           + CAST(floor(total * 100 + 0.5) AS BIGINT)) AS BIGINT) FROM ({cube})
-UNION ALL
-SELECT 'strat_rows', CAST(count(*) AS BIGINT) FROM ({strat})
-UNION ALL
-SELECT 'strat_check',
-  CAST(sum((doc_id % 997 + 1) * ({h_lang} % 1000003)) AS BIGINT) FROM ({strat})
-UNION ALL
-SELECT 'wsample_rows', CAST(count(*) AS BIGINT) FROM ({wsamp})
-UNION ALL
-SELECT 'wsample_check',
-  CAST(sum((doc_id % 997 + 1) * ((n_chars + {h_lang}) % 1000003)) AS BIGINT) FROM ({wsamp})
-"""
-
-
-@register("cov_pipeline_pack", oracle=_pipeline_pack_oracle())
-def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-graded checksums of the three pipeline queries past the
-    grading window that have no in-window superset: the corpus profile
-    rollup (row count + a sum over groups of the keyed group hash,
-    exact counts, and milli-scaled avg/p50/p95 token percentiles), the
-    top-df vocabulary (row count + Σ hash(tok)·df — order-insensitive,
-    sensitive to both membership and df), and the BPE train→encode
-    pipeline (total token count + a doc-id-weighted token-count sum,
-    so per-doc mismatches cannot cancel), the duplicate-span profile
-    (docs-hit count + a doc-id-weighted span/coverage sum), the
-    span-removal rewrite (doc-id-weighted clean-text hash), the
-    unigram-LM scores and DSIR weights (doc-id-weighted integer-bucket
-    sums), the SQ/PQ ANN tiers (query-weighted (dst, rank) sums), the
-    streaming exact-dedup replay (surviving-key count + hash), the
-    k-core decomposition (member count + node-weighted core-degree
-    sum against the unrolled-peel oracle with its fixpoint guard), the
-    CUBE rollup (grouping-set row count + a per-group sum of
-    sentinel-coalesced group hash, order count, and cent-scaled
-    total), and the stratified / weighted exact-n samples (row counts
-    + doc-weighted member hashes against the keyed-hash-order
-    oracles).
-    Each oracle side embeds the corresponding full-value oracle
-    verbatim as a subquery, so a pass here certifies the same
-    computation the standalone query would."""
-    from .functions.hashing import hash60
-
-    prof = QUERIES["ext_corpus_profile"].fn(spark, sf_dir)
-    vocab = QUERIES["ext_vocab_topk"].fn(spark, sf_dir)
-    bpe = QUERIES["ext_bpe_tokens"].fn(spark, sf_dir)
-    spans = QUERIES["ext_dup_spans"].fn(spark, sf_dir)
-    nll = QUERIES["ext_unigram_nll"].fn(spark, sf_dir)
-
-    def milli(c: str):
-        return F.floor(F.col(c) * 1000 + F.lit(0.5)).cast("long")
-
-    def scalar(metric: str, df: DataFrame) -> DataFrame:
-        return df.select(
-            F.lit(metric).alias("metric"), F.col("value").cast("long").alias("value")
-        )
-
-    h_sl = hash60(F.concat_ws("|", "source", "lang_guess")) % 1000003
-    parts = [
-        scalar("profile_rows", prof.agg(F.count(F.lit(1)).alias("value"))),
-        scalar(
-            "profile_check",
-            prof.agg(
-                F.sum(
-                    h_sl
-                    + F.col("n_docs")
-                    + F.col("sum_tokens")
-                    + milli("avg_tokens")
-                    + milli("p50_tokens")
-                    + milli("p95_tokens")
-                ).alias("value")
-            ),
-        ),
-        scalar("vocab_rows", vocab.agg(F.count(F.lit(1)).alias("value"))),
-        scalar(
-            "vocab_check",
-            vocab.agg(
-                F.sum((hash60(F.col("tok")) % 1000003) * F.col("df")).alias("value")
-            ),
-        ),
-        scalar("bpe_tokens_total", bpe.agg(F.sum("n_tokens").alias("value"))),
-        scalar(
-            "bpe_tokens_check",
-            bpe.agg(
-                F.sum(
-                    (F.col("doc_id") % 997 + 1) * (F.col("n_tokens") % 1000003)
-                ).alias("value")
-            ),
-        ),
-        scalar(
-            "dup_spans_docs_hit",
-            spans.filter(F.col("n_spans") > 0).agg(
-                F.count(F.lit(1)).alias("value")
-            ),
-        ),
-        scalar(
-            "dup_spans_check",
-            spans.agg(
-                F.sum(
-                    (F.col("doc_id") % 997 + 1)
-                    * (F.col("n_spans") * 131 + F.col("dup_tokens"))
-                ).alias("value")
-            ),
-        ),
-        scalar(
-            "dup_clean_check",
-            QUERIES["ext_dup_clean"]
-            .fn(spark, sf_dir)
-            .agg(
-                F.sum(
-                    (F.col("doc_id") % 997 + 1)
-                    * (hash60(F.col("clean_text")) % 1000003)
-                ).alias("value")
-            ),
-        ),
-        scalar("unigram_total_tokens", nll.agg(F.sum("n_tokens").alias("value"))),
-        scalar(
-            "unigram_check",
-            nll.agg(
-                F.sum(
-                    (F.col("doc_id") % 997 + 1) * (F.col("nll_e4_sum") % 1000003)
-                ).alias("value")
-            ),
-        ),
-    ]
-    def _ann_check(metric: str, qname: str) -> DataFrame:
-        return scalar(
-            metric,
-            QUERIES[qname]
-            .fn(spark, sf_dir)
-            .agg(
-                F.sum(
-                    (F.col("src") % 997 + 1)
-                    * (F.col("dst") % 1000003 + F.col("rank") * 131)
-                ).alias("value")
-            ),
-        )
-
-    parts.append(_ann_check("sq_topk_check", "ext_sq_topk"))
-    parts.append(_ann_check("pq_topk_check", "ext_pq_topk"))
-    parts.append(
-        scalar(
-            "char_entropy_check",
-            QUERIES["ext_char_entropy"]
-            .fn(spark, sf_dir)
-            .agg(
-                F.sum(
-                    (F.col("doc_id") % 997 + 1) * (F.col("entropy_e4") % 1000003)
-                ).alias("value")
-            ),
-        )
-    )
-    parts.append(_ann_check("hard_neg_check", "ext_hard_negatives"))
-    parts.append(
-        scalar(
-            "bucketed_batch_check",
-            QUERIES["ext_bucketed_batches"]
-            .fn(spark, sf_dir)
-            .agg(
-                F.sum(
-                    (F.col("doc_id") % 997 + 1)
-                    * (
-                        F.col("bucket") * 131
-                        + F.col("batch_idx") * 17
-                        + F.col("pad_tokens")
-                    )
-                ).alias("value")
-            ),
-        )
-    )
-    parts.append(
-        scalar(
-            "dsir_check",
-            QUERIES["ext_importance_weights"]
-            .fn(spark, sf_dir)
-            .agg(
-                F.sum(
-                    (F.col("doc_id") % 997 + 1)
-                    * (F.col("logratio_e4") % 1000003)
-                ).alias("value")
-            ),
-        )
-    )
-    # (already materialized: the fn drained the stream into a memory
-    # sink; this is just two aggregates over that in-memory table)
-    sdd = QUERIES["stream_dedup_replay"].fn(spark, sf_dir)
-    parts.append(scalar("stream_dedup_keys", sdd.agg(F.count(F.lit(1)).alias("value"))))
-    parts.append(
-        scalar(
-            "stream_dedup_keyhash",
-            sdd.agg(F.sum(F.col("content_key") % 1000003).alias("value")),
-        )
-    )
-    kc = QUERIES["ext_graph_kcore"].fn(spark, sf_dir)
-    parts.append(scalar("kcore_members", kc.agg(F.count(F.lit(1)).alias("value"))))
-    parts.append(
-        scalar(
-            "kcore_check",
-            kc.agg(
-                F.sum(
-                    (F.col("vec_id") % 997 + 1) * (F.col("core_degree") % 1000003)
-                ).alias("value")
-            ),
-        )
-    )
-    cube = QUERIES["rel_orders_cube"].fn(spark, sf_dir)
-    # grouping-set NULL markers hashed through an explicit sentinel so
-    # the Spark concat and the DuckDB || expression agree on NULL rows
-    h_grp = (
-        hash60(
-            F.concat_ws(
-                "|",
-                F.coalesce(F.col("o_orderpriority"), F.lit("~")),
-                F.coalesce(F.col("o_orderstatus"), F.lit("~")),
-            )
-        )
-        % 1000003
-    )
-    parts.append(scalar("cube_rows", cube.agg(F.count(F.lit(1)).alias("value"))))
-    parts.append(
-        scalar(
-            "cube_check",
-            cube.agg(
-                F.sum(
-                    h_grp
-                    + F.col("n_orders")
-                    + F.floor(F.col("total") * 100 + F.lit(0.5)).cast("long")
-                ).alias("value")
-            ),
-        )
-    )
-    # keyed-hash sampling family: direct checksums for the two
-    # round-6-demoted rows, so their grading doesn't rest on the
-    # in-window w6/w2 family argument alone
-    h_lang = hash60(F.col("lang")) % 1000003
-    strat = QUERIES["ext_stratified_sample"].fn(spark, sf_dir)
-    parts.append(scalar("strat_rows", strat.agg(F.count(F.lit(1)).alias("value"))))
-    parts.append(
-        scalar(
-            "strat_check",
-            strat.agg(F.sum((F.col("doc_id") % 997 + 1) * h_lang).alias("value")),
-        )
-    )
-    wsamp = QUERIES["ext_weighted_sample"].fn(spark, sf_dir)
-    parts.append(scalar("wsample_rows", wsamp.agg(F.count(F.lit(1)).alias("value"))))
-    parts.append(
-        scalar(
-            "wsample_check",
-            wsamp.agg(
-                F.sum(
-                    (F.col("doc_id") % 997 + 1)
-                    * ((F.col("n_chars") + hash60(F.col("lang"))) % 1000003)
-                ).alias("value")
-            ),
-        )
-    )
-    out = parts[0]
-    for df in parts[1:]:
-        out = out.unionByName(df)
-    return out
-
-
 @register("ext_graph_kcore", oracle=_kcore_oracle())
 def ext_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core decomposition of the mutual-kNN graph (extension —
@@ -3449,3 +3092,499 @@ def stream_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select(
         "user_id", "session_start", "session_end", "n_events"
     )
+
+
+# ------------------------------------------------- pipeline coverage pack
+#
+# Registered LAST in this module so it can embed the oracles of the
+# queries it checksums (corpus profile, vocabulary, BPE encode) as
+# subqueries — the full-value oracles stay the single source of truth
+# and the pack can never drift from them.
+
+
+def _pipeline_pack_oracle() -> str:
+    from .functions.hashing import oracle_hash60
+
+    prof = QUERIES["ext_corpus_profile"].oracle
+    vocab = QUERIES["ext_vocab_topk"].oracle
+    bpe = QUERIES["ext_bpe_tokens"].oracle
+    spans = QUERIES["ext_dup_spans"].oracle
+    clean = QUERIES["ext_dup_clean"].oracle
+    nll = QUERIES["ext_unigram_nll"].oracle
+    sdd = QUERIES["stream_dedup_replay"].oracle
+    dsir = QUERIES["ext_importance_weights"].oracle
+    sq = QUERIES["ext_sq_topk"].oracle
+    pq = QUERIES["ext_pq_topk"].oracle
+    hn = QUERIES["ext_hard_negatives"].oracle
+    ce = QUERIES["ext_char_entropy"].oracle
+    bb = QUERIES["ext_bucketed_batches"].oracle
+    kc = _kcore_oracle()
+    cube = QUERIES["rel_orders_cube"].oracle
+    strat = QUERIES["ext_stratified_sample"].oracle
+    wsamp = QUERIES["ext_weighted_sample"].oracle
+    bgn = QUERIES["ext_bigram_nll"].oracle
+    nov = QUERIES["ext_ngram_novelty"].oracle
+    gs = QUERIES["rel_orders_grouping_sets"].oracle
+    exa = QUERIES["rel_qty_except_all"].oracle
+    ina = QUERIES["rel_qty_intersect_all"].oracle
+    js = QUERIES["rel_events_json_agg"].oracle
+    ssn = QUERIES["stream_session_replay"].oracle
+    h_lang = oracle_hash60("lang")
+    h_et = oracle_hash60("event_type")
+    h_ct = oracle_hash60("clean_text")
+    h_sl = oracle_hash60("source || '|' || lang_guess")
+    h_tok = oracle_hash60("tok")
+    h_grp = oracle_hash60(
+        "coalesce(o_orderpriority, '~') || '|' || coalesce(o_orderstatus, '~')"
+    )
+    return f"""
+SELECT 'profile_rows' AS metric, CAST(count(*) AS BIGINT) AS value FROM ({prof})
+UNION ALL
+SELECT 'profile_check', CAST(sum(({h_sl} % 1000003) + n_docs + sum_tokens
+  + CAST(floor(avg_tokens * 1000 + 0.5) AS BIGINT)
+  + CAST(floor(p50_tokens * 1000 + 0.5) AS BIGINT)
+  + CAST(floor(p95_tokens * 1000 + 0.5) AS BIGINT)) AS BIGINT) FROM ({prof})
+UNION ALL
+SELECT 'vocab_rows', CAST(count(*) AS BIGINT) FROM ({vocab})
+UNION ALL
+SELECT 'vocab_check', CAST(sum(({h_tok} % 1000003) * df) AS BIGINT) FROM ({vocab})
+UNION ALL
+SELECT 'bpe_tokens_total', CAST(sum(n_tokens) AS BIGINT) FROM ({bpe})
+UNION ALL
+SELECT 'bpe_tokens_check',
+  CAST(sum((doc_id % 997 + 1) * (n_tokens % 1000003)) AS BIGINT) FROM ({bpe})
+UNION ALL
+SELECT 'dup_spans_docs_hit', CAST(count(*) AS BIGINT) FROM ({spans}) WHERE n_spans > 0
+UNION ALL
+SELECT 'dup_spans_check',
+  CAST(sum((doc_id % 997 + 1) * (n_spans * 131 + dup_tokens)) AS BIGINT) FROM ({spans})
+UNION ALL
+SELECT 'dup_clean_check',
+  CAST(sum((doc_id % 997 + 1) * ({h_ct} % 1000003)) AS BIGINT) FROM ({clean})
+UNION ALL
+SELECT 'unigram_total_tokens', CAST(sum(n_tokens) AS BIGINT) FROM ({nll})
+UNION ALL
+SELECT 'unigram_check',
+  CAST(sum((doc_id % 997 + 1) * (nll_e4_sum % 1000003)) AS BIGINT) FROM ({nll})
+UNION ALL
+SELECT 'dsir_check',
+  CAST(sum((doc_id % 997 + 1) * (logratio_e4 % 1000003)) AS BIGINT) FROM ({dsir})
+UNION ALL
+SELECT 'sq_topk_check',
+  CAST(sum((src % 997 + 1) * (dst % 1000003 + rank * 131)) AS BIGINT) FROM ({sq})
+UNION ALL
+SELECT 'pq_topk_check',
+  CAST(sum((src % 997 + 1) * (dst % 1000003 + rank * 131)) AS BIGINT) FROM ({pq})
+UNION ALL
+SELECT 'char_entropy_check',
+  CAST(sum((doc_id % 997 + 1) * (entropy_e4 % 1000003)) AS BIGINT) FROM ({ce})
+UNION ALL
+SELECT 'hard_neg_check',
+  CAST(sum((src % 997 + 1) * (dst % 1000003 + rank * 131)) AS BIGINT) FROM ({hn})
+UNION ALL
+SELECT 'bucketed_batch_check',
+  CAST(sum((doc_id % 997 + 1) * (bucket * 131 + batch_idx * 17 + pad_tokens)) AS BIGINT) FROM ({bb})
+UNION ALL
+SELECT 'stream_dedup_keys', CAST(count(*) AS BIGINT) FROM ({sdd})
+UNION ALL
+SELECT 'stream_dedup_keyhash',
+  CAST(sum(content_key % 1000003) AS BIGINT) FROM ({sdd})
+UNION ALL
+SELECT 'kcore_members', CAST(count(*) AS BIGINT) FROM ({kc})
+UNION ALL
+SELECT 'kcore_check',
+  CAST(sum((vec_id % 997 + 1) * (core_degree % 1000003)) AS BIGINT) FROM ({kc})
+UNION ALL
+SELECT 'cube_rows', CAST(count(*) AS BIGINT) FROM ({cube})
+UNION ALL
+SELECT 'cube_check',
+  CAST(sum(({h_grp} % 1000003) + n_orders
+           + CAST(floor(total * 100 + 0.5) AS BIGINT)) AS BIGINT) FROM ({cube})
+UNION ALL
+SELECT 'strat_rows', CAST(count(*) AS BIGINT) FROM ({strat})
+UNION ALL
+SELECT 'strat_check',
+  CAST(sum((doc_id % 997 + 1) * ({h_lang} % 1000003)) AS BIGINT) FROM ({strat})
+UNION ALL
+SELECT 'wsample_rows', CAST(count(*) AS BIGINT) FROM ({wsamp})
+UNION ALL
+SELECT 'wsample_check',
+  CAST(sum((doc_id % 997 + 1) * ((n_chars + {h_lang}) % 1000003)) AS BIGINT) FROM ({wsamp})
+UNION ALL
+SELECT 'bigram_check',
+  CAST(sum((doc_id % 997 + 1) * ((nll_e4_sum + n_bigrams * 131) % 1000003)) AS BIGINT) FROM ({bgn})
+UNION ALL
+SELECT 'novelty_check',
+  CAST(sum((doc_id % 997 + 1) * (n_shingles * 131 + n_shared)) AS BIGINT) FROM ({nov})
+UNION ALL
+SELECT 'gsets_check',
+  CAST(count(*) + sum(({oracle_hash60("coalesce(o_orderpriority, '~') || '|' || coalesce(o_orderstatus, '~')")} % 1000003)
+       + n_orders + CAST(floor(total * 100 + 0.5) AS BIGINT)) AS BIGINT) FROM ({gs})
+UNION ALL
+SELECT 'exceptall_check',
+  CAST(count(*) + 131 * sum(qty) + 17 * sum(qty * qty) AS BIGINT) FROM ({exa})
+UNION ALL
+SELECT 'intersectall_check',
+  CAST(count(*) + 131 * sum(qty) + 17 * sum(qty * qty) AS BIGINT) FROM ({ina})
+UNION ALL
+SELECT 'json_check',
+  CAST(sum(({h_et} % 1000003) + n_events + k_sum + k_min + k_max) AS BIGINT) FROM ({js})
+UNION ALL
+SELECT 'session_rows', CAST(count(*) AS BIGINT) FROM ({ssn})
+UNION ALL
+SELECT 'session_check',
+  CAST(sum((user_id % 997 + 1) * ((n_events * 131
+       + epoch_us(session_start) % 86400 + epoch_us(session_end) % 86400) % 1000003)) AS BIGINT)
+  FROM ({ssn})
+"""
+
+
+@register("cov_pipeline_pack", oracle=_pipeline_pack_oracle())
+def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-graded checksums of the three pipeline queries past the
+    grading window that have no in-window superset: the corpus profile
+    rollup (row count + a sum over groups of the keyed group hash,
+    exact counts, and milli-scaled avg/p50/p95 token percentiles), the
+    top-df vocabulary (row count + Σ hash(tok)·df — order-insensitive,
+    sensitive to both membership and df), and the BPE train→encode
+    pipeline (total token count + a doc-id-weighted token-count sum,
+    so per-doc mismatches cannot cancel), the duplicate-span profile
+    (docs-hit count + a doc-id-weighted span/coverage sum), the
+    span-removal rewrite (doc-id-weighted clean-text hash), the
+    unigram-LM scores and DSIR weights (doc-id-weighted integer-bucket
+    sums), the SQ/PQ ANN tiers (query-weighted (dst, rank) sums), the
+    streaming exact-dedup replay (surviving-key count + hash), the
+    k-core decomposition (member count + node-weighted core-degree
+    sum against the unrolled-peel oracle with its fixpoint guard), the
+    CUBE rollup (grouping-set row count + a per-group sum of
+    sentinel-coalesced group hash, order count, and cent-scaled
+    total), the stratified / weighted exact-n samples (row counts
+    + doc-weighted member hashes against the keyed-hash-order
+    oracles), and every round-6 past-window registration: bigram-LM
+    and novelty doc-weighted sums, the grouping-sets group hash, the
+    EXCEPT ALL / INTERSECT ALL bag checksums (count + Σqty + Σqty² —
+    multiplicity-sensitive), the JSON extraction aggregate, and the
+    stateful-sessionization replay (session count + user-weighted
+    boundary/count hash).
+    Each oracle side embeds the corresponding full-value oracle
+    verbatim as a subquery, so a pass here certifies the same
+    computation the standalone query would."""
+    from .functions.hashing import hash60
+
+    prof = QUERIES["ext_corpus_profile"].fn(spark, sf_dir)
+    vocab = QUERIES["ext_vocab_topk"].fn(spark, sf_dir)
+    bpe = QUERIES["ext_bpe_tokens"].fn(spark, sf_dir)
+    spans = QUERIES["ext_dup_spans"].fn(spark, sf_dir)
+    nll = QUERIES["ext_unigram_nll"].fn(spark, sf_dir)
+
+    def milli(c: str):
+        return F.floor(F.col(c) * 1000 + F.lit(0.5)).cast("long")
+
+    def scalar(metric: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(metric).alias("metric"), F.col("value").cast("long").alias("value")
+        )
+
+    h_sl = hash60(F.concat_ws("|", "source", "lang_guess")) % 1000003
+    parts = [
+        scalar("profile_rows", prof.agg(F.count(F.lit(1)).alias("value"))),
+        scalar(
+            "profile_check",
+            prof.agg(
+                F.sum(
+                    h_sl
+                    + F.col("n_docs")
+                    + F.col("sum_tokens")
+                    + milli("avg_tokens")
+                    + milli("p50_tokens")
+                    + milli("p95_tokens")
+                ).alias("value")
+            ),
+        ),
+        scalar("vocab_rows", vocab.agg(F.count(F.lit(1)).alias("value"))),
+        scalar(
+            "vocab_check",
+            vocab.agg(
+                F.sum((hash60(F.col("tok")) % 1000003) * F.col("df")).alias("value")
+            ),
+        ),
+        scalar("bpe_tokens_total", bpe.agg(F.sum("n_tokens").alias("value"))),
+        scalar(
+            "bpe_tokens_check",
+            bpe.agg(
+                F.sum(
+                    (F.col("doc_id") % 997 + 1) * (F.col("n_tokens") % 1000003)
+                ).alias("value")
+            ),
+        ),
+        scalar(
+            "dup_spans_docs_hit",
+            spans.filter(F.col("n_spans") > 0).agg(
+                F.count(F.lit(1)).alias("value")
+            ),
+        ),
+        scalar(
+            "dup_spans_check",
+            spans.agg(
+                F.sum(
+                    (F.col("doc_id") % 997 + 1)
+                    * (F.col("n_spans") * 131 + F.col("dup_tokens"))
+                ).alias("value")
+            ),
+        ),
+        scalar(
+            "dup_clean_check",
+            QUERIES["ext_dup_clean"]
+            .fn(spark, sf_dir)
+            .agg(
+                F.sum(
+                    (F.col("doc_id") % 997 + 1)
+                    * (hash60(F.col("clean_text")) % 1000003)
+                ).alias("value")
+            ),
+        ),
+        scalar("unigram_total_tokens", nll.agg(F.sum("n_tokens").alias("value"))),
+        scalar(
+            "unigram_check",
+            nll.agg(
+                F.sum(
+                    (F.col("doc_id") % 997 + 1) * (F.col("nll_e4_sum") % 1000003)
+                ).alias("value")
+            ),
+        ),
+    ]
+    def _ann_check(metric: str, qname: str) -> DataFrame:
+        return scalar(
+            metric,
+            QUERIES[qname]
+            .fn(spark, sf_dir)
+            .agg(
+                F.sum(
+                    (F.col("src") % 997 + 1)
+                    * (F.col("dst") % 1000003 + F.col("rank") * 131)
+                ).alias("value")
+            ),
+        )
+
+    parts.append(_ann_check("sq_topk_check", "ext_sq_topk"))
+    parts.append(_ann_check("pq_topk_check", "ext_pq_topk"))
+    parts.append(
+        scalar(
+            "char_entropy_check",
+            QUERIES["ext_char_entropy"]
+            .fn(spark, sf_dir)
+            .agg(
+                F.sum(
+                    (F.col("doc_id") % 997 + 1) * (F.col("entropy_e4") % 1000003)
+                ).alias("value")
+            ),
+        )
+    )
+    parts.append(_ann_check("hard_neg_check", "ext_hard_negatives"))
+    parts.append(
+        scalar(
+            "bucketed_batch_check",
+            QUERIES["ext_bucketed_batches"]
+            .fn(spark, sf_dir)
+            .agg(
+                F.sum(
+                    (F.col("doc_id") % 997 + 1)
+                    * (
+                        F.col("bucket") * 131
+                        + F.col("batch_idx") * 17
+                        + F.col("pad_tokens")
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    parts.append(
+        scalar(
+            "dsir_check",
+            QUERIES["ext_importance_weights"]
+            .fn(spark, sf_dir)
+            .agg(
+                F.sum(
+                    (F.col("doc_id") % 997 + 1)
+                    * (F.col("logratio_e4") % 1000003)
+                ).alias("value")
+            ),
+        )
+    )
+    # (already materialized: the fn drained the stream into a memory
+    # sink; this is just two aggregates over that in-memory table)
+    sdd = QUERIES["stream_dedup_replay"].fn(spark, sf_dir)
+    parts.append(scalar("stream_dedup_keys", sdd.agg(F.count(F.lit(1)).alias("value"))))
+    parts.append(
+        scalar(
+            "stream_dedup_keyhash",
+            sdd.agg(F.sum(F.col("content_key") % 1000003).alias("value")),
+        )
+    )
+    kc = QUERIES["ext_graph_kcore"].fn(spark, sf_dir)
+    parts.append(scalar("kcore_members", kc.agg(F.count(F.lit(1)).alias("value"))))
+    parts.append(
+        scalar(
+            "kcore_check",
+            kc.agg(
+                F.sum(
+                    (F.col("vec_id") % 997 + 1) * (F.col("core_degree") % 1000003)
+                ).alias("value")
+            ),
+        )
+    )
+    cube = QUERIES["rel_orders_cube"].fn(spark, sf_dir)
+    # grouping-set NULL markers hashed through an explicit sentinel so
+    # the Spark concat and the DuckDB || expression agree on NULL rows
+    h_grp = (
+        hash60(
+            F.concat_ws(
+                "|",
+                F.coalesce(F.col("o_orderpriority"), F.lit("~")),
+                F.coalesce(F.col("o_orderstatus"), F.lit("~")),
+            )
+        )
+        % 1000003
+    )
+    parts.append(scalar("cube_rows", cube.agg(F.count(F.lit(1)).alias("value"))))
+    parts.append(
+        scalar(
+            "cube_check",
+            cube.agg(
+                F.sum(
+                    h_grp
+                    + F.col("n_orders")
+                    + F.floor(F.col("total") * 100 + F.lit(0.5)).cast("long")
+                ).alias("value")
+            ),
+        )
+    )
+    # keyed-hash sampling family: direct checksums for the two
+    # round-6-demoted rows, so their grading doesn't rest on the
+    # in-window w6/w2 family argument alone
+    h_lang = hash60(F.col("lang")) % 1000003
+    strat = QUERIES["ext_stratified_sample"].fn(spark, sf_dir)
+    parts.append(scalar("strat_rows", strat.agg(F.count(F.lit(1)).alias("value"))))
+    parts.append(
+        scalar(
+            "strat_check",
+            strat.agg(F.sum((F.col("doc_id") % 997 + 1) * h_lang).alias("value")),
+        )
+    )
+    wsamp = QUERIES["ext_weighted_sample"].fn(spark, sf_dir)
+    parts.append(scalar("wsample_rows", wsamp.agg(F.count(F.lit(1)).alias("value"))))
+    parts.append(
+        scalar(
+            "wsample_check",
+            wsamp.agg(
+                F.sum(
+                    (F.col("doc_id") % 997 + 1)
+                    * ((F.col("n_chars") + hash60(F.col("lang"))) % 1000003)
+                ).alias("value")
+            ),
+        )
+    )
+    # round-6 past-window registrations: every one gets a driver-graded
+    # checksum here so no registration family is local-check-only
+    parts.append(
+        scalar(
+            "bigram_check",
+            QUERIES["ext_bigram_nll"]
+            .fn(spark, sf_dir)
+            .agg(
+                F.sum(
+                    (F.col("doc_id") % 997 + 1)
+                    * (
+                        (F.col("nll_e4_sum") + F.col("n_bigrams") * 131)
+                        % 1000003
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    parts.append(
+        scalar(
+            "novelty_check",
+            QUERIES["ext_ngram_novelty"]
+            .fn(spark, sf_dir)
+            .agg(
+                F.sum(
+                    (F.col("doc_id") % 997 + 1)
+                    * (F.col("n_shingles") * 131 + F.col("n_shared"))
+                ).alias("value")
+            ),
+        )
+    )
+    gs = QUERIES["rel_orders_grouping_sets"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "gsets_check",
+            gs.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        h_grp
+                        + F.col("n_orders")
+                        + F.floor(F.col("total") * 100 + F.lit(0.5)).cast("long")
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+
+    def _bag_check(metric: str, qname: str) -> DataFrame:
+        return scalar(
+            metric,
+            QUERIES[qname]
+            .fn(spark, sf_dir)
+            .agg(
+                (
+                    F.count(F.lit(1))
+                    + 131 * F.sum("qty")
+                    + 17 * F.sum(F.col("qty") * F.col("qty"))
+                ).alias("value")
+            ),
+        )
+
+    parts.append(_bag_check("exceptall_check", "rel_qty_except_all"))
+    parts.append(_bag_check("intersectall_check", "rel_qty_intersect_all"))
+    parts.append(
+        scalar(
+            "json_check",
+            QUERIES["rel_events_json_agg"]
+            .fn(spark, sf_dir)
+            .agg(
+                F.sum(
+                    (hash60(F.col("event_type")) % 1000003)
+                    + F.col("n_events")
+                    + F.col("k_sum")
+                    + F.col("k_min")
+                    + F.col("k_max")
+                ).alias("value")
+            ),
+        )
+    )
+    ssn = QUERIES["stream_session_replay"].fn(spark, sf_dir)
+    parts.append(scalar("session_rows", ssn.agg(F.count(F.lit(1)).alias("value"))))
+    parts.append(
+        scalar(
+            "session_check",
+            ssn.agg(
+                F.sum(
+                    (F.col("user_id") % 997 + 1)
+                    * (
+                        (
+                            F.col("n_events") * 131
+                            + F.unix_micros("session_start") % 86400
+                            + F.unix_micros("session_end") % 86400
+                        )
+                        % 1000003
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df)
+    return out
