@@ -3588,3 +3588,46 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in parts[1:]:
         out = out.unionByName(df)
     return out
+
+
+@register(
+    "rel_lineitem_unpivot",
+    oracle="""
+SELECT l_orderkey, l_linenumber, measure, round(value, 6) AS value
+FROM (
+  SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS value
+  FROM lineitem WHERE l_orderkey % 50 = 0
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+  FROM lineitem WHERE l_orderkey % 50 = 0
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'discount', l_discount
+  FROM lineitem WHERE l_orderkey % 50 = 0
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'tax', l_tax
+  FROM lineitem WHERE l_orderkey % 50 = 0
+)
+""",
+)
+def rel_lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt (the inverse of the pivot the engine already
+    grades): four lineitem measures lengthened into (measure, value)
+    rows — the wide→long reshape feature stores and metric pipelines
+    run constantly. Spark plans ``unpivot`` as a single Expand node
+    inside the scan stage (no shuffle, no join); the oracle replays it
+    as the equivalent UNION ALL."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 50 == 0
+    )
+    out = li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.regexp_replace("measure", "^l_", "").alias("measure"),
+        F.round("value", 6).alias("value"),
+    )
