@@ -3094,6 +3094,49 @@ def stream_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rel_lineitem_unpivot",
+    oracle="""
+SELECT l_orderkey, l_linenumber, measure, round(value, 6) AS value
+FROM (
+  SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS value
+  FROM lineitem WHERE l_orderkey % 50 = 0
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+  FROM lineitem WHERE l_orderkey % 50 = 0
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'discount', l_discount
+  FROM lineitem WHERE l_orderkey % 50 = 0
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'tax', l_tax
+  FROM lineitem WHERE l_orderkey % 50 = 0
+)
+""",
+)
+def rel_lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt (the inverse of the pivot the engine already
+    grades): four lineitem measures lengthened into (measure, value)
+    rows — the wide→long reshape feature stores and metric pipelines
+    run constantly. Spark plans ``unpivot`` as a single Expand node
+    inside the scan stage (no shuffle, no join); the oracle replays it
+    as the equivalent UNION ALL."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 50 == 0
+    )
+    out = li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.regexp_replace("measure", "^l_", "").alias("measure"),
+        F.round("value", 6).alias("value"),
+    )
+
+
 # ------------------------------------------------- pipeline coverage pack
 #
 # Registered LAST in this module so it can embed the oracles of the
@@ -3129,6 +3172,8 @@ def _pipeline_pack_oracle() -> str:
     ina = QUERIES["rel_qty_intersect_all"].oracle
     js = QUERIES["rel_events_json_agg"].oracle
     ssn = QUERIES["stream_session_replay"].oracle
+    upv = QUERIES["rel_lineitem_unpivot"].oracle
+    h_meas = oracle_hash60("measure")
     h_lang = oracle_hash60("lang")
     h_et = oracle_hash60("event_type")
     h_ct = oracle_hash60("clean_text")
@@ -3236,6 +3281,12 @@ SELECT 'session_check',
   CAST(sum((user_id % 997 + 1) * ((n_events * 131
        + epoch_us(session_start) % 86400 + epoch_us(session_end) % 86400) % 1000003)) AS BIGINT)
   FROM ({ssn})
+UNION ALL
+SELECT 'unpivot_check',
+  CAST(count(*) + sum((l_orderkey % 997 + 1)
+       * (({h_meas} + l_linenumber * 131
+           + CAST(floor(value * 1000000 + 0.5) AS BIGINT)) % 1000003)) AS BIGINT)
+  FROM ({upv})
 """
 
 
@@ -3584,50 +3635,32 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    parts.append(
+        scalar(
+            "unpivot_check",
+            QUERIES["rel_lineitem_unpivot"]
+            .fn(spark, sf_dir)
+            .agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (F.col("l_orderkey") % 997 + 1)
+                        * (
+                            (
+                                hash60(F.col("measure"))
+                                + F.col("l_linenumber") * 131
+                                + F.floor(
+                                    F.col("value") * 1000000 + F.lit(0.5)
+                                ).cast("long")
+                            )
+                            % 1000003
+                        )
+                    )
+                ).alias("value")
+            ),
+        )
+    )
     out = parts[0]
     for df in parts[1:]:
         out = out.unionByName(df)
     return out
-
-
-@register(
-    "rel_lineitem_unpivot",
-    oracle="""
-SELECT l_orderkey, l_linenumber, measure, round(value, 6) AS value
-FROM (
-  SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS value
-  FROM lineitem WHERE l_orderkey % 50 = 0
-  UNION ALL
-  SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
-  FROM lineitem WHERE l_orderkey % 50 = 0
-  UNION ALL
-  SELECT l_orderkey, l_linenumber, 'discount', l_discount
-  FROM lineitem WHERE l_orderkey % 50 = 0
-  UNION ALL
-  SELECT l_orderkey, l_linenumber, 'tax', l_tax
-  FROM lineitem WHERE l_orderkey % 50 = 0
-)
-""",
-)
-def rel_lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNPIVOT / melt (the inverse of the pivot the engine already
-    grades): four lineitem measures lengthened into (measure, value)
-    rows — the wide→long reshape feature stores and metric pipelines
-    run constantly. Spark plans ``unpivot`` as a single Expand node
-    inside the scan stage (no shuffle, no join); the oracle replays it
-    as the equivalent UNION ALL."""
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_orderkey") % 50 == 0
-    )
-    out = li.unpivot(
-        ["l_orderkey", "l_linenumber"],
-        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
-        "measure",
-        "value",
-    )
-    return out.select(
-        "l_orderkey",
-        "l_linenumber",
-        F.regexp_replace("measure", "^l_", "").alias("measure"),
-        F.round("value", 6).alias("value"),
-    )
