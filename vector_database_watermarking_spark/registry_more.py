@@ -2395,7 +2395,9 @@ def ext_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = knn.knn_edges(emb, k=K).select("src", "dst")
     rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     mutual = e.join(rev, on=["src", "dst"], how="left_semi")
-    return graph.k_core(mutual, k=6)
+    # mutual edges are duplicate-free by construction (top-k per src
+    # has unique dst), so skip k_core's defensive distinct shuffle
+    return graph.k_core(mutual, k=6, dedup=False)
 
 
 # ----------------------------------------------- streaming replay gates
