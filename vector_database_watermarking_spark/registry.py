@@ -936,6 +936,25 @@ _GRADE_ORDER = [
     "rel_small_qty_revenue",
     "ext_graph_triangles",
     "ext_bpe_tokens",
+    # round-5/6 registrations past the window — every one has a
+    # driver-graded form through the coverage packs (see
+    # cov_operator_pack / cov_pipeline_pack docstrings) in addition
+    # to the local full-value check.
+    "ext_dup_clean",
+    "ext_importance_weights",
+    "ext_char_entropy",
+    "ext_bucketed_batches",
+    "ext_graph_kcore",
+    "rel_orders_cube",
+    "stream_dedup_replay",
+    "rel_orders_grouping_sets",
+    "rel_qty_except_all",
+    "rel_qty_intersect_all",
+    "rel_events_json_agg",
+    "rel_lineitem_unpivot",
+    "ext_bigram_nll",
+    "ext_ngram_novelty",
+    "stream_session_replay",
 ]
 
 
