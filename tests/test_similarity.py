@@ -168,3 +168,36 @@ def test_ivf_index_save_load_roundtrip(spark, sf_dir, tmp_path):
     a = sorted(map(tuple, direct.collect()))
     b = sorted(map(tuple, via_disk.collect()))
     assert a == b and len(a) == 20 * 5
+
+
+def test_random_projection_matches_numpy(spark):
+    """Projection equals the explicit W @ v (same md5 weight matrix),
+    and the distributed result is partitioning-invariant."""
+    import numpy as np
+
+    from vector_database_watermarking_spark.operators.similarity import (
+        _rp_weights,
+        random_projection,
+    )
+
+    d, out_dim = 16, 4
+    rng = [((i * 37) % 11 - 5) / 3.0 for i in range(d)]
+    emb = spark.createDataFrame(
+        [(0, rng), (1, [0.0] * d)], "vec_id long, embedding array<float>"
+    )
+    got = {r["vec_id"]: r for r in random_projection(emb, out_dim, d).collect()}
+    W = np.array(_rp_weights(out_dim, d))
+    # the kernel folds float32 inputs upcast to float64, dim by dim —
+    # replicate exactly
+    v = np.array(rng, dtype=np.float32).astype(np.float64)
+    expect = np.zeros(out_dim)
+    for i in range(d):
+        expect += v[i] * W[:, i]
+    for j in range(out_dim):
+        assert got[0][f"p{j}"] == expect[j]
+        assert got[1][f"p{j}"] == 0.0
+    again = {
+        r["vec_id"]: r
+        for r in random_projection(emb.repartition(5), out_dim, d).collect()
+    }
+    assert all(again[0][f"p{j}"] == got[0][f"p{j}"] for j in range(out_dim))

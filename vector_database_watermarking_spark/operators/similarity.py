@@ -175,6 +175,47 @@ def _rp_weights(bits: int, d: int) -> list[list[float]]:
     ]
 
 
+def random_projection(
+    emb: DataFrame,
+    out_dim: int = 8,
+    d: int = 64,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Johnson–Lindenstrauss-style dimensionality reduction: project
+    each embedding onto ``out_dim`` deterministic md5-derived
+    hyperplanes (:func:`_rp_weights` — the same matrix family the LSH
+    signature thresholds; this keeps the CONTINUOUS dot products).
+    The pre-ANN compression step at 100 TB: distances on the projected
+    vectors approximate originals within JL error while the bytes
+    scanned drop by d/out_dim.
+
+    Output: (id, p0..p{out_dim-1}) flat double columns. Arrow-batched
+    kernel, vectorized across rows, SEQUENTIAL across dims — the same
+    left-to-right fold order as the SQL oracle's
+    ``list_sum(list_transform(...))``, so projections are bit-identical
+    cross-engine (no rounding needed). One narrow scan, no shuffle."""
+    import pyspark.sql.types as T
+
+    W = np.array(_rp_weights(out_dim, d), dtype=np.float64)  # (out_dim, d)
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _proj(embs: pd.Series) -> pd.Series:
+        if len(embs) == 0:
+            return pd.Series([], dtype=object)
+        E = np.array(list(embs), dtype=np.float64)  # (m, d)
+        dots = np.zeros((len(embs), W.shape[0]))
+        for i in range(W.shape[1]):  # sequential fold parity with SQL
+            dots += E[:, i : i + 1] * W[None, :, i]
+        return pd.Series(list(dots))
+
+    out = emb.select(F.col(id_col), _proj(F.col(emb_col)).alias("_p"))
+    return out.select(
+        id_col,
+        *[F.element_at("_p", j + 1).alias(f"p{j}") for j in range(out_dim)],
+    )
+
+
 def rp_signature(emb_col: str, bits: int, d: int):
     """Random-hyperplane (SimHash-for-vectors) signature: bit b set
     when the dot product with hyperplane b is ≥ 0.

@@ -955,6 +955,7 @@ _GRADE_ORDER = [
     "ext_bigram_nll",
     "ext_ngram_novelty",
     "stream_session_replay",
+    "ext_random_projection",
 ]
 
 

@@ -3139,6 +3139,35 @@ def rel_lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ext_random_projection",
+    oracle="""
+SELECT vec_id,
+       list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * ((CAST('0x' || substr(md5(concat('rp_0_', CAST(i - 1 AS VARCHAR))), 1, 15) AS BIGINT) / power(2.0, 60)) * 2 - 1))) AS p0,
+       list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * ((CAST('0x' || substr(md5(concat('rp_1_', CAST(i - 1 AS VARCHAR))), 1, 15) AS BIGINT) / power(2.0, 60)) * 2 - 1))) AS p1,
+       list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * ((CAST('0x' || substr(md5(concat('rp_2_', CAST(i - 1 AS VARCHAR))), 1, 15) AS BIGINT) / power(2.0, 60)) * 2 - 1))) AS p2,
+       list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * ((CAST('0x' || substr(md5(concat('rp_3_', CAST(i - 1 AS VARCHAR))), 1, 15) AS BIGINT) / power(2.0, 60)) * 2 - 1))) AS p3,
+       list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * ((CAST('0x' || substr(md5(concat('rp_4_', CAST(i - 1 AS VARCHAR))), 1, 15) AS BIGINT) / power(2.0, 60)) * 2 - 1))) AS p4,
+       list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * ((CAST('0x' || substr(md5(concat('rp_5_', CAST(i - 1 AS VARCHAR))), 1, 15) AS BIGINT) / power(2.0, 60)) * 2 - 1))) AS p5,
+       list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * ((CAST('0x' || substr(md5(concat('rp_6_', CAST(i - 1 AS VARCHAR))), 1, 15) AS BIGINT) / power(2.0, 60)) * 2 - 1))) AS p6,
+       list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * ((CAST('0x' || substr(md5(concat('rp_7_', CAST(i - 1 AS VARCHAR))), 1, 15) AS BIGINT) / power(2.0, 60)) * 2 - 1))) AS p7
+FROM embeddings
+""",
+)
+def ext_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL-style random projection (``similarity.random_projection``):
+    64-dim embeddings compressed to 8 deterministic md5-hyperplane dot
+    products — the pre-ANN byte-reduction step. The oracle recomputes
+    every weight inline (same md5→[-1,1] arithmetic as the LSH
+    signature oracle) and the sequential-fold dot products, so all
+    eight projected coordinates hash-match as RAW doubles."""
+    from .operators.similarity import random_projection
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return random_projection(emb, out_dim=8, d=D)
+
+
+
 # ------------------------------------------------- pipeline coverage pack
 #
 # Registered LAST in this module so it can embed the oracles of the
@@ -3175,7 +3204,11 @@ def _pipeline_pack_oracle() -> str:
     js = QUERIES["rel_events_json_agg"].oracle
     ssn = QUERIES["stream_session_replay"].oracle
     upv = QUERIES["rel_lineitem_unpivot"].oracle
+    rproj = QUERIES["ext_random_projection"].oracle
     h_meas = oracle_hash60("measure")
+    p_e6 = " + ".join(
+        f"CAST(floor(p{j} * 1000000 + 0.5) AS BIGINT)" for j in range(8)
+    )
     h_lang = oracle_hash60("lang")
     h_et = oracle_hash60("event_type")
     h_ct = oracle_hash60("clean_text")
@@ -3289,6 +3322,9 @@ SELECT 'unpivot_check',
        * (({h_meas} + l_linenumber * 131
            + CAST(floor(value * 1000000 + 0.5) AS BIGINT)) % 1000003)) AS BIGINT)
   FROM ({upv})
+UNION ALL
+SELECT 'rproj_check',
+  CAST(sum((vec_id % 997 + 1) * ({p_e6})) AS BIGINT) FROM ({rproj})
 """
 
 
@@ -3660,6 +3696,17 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 ).alias("value")
             ),
+        )
+    )
+    rproj = QUERIES["ext_random_projection"].fn(spark, sf_dir)
+    p_e6 = sum(
+        F.floor(F.col(f"p{j}") * 1000000 + F.lit(0.5)).cast("long")
+        for j in range(8)
+    )
+    parts.append(
+        scalar(
+            "rproj_check",
+            rproj.agg(F.sum((F.col("vec_id") % 997 + 1) * p_e6).alias("value")),
         )
     )
     out = parts[0]
