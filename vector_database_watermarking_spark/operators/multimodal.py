@@ -53,12 +53,15 @@ def _decode_bmp(raw: bytes):
     (top-down rows); dimensions are reported as magnitudes."""
     import struct
 
-    if len(raw) < 26:
+    if len(raw) < 18:
         return None
-    # BITMAPCOREHEADER (12 bytes) uses uint16 dims; all later header
-    # versions (40+) use int32
+    # BITMAPCOREHEADER (12 bytes) uses uint16 dims at offset 18; all
+    # later header versions (40+) use int32 there — each branch gates
+    # on exactly the bytes it reads
     (hdr_size,) = struct.unpack_from("<I", raw, 14)
     if hdr_size == 12:
+        if len(raw) < 22:
+            return None
         w, h = struct.unpack_from("<HH", raw, 18)
     else:
         if len(raw) < 26:

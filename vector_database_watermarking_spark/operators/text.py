@@ -532,6 +532,12 @@ def unigram_nll_scores(
         # each would re-run the corpus token scan (3 scans -> 2: train
         # + score, the minimum)
         vocab = unigram_vocab(docs, text_col).localCheckpoint(eager=True)
+    else:
+        # a caller-supplied vocab may be a lazy pipeline over a whole
+        # reference corpus; the probe, the totals aggregate, and the
+        # join side each read it, so materialize it here rather than
+        # paying the reference scan three times
+        vocab = vocab.localCheckpoint(eager=True)
     tot = vocab.agg(
         F.sum("c").alias("T"), F.count(F.lit(1)).alias("V")
     )
@@ -694,7 +700,11 @@ def bigram_nll_scores(
     broadcasts them while they fit and shuffle-joins past that without
     any extra driver-side probe job. Nothing driver-side.
     """
-    toks = materialized_tokens(docs, text_col)
+    # checkpoint the token arrays ONCE: both the bigram stream and the
+    # vocab-size aggregate derive from it, so the corpus is tokenized
+    # in exactly one scan (without this, V's subtree re-reads and
+    # re-tokenizes the corpus — a full extra pass at 100 TB)
+    toks = materialized_tokens(docs, text_col).localCheckpoint(eager=True)
     n = F.size("_toks")
     n_pairs = F.greatest(n - 1, F.lit(0))
     pairs = F.zip_with(
@@ -707,7 +717,7 @@ def bigram_nll_scores(
         .select("doc_id", "p.prev", "p.tok")
         .filter((F.length("prev") > 0) & (F.length("tok") > 0))
         # both LM tables and the scoring pass read this stream; the
-        # checkpoint pins it to ONE tokenization scan
+        # checkpoint pins it to ONE pair expansion
         .localCheckpoint(eager=True)
     )
     v = (
@@ -761,9 +771,10 @@ def ngram_novelty(
     from .dedup import word_shingles
 
     sh = word_shingles(docs, n=n, text_col=text_col).localCheckpoint(eager=True)
-    df_counts = sh.groupBy("shingle").agg(
-        F.countDistinct("doc_id").alias("n_docs")
-    )
+    # word_shingles already emits DISTINCT (doc_id, shingle) pairs, so
+    # a plain count equals countDistinct(doc_id) without Spark's extra
+    # two-phase distinct-aggregate pass on the widest shuffle here
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_docs"))
     per_doc = (
         sh.join(df_counts, on="shingle")
         .groupBy("doc_id")

@@ -2708,7 +2708,10 @@ def stream_ingest_candidates_replay(spark: SparkSession, sf_dir: str) -> DataFra
     corpus_bands = ddp.lsh_bands(
         sig, rows_per_band=2, num_hashes=8
     ).localCheckpoint(eager=True)
-    scratch = _scratch_dir("sing", sf_dir)
+    # own scratch tag: sharing the exact-replay directory would make
+    # a concurrent run of the two ingest replays rmtree files the
+    # other query's file source is still listing
+    scratch = _scratch_dir("singc", sf_dir)
     _write_batches(stream_batch, "doc_id", scratch)
     stream = (
         spark.readStream.schema("doc_id long, text string")
