@@ -759,6 +759,9 @@ SELECT 's2_tail_count' AS metric, CAST(count(*) AS BIGINT) AS value FROM tail
 UNION ALL SELECT 's2_tail_idsum', CAST(sum(vec_id) AS BIGINT) FROM tail
 UNION ALL SELECT 's4_roundtrip_count', CAST(count(*) AS BIGINT) FROM tail
 UNION ALL SELECT 's4_roundtrip_idsum', CAST(sum(vec_id) AS BIGINT) FROM tail
+UNION ALL SELECT 'jsonl_roundtrip_idsum', CAST(sum(vec_id) AS BIGINT) FROM tail
+UNION ALL SELECT 'csv_roundtrip_idsum', CAST(sum(vec_id) AS BIGINT) FROM tail
+UNION ALL SELECT 'orc_roundtrip_idsum', CAST(sum(vec_id) AS BIGINT) FROM tail
 UNION ALL SELECT 'w7_key_cells', CAST(count(*) AS BIGINT) FROM keys
 UNION ALL SELECT 'w7_vid_hashsum', CAST(sum({oracle_hash60('vid')} % 1000003) AS BIGINT) FROM keys
 UNION ALL SELECT 'so2_union_count', CAST(count(*) + 50 AS BIGINT) FROM embeddings
@@ -849,6 +852,34 @@ def cov_operator_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     rr = spark.read.parquet(sink)
     parts.append(scalar("s4_roundtrip_count", rr.agg(F.count(F.lit(1)).alias("value"))))
     parts.append(scalar("s4_roundtrip_idsum", rr.agg(F.sum("vec_id").alias("value"))))
+
+    # source/sink format breadth: the same slice through Spark's other
+    # first-class formats — JSON-lines (schema on read), CSV (header +
+    # explicit schema), ORC — each written and read back through the
+    # real connector, checksummed against the identical oracle value
+    for fmt, reader in (
+        ("json", lambda p: spark.read.schema("vec_id long").json(p)),
+        (
+            "csv",
+            lambda p: spark.read.option("header", True)
+            .schema("vec_id long")
+            .csv(p),
+        ),
+        ("orc", lambda p: spark.read.orc(p)),
+    ):
+        fsink = f"{sink}_{fmt}"
+        w = tail.write.mode("overwrite")
+        if fmt == "csv":
+            w = w.option("header", True)
+        getattr(w, "json" if fmt == "json" else fmt)(fsink)
+        fr = reader(fsink)
+        label = "jsonl" if fmt == "json" else fmt
+        parts.append(
+            scalar(
+                f"{label}_roundtrip_idsum",
+                fr.agg(F.sum("vec_id").alias("value")),
+            )
+        )
 
     keys = emb.filter(F.col("vec_id") < 100).select(
         content_id("embedding", _W7_DIMS).alias("vid")
