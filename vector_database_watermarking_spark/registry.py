@@ -956,6 +956,7 @@ _GRADE_ORDER = [
     "ext_ngram_novelty",
     "stream_session_replay",
     "ext_random_projection",
+    "rel_events_rolling",
 ]
 
 

@@ -3202,6 +3202,47 @@ def ext_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@register(
+    "rel_events_rolling",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) OVER w AS BIGINT) AS rolling_sum_e6,
+       CAST(count(*) OVER w AS BIGINT) AS n_window,
+       epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+""",
+)
+def rel_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-frame + lag breadth: per-user rolling 4-row aggregate and
+    previous-event gap — the sliding-metric shape (rates, rolling
+    spend, inter-arrival times) every event pipeline computes. Values
+    enter the frame as integer 1e-6 units BEFORE summation, so the
+    rolling sum is order-exact across engines regardless of how each
+    implements moving-window aggregation (segment trees vs naive), and
+    the gap is integer microseconds from ``lag``. One shuffle on
+    user_id serves both window specs."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, 0)
+    )
+    lw = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v_e6 = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(v_e6).over(w).alias("rolling_sum_e6"),
+        F.count(F.lit(1)).over(w).alias("n_window"),
+        (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(lw))
+        ).alias("prev_gap_us"),
+    )
+
+
+
 # ------------------------------------------------- pipeline coverage pack
 #
 # Registered LAST in this module so it can embed the oracles of the
@@ -3239,6 +3280,7 @@ def _pipeline_pack_oracle() -> str:
     ssn = QUERIES["stream_session_replay"].oracle
     upv = QUERIES["rel_lineitem_unpivot"].oracle
     rproj = QUERIES["ext_random_projection"].oracle
+    roll = QUERIES["rel_events_rolling"].oracle
     h_meas = oracle_hash60("measure")
     p_e6 = " + ".join(
         f"CAST(floor(p{j} * 1000000 + 0.5) AS BIGINT)" for j in range(8)
@@ -3359,6 +3401,10 @@ SELECT 'unpivot_check',
 UNION ALL
 SELECT 'rproj_check',
   CAST(sum((vec_id % 997 + 1) * ({p_e6})) AS BIGINT) FROM ({rproj})
+UNION ALL
+SELECT 'rolling_check',
+  CAST(sum((event_id % 997 + 1) * ((rolling_sum_e6 + n_window * 131
+       + coalesce(prev_gap_us, -7)) % 1000003)) AS BIGINT) FROM ({roll})
 """
 
 
@@ -3741,6 +3787,25 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         scalar(
             "rproj_check",
             rproj.agg(F.sum((F.col("vec_id") % 997 + 1) * p_e6).alias("value")),
+        )
+    )
+    roll = QUERIES["rel_events_rolling"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "rolling_check",
+            roll.agg(
+                F.sum(
+                    (F.col("event_id") % 997 + 1)
+                    * (
+                        (
+                            F.col("rolling_sum_e6")
+                            + F.col("n_window") * 131
+                            + F.coalesce(F.col("prev_gap_us"), F.lit(-7))
+                        )
+                        % 1000003
+                    )
+                ).alias("value")
+            ),
         )
     )
     out = parts[0]
