@@ -1362,3 +1362,75 @@ def test_bucketed_batches_matches_pure_python(spark, sf_dir):
         for r in packing.bucketed_batches(df, batch_size=8, bucket_width=16).collect()
     }
     assert got == expected
+
+
+# ---- round-6 text-op property tests (random corpora vs brute force) ----
+
+
+def test_bigram_nll_property_random_corpora(spark):
+    """On tiny-alphabet random corpora the distributed bigram LM must
+    equal a brute-force Python reference exactly (integer buckets), and
+    must be invariant to corpus row order."""
+    import math
+
+    @given(_span_docs)
+    @settings(max_examples=8, deadline=None)
+    def check(doclists):
+        texts = [(i, " ".join(toks)) for i, toks in enumerate(doclists)]
+        docs = spark.createDataFrame(texts, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["nll_e4_sum"])
+            for r in text.bigram_nll_scores(docs).collect()
+        }
+        # brute force
+        bg = []
+        vocab = set()
+        for i, toks in enumerate(doclists):
+            vocab |= set(toks)
+            bg += [(i, a, b) for a, b in zip(toks, toks[1:])]
+        bc: dict = {}
+        cc: dict = {}
+        for _, a, b in bg:
+            bc[(a, b)] = bc.get((a, b), 0) + 1
+            cc[a] = cc.get(a, 0) + 1
+        V, alpha = len(vocab), 0.5
+        exp: dict = {}
+        for i, a, b in bg:
+            p = (bc[(a, b)] + alpha) / (cc[a] + alpha * (V + 1))
+            e4 = math.floor(-math.log2(p) * 10000 + 0.5)
+            n, s = exp.get(i, (0, 0))
+            exp[i] = (n + 1, s + e4)
+        assert got == exp
+        again = {
+            r["doc_id"]: (r["n_bigrams"], r["nll_e4_sum"])
+            for r in text.bigram_nll_scores(docs.repartition(4)).collect()
+        }
+        assert again == exp
+
+    check()
+
+
+def test_ngram_novelty_properties(spark):
+    """Structural invariants under duplicate injection: n_shared <=
+    n_shingles always; duplicating a doc makes every one of BOTH
+    copies' shingles shared; untouched docs keep their counts."""
+    base = [
+        (0, "one two three four five six seven eight nine"),
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+    ]
+    docs = spark.createDataFrame(base, "doc_id long, text string")
+    before = {r["doc_id"]: r for r in text.ngram_novelty(docs, n=8).collect()}
+    dup = spark.createDataFrame(
+        base + [(10, base[0][1])], "doc_id long, text string"
+    )
+    after = {r["doc_id"]: r for r in text.ngram_novelty(dup, n=8).collect()}
+    for r in list(before.values()) + list(after.values()):
+        assert 0 <= r["n_shared"] <= r["n_shingles"]
+    # doc 0 and its copy: fully shared after injection
+    assert after[0]["n_shared"] == after[0]["n_shingles"] == before[0]["n_shingles"]
+    assert after[10]["n_shared"] == after[10]["n_shingles"]
+    # doc 1 untouched by the injection
+    assert (
+        after[1]["n_shingles"],
+        after[1]["n_shared"],
+    ) == (before[1]["n_shingles"], before[1]["n_shared"])
