@@ -957,6 +957,7 @@ _GRADE_ORDER = [
     "stream_session_replay",
     "ext_random_projection",
     "rel_events_rolling",
+    "ext_perplexity_filter",
 ]
 
 

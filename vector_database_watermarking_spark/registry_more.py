@@ -3243,6 +3243,67 @@ def rel_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@register(
+    "ext_perplexity_filter",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+),
+u AS (
+  SELECT doc_id, tok FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+  WHERE length(tok) > 0
+),
+v AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY tok),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS T, CAST(count(*) AS BIGINT) AS V FROM v),
+sc AS (
+  SELECT u.doc_id,
+         CAST(floor(-log2((v.c + 0.5) / (tot.T + 0.5 * (tot.V + 1))) * 10000 + 0.5) AS BIGINT) AS e4
+  FROM u JOIN v USING (tok) CROSS JOIN tot
+),
+nll AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(e4) AS BIGINT) AS nll_e4_sum,
+         sum(e4) / 10000.0 / count(*) AS avg_nll
+  FROM sc GROUP BY doc_id
+),
+j AS (
+  SELECT nll.*, d.source FROM nll JOIN documents d USING (doc_id)
+),
+med AS (SELECT source, quantile_cont(avg_nll, 0.5) AS med FROM j GROUP BY source)
+SELECT j.doc_id, j.source, j.n_tokens, j.nll_e4_sum
+FROM j JOIN med USING (source)
+WHERE j.avg_nll <= med.med
+""",
+)
+def ext_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity split (composition of the LM scorer and
+    a per-source quantile gate): keep the "head" half of each source —
+    documents whose mean unigram NLL is at or below their source's
+    median. The curation step CCNet actually ships (head/middle/tail
+    by LM perplexity percentile per domain). Output is all-integer
+    (doc_id, source, n_tokens, nll_e4_sum); the avg-NLL comparison
+    happens on the unrounded exact-integer quotients, and the median
+    interpolation arithmetic is identical in both engines given
+    bit-identical inputs (same precedent as the profile percentiles).
+    Scale shape: the LM scoring plan plus one small per-source
+    aggregate broadcast back — nothing new shuffles at corpus width."""
+    from .operators import text as _text
+
+    docs = load_table(spark, sf_dir, "documents")
+    nll = _text.unigram_nll_scores(docs)
+    j = nll.join(docs.select("doc_id", "source"), on="doc_id")
+    med = j.groupBy("source").agg(
+        F.percentile("avg_nll", F.lit(0.5)).alias("med")
+    )
+    return (
+        j.join(F.broadcast(med), on="source")
+        .filter(F.col("avg_nll") <= F.col("med"))
+        .select("doc_id", "source", "n_tokens", "nll_e4_sum")
+    )
+
+
+
 # ------------------------------------------------- pipeline coverage pack
 #
 # Registered LAST in this module so it can embed the oracles of the
@@ -3281,7 +3342,9 @@ def _pipeline_pack_oracle() -> str:
     upv = QUERIES["rel_lineitem_unpivot"].oracle
     rproj = QUERIES["ext_random_projection"].oracle
     roll = QUERIES["rel_events_rolling"].oracle
+    ppx = QUERIES["ext_perplexity_filter"].oracle
     h_meas = oracle_hash60("measure")
+    h_src = oracle_hash60("source")
     p_e6 = " + ".join(
         f"CAST(floor(p{j} * 1000000 + 0.5) AS BIGINT)" for j in range(8)
     )
@@ -3405,6 +3468,11 @@ UNION ALL
 SELECT 'rolling_check',
   CAST(sum((event_id % 997 + 1) * ((rolling_sum_e6 + n_window * 131
        + coalesce(prev_gap_us, -7)) % 1000003)) AS BIGINT) FROM ({roll})
+UNION ALL
+SELECT 'ppx_filter_check',
+  CAST(count(*) + sum((doc_id % 997 + 1)
+       * (({h_src} + n_tokens * 131 + nll_e4_sum) % 1000003)) AS BIGINT)
+  FROM ({ppx})
 """
 
 
@@ -3803,6 +3871,28 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                             + F.coalesce(F.col("prev_gap_us"), F.lit(-7))
                         )
                         % 1000003
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    ppx = QUERIES["ext_perplexity_filter"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "ppx_filter_check",
+            ppx.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (F.col("doc_id") % 997 + 1)
+                        * (
+                            (
+                                hash60(F.col("source"))
+                                + F.col("n_tokens") * 131
+                                + F.col("nll_e4_sum")
+                            )
+                            % 1000003
+                        )
                     )
                 ).alias("value")
             ),
