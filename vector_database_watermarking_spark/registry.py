@@ -958,6 +958,7 @@ _GRADE_ORDER = [
     "ext_random_projection",
     "rel_events_rolling",
     "ext_perplexity_filter",
+    "ext_split_leakage",
 ]
 
 

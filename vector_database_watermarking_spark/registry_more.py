@@ -2443,7 +2443,13 @@ def ext_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle is then plain batch SQL over the same inputs.
 
 from .registry import L  # noqa: E402
-from .registry_ext import _NORM, _hash60_sql, _lang_score_sql  # noqa: E402
+from .registry_ext import (  # noqa: E402
+    _MINHASH_CTE,
+    _MINHASH_PAIRS_CTES,
+    _NORM,
+    _hash60_sql,
+    _lang_score_sql,
+)
 
 
 def _scratch_dir(tag: str, sf_dir: str) -> str:
@@ -3304,6 +3310,74 @@ def ext_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@register(
+    "ext_split_leakage",
+    oracle="WITH "
+    + _MINHASH_CTE
+    + _MINHASH_PAIRS_CTES
+    + """,
+sp AS (
+  SELECT doc_id,
+         CASE WHEN bkt < 800 THEN 'train'
+              WHEN bkt < 900 THEN 'val' ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id,
+           CAST('0x' || substr(md5(concat('split_',
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))), 1, 15) AS BIGINT) % 1000
+             AS bkt
+    FROM documents
+  )
+)
+SELECT p.doc1, p.doc2, s1.split AS split1, s2.split AS split2,
+       round(p.jaccard, 6) AS jaccard
+FROM pairs p
+JOIN sp s1 ON p.doc1 = s1.doc_id
+JOIN sp s2 ON p.doc2 = s2.doc_id
+WHERE s1.split <> s2.split
+""",
+)
+def ext_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split leakage audit (composition): MinHash near-dup pairs
+    whose two documents landed in DIFFERENT train/val/test splits —
+    exactly the contamination an exact-dup-only split misses (the
+    content-keyed split sends exact copies to one split, but NEAR
+    duplicates hash to different buckets). The audit every eval-split
+    pipeline should run; output is the leaking pair with both split
+    labels and the verified Jaccard. Oracle composes the minhash-pair
+    replay with the split-bucket replay. Scale: the near-dup pair
+    relation (banded, never all-pairs) joined twice against the skinny
+    split table — broadcast-sized at any corpus width."""
+    from .operators import dedup as ddp
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = ddp.word_shingles(docs, n=3).persist()
+    sig = ddp.minhash_signatures(sh, num_hashes=8)
+    bands = ddp.lsh_bands(sig, rows_per_band=2, num_hashes=8)
+    cand = ddp.lsh_candidate_pairs(bands)
+    pairs = ddp.jaccard_verify(cand, sh, threshold=0.5)
+    splits = QUERIES["ext_corpus_split"].fn(spark, sf_dir)
+    out = (
+        pairs.join(
+            splits.select(
+                F.col("doc_id").alias("doc1"), F.col("split").alias("split1")
+            ),
+            on="doc1",
+        )
+        .join(
+            splits.select(
+                F.col("doc_id").alias("doc2"), F.col("split").alias("split2")
+            ),
+            on="doc2",
+        )
+        .filter(F.col("split1") != F.col("split2"))
+    )
+    sh.unpersist()
+    return out.select(
+        "doc1", "doc2", "split1", "split2", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+
 # ------------------------------------------------- pipeline coverage pack
 #
 # Registered LAST in this module so it can embed the oracles of the
@@ -3343,8 +3417,10 @@ def _pipeline_pack_oracle() -> str:
     rproj = QUERIES["ext_random_projection"].oracle
     roll = QUERIES["rel_events_rolling"].oracle
     ppx = QUERIES["ext_perplexity_filter"].oracle
+    leak = QUERIES["ext_split_leakage"].oracle
     h_meas = oracle_hash60("measure")
     h_src = oracle_hash60("source")
+    h_spl = oracle_hash60("split1 || '|' || split2")
     p_e6 = " + ".join(
         f"CAST(floor(p{j} * 1000000 + 0.5) AS BIGINT)" for j in range(8)
     )
@@ -3473,6 +3549,12 @@ SELECT 'ppx_filter_check',
   CAST(count(*) + sum((doc_id % 997 + 1)
        * (({h_src} + n_tokens * 131 + nll_e4_sum) % 1000003)) AS BIGINT)
   FROM ({ppx})
+UNION ALL
+SELECT 'split_leak_check',
+  CAST(count(*) + coalesce(sum((doc1 % 997 + 1)
+       * ((doc2 + {h_spl}
+           + CAST(floor(jaccard * 1000000 + 0.5) AS BIGINT)) % 1000003)), 0) AS BIGINT)
+  FROM ({leak})
 """
 
 
@@ -3893,6 +3975,35 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                             )
                             % 1000003
                         )
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    leak = QUERIES["ext_split_leakage"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "split_leak_check",
+            leak.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.coalesce(
+                        F.sum(
+                            (F.col("doc1") % 997 + 1)
+                            * (
+                                (
+                                    F.col("doc2")
+                                    + hash60(
+                                        F.concat_ws("|", "split1", "split2")
+                                    )
+                                    + F.floor(
+                                        F.col("jaccard") * 1000000 + F.lit(0.5)
+                                    ).cast("long")
+                                )
+                                % 1000003
+                            )
+                        ),
+                        F.lit(0),
                     )
                 ).alias("value")
             ),
