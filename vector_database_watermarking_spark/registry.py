@@ -959,6 +959,7 @@ _GRADE_ORDER = [
     "rel_events_rolling",
     "ext_perplexity_filter",
     "ext_split_leakage",
+    "rel_events_funnel",
 ]
 
 

@@ -3378,6 +3378,81 @@ def ext_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@register(
+    "rel_events_funnel",
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(ts) AS view_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS click_ts
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts >= v.view_ts
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS purchase_ts
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts >= c.click_ts
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT v.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+       CAST(1 + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+              + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS INTEGER) AS stage
+FROM v LEFT JOIN c ON v.user_id = c.user_id
+       LEFT JOIN p ON v.user_id = p.user_id
+""",
+)
+def rel_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → click → purchase): per user,
+    the earliest event of each stage that occurs AT OR AFTER the
+    previous stage's earliest qualifying event, plus the deepest stage
+    reached — the product-analytics sequence-matching shape. Three
+    partial-aggregated min() passes chained by user-keyed joins (the
+    ordering constraint rides the join predicate, so no per-user sort
+    or window materializes the full event sequence); at 100 TB each
+    stage relation is one shuffle on user_id and the stage tables
+    shrink monotonically. Timestamps and the stage counter are exact,
+    so the oracle replays the chain verbatim."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, on="user_id")
+        .filter(F.col("ts") >= F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, on="user_id")
+        .filter(F.col("ts") >= F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        v.join(c, on="user_id", how="left")
+        .join(p, on="user_id", how="left")
+        .select(
+            "user_id",
+            "view_ts",
+            "click_ts",
+            "purchase_ts",
+            (
+                F.lit(1)
+                + F.col("click_ts").isNotNull().cast("int")
+                + F.col("purchase_ts").isNotNull().cast("int")
+            ).alias("stage"),
+        )
+    )
+
+
+
 # ------------------------------------------------- pipeline coverage pack
 #
 # Registered LAST in this module so it can embed the oracles of the
@@ -3418,6 +3493,7 @@ def _pipeline_pack_oracle() -> str:
     roll = QUERIES["rel_events_rolling"].oracle
     ppx = QUERIES["ext_perplexity_filter"].oracle
     leak = QUERIES["ext_split_leakage"].oracle
+    fun = QUERIES["rel_events_funnel"].oracle
     h_meas = oracle_hash60("measure")
     h_src = oracle_hash60("source")
     h_spl = oracle_hash60("split1 || '|' || split2")
@@ -3555,6 +3631,13 @@ SELECT 'split_leak_check',
        * ((doc2 + {h_spl}
            + CAST(floor(jaccard * 1000000 + 0.5) AS BIGINT)) % 1000003)), 0) AS BIGINT)
   FROM ({leak})
+UNION ALL
+SELECT 'funnel_check',
+  CAST(count(*) + sum((user_id % 997 + 1)
+       * ((stage * 131 + epoch_us(view_ts) % 86400
+           + coalesce(epoch_us(click_ts), -3) % 86400
+           + coalesce(epoch_us(purchase_ts), -5) % 86400) % 1000003)) AS BIGINT)
+  FROM ({fun})
 """
 
 
@@ -3972,6 +4055,35 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 hash60(F.col("source"))
                                 + F.col("n_tokens") * 131
                                 + F.col("nll_e4_sum")
+                            )
+                            % 1000003
+                        )
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    fun = QUERIES["rel_events_funnel"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "funnel_check",
+            fun.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (F.col("user_id") % 997 + 1)
+                        * (
+                            (
+                                F.col("stage") * 131
+                                + F.unix_micros("view_ts") % 86400
+                                + F.coalesce(
+                                    F.unix_micros("click_ts"), F.lit(-3)
+                                )
+                                % 86400
+                                + F.coalesce(
+                                    F.unix_micros("purchase_ts"), F.lit(-5)
+                                )
+                                % 86400
                             )
                             % 1000003
                         )
