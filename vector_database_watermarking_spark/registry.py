@@ -960,6 +960,7 @@ _GRADE_ORDER = [
     "ext_perplexity_filter",
     "ext_split_leakage",
     "rel_events_funnel",
+    "rel_events_retention",
 ]
 
 

@@ -3453,6 +3453,59 @@ def rel_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@register(
+    "rel_events_retention",
+    oracle="""
+WITH su AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+act AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+),
+r AS (
+  SELECT su.cohort_week,
+         CAST((epoch_us(act.week) - epoch_us(su.cohort_week)) / 604800000000 AS BIGINT) AS week_offset,
+         act.user_id
+  FROM su JOIN act ON su.user_id = act.user_id
+  WHERE act.week >= su.cohort_week
+)
+SELECT cohort_week, week_offset,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM r GROUP BY cohort_week, week_offset
+""",
+)
+def rel_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention analysis: users bucketed by the ISO week of
+    their first signup event, counted in each subsequent activity week
+    — the cohort/retention matrix every product-analytics stack
+    computes. Week truncation is ISO-Monday in both engines and the
+    offset is exact integer arithmetic on week-aligned microsecond
+    epochs, so the matrix replays bit-for-bit. Scale: two
+    partial-aggregated passes over events plus one user-keyed join of
+    two skinny relations — the events table is scanned twice and never
+    shuffled wider than (user, week)."""
+    ev = load_table(spark, sf_dir, "events")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    ).distinct()
+    r = su.join(act, on="user_id").filter(F.col("week") >= F.col("cohort_week"))
+    off = (
+        (F.unix_micros("week") - F.unix_micros("cohort_week")) / 604800000000
+    ).cast("long")
+    return (
+        r.select("cohort_week", off.alias("week_offset"), "user_id")
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+
 # ------------------------------------------------- pipeline coverage pack
 #
 # Registered LAST in this module so it can embed the oracles of the
@@ -3494,6 +3547,7 @@ def _pipeline_pack_oracle() -> str:
     ppx = QUERIES["ext_perplexity_filter"].oracle
     leak = QUERIES["ext_split_leakage"].oracle
     fun = QUERIES["rel_events_funnel"].oracle
+    ret = QUERIES["rel_events_retention"].oracle
     h_meas = oracle_hash60("measure")
     h_src = oracle_hash60("source")
     h_spl = oracle_hash60("split1 || '|' || split2")
@@ -3638,6 +3692,11 @@ SELECT 'funnel_check',
            + coalesce(epoch_us(click_ts), -3) % 86400
            + coalesce(epoch_us(purchase_ts), -5) % 86400) % 1000003)) AS BIGINT)
   FROM ({fun})
+UNION ALL
+SELECT 'retention_check',
+  CAST(count(*) + sum((epoch_us(cohort_week) % 100003 + 1)
+       * ((week_offset * 131 + n_users) % 1000003)) AS BIGINT)
+  FROM ({ret})
 """
 
 
@@ -4056,6 +4115,24 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 + F.col("n_tokens") * 131
                                 + F.col("nll_e4_sum")
                             )
+                            % 1000003
+                        )
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    ret = QUERIES["rel_events_retention"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "retention_check",
+            ret.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (F.unix_micros("cohort_week") % 100003 + 1)
+                        * (
+                            (F.col("week_offset") * 131 + F.col("n_users"))
                             % 1000003
                         )
                     )
