@@ -1434,3 +1434,87 @@ def test_ngram_novelty_properties(spark):
         after[1]["n_shingles"],
         after[1]["n_shared"],
     ) == (before[1]["n_shingles"], before[1]["n_shared"])
+
+
+def test_tfidf_keywords_brute_force(spark):
+    import math
+    from collections import Counter
+
+    from vector_database_watermarking_spark.operators.text import tfidf_keywords
+
+    corpus = {
+        1: "cat dog cat fish",
+        2: "dog dog bird",
+        3: "cat bird bird bird fish",
+        4: "whale",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in corpus.items()], ["doc_id", "text"]
+    )
+    got = {
+        (r.doc_id, r.rank): (r.tok, r.tf, r.df, r.tfidf_e4)
+        for r in tfidf_keywords(docs, top_k=3).collect()
+    }
+    # brute force
+    toks = {i: t.split() for i, t in corpus.items()}
+    df = Counter(tok for ts in toks.values() for tok in set(ts))
+    n = len(corpus)
+    expected = {}
+    for i, ts in toks.items():
+        tf = Counter(ts)
+        scored = sorted(
+            (
+                (
+                    tok,
+                    c,
+                    df[tok],
+                    math.floor(c * math.log(n / df[tok]) * 10000 + 0.5),
+                )
+                for tok, c in tf.items()
+            ),
+            key=lambda x: (-x[3], x[0]),
+        )
+        for rank, (tok, c, d, e4) in enumerate(scored[:3], start=1):
+            expected[(i, rank)] = (tok, c, d, e4)
+    assert got == expected
+
+
+def test_pmi_collocations_brute_force(spark):
+    import math
+    from collections import Counter
+
+    from vector_database_watermarking_spark.operators.text import (
+        pmi_collocations,
+    )
+
+    texts = (
+        ["new york city", "new york state", "new york"] * 3
+        + ["big apple pie", "apple pie"] * 2
+        + ["york new", "city of new york"]
+    )
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = [
+        (r.w1, r.w2, r.c_pair, r.c1, r.c2, r.pmi_e4)
+        for r in pmi_collocations(docs, min_count=2, top_k=10).collect()
+    ]
+    toks = [t.split() for t in texts]
+    uni = Counter(tok for ts in toks for tok in ts)
+    pc = Counter((ts[i], ts[i + 1]) for ts in toks for i in range(len(ts) - 1))
+    T = sum(uni.values())
+    P = sum(len(ts) - 1 for ts in toks)
+    rows = []
+    for (w1, w2), c in pc.items():
+        if c < 2:
+            continue
+        pmi = (
+            math.log2(c)
+            + 2 * math.log2(T)
+            - math.log2(P)
+            - math.log2(uni[w1])
+            - math.log2(uni[w2])
+        )
+        rows.append((w1, w2, c, uni[w1], uni[w2], math.floor(pmi * 10000 + 0.5)))
+    rows.sort(key=lambda x: (-x[5], x[0], x[1]))
+    assert got == rows[:10]

@@ -154,3 +154,68 @@ def test_contamination_scan_planted(spark):
     assert row["n_probe_docs"] == 1
     assert row["first_probe_doc"] == 1
     assert row["n_shared_windows"] >= 1
+
+
+def test_calendar_gapfill_brute_force(spark):
+    import datetime as dt
+
+    from vector_database_watermarking_spark.operators.temporal import (
+        calendar_gapfill,
+    )
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 5), 10),
+        (1, dt.datetime(2024, 1, 1, 9), 11),
+        (1, dt.datetime(2024, 1, 4, 1), 12),
+        (1, dt.datetime(2024, 1, 6, 23), 13),
+        (2, dt.datetime(2024, 3, 10, 0), 14),
+        (3, dt.datetime(2024, 2, 1, 1), 15),
+        (3, dt.datetime(2024, 2, 2, 1), 16),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "event_id"])
+    got = {
+        (r.user_id, str(r.day), r.is_active, r.days_since_active)
+        for r in calendar_gapfill(ev).collect()
+    }
+    expected = {
+        (1, "2024-01-01", 1, 0),
+        (1, "2024-01-02", 0, 1),
+        (1, "2024-01-03", 0, 2),
+        (1, "2024-01-04", 1, 0),
+        (1, "2024-01-05", 0, 1),
+        (1, "2024-01-06", 1, 0),
+        (2, "2024-03-10", 1, 0),
+        (3, "2024-02-01", 1, 0),
+        (3, "2024-02-02", 1, 0),
+    }
+    assert got == expected
+
+
+def test_event_transitions_deterministic_ties(spark):
+    import datetime as dt
+
+    from vector_database_watermarking_spark.operators.temporal import (
+        event_transitions,
+    )
+
+    t = dt.datetime(2024, 1, 1, 12)
+    # user 1 has two events at the SAME timestamp: event_id breaks the tie,
+    # so the sequence is a(1) -> b(2) -> c(3) regardless of input order.
+    rows = [
+        (1, t, "b", 2),
+        (1, t, "a", 1),
+        (1, dt.datetime(2024, 1, 1, 13), "c", 3),
+        (2, dt.datetime(2024, 1, 2), "a", 4),
+        (2, dt.datetime(2024, 1, 3), "b", 5),
+        (3, dt.datetime(2024, 1, 4), "a", 6),
+        (3, dt.datetime(2024, 1, 5), "b", 7),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "event_type", "event_id"])
+    got = {
+        (r.from_type, r.to_type): (r.n_transitions, r.from_total)
+        for r in event_transitions(ev).collect()
+    }
+    assert got == {
+        ("a", "b"): (3, 3),
+        ("b", "c"): (1, 1),
+    }

@@ -162,3 +162,93 @@ def range_join(
         .filter((r_matched >= lo) & (r_matched < hi))
         .drop("_bucket")
     )
+
+
+def calendar_gapfill(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-key calendar densification with activity recency — the
+    time-series resample/gap-fill shape (fill every calendar day
+    between a key's first and last activity, flag inactive days, and
+    carry the days-since-last-activity counter forward). Feeds churn
+    features, SLA dashboards, and any daily-grid model input where
+    missing days must be explicit rows, not absent ones.
+
+    Output: (key, day, is_active, days_since_active) — all
+    integer/date, so the result is exactly replayable by any engine.
+
+    Scale shape: the grid comes from ``sequence()`` exploded per key —
+    bounded by each key's own day span, never a global calendar cross
+    join; the active-day relation aggregates map-side before its one
+    shuffle; the forward-fill is a per-key ordered window (a key's
+    cost is linear in its span, AQE handles skewed long-lived keys).
+    """
+    day = F.to_date(ts_col)
+    active = events.select(
+        F.col(key_col).alias("key"), day.alias("day")
+    ).distinct()
+    bounds = active.groupBy("key").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = bounds.select(
+        "key", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    g = grid.join(
+        active.withColumn("_hit", F.lit(1)), on=["key", "day"], how="left"
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_seen = F.last(
+        F.when(F.col("_hit").isNotNull(), F.col("day")), ignorenulls=True
+    ).over(w)
+    return g.select(
+        F.col("key").alias(key_col),
+        "day",
+        F.coalesce("_hit", F.lit(0)).cast("int").alias("is_active"),
+        F.datediff(F.col("day"), last_seen).cast("int").alias(
+            "days_since_active"
+        ),
+    )
+
+
+def event_transitions(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition counts over per-key event
+    sequences: for each key's events ordered by (ts, tiebreak), count
+    every adjacent (from_type → to_type) step and attach the from-state
+    marginal — the behavioral-model shape behind next-action
+    prediction, anomaly scoring (improbable transitions), and funnel
+    drop-off diagnostics. The explicit tiebreak makes same-timestamp
+    orderings deterministic, so counts replay exactly cross-engine.
+
+    Scale shape: one shuffle to order each key's events (lead window),
+    then a partial-aggregated count into a (|types|²)-sized relation;
+    the from-state marginal is a window over that tiny aggregate —
+    nothing global touches the event stream itself."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    steps = (
+        events.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    wf = Window.partitionBy("from_type")
+    return steps.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.sum("n_transitions").over(wf).alias("from_total"),
+    )

@@ -798,3 +798,123 @@ def ngram_novelty(
             .alias("shared_frac"),
         )
     )
+
+
+def tfidf_keywords(
+    docs: DataFrame, top_k: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Per-document top-k keywords by TF-IDF — the classic keyword /
+    salient-term extractor (feeds tag clouds, weak-label topic
+    routing, and retrieval-side query expansion; the reference's
+    pipeline has no per-doc term salience at all).
+
+    score(tok, doc) = tf · ln(N / df) with N = number of documents
+    contributing at least one token and df = number of documents
+    containing ``tok``. The float score is bucketed to an integer
+    (1e-4 floor) BEFORE ranking, so rank order is integer-deterministic
+    and ties break lexicographically on the token — the emitted set is
+    bit-stable cross-engine (ln of exact-integer ratios is the same
+    IEEE double under both libms; same precedent as the LM scorers).
+
+    Scale shape: one token explode + two partial-aggregated shuffles
+    (per-(doc, tok) tf, then per-tok df over the distinct pairs); the
+    df relation is vocabulary-sized and an aggregation output, so the
+    join strategy is left to AQE (it measures real bytes at runtime —
+    no probe job, no unconditional broadcast that could exceed the
+    driver budget at corpus scale). The final top-k is a per-doc
+    row_number window, partitioned on doc_id — never a global sort."""
+    from pyspark.sql.window import Window
+
+    pairs = (
+        materialized_tokens(docs, text_col)
+        .select("doc_id", F.explode("_toks").alias("tok"))
+        .filter(F.length("tok") > 0)
+    )
+    tf = pairs.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_rel = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = tf.select(F.countDistinct("doc_id").alias("N"))
+    e4 = F.floor(
+        F.col("tf") * F.log(F.col("N") / F.col("df")) * 10000 + F.lit(0.5)
+    ).cast("long")
+    scored = (
+        tf.join(df_rel, on="tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc_id", "tok", "tf", "df", e4.alias("tfidf_e4"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf_e4").desc(), F.col("tok")
+    )
+    return scored.select(
+        "doc_id", "tok", "tf", "df", "tfidf_e4",
+        F.row_number().over(w).alias("rank"),
+    ).filter(F.col("rank") <= top_k)
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    top_k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level collocation mining: top-k adjacent word pairs by
+    pointwise mutual information — the association signal behind
+    phrase detection (word2vec-style phrase merging) and multi-word
+    vocabulary induction; complements ``bigram_nll_scores`` (that is a
+    per-DOC quality score under conditional probabilities; this is a
+    per-PAIR corpus statistic under joint-vs-independent probability).
+
+    PMI(x, y) = log2( p(x,y) / (p(x)·p(y)) ) with p(x,y) = c_xy / P
+    (P = total adjacent pairs) and p(x) = c_x / T (T = total tokens).
+    Computed as a SUM of log2's of exact integers — never a log2 of a
+    product that could overflow int64 at corpus scale — and bucketed
+    to 1e-4 integers before ranking; ties break on (w1, w2) so the
+    emitted set is deterministic cross-engine.
+
+    Scale shape: pairs come from one ``transform`` over the already
+    materialized token array (array-native, no positional self-join);
+    one shuffle for pair counts, one for unigram counts; the
+    ``min_count`` support filter runs BEFORE the joins so only the
+    (vocabulary²-bounded, support-pruned) collocation relation ever
+    joins the two skinny count tables; the top-k is a TakeOrdered
+    (per-partition heaps + driver merge), never a global sort."""
+    toks = materialized_tokens(docs, text_col).filter(
+        (F.size("_toks") > 0) & (F.col("_toks")[0] != "")
+    )
+    uni = (
+        toks.select(F.explode("_toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pair_structs = F.expr(
+        "transform(slice(_toks, 1, greatest(size(_toks) - 1, 0)),"
+        " (x, i) -> struct(x AS w1, _toks[i + 1] AS w2))"
+    )
+    pairs = (
+        toks.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_pair"))
+        .filter(F.col("c_pair") >= min_count)
+    )
+    totals = uni.agg(F.sum("c").alias("T"))
+    p_total = toks.select(
+        F.sum(F.greatest(F.size("_toks") - 1, F.lit(0))).alias("P")
+    )
+    c1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
+    c2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
+    dl = lambda c: F.log2(F.col(c).cast("double"))  # noqa: E731
+    pmi_e4 = F.floor(
+        (
+            dl("c_pair") + 2 * dl("T") - dl("P") - dl("c1") - dl("c2")
+        ) * 10000
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        pairs.join(c1, on="w1")
+        .join(c2, on="w2")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(p_total))
+        .select("w1", "w2", "c_pair", "c1", "c2", pmi_e4.alias("pmi_e4"))
+        .orderBy(F.col("pmi_e4").desc(), "w1", "w2")
+        .limit(top_k)
+    )

@@ -961,6 +961,10 @@ _GRADE_ORDER = [
     "ext_split_leakage",
     "rel_events_funnel",
     "rel_events_retention",
+    "ext_tfidf_keywords",
+    "ext_pmi_collocations",
+    "rel_events_gapfill",
+    "rel_events_transitions",
 ]
 
 

@@ -3505,6 +3505,162 @@ def rel_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ext_tfidf_keywords",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents),
+u AS (
+  SELECT doc_id, tok FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+  WHERE length(tok) > 0
+),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM u GROUP BY doc_id, tok),
+dfr AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS N FROM tf),
+sc AS (
+  SELECT tf.doc_id, tf.tok, tf.tf, dfr.df,
+         CAST(floor(tf.tf * ln(CAST(nd.N AS DOUBLE) / dfr.df) * 10000 + 0.5)
+              AS BIGINT) AS tfidf_e4
+  FROM tf JOIN dfr USING (tok) CROSS JOIN nd
+)
+SELECT doc_id, tok, tf, df, tfidf_e4, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf_e4 DESC, tok) AS INTEGER) AS rank
+  FROM sc
+) WHERE rank <= 5
+""",
+)
+def ext_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 TF-IDF keywords (``text.tfidf_keywords``) —
+    per-doc term salience the reference has no analogue for. Ranking
+    happens on the INTEGER 1e-4 bucket of tf·ln(N/df) with a
+    lexicographic tie-break, so the emitted set replays exactly
+    cross-engine. Scale: token explode + two partial-aggregated
+    shuffles + a per-doc window — no global sort anywhere."""
+    from .operators import text as _text
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _text.tfidf_keywords(docs, top_k=5)
+
+
+@register(
+    "ext_pmi_collocations",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents),
+tt AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0 AND toks[1] <> ''),
+uni AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(toks) AS tok FROM tt) GROUP BY tok
+),
+pos AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS ord
+  FROM tt
+),
+pc AS (
+  SELECT a.tok AS w1, b.tok AS w2, CAST(count(*) AS BIGINT) AS c_pair
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+  GROUP BY a.tok, b.tok HAVING count(*) >= 5
+),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS T FROM uni),
+ptot AS (SELECT CAST(sum(len(toks) - 1) AS BIGINT) AS P FROM tt),
+sc AS (
+  SELECT pc.w1, pc.w2, pc.c_pair, u1.c AS c1, u2.c AS c2,
+    CAST(floor((log2(CAST(pc.c_pair AS DOUBLE)) + 2 * log2(CAST(tot.T AS DOUBLE))
+      - log2(CAST(ptot.P AS DOUBLE)) - log2(CAST(u1.c AS DOUBLE))
+      - log2(CAST(u2.c AS DOUBLE))) * 10000 + 0.5) AS BIGINT) AS pmi_e4
+  FROM pc JOIN uni u1 ON pc.w1 = u1.tok JOIN uni u2 ON pc.w2 = u2.tok
+  CROSS JOIN tot CROSS JOIN ptot
+)
+SELECT w1, w2, c_pair, c1, c2, pmi_e4
+FROM sc ORDER BY pmi_e4 DESC, w1, w2 LIMIT 50
+""",
+)
+def ext_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent-word collocations by PMI
+    (``text.pmi_collocations``) — phrase-detection association mining
+    over the corpus. PMI is computed as a sum of log2's of exact
+    integers (overflow-free at any corpus scale) and bucketed to 1e-4
+    integers before the TakeOrdered top-k; ties break on (w1, w2)."""
+    from .operators import text as _text
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _text.pmi_collocations(docs, min_count=5, top_k=50)
+
+
+@register(
+    "rel_events_gapfill",
+    oracle="""
+WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+b AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM a GROUP BY user_id),
+g AS (
+  SELECT user_id, CAST(unnest(generate_series(
+    CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+  FROM b
+),
+j AS (
+  SELECT g.user_id, g.day,
+         CASE WHEN a.day IS NULL THEN 0 ELSE 1 END AS hit
+  FROM g LEFT JOIN a ON g.user_id = a.user_id AND g.day = a.day
+)
+SELECT user_id, CAST(day AS TIMESTAMP) AS day,
+       CAST(hit AS INTEGER) AS is_active,
+       CAST(date_diff('day',
+         last_value(CASE WHEN hit = 1 THEN day END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         day) AS INTEGER) AS days_since_active
+FROM j
+""",
+)
+def rel_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill with activity recency
+    (``temporal.calendar_gapfill``): densify each user's activity to
+    every calendar day in their span, flag inactive days, and carry
+    days-since-last-activity forward — the resample/forward-fill
+    time-series shape. Day ships as midnight TIMESTAMP (the engines'
+    pandas bridges disagree on bare DATE)."""
+    from .operators import temporal as _temporal
+
+    ev = load_table(spark, sf_dir, "events")
+    out = _temporal.calendar_gapfill(ev)
+    return out.select(
+        "user_id",
+        F.col("day").cast("timestamp").alias("day"),
+        "is_active",
+        "days_since_active",
+    )
+
+
+@register(
+    "rel_events_transitions",
+    oracle="""
+WITH s AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+c AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions
+  FROM s WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n_transitions,
+       CAST(sum(n_transitions) OVER (PARTITION BY from_type) AS BIGINT)
+         AS from_total
+FROM c
+""",
+)
+def rel_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (``temporal.event_transitions``): adjacent
+    (from_type → to_type) step counts with the from-state marginal.
+    The (ts, event_id) tiebreak pins same-timestamp order, so counts
+    replay exactly cross-engine."""
+    from .operators import temporal as _temporal
+
+    ev = load_table(spark, sf_dir, "events")
+    return _temporal.event_transitions(ev)
+
+
 
 # ------------------------------------------------- pipeline coverage pack
 #
@@ -3548,6 +3704,12 @@ def _pipeline_pack_oracle() -> str:
     leak = QUERIES["ext_split_leakage"].oracle
     fun = QUERIES["rel_events_funnel"].oracle
     ret = QUERIES["rel_events_retention"].oracle
+    tfidf = QUERIES["ext_tfidf_keywords"].oracle
+    pmi = QUERIES["ext_pmi_collocations"].oracle
+    gap = QUERIES["rel_events_gapfill"].oracle
+    trans = QUERIES["rel_events_transitions"].oracle
+    h_ft = oracle_hash60("from_type || '|' || to_type")
+    h_w12 = oracle_hash60("w1 || '|' || w2")
     h_meas = oracle_hash60("measure")
     h_src = oracle_hash60("source")
     h_spl = oracle_hash60("split1 || '|' || split2")
@@ -3697,6 +3859,27 @@ SELECT 'retention_check',
   CAST(count(*) + sum((epoch_us(cohort_week) % 100003 + 1)
        * ((week_offset * 131 + n_users) % 1000003)) AS BIGINT)
   FROM ({ret})
+UNION ALL
+SELECT 'tfidf_check',
+  CAST(count(*) + sum((doc_id % 997 + 1)
+       * (({h_tok} + tf * 131 + df * 17 + tfidf_e4 + rank) % 1000003)) AS BIGINT)
+  FROM ({tfidf})
+UNION ALL
+SELECT 'pmi_check',
+  CAST(count(*) + sum(({h_w12} % 997 + 1)
+       * ((c_pair * 131 + c1 * 17 + c2 * 7 + pmi_e4) % 1000003)) AS BIGINT)
+  FROM ({pmi})
+UNION ALL
+SELECT 'gapfill_check',
+  CAST(count(*) + sum((user_id % 997 + 1)
+       * ((epoch_us(day) % 100003 + is_active * 131 + days_since_active * 17)
+          % 1000003)) AS BIGINT)
+  FROM ({gap})
+UNION ALL
+SELECT 'transitions_check',
+  CAST(count(*) + sum(({h_ft} % 997 + 1)
+       * ((n_transitions * 131 + from_total) % 1000003)) AS BIGINT)
+  FROM ({trans})
 """
 
 
@@ -4193,6 +4376,97 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                             )
                         ),
                         F.lit(0),
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    tfidf = QUERIES["ext_tfidf_keywords"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "tfidf_check",
+            tfidf.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (F.col("doc_id") % 997 + 1)
+                        * (
+                            (
+                                hash60(F.col("tok"))
+                                + F.col("tf") * 131
+                                + F.col("df") * 17
+                                + F.col("tfidf_e4")
+                                + F.col("rank")
+                            )
+                            % 1000003
+                        )
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    pmi = QUERIES["ext_pmi_collocations"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "pmi_check",
+            pmi.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (hash60(F.concat_ws("|", "w1", "w2")) % 997 + 1)
+                        * (
+                            (
+                                F.col("c_pair") * 131
+                                + F.col("c1") * 17
+                                + F.col("c2") * 7
+                                + F.col("pmi_e4")
+                            )
+                            % 1000003
+                        )
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    gap = QUERIES["rel_events_gapfill"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "gapfill_check",
+            gap.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (F.col("user_id") % 997 + 1)
+                        * (
+                            (
+                                F.unix_micros("day") % 100003
+                                + F.col("is_active") * 131
+                                + F.col("days_since_active") * 17
+                            )
+                            % 1000003
+                        )
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    trans = QUERIES["rel_events_transitions"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "transitions_check",
+            trans.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (
+                            hash60(F.concat_ws("|", "from_type", "to_type"))
+                            % 997
+                            + 1
+                        )
+                        * (
+                            (F.col("n_transitions") * 131 + F.col("from_total"))
+                            % 1000003
+                        )
                     )
                 ).alias("value")
             ),
