@@ -63,6 +63,10 @@ HEADLINE = [
     # round-6 operators: transition-LM scoring and the memorization audit
     "ext_bigram_nll",
     "ext_ngram_novelty",
+    # round-6 breadth: per-doc term salience (token-explode + two
+    # count shuffles + per-doc top-k window — the token-analytics
+    # hot path worth tracking)
+    "ext_tfidf_keywords",
 ]
 # ext_contamination_bloom is deliberately NOT a headline: at fixture
 # scale both fingerprint sides are equally tiny, so the exact one-job

@@ -280,3 +280,61 @@ def test_ngram_novelty_single_shingle_shuffle_no_pairs(spark, sf_dir):
     plan = plan_of(q)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_tfidf_no_cartesian_partitioned_window(spark, sf_dir):
+    """TF-IDF keywords: the df join never degenerates to a cartesian
+    (the only nested-loop is the 1-row doc-count broadcast) and the
+    top-k window is PARTITIONED on doc_id — no global sort of the
+    token stream."""
+    q = QUERIES["ext_tfidf_keywords"].fn(spark, sf_dir)
+    plan = plan_of(q)
+    assert "CartesianProduct" not in plan, plan
+    assert "windowspecdefinition(doc_id" in plan, plan
+    # partial aggregation around both count shuffles
+    assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_pmi_array_native_pairs_no_positional_join(spark, sf_dir):
+    """PMI collocations: adjacent pairs come from one array transform
+    over the materialized tokens — the plan has no token-position
+    self-join (would shuffle the corpus twice) and no cartesian beyond
+    the two 1-row totals broadcasts; the top-k is a TakeOrdered, not a
+    global Sort+Limit."""
+    q = QUERIES["ext_pmi_collocations"].fn(spark, sf_dir)
+    plan = plan_of(q)
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    # pair relation joins two skinny unigram tables + two 1-row totals:
+    # at most those joins, never a join keyed on a token-position column
+    import re
+
+    assert re.search(r"\bord#\d+", plan) is None, plan
+    assert re.search(r"\bpos#\d+", plan) is None, plan
+
+
+def test_gapfill_windows_partitioned_by_user(spark, sf_dir):
+    """Calendar gap-fill: every window is partitioned on the key (the
+    forward-fill never sorts the grid globally) and the grid explode
+    happens after a partial-aggregated bounds shuffle."""
+    q = QUERIES["rel_events_gapfill"].fn(spark, sf_dir)
+    plan = plan_of(q)
+    assert "windowspecdefinition(user_id" in plan or "windowspecdefinition(key" in plan, plan
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([a-z_]+)", plan):
+        assert m.group(1) in ("user_id", "key"), plan
+
+
+def test_transitions_windows_partitioned(spark, sf_dir):
+    """Event transitions: the lead() window is partitioned on user_id
+    and the marginal window on from_type — nothing global touches the
+    event stream."""
+    q = QUERIES["rel_events_transitions"].fn(spark, sf_dir)
+    plan = plan_of(q)
+    import re
+
+    parts = {
+        m.group(1) for m in re.finditer(r"windowspecdefinition\(([a-z_]+)", plan)
+    }
+    assert parts <= {"user_id", "from_type"}, plan
