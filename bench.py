@@ -67,6 +67,11 @@ HEADLINE = [
     # count shuffles + per-doc top-k window — the token-analytics
     # hot path worth tracking)
     "ext_tfidf_keywords",
+    # round-6 breadth: the Python-side sketch pass (mapInPandas MG +
+    # broadcast rescan) and the wedge-enumeration score shuffle — the
+    # two new shapes whose cost isn't already tracked by another row
+    "ext_heavy_hitters",
+    "ext_graph_link_pred",
 ]
 # ext_contamination_bloom is deliberately NOT a headline: at fixture
 # scale both fingerprint sides are equally tiny, so the exact one-job

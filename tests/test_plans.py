@@ -338,3 +338,55 @@ def test_transitions_windows_partitioned(spark, sf_dir):
         m.group(1) for m in re.finditer(r"windowspecdefinition\(([a-z_]+)", plan)
     }
     assert parts <= {"user_id", "from_type"}, plan
+
+
+def test_doc_chunks_is_shuffle_free(spark, sf_dir):
+    """RAG chunking is one narrow codegen stage: sequence + explode +
+    substring with no Exchange anywhere."""
+    q = QUERIES["ext_doc_chunks"].fn(spark, sf_dir)
+    plan = plan_of(q)
+    assert "Exchange" not in plan, plan
+
+
+def test_heavy_hitters_broadcast_rescan_no_sort_merge(spark, sf_dir):
+    """Heavy hitters: the sketch is a MapInPandas pass, the rescan
+    probes the bounded candidate set via a broadcast semi join (never
+    a sort-merge of the token stream), and the only nested-loop is the
+    1-row total broadcast."""
+    q = QUERIES["ext_heavy_hitters"].fn(spark, sf_dir)
+    plan = plan_of(q)
+    assert "MapInPandas" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_spelling_variants_equi_blocked_never_all_pairs(spark, sf_dir):
+    """FastSS variant join: candidates come from an EQUI-join on the
+    deletion-variant key — no cartesian / nested-loop pair
+    enumeration reachable from the plan."""
+    q = QUERIES["ext_spelling_variants"].fn(spark, sf_dir)
+    plan = plan_of(q)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_scd2_windows_partitioned_by_key(spark, sf_dir):
+    """SCD2 history: both windows (lead + version numbering) are
+    partitioned on the key — nothing global touches the union."""
+    import re
+
+    q = QUERIES["rel_scd2_history"].fn(spark, sf_dir)
+    plan = plan_of(q)
+    parts = {
+        m.group(1) for m in re.finditer(r"windowspecdefinition\(([a-z_]+)", plan)
+    }
+    assert parts == {"doc_id"}, plan
+
+
+def test_link_pred_no_cartesian(spark, sf_dir):
+    """RA link prediction: wedge enumeration and adjacency exclusion
+    are equi-joins; the rank window runs after the TakeOrdered top-k."""
+    q = QUERIES["ext_graph_link_pred"].fn(spark, sf_dir)
+    plan = plan_of(q)
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan

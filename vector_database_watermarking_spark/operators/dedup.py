@@ -775,3 +775,71 @@ def remove_duplicate_spans(
             ),
         )
     )
+
+
+def spelling_variants(
+    docs: DataFrame, min_len: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Edit-distance-1 pairs over the corpus vocabulary via
+    deletion-neighborhood blocking (FastSS, Bocek et al. 2007; the
+    SymSpell trick): spelling-variant / typo-candidate mining for
+    corpus normalization, OCR cleanup, and query rewriting — the
+    string-similarity join nobody should run as an all-pairs
+    ``levenshtein`` theta join.
+
+    Two strings are within edit distance 1 iff they share an element
+    of each other's {self} ∪ {single-character deletions} neighborhood
+    (a deletion pair hits the shorter string itself; a substitution
+    pair meets at the common delete-at-the-diff-position string), so
+    the join is an EQUI-join on the exploded variant key — candidate
+    volume is Σ(len+1) per token, never |vocab|². Sharing a variant
+    overshoots distance 1 in corner cases (e.g. "ab"/"ba" share "a"),
+    so candidates are verified with the exact ``levenshtein`` — on
+    candidate pairs only.
+
+    Output: (t1, t2, df1, df2) with t1 < t2 and df = document
+    frequency of each token; only tokens of length ≥ ``min_len``
+    participate (short tokens make everything a neighbor).
+
+    Scale shape: vocabulary extraction is the standard token explode +
+    distinct-count shuffle; the variant explode is narrow; the
+    candidate equi-join shuffles on the variant string and AQE splits
+    hot variants; the verify filter and df joins touch candidate pairs
+    and the skinny vocab relation only.
+    """
+    from .text import materialized_tokens
+
+    vocab = (
+        materialized_tokens(docs, text_col)
+        .select("doc_id", F.explode("_toks").alias("tok"))
+        .filter(F.length("tok") >= min_len)
+        .groupBy("tok")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    variants = vocab.select(
+        "tok",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(0, length(tok)), p -> "
+                    "CASE WHEN p = 0 THEN tok "
+                    "ELSE substring(tok, 1, p - 1) || substring(tok, p + 1) "
+                    "END)"
+                )
+            )
+        ).alias("_v"),
+    )
+    a = variants.select(F.col("tok").alias("t1"), "_v")
+    b = variants.select(F.col("tok").alias("t2"), "_v")
+    pairs = (
+        a.join(b, on="_v")
+        .filter(F.col("t1") < F.col("t2"))
+        .select("t1", "t2")
+        .distinct()
+        .filter(F.levenshtein("t1", "t2") == 1)
+    )
+    d1 = vocab.select(F.col("tok").alias("t1"), F.col("df").alias("df1"))
+    d2 = vocab.select(F.col("tok").alias("t2"), F.col("df").alias("df2"))
+    return pairs.join(d1, on="t1").join(d2, on="t2").select(
+        "t1", "t2", "df1", "df2"
+    )

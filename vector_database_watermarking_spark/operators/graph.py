@@ -719,3 +719,116 @@ def k_core(
         .agg(F.count(F.lit(1)).alias("core_degree"))
         .select(F.col("src").alias("vec_id"), "core_degree")
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 4,
+) -> DataFrame:
+    """Multi-source BFS hop distance: the minimum number of edges from
+    any seed node to each reachable node, capped at ``max_hops`` — the
+    recursive-CTE reachability shape Spark's DataFrame API has no
+    native operator for (expansion-radius audits, contamination blast
+    radius over a near-dup graph, social/citation n-hop neighborhoods).
+
+    ``edges`` is directed (src, dst); pass a symmetric edge table for
+    undirected semantics. ``seeds`` is a (vec_id) relation. Output:
+    (vec_id, hops) for every node within ``max_hops`` of a seed,
+    seeds included at hop 0. The per-level frontier formulation makes
+    the result exactly the min-hop labeling regardless of partitioning
+    or visit order, so it replays bit-for-bit against a recursive-CTE
+    oracle.
+
+    Scale shape: classic frontier BFS — per level ONE equi-join of the
+    (shrinking) frontier against the edge table, a distinct, and an
+    anti-join against the visited set; work per level is proportional
+    to the frontier's out-edge volume, never |V|². The frontier and
+    the visited set are ``localCheckpoint``ed per level so lineage
+    stays O(1) over the loop (same hygiene as the components / k-core
+    loops). The loop exits early when a level adds no nodes.
+    """
+    dist = (
+        seeds.select(F.col("vec_id"))
+        .distinct()
+        .withColumn("hops", F.lit(0).cast("int"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist.select("vec_id")
+    e = edges.select("src", "dst")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier.vec_id == e.src)
+            .select(F.col("dst").alias("vec_id"))
+            .distinct()
+            .join(dist.select("vec_id"), on="vec_id", how="left_anti")
+            .withColumn("hops", F.lit(h).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        if not nxt.take(1):
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("vec_id")
+    return dist
+
+
+def link_prediction_ra(
+    edges: DataFrame,
+    min_common: int = 2,
+    top_k: int = 100,
+) -> DataFrame:
+    """Link prediction by the Resource-Allocation index (Zhou, Lü &
+    Zhang 2009): for every NON-adjacent node pair (u, v) with at least
+    ``min_common`` common neighbors, score = Σ_z 1/deg(z) over common
+    neighbors z — the "which edges are missing" signal behind
+    recommend-a-neighbor, knn-graph densification, and duplicate-pair
+    candidate generation beyond direct near-dup hits.
+
+    Each 1/deg(z) term is floored to a 1e-6 integer bucket BEFORE the
+    sum, so the score is a sum of exact integers — order-free and
+    bit-identical on any engine and any partitioning (no
+    transcendentals at all, unlike Adamic-Adar's 1/ln deg). Ties in
+    the top-k break on (u, v).
+
+    ``edges`` must be symmetric and duplicate-free (e.g. the mutual
+    kNN table). Output: (u, v, common_neighbors, score_e6, rank) with
+    u < v.
+
+    Scale shape: the wedge join (z's neighbor list squared) is the
+    same O(Σ deg²) enumeration the triangle counter bounds; here the
+    per-z term rides the wedge row so the score aggregation is one
+    partial-aggregated shuffle on (u, v). The adjacency exclusion is a
+    left-anti equi-join, and the top-k is a TakeOrdered — never a
+    global sort.
+    """
+    e = edges.select("src", "dst")
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nbr = e.join(deg, on="src").select(
+        F.col("src").alias("z"),
+        F.col("dst").alias("n"),
+        F.floor(F.lit(1000000) / F.col("deg")).cast("long").alias("term_e6"),
+    )
+    a = nbr.select("z", F.col("n").alias("u"), "term_e6")
+    b = nbr.select("z", F.col("n").alias("v"))
+    wedges = a.join(b, on="z").filter(F.col("u") < F.col("v"))
+    scored = wedges.groupBy("u", "v").agg(
+        F.count(F.lit(1)).alias("common_neighbors"),
+        F.sum("term_e6").alias("score_e6"),
+    )
+    adjacent = e.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    candidates = (
+        scored.filter(F.col("common_neighbors") >= min_common)
+        .join(adjacent, on=["u", "v"], how="left_anti")
+        .orderBy(F.col("score_e6").desc(), "u", "v")
+        .limit(top_k)
+    )
+    # rank runs AFTER the TakeOrdered top-k, so this window sees at
+    # most top_k rows; the constant partition key keeps the plan out
+    # of WindowExec's unpartitioned-window path (and its warning)
+    w = Window.partitionBy(F.lit(0)).orderBy(F.col("score_e6").desc(), "u", "v")
+    return candidates.select(
+        "u", "v", "common_neighbors", "score_e6",
+        F.row_number().over(w).cast("int").alias("rank"),
+    )

@@ -82,3 +82,62 @@ def apply_changes(
             for c in payload
         ],
     )
+
+
+def scd2_history(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str = "doc_id",
+    seq: str = "seq",
+    op: str = "op",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a change log: one
+    row per VERSION of each key, with the sequence interval it was
+    valid for — the full-history answer to ``apply_changes``'s
+    latest-snapshot answer (audit trails, as-of reconstruction,
+    training-data lineage). Base rows open version 1 at sequence 0;
+    each insert/update opens a new version at its ``seq``; a delete
+    closes the current version without opening one.
+
+    Output: (key, version, valid_from_seq, valid_to_seq, is_current,
+    *payload) where ``valid_to_seq`` is the next change's sequence
+    (NULL while the version is still open), ``version`` numbers a
+    key's surviving versions 1..n in sequence order, and
+    ``is_current`` flags the live row of keys whose last change was
+    not a delete. All interval columns are exact integers, so the
+    history replays bit-for-bit cross-engine.
+
+    Scale shape: one union of the (key-projected) base with the change
+    log, then two windows over the SAME (key, seq)-ordered partition —
+    one shuffle total; at 100 TB the change log is the small side and
+    the base arrives bucketed by key, so the union's exchange is the
+    only data movement. Same-seq ties break by op priority
+    (delete < insert < update) like ``latest_changes``.
+    """
+    payload = [c for c in base.columns if c != key]
+    pri = F.array_position(
+        F.array(F.lit("delete"), F.lit("insert"), F.lit("update")), F.col(op)
+    )
+    versions = base.select(
+        F.col(key),
+        F.lit(0).cast("long").alias(seq),
+        F.lit("insert").alias(op),
+        *payload,
+    ).unionByName(changes.select(key, seq, op, *payload))
+    w = Window.partitionBy(key).orderBy(F.col(seq), pri)
+    opened = versions.select(
+        key,
+        F.col(op).alias("_op"),
+        F.col(seq).alias("valid_from_seq"),
+        F.lead(seq).over(w).alias("valid_to_seq"),
+        *payload,
+    ).filter(F.col("_op") != "delete")
+    wv = Window.partitionBy(key).orderBy("valid_from_seq")
+    return opened.select(
+        key,
+        F.row_number().over(wv).cast("int").alias("version"),
+        "valid_from_seq",
+        "valid_to_seq",
+        F.col("valid_to_seq").isNull().cast("int").alias("is_current"),
+        *payload,
+    )

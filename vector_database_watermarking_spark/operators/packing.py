@@ -151,3 +151,57 @@ def bucketed_batches(
         bmax.alias("batch_max_tokens"),
         (bmax - F.col("n_tokens")).alias("pad_tokens"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    size: int = 200,
+    stride: int = 150,
+    text_col: str = "text",
+) -> DataFrame:
+    """RAG-style overlapping character chunks: split every document
+    into windows of ``size`` characters advancing by ``stride``
+    (``size - stride`` characters of overlap), keeping byte-accurate
+    offsets — the retrieval-index preprocessing shape (embed chunks,
+    not documents) and the context-window splitter for long-document
+    SFT. A document of n chars yields 1 chunk if n ≤ size, else
+    ceil((n − size) / stride) + 1, so the final chunk always reaches
+    the end of the document (it may be shorter than ``size``).
+
+    Output, one row per chunk: (doc_id, chunk_idx, chunk_start,
+    chunk_len, chunk_text) with 0-based ``chunk_start`` character
+    offsets into the ORIGINAL text.
+
+    Scale shape: a pure narrow transform — ``sequence`` + ``explode``
+    + ``substring`` inside one codegen stage, no shuffle, no UDF;
+    output partitioning inherits the scan, and chunk volume is
+    n/stride per document — output-bound. Empty/NULL texts produce no
+    rows (there is nothing to index).
+    """
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    n = F.length(F.col(text_col))
+    n_chunks = F.when(n <= size, F.lit(1)).otherwise(
+        F.floor((n - size + stride - 1) / F.lit(stride)) + 1
+    )
+    start = (F.col("chunk_idx") * stride).cast("long")
+    return (
+        docs.filter(n > 0)
+        .select(
+            "doc_id",
+            F.col(text_col).alias("_t"),
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), (n_chunks - 1).cast("long"))
+            ).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            start.alias("chunk_start"),
+            F.substring(F.col("_t"), (start + 1).cast("int"), size).alias(
+                "chunk_text"
+            ),
+        )
+        .withColumn("chunk_len", F.length("chunk_text").cast("int"))
+        .select("doc_id", "chunk_idx", "chunk_start", "chunk_len", "chunk_text")
+    )

@@ -918,3 +918,70 @@ def pmi_collocations(
         .orderBy(F.col("pmi_e4").desc(), "w1", "w2")
         .limit(top_k)
     )
+
+
+def heavy_hitters(
+    docs: DataFrame, capacity: int = 150, text_col: str = "text"
+) -> DataFrame:
+    """EXACT corpus heavy hitters — every token whose occurrence count
+    exceeds total/(capacity+1) — via the two-pass sketch-then-rescan
+    pattern (Misra-Gries 1982; merge bound from Agarwal et al. 2012):
+    the canonical "what dominates this corpus" diagnostic (stopword
+    inventories, boilerplate detection, tokenizer-vocab seeding) that a
+    naive full GROUP BY answers only by shuffling the entire token
+    multiset.
+
+    Pass 1 runs a capacity-bounded Misra-Gries sketch per partition
+    inside ``mapInPandas`` (per-batch ``value_counts`` merged into the
+    counter dict; on overflow the (capacity+1)-th largest weight is
+    subtracted from all counters and non-positive ones dropped — the
+    standard MG merge, which keeps per-item undercount ≤
+    N_p/(capacity+1)). Any token with global count · (capacity+1) >
+    N must exceed N_p/(capacity+1) in at least one partition (else
+    summing the per-partition bounds contradicts the global count), so
+    it SURVIVES some partition's sketch — the candidate union has
+    perfect recall above the threshold. Pass 2 rescans the token
+    stream restricted to the (≤ capacity · n_partitions, broadcastable
+    by construction) candidate set and keeps the exact counts above
+    threshold — so the output is EXACTLY the full-aggregation answer,
+    for the cost of one broadcast-semi-joined scan instead of a
+    corpus-wide count shuffle.
+
+    Output: (tok, n_occurrences, total_tokens), all exact integers.
+    """
+    import pandas as pd
+
+    toks = (
+        materialized_tokens(docs, text_col)
+        .select(F.explode("_toks").alias("tok"))
+        .filter(F.length("tok") > 0)
+    )
+
+    def sketch(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for t, c in pdf["tok"].value_counts().items():
+                counters[t] = counters.get(t, 0) + int(c)
+            if len(counters) > capacity:
+                cut = sorted(counters.values(), reverse=True)[capacity]
+                counters = {
+                    t: c - cut for t, c in counters.items() if c > cut
+                }
+        if counters:
+            yield pd.DataFrame({"tok": list(counters.keys())})
+
+    candidates = toks.mapInPandas(sketch, schema="tok string").distinct()
+    total = toks.agg(F.count(F.lit(1)).alias("total_tokens"))
+    counts = (
+        toks.join(F.broadcast(candidates), on="tok", how="left_semi")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("n_occurrences") * F.lit(capacity + 1)
+            > F.col("total_tokens")
+        )
+        .select("tok", "n_occurrences", "total_tokens")
+    )

@@ -965,6 +965,12 @@ _GRADE_ORDER = [
     "ext_pmi_collocations",
     "rel_events_gapfill",
     "rel_events_transitions",
+    "rel_scd2_history",
+    "ext_graph_bfs_hops",
+    "ext_graph_link_pred",
+    "ext_doc_chunks",
+    "ext_heavy_hitters",
+    "ext_spelling_variants",
 ]
 
 

@@ -3662,6 +3662,243 @@ def rel_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@register(
+    "rel_scd2_history",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, text, lang, source FROM documents WHERE doc_id % 4 <> 3
+),
+ch AS (
+  SELECT (doc_id // 16) * 4 AS key, doc_id AS seq,
+         CASE {_MERGE_H3} WHEN 0 THEN 'insert'
+                          WHEN 1 THEN 'update' ELSE 'delete' END AS op,
+         text, lang, source
+  FROM documents WHERE doc_id % 4 = 3
+),
+v AS (
+  SELECT doc_id AS key, CAST(0 AS BIGINT) AS seq, 'insert' AS op,
+         text, lang, source
+  FROM base
+  UNION ALL
+  SELECT key, seq, op, text, lang, source FROM ch
+),
+o AS (
+  SELECT key, op, seq AS valid_from_seq,
+         lead(seq) OVER (PARTITION BY key ORDER BY seq,
+           CASE op WHEN 'delete' THEN 1 WHEN 'insert' THEN 2 ELSE 3 END)
+           AS valid_to_seq,
+         text, lang, source
+  FROM v
+)
+SELECT key AS doc_id,
+       CAST(row_number() OVER (
+         PARTITION BY key ORDER BY valid_from_seq) AS INTEGER) AS version,
+       CAST(valid_from_seq AS BIGINT) AS valid_from_seq,
+       CAST(valid_to_seq AS BIGINT) AS valid_to_seq,
+       CAST(CASE WHEN valid_to_seq IS NULL THEN 1 ELSE 0 END AS INTEGER)
+         AS is_current,
+       text, lang, source
+FROM o WHERE op <> 'delete'
+""",
+)
+def rel_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history (``operators.merge.scd2_history``) over the
+    MERGE family's deterministic change log: one row per surviving
+    version of each key with its exact validity interval — the audit /
+    as-of-reconstruction counterpart of ``rel_merge_upsert``'s
+    latest-snapshot answer. The oracle replays the union + lead window
+    + version numbering in SQL; every interval column is an exact
+    integer."""
+    from .operators import merge
+
+    base, ch = _merge_inputs(spark, sf_dir)
+    return merge.scd2_history(base, ch, key="doc_id", seq="seq", op="op")
+
+
+@register(
+    "ext_graph_bfs_hops",
+    oracle=_knn_cte()
+    + """
+, mutual AS (
+  SELECT e1.src, e1.dst FROM edges e1
+  JOIN edges e2 ON e1.src = e2.dst AND e1.dst = e2.src
+),
+RECURSIVE_DUMMY AS (SELECT 1)
+SELECT * FROM (
+  WITH RECURSIVE walk(node, h) AS (
+    SELECT vec_id, 0 FROM embeddings WHERE vec_id % 25 = 0
+    UNION
+    SELECT m.dst, w.h + 1
+    FROM mutual m JOIN walk w ON m.src = w.node
+    WHERE w.h < 4
+  )
+  SELECT node AS vec_id, CAST(min(h) AS INTEGER) AS hops
+  FROM walk GROUP BY node
+)
+""",
+)
+def ext_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance over the mutual-kNN graph
+    (``operators.graph.bfs_hops``): min edges from any seed (every
+    25th vector) within 4 hops — the recursive-CTE reachability shape
+    Spark has no native operator for, replayed here against DuckDB's
+    actual WITH RECURSIVE. Per-level frontier expansion makes the
+    labeling order-independent, so it value-hashes exactly."""
+    from .operators import graph, knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = knn.knn_edges(emb, k=K).select("src", "dst")
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    mutual = e.join(rev, on=["src", "dst"], how="left_semi")
+    seeds = emb.filter(F.col("vec_id") % 25 == 0).select("vec_id")
+    return graph.bfs_hops(mutual, seeds, max_hops=4)
+
+
+@register(
+    "ext_graph_link_pred",
+    oracle=_knn_cte()
+    + """
+, mutual AS (
+  SELECT e1.src, e1.dst FROM edges e1
+  JOIN edges e2 ON e1.src = e2.dst AND e1.dst = e2.src
+),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM mutual GROUP BY src),
+nbr AS (
+  SELECT m.src AS z, m.dst AS n,
+         CAST(floor(1000000.0 / deg.d) AS BIGINT) AS term
+  FROM mutual m JOIN deg ON m.src = deg.src
+),
+wedge AS (
+  SELECT a.n AS u, b.n AS v,
+         CAST(count(*) AS BIGINT) AS common_neighbors,
+         CAST(sum(a.term) AS BIGINT) AS score_e6
+  FROM nbr a JOIN nbr b ON a.z = b.z AND a.n < b.n
+  GROUP BY a.n, b.n
+),
+cand AS (
+  SELECT u, v, common_neighbors, score_e6 FROM wedge w
+  WHERE common_neighbors >= 2
+    AND NOT EXISTS (
+      SELECT 1 FROM mutual m WHERE m.src = w.u AND m.dst = w.v
+    )
+)
+SELECT u, v, common_neighbors, score_e6, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+    ORDER BY score_e6 DESC, u, v) AS INTEGER) AS rank
+  FROM cand
+) WHERE rank <= 100
+""",
+)
+def ext_graph_link_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by the Resource-Allocation index
+    (``operators.graph.link_prediction_ra``): top-100 non-adjacent
+    pairs of the mutual-kNN graph by Σ 1/deg(common neighbor), each
+    term floored to a 1e-6 integer BEFORE summing so the score is an
+    order-free exact-integer sum (no transcendentals). The oracle
+    replays the wedge join, adjacency exclusion, and ranking."""
+    from .operators import graph, knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = knn.knn_edges(emb, k=K).select("src", "dst")
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    mutual = e.join(rev, on=["src", "dst"], how="left_semi")
+    return graph.link_prediction_ra(mutual, min_common=2, top_k=100)
+
+
+@register(
+    "ext_doc_chunks",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) > 0
+),
+g AS (
+  SELECT doc_id, text, unnest(generate_series(0,
+    CASE WHEN n <= 200 THEN 0 ELSE (n - 200 + 149) // 150 END)) AS chunk_idx
+  FROM d
+)
+SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       CAST(chunk_idx * 150 AS BIGINT) AS chunk_start,
+       CAST(length(substr(text, chunk_idx * 150 + 1, 200)) AS INTEGER)
+         AS chunk_len,
+       substr(text, chunk_idx * 150 + 1, 200) AS chunk_text
+FROM g
+""",
+)
+def ext_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style overlapping character chunks
+    (``operators.packing.chunk_documents``): 200-char windows every
+    150 chars with exact offsets — the retrieval-index splitter. Pure
+    narrow transform (sequence + explode + substring in one codegen
+    stage, no shuffle); the oracle replays the chunk grid and
+    substrings verbatim."""
+    from .operators import packing
+
+    docs = load_table(spark, sf_dir, "documents")
+    return packing.chunk_documents(docs, size=200, stride=150)
+
+
+@register(
+    "ext_heavy_hitters",
+    oracle=f"""
+WITH u AS (
+  SELECT unnest(string_split({_NORM}, ' ')) AS tok FROM documents
+),
+t AS (SELECT tok FROM u WHERE length(tok) > 0),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t)
+SELECT tok, CAST(count(*) AS BIGINT) AS n_occurrences,
+       (SELECT n FROM tot) AS total_tokens
+FROM t GROUP BY tok
+HAVING count(*) * 151 > (SELECT n FROM tot)
+""",
+)
+def ext_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus heavy hitters (``operators.text.heavy_hitters``):
+    tokens with count·(capacity+1) > total, found by per-partition
+    Misra-Gries sketches in ``mapInPandas`` + one exact rescan of the
+    (bounded, broadcast) candidate set — the sketch has perfect recall
+    above the threshold, so the output equals the plain GROUP BY ...
+    HAVING the oracle runs. A distributed sketch algorithm graded by
+    value hash, not rows-only."""
+    from .operators import text as _text
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _text.heavy_hitters(docs, capacity=150)
+
+
+@register(
+    "ext_spelling_variants",
+    oracle="""
+WITH u AS (
+  SELECT p_partkey AS doc_id,
+         unnest(string_split(
+           trim(regexp_replace(lower(p_name), '\\s+', ' ', 'g')), ' ')) AS tok
+  FROM part
+),
+v AS (
+  SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM u WHERE length(tok) >= 3 GROUP BY tok
+)
+SELECT a.tok AS t1, b.tok AS t2, a.df AS df1, b.df AS df2
+FROM v a JOIN v b ON a.tok < b.tok AND levenshtein(a.tok, b.tok) = 1
+""",
+)
+def ext_spelling_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 spelling-variant pairs over the part-name
+    vocabulary (``operators.dedup.spelling_variants``; the document
+    corpus has a closed 31-word vocabulary with no distance-1 pairs,
+    so part names are the fixture with signal). The Spark side blocks
+    on FastSS deletion neighborhoods and verifies candidates with the
+    exact ``levenshtein``; the oracle brute-forces all vocabulary
+    pairs — a plan-vs-plan disagreement on ANY pair flips the hash."""
+    from .operators import dedup as _dedup
+
+    part = load_table(spark, sf_dir, "part")
+    docs = part.select(
+        F.col("p_partkey").alias("doc_id"), F.col("p_name").alias("text")
+    )
+    return _dedup.spelling_variants(docs, min_len=3)
+
+
 # ------------------------------------------------- pipeline coverage pack
 #
 # Registered LAST in this module so it can embed the oracles of the
@@ -3708,8 +3945,17 @@ def _pipeline_pack_oracle() -> str:
     pmi = QUERIES["ext_pmi_collocations"].oracle
     gap = QUERIES["rel_events_gapfill"].oracle
     trans = QUERIES["rel_events_transitions"].oracle
+    scd2 = QUERIES["rel_scd2_history"].oracle
+    bfs = QUERIES["ext_graph_bfs_hops"].oracle
+    lp = QUERIES["ext_graph_link_pred"].oracle
+    chk = QUERIES["ext_doc_chunks"].oracle
+    hh = QUERIES["ext_heavy_hitters"].oracle
+    sv = QUERIES["ext_spelling_variants"].oracle
     h_ft = oracle_hash60("from_type || '|' || to_type")
     h_w12 = oracle_hash60("w1 || '|' || w2")
+    h_pay = oracle_hash60("text || '|' || lang || '|' || source")
+    h_chunk = oracle_hash60("chunk_text")
+    h_t12 = oracle_hash60("t1 || '|' || t2")
     h_meas = oracle_hash60("measure")
     h_src = oracle_hash60("source")
     h_spl = oracle_hash60("split1 || '|' || split2")
@@ -3880,6 +4126,38 @@ SELECT 'transitions_check',
   CAST(count(*) + sum(({h_ft} % 997 + 1)
        * ((n_transitions * 131 + from_total) % 1000003)) AS BIGINT)
   FROM ({trans})
+UNION ALL
+SELECT 'scd2_check',
+  CAST(count(*) + sum((doc_id % 997 + 1)
+       * ((version * 131 + valid_from_seq * 17 + coalesce(valid_to_seq, -11)
+           + is_current + {h_pay}) % 1000003)) AS BIGINT)
+  FROM ({scd2})
+UNION ALL
+SELECT 'bfs_check',
+  CAST(count(*) + sum((vec_id % 997 + 1) * (hops * 131 + 7)) AS BIGINT)
+  FROM ({bfs})
+UNION ALL
+SELECT 'linkpred_check',
+  CAST(count(*) + sum((u % 997 + 1)
+       * ((v * 131 + common_neighbors * 17 + score_e6 + rank) % 1000003))
+       AS BIGINT)
+  FROM ({lp})
+UNION ALL
+SELECT 'chunks_check',
+  CAST(count(*) + sum((doc_id % 997 + 1)
+       * ((chunk_idx * 131 + chunk_start * 17 + chunk_len + {h_chunk})
+          % 1000003)) AS BIGINT)
+  FROM ({chk})
+UNION ALL
+SELECT 'hh_check',
+  CAST(count(*) + sum(({h_tok} % 997 + 1)
+       * ((n_occurrences * 131 + total_tokens) % 1000003)) AS BIGINT)
+  FROM ({hh})
+UNION ALL
+SELECT 'spellvar_check',
+  CAST(count(*) + coalesce(sum(({h_t12} % 997 + 1)
+       * ((df1 * 131 + df2) % 1000003)), 0) AS BIGINT)
+  FROM ({sv})
 """
 
 
@@ -4467,6 +4745,131 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                             (F.col("n_transitions") * 131 + F.col("from_total"))
                             % 1000003
                         )
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    scd2 = QUERIES["rel_scd2_history"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "scd2_check",
+            scd2.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (F.col("doc_id") % 997 + 1)
+                        * (
+                            (
+                                F.col("version") * 131
+                                + F.col("valid_from_seq") * 17
+                                + F.coalesce(F.col("valid_to_seq"), F.lit(-11))
+                                + F.col("is_current")
+                                + hash60(
+                                    F.concat_ws("|", "text", "lang", "source")
+                                )
+                            )
+                            % 1000003
+                        )
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    bfs = QUERIES["ext_graph_bfs_hops"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "bfs_check",
+            bfs.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (F.col("vec_id") % 997 + 1) * (F.col("hops") * 131 + 7)
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    lp = QUERIES["ext_graph_link_pred"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "linkpred_check",
+            lp.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (F.col("u") % 997 + 1)
+                        * (
+                            (
+                                F.col("v") * 131
+                                + F.col("common_neighbors") * 17
+                                + F.col("score_e6")
+                                + F.col("rank")
+                            )
+                            % 1000003
+                        )
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    chk = QUERIES["ext_doc_chunks"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "chunks_check",
+            chk.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (F.col("doc_id") % 997 + 1)
+                        * (
+                            (
+                                F.col("chunk_idx") * 131
+                                + F.col("chunk_start") * 17
+                                + F.col("chunk_len")
+                                + hash60(F.col("chunk_text"))
+                            )
+                            % 1000003
+                        )
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    hh = QUERIES["ext_heavy_hitters"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "hh_check",
+            hh.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (hash60(F.col("tok")) % 997 + 1)
+                        * (
+                            (
+                                F.col("n_occurrences") * 131
+                                + F.col("total_tokens")
+                            )
+                            % 1000003
+                        )
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    sv = QUERIES["ext_spelling_variants"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "spellvar_check",
+            sv.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.coalesce(
+                        F.sum(
+                            (hash60(F.concat_ws("|", "t1", "t2")) % 997 + 1)
+                            * ((F.col("df1") * 131 + F.col("df2")) % 1000003)
+                        ),
+                        F.lit(0),
                     )
                 ).alias("value")
             ),
