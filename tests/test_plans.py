@@ -390,3 +390,40 @@ def test_link_pred_no_cartesian(spark, sf_dir):
     plan = plan_of(q)
     assert "CartesianProduct" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_rolling_range_window_partitioned_by_user(spark, sf_dir):
+    """Time-interval rolling frame: the RANGE window is partitioned on
+    user_id — nothing global touches the event stream."""
+    import re
+
+    q = QUERIES["rel_events_rolling_range"].fn(spark, sf_dir)
+    plan = plan_of(q)
+    parts = {
+        m.group(1) for m in re.finditer(r"windowspecdefinition\(([a-z_]+)", plan)
+    }
+    assert parts == {"user_id"}, plan
+
+
+def test_spikes_window_over_daily_aggregate_only(spark, sf_dir):
+    """Spike detection: the trailing window runs over the (key, day)
+    AGGREGATE (partial-agg shuffle first), partitioned on the key."""
+    import re
+
+    q = QUERIES["rel_events_spikes"].fn(spark, sf_dir)
+    plan = plan_of(q)
+    parts = {
+        m.group(1) for m in re.finditer(r"windowspecdefinition\(([a-z_]+)", plan)
+    }
+    assert parts == {"key"}, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_basket_lift_no_cartesian(spark, sf_dir):
+    """Market basket: pair enumeration is a self-equi-join on the
+    basket key (the only nested-loop is the 1-row basket-count
+    broadcast); supports are partial-aggregated."""
+    q = QUERIES["rel_basket_lift"].fn(spark, sf_dir)
+    plan = plan_of(q)
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan

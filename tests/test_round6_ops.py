@@ -281,3 +281,120 @@ def test_spelling_variants_match_brute_force(spark):
     assert expected  # dense fixture: distance-1 pairs must exist
     # and the blocking really faced transposition-style candidates
     assert any(_lev(a, b) == 2 for i, a in enumerate(keep) for b in keep[i + 1 :])
+
+
+# ------------------------------------------------------- trailing spikes
+
+
+def test_trailing_spikes_brute_force(spark):
+    """Random daily series vs a pure-Python trailing-window z-test;
+    the fixture is tuned to contain genuine spikes."""
+    import datetime
+    import math
+
+    from vector_database_watermarking_spark.operators import temporal
+
+    rng = random.Random(9)
+    rows = []
+    base = datetime.datetime(2025, 1, 1)
+    series: dict[str, list[int]] = {}
+    for key in ["a", "b"]:
+        counts = [rng.randrange(8, 13) for _ in range(30)]
+        counts[12] = 60  # injected spike
+        counts[25] = 1   # dip (must NOT flag: one-sided test)
+        series[key] = counts
+        for d, c in enumerate(counts):
+            day = base + datetime.timedelta(days=d)
+            rows += [(len(rows) + i, day, key) for i in range(c)]
+    ev = spark.createDataFrame(rows, ["event_id", "ts", "event_type"])
+    got = {
+        (r["key"], str(r["day"])): r["is_spike"]
+        for r in temporal.trailing_spikes(ev, key_col="event_type").collect()
+    }
+    for key, counts in series.items():
+        for d, x in enumerate(counts):
+            trail = counts[max(0, d - 7) : d]
+            n = len(trail)
+            expect = 0
+            if n >= 3:
+                s, q = sum(trail), sum(v * v for v in trail)
+                mean = s / n
+                var = q / n - mean * mean
+                expect = int(x > mean + 3 * math.sqrt(max(var, 0.0)))
+            day = str((base + datetime.timedelta(days=d)).date())
+            assert got[(key, day)] == expect, (key, day, x, trail)
+    assert sum(got.values()) == 2  # exactly the two injected spikes
+
+
+# ----------------------------------------------------- basket affinity
+
+
+def test_basket_affinity_brute_force(spark):
+    from vector_database_watermarking_spark.operators.stats import basket_affinity
+
+    rng = random.Random(31)
+    rows = []
+    for b in range(50):
+        for it in rng.sample(range(12), rng.randrange(1, 6)):
+            rows.append((b, it))
+            if rng.random() < 0.3:
+                rows.append((b, it))  # duplicate lines must not inflate
+    df = spark.createDataFrame(rows, ["bk", "it"])
+    got = {
+        (r["x"], r["y"]): (
+            r["pair_baskets"], r["x_baskets"], r["y_baskets"], r["lift_e4"]
+        )
+        for r in basket_affinity(df, "bk", "it", min_support=2).collect()
+    }
+    baskets: dict[int, set] = {}
+    for b, it in rows:
+        baskets.setdefault(b, set()).add(it)
+    nb = len(baskets)
+    sup: dict[int, int] = {}
+    pair: dict[tuple[int, int], int] = {}
+    for items in baskets.values():
+        for it in items:
+            sup[it] = sup.get(it, 0) + 1
+        s = sorted(items)
+        for i, x in enumerate(s):
+            for y in s[i + 1 :]:
+                pair[(x, y)] = pair.get((x, y), 0) + 1
+    expected = {
+        (x, y): (c, sup[x], sup[y], (10000 * nb * c) // (sup[x] * sup[y]))
+        for (x, y), c in pair.items()
+        if c >= 2
+    }
+    assert got == expected and expected
+
+
+# ------------------------------------------------- range-frame rolling
+
+
+def test_rolling_range_frame_brute_force(spark, sf_dir):
+    """The trailing-hour frame vs a brute per-user scan at fixture
+    scale (includes same-timestamp peers via RANGE semantics)."""
+    from vector_database_watermarking_spark.registry import QUERIES
+
+    got = {
+        r["event_id"]: (r["n_1h"], r["sum_1h_e6"])
+        for r in QUERIES["rel_events_rolling_range"].fn(spark, sf_dir).collect()
+    }
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "user_id", "ts", "value")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append(r)
+    import math
+
+    for rows in by_user.values():
+        us = [(int(r["ts"].timestamp() * 1e6), r) for r in rows]
+        for t, r in us:
+            win = [
+                math.floor(r2["value"] * 1e6 + 0.5)
+                for t2, r2 in us
+                if t - 3_600_000_000 <= t2 <= t
+            ]
+            assert got[r["event_id"]] == (len(win), sum(win))

@@ -234,3 +234,58 @@ def distribution_drift(
         F.round(F.sum(term), 6).alias("psi"),
         F.first("n_grp").alias("n_rows"),
     )
+
+
+def basket_affinity(
+    items: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+) -> DataFrame:
+    """Market-basket co-occurrence with lift — the association-mining
+    shape behind co-purchase recommendation, query co-click analysis,
+    and "users who touched X also touched Y" diagnostics: for every
+    unordered item pair appearing in at least ``min_support`` baskets,
+    the pair support, per-item supports, and lift = N·c_xy/(c_x·c_y)
+    shipped as a 1e-4 integer via PURE int64 arithmetic (`div`), so
+    the score is bit-identical on any engine with zero float ops.
+
+    Output: (x, y, pair_baskets, x_baskets, y_baskets, lift_e4) with
+    x < y.
+
+    Scale shape: baskets dedup with one (basket, item) distinct; the
+    pair enumeration is a self-equi-join on the basket key, so
+    candidate volume is Σ basket_size² — bounded by real basket
+    widths, never |items|²; pair and item supports are partial-agg
+    count shuffles, the item-support joins are vocabulary-sized
+    aggregation outputs left to AQE, and the basket count is a 1-row
+    broadcast. Hot baskets (a basket with millions of items would
+    degenerate) are a data bug this operator surfaces rather than
+    hides — cap upstream if the domain allows them.
+    """
+    b = items.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
+    ).distinct()
+    left = b.select("_b", F.col("_i").alias("x"))
+    right = b.select("_b", F.col("_i").alias("y"))
+    pairs = (
+        left.join(right, on="_b")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("pair_baskets"))
+        .filter(F.col("pair_baskets") >= min_support)
+    )
+    sup = b.groupBy("_i").agg(F.count(F.lit(1)).alias("_n"))
+    n_baskets = b.select(
+        F.countDistinct("_b").alias("_nb")
+    )
+    out = (
+        pairs.join(sup.select(F.col("_i").alias("x"), F.col("_n").alias("x_baskets")), on="x")
+        .join(sup.select(F.col("_i").alias("y"), F.col("_n").alias("y_baskets")), on="y")
+        .crossJoin(F.broadcast(n_baskets))
+    )
+    lift_e4 = F.expr("(10000 * _nb * pair_baskets) div (x_baskets * y_baskets)")
+    return out.select(
+        "x", "y", "pair_baskets", "x_baskets", "y_baskets",
+        lift_e4.cast("long").alias("lift_e4"),
+    )

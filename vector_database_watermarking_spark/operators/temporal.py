@@ -252,3 +252,77 @@ def event_transitions(
         "n_transitions",
         F.sum("n_transitions").over(wf).alias("from_total"),
     )
+
+
+def trailing_spikes(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    trail: int = 7,
+    min_trail: int = 3,
+    sigmas: int = 3,
+) -> DataFrame:
+    """Per-key daily-count anomaly flags against a trailing baseline —
+    the alerting shape (traffic spikes, ingestion anomalies, abuse
+    bursts): a day is a spike when its count exceeds the trailing
+    ``trail``-day mean by more than ``sigmas`` standard deviations.
+
+    The test runs entirely in int64: with n trailing days summing to
+    S with squared sum Q, "x > mean + k·σ" is equivalent to
+    n·x − S > 0 AND (n·x − S)² > k²·(n·Q − S²) — both sides exact
+    integers, so the flag can never flip on float summation order or
+    engine libm differences. Days with fewer than ``min_trail``
+    trailing observations are never flagged (no baseline).
+
+    Output: (key, day, n_events, n_trail, sum_trail, is_spike) — the
+    trailing stats ship so downstream alerting can re-threshold
+    without recomputation.
+
+    Scale shape: one partial-agg shuffle to daily counts (a
+    |keys|×|days| relation — tiny relative to the event stream), then
+    one per-key ordered window over that aggregate. The current day is
+    EXCLUDED from its own baseline (ROWS ... 1 PRECEDING), the
+    textbook leak-avoidance.
+    """
+    daily = (
+        events.select(
+            F.col(key_col).alias("key"), F.to_date(ts_col).alias("day")
+        )
+        .groupBy("key", "day")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("day")
+        .rowsBetween(-trail, -1)
+    )
+    d = daily.select(
+        "key",
+        "day",
+        "n_events",
+        F.coalesce(F.count(F.lit(1)).over(w), F.lit(0)).alias("n_trail"),
+        F.coalesce(F.sum("n_events").over(w), F.lit(0)).alias("sum_trail"),
+        F.coalesce(
+            F.sum(F.col("n_events") * F.col("n_events")).over(w), F.lit(0)
+        ).alias("_sq_trail"),
+    )
+    n, x, s, q = (
+        F.col("n_trail"),
+        F.col("n_events"),
+        F.col("sum_trail"),
+        F.col("_sq_trail"),
+    )
+    dev = n * x - s
+    spike = (
+        (n >= min_trail)
+        & (dev > 0)
+        & (dev * dev > F.lit(sigmas * sigmas) * (n * q - s * s))
+    )
+    return d.select(
+        "key",
+        "day",
+        "n_events",
+        "n_trail",
+        "sum_trail",
+        spike.cast("int").alias("is_spike"),
+    )

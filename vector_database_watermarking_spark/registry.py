@@ -971,6 +971,10 @@ _GRADE_ORDER = [
     "ext_doc_chunks",
     "ext_heavy_hitters",
     "ext_spelling_variants",
+    "rel_events_rolling_range",
+    "rel_events_spikes",
+    "ext_approx_quantiles",
+    "rel_basket_lift",
 ]
 
 

@@ -3663,6 +3663,162 @@ def rel_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_events_rolling_range",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_1h,
+       CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) OVER w AS BIGINT)
+         AS sum_1h_e6
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""",
+)
+def rel_events_rolling_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame (time-interval) rolling window: per-user count and
+    1e-6-integer value sum over the trailing HOUR — the time-based
+    sibling of ``rel_events_rolling``'s row-count frame, and the shape
+    rate limiting / rolling-spend metrics actually need (a row frame
+    over irregular events is wrong). Ordering is integer epoch
+    microseconds, so the frame boundary is exact and RANGE-peer
+    semantics make same-timestamp rows order-independent. One shuffle
+    on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    v_e6 = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(v_e6).over(w).alias("sum_1h_e6"),
+    )
+
+
+@register(
+    "rel_events_spikes",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+t AS (
+  SELECT event_type, day, n_events,
+         CAST(coalesce(count(*) OVER w, 0) AS BIGINT) AS n_trail,
+         CAST(coalesce(sum(n_events) OVER w, 0) AS BIGINT) AS sum_trail,
+         CAST(coalesce(sum(n_events * n_events) OVER w, 0) AS BIGINT) AS sq
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, CAST(day AS TIMESTAMP) AS day, n_events, n_trail, sum_trail,
+       CAST(CASE WHEN n_trail >= 3
+                  AND (n_trail * n_events - sum_trail) > 0
+                  AND (n_trail * n_events - sum_trail)
+                      * (n_trail * n_events - sum_trail)
+                      > 9 * (n_trail * sq - sum_trail * sum_trail)
+            THEN 1 ELSE 0 END AS INTEGER) AS is_spike
+FROM t
+""",
+)
+def rel_events_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-baseline anomaly flags
+    (``operators.temporal.trailing_spikes``): a day spikes when its
+    event count exceeds the trailing-7-day mean by > 3σ, tested
+    entirely in int64 ((n·x−S)² > 9·(n·Q−S²)) so the flag can never
+    flip on float order. The current day is excluded from its own
+    baseline. Day ships as midnight TIMESTAMP (gapfill precedent)."""
+    from .operators import temporal as _temporal
+
+    ev = load_table(spark, sf_dir, "events")
+    out = _temporal.trailing_spikes(ev, key_col="event_type")
+    return out.select(
+        F.col("key").alias("event_type"),
+        F.col("day").cast("timestamp").alias("day"),
+        "n_events",
+        "n_trail",
+        "sum_trail",
+        "is_spike",
+    )
+
+
+@register(
+    "ext_approx_quantiles",
+    oracle="""
+SELECT source,
+       quantile_cont(n_chars, 0.5) AS p50,
+       quantile_cont(n_chars, 0.95) AS p95,
+       TRUE AS within_tol
+FROM documents GROUP BY source
+""",
+)
+def ext_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch diagnostics (the KLL/GK counterpart of
+    ``ext_approx_distinct``'s HLL row): exact per-source p50/p95 of
+    document length plus the sketch-error INVARIANT — the
+    ``percentile_approx`` estimate must land inside the exact
+    [p45, p55] / [p93, p97] rank bands — pinned TRUE by the oracle.
+    The raw sketch value is engine-specific, so the invariant is the
+    graded surface; the exact percentiles are integer-input
+    interpolations (bit-identical cross-engine, profile precedent).
+    At scale the sketch is the one-pass mergeable path; the exact tier
+    is the audit."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def pct(p: float):
+        return F.percentile("n_chars", F.lit(p))
+
+    approx50 = F.percentile_approx("n_chars", F.lit(0.5), F.lit(10000))
+    approx95 = F.percentile_approx("n_chars", F.lit(0.95), F.lit(10000))
+    return docs.groupBy("source").agg(
+        pct(0.5).alias("p50"),
+        pct(0.95).alias("p95"),
+        (
+            (approx50 >= pct(0.45))
+            & (approx50 <= pct(0.55))
+            & (approx95 >= pct(0.93))
+            & (approx95 <= pct(0.97))
+        ).alias("within_tol"),
+    )
+
+
+@register(
+    "rel_basket_lift",
+    oracle="""
+WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+p AS (
+  SELECT a.it AS x, c.it AS y, CAST(count(*) AS BIGINT) AS pair_baskets
+  FROM b a JOIN b c ON a.bk = c.bk AND a.it < c.it
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+s AS (SELECT it, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY it),
+nb AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS nb FROM b)
+SELECT p.x, p.y, p.pair_baskets, sx.n AS x_baskets, sy.n AS y_baskets,
+       CAST((10000 * nb.nb * p.pair_baskets) // (sx.n * sy.n) AS BIGINT)
+         AS lift_e4
+FROM p JOIN s sx ON p.x = sx.it JOIN s sy ON p.y = sy.it CROSS JOIN nb
+""",
+)
+def rel_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining
+    (``operators.stats.basket_affinity``): part pairs co-occurring in
+    ≥ 2 orders with pure-int64 lift (association strength) — the
+    co-purchase / co-engagement analytics shape. The pair enumeration
+    is a self-equi-join on the order key (basket-bounded, never
+    |parts|²); lift uses integer `div`, so zero float ops anywhere."""
+    from .operators.stats import basket_affinity
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return basket_affinity(
+        li, basket_col="l_orderkey", item_col="l_partkey", min_support=2
+    )
+
+
+@register(
     "rel_scd2_history",
     oracle=f"""
 WITH base AS (
@@ -3951,6 +4107,10 @@ def _pipeline_pack_oracle() -> str:
     chk = QUERIES["ext_doc_chunks"].oracle
     hh = QUERIES["ext_heavy_hitters"].oracle
     sv = QUERIES["ext_spelling_variants"].oracle
+    rr = QUERIES["rel_events_rolling_range"].oracle
+    spk = QUERIES["rel_events_spikes"].oracle
+    aq = QUERIES["ext_approx_quantiles"].oracle
+    bl = QUERIES["rel_basket_lift"].oracle
     h_ft = oracle_hash60("from_type || '|' || to_type")
     h_w12 = oracle_hash60("w1 || '|' || w2")
     h_pay = oracle_hash60("text || '|' || lang || '|' || source")
@@ -4158,6 +4318,30 @@ SELECT 'spellvar_check',
   CAST(count(*) + coalesce(sum(({h_t12} % 997 + 1)
        * ((df1 * 131 + df2) % 1000003)), 0) AS BIGINT)
   FROM ({sv})
+UNION ALL
+SELECT 'rolling_range_check',
+  CAST(count(*) + sum((event_id % 997 + 1)
+       * ((n_1h * 131 + sum_1h_e6) % 1000003)) AS BIGINT)
+  FROM ({rr})
+UNION ALL
+SELECT 'spikes_check',
+  CAST(count(*) + sum(({h_et} % 997 + 1)
+       * ((epoch_us(day) % 100003 + n_events * 131 + n_trail * 17
+           + sum_trail * 7 + is_spike) % 1000003)) AS BIGINT)
+  FROM ({spk})
+UNION ALL
+SELECT 'approx_quantiles_check',
+  CAST(count(*) + sum(({h_src} % 997 + 1)
+       * ((CAST(floor(p50 * 1000 + 0.5) AS BIGINT)
+           + CAST(floor(p95 * 1000 + 0.5) AS BIGINT) * 131
+           + CASE WHEN within_tol THEN 1 ELSE 0 END) % 1000003)) AS BIGINT)
+  FROM ({aq})
+UNION ALL
+SELECT 'basket_lift_check',
+  CAST(count(*) + sum((x % 997 + 1)
+       * ((y * 131 + pair_baskets * 17 + x_baskets * 7 + y_baskets * 3
+           + lift_e4) % 1000003)) AS BIGINT)
+  FROM ({bl})
 """
 
 
@@ -4870,6 +5054,99 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                             * ((F.col("df1") * 131 + F.col("df2")) % 1000003)
                         ),
                         F.lit(0),
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    rr = QUERIES["rel_events_rolling_range"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "rolling_range_check",
+            rr.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (F.col("event_id") % 997 + 1)
+                        * (
+                            (F.col("n_1h") * 131 + F.col("sum_1h_e6"))
+                            % 1000003
+                        )
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    spk = QUERIES["rel_events_spikes"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "spikes_check",
+            spk.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (hash60(F.col("event_type")) % 997 + 1)
+                        * (
+                            (
+                                F.unix_micros("day") % 100003
+                                + F.col("n_events") * 131
+                                + F.col("n_trail") * 17
+                                + F.col("sum_trail") * 7
+                                + F.col("is_spike")
+                            )
+                            % 1000003
+                        )
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    aq = QUERIES["ext_approx_quantiles"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "approx_quantiles_check",
+            aq.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (hash60(F.col("source")) % 997 + 1)
+                        * (
+                            (
+                                F.floor(F.col("p50") * 1000 + F.lit(0.5)).cast(
+                                    "long"
+                                )
+                                + F.floor(
+                                    F.col("p95") * 1000 + F.lit(0.5)
+                                ).cast("long")
+                                * 131
+                                + F.col("within_tol").cast("long")
+                            )
+                            % 1000003
+                        )
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    bl = QUERIES["rel_basket_lift"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "basket_lift_check",
+            bl.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (F.col("x") % 997 + 1)
+                        * (
+                            (
+                                F.col("y") * 131
+                                + F.col("pair_baskets") * 17
+                                + F.col("x_baskets") * 7
+                                + F.col("y_baskets") * 3
+                                + F.col("lift_e4")
+                            )
+                            % 1000003
+                        )
                     )
                 ).alias("value")
             ),
