@@ -427,3 +427,30 @@ def test_basket_lift_no_cartesian(spark, sf_dir):
     plan = plan_of(q)
     assert "CartesianProduct" not in plan, plan
     assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_key_skew_window_over_histogram_only(spark, sf_dir):
+    """Key-skew audit: the rank window runs over the COUNT HISTOGRAM
+    (constant partition key), never over the key set — the plan's only
+    windows are lit-partitioned, and each key's counts partial-agg
+    before any exchange."""
+    import re
+
+    q = QUERIES["rel_key_skew"].fn(spark, sf_dir)
+    plan = plan_of(q)
+    # Catalyst folds the constant partition key away; what must hold is
+    # that every window orders on the histogram's multiplicity column
+    # (_n), i.e. it runs over the value-bounded histogram relation
+    for m in re.finditer(r"windowspecdefinition\(([a-z_0-9]+)", plan):
+        assert m.group(1) == "_n", plan
+    assert plan.count("HashAggregate") >= 6, plan
+
+
+def test_wau_fanout_bounded_no_cartesian(spark, sf_dir):
+    """Rolling actives: the day fan-out explodes the DISTINCT
+    (user, day) relation, the report-day probe is an equi-join."""
+    q = QUERIES["rel_events_wau"].fn(spark, sf_dir)
+    plan = plan_of(q)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Generate explode" in plan, plan

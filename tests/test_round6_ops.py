@@ -398,3 +398,73 @@ def test_rolling_range_frame_brute_force(spark, sf_dir):
                 if t - 3_600_000_000 <= t2 <= t
             ]
             assert got[r["event_id"]] == (len(win), sum(win))
+
+
+# ------------------------------------------------------------ key skew
+
+
+def test_key_skew_gini_brute_force(spark):
+    """Histogram-collapsed Gini vs the textbook rank formula on a
+    skewed key sample (ties across blocks included)."""
+    from vector_database_watermarking_spark.operators.stats import key_skew
+
+    rng = random.Random(17)
+    keys = []
+    for k in range(40):
+        keys += [k] * (1 + min(rng.randrange(1, 30), rng.randrange(1, 30)))
+    keys += [99] * 200  # hot key
+    rng.shuffle(keys)
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    row = key_skew(df, "k", label="k").collect()[0]
+    counts = sorted(
+        [keys.count(k) for k in set(keys)]
+    )
+    n, s = len(counts), sum(counts)
+    sw = sum((i + 1) * x for i, x in enumerate(counts))
+    assert row["n_keys"] == n and row["n_rows"] == s
+    assert row["max_n"] == max(counts)
+    assert row["top_share_e6"] == (1000000 * max(counts)) // s
+    assert row["gini_e6"] == ((2 * sw - (n + 1) * s) * 1000000) // (n * s)
+    assert row["gini_e6"] > 300000  # the fixture is genuinely skewed
+
+
+def test_key_skew_uniform_is_zero(spark):
+    from vector_database_watermarking_spark.operators.stats import key_skew
+
+    df = spark.createDataFrame([(k % 10,) for k in range(50)], ["k"])
+    row = key_skew(df, "k").collect()[0]
+    assert row["gini_e6"] == 0 and row["max_n"] == 5
+
+
+# ------------------------------------------------------------- DAU/WAU
+
+
+def test_rolling_active_users_brute_force(spark):
+    import datetime
+
+    from vector_database_watermarking_spark.operators import temporal
+
+    rng = random.Random(29)
+    base = datetime.datetime(2025, 3, 1)
+    rows = []
+    for i in range(800):
+        rows.append(
+            (
+                i,
+                base + datetime.timedelta(days=rng.randrange(20), hours=rng.randrange(24)),
+                rng.randrange(40),
+            )
+        )
+    ev = spark.createDataFrame(rows, ["event_id", "ts", "user_id"])
+    got = {
+        str(r["day"]): (r["wau"], r["dau"])
+        for r in temporal.rolling_active_users(ev, window_days=7).collect()
+    }
+    pairs = {(r[2], r[1].date()) for r in rows}
+    days = sorted({d for _, d in pairs})
+    expected = {}
+    for d in days:
+        wau = {u for u, d2 in pairs if 0 <= (d - d2).days <= 6}
+        dau = {u for u, d2 in pairs if d2 == d}
+        expected[str(d)] = (len(wau), len(dau))
+    assert got == expected

@@ -289,3 +289,67 @@ def basket_affinity(
         "x", "y", "pair_baskets", "x_baskets", "y_baskets",
         lift_e4.cast("long").alias("lift_e4"),
     )
+
+
+def key_skew(df: DataFrame, key_col: str, label: str | None = None) -> DataFrame:
+    """EXACT key-skew audit — the shuffle-planning diagnostic for the
+    join/agg keys this engine shuffles on (hot keys are what salting /
+    AQE skew-join exist for; this measures whether they're needed):
+    one row with the key count, row count, max multiplicity, the top
+    key's row share, and the exact Gini coefficient of the key
+    multiplicity distribution, every value int64.
+
+    Gini needs ranks in a global sort of per-key counts — a
+    scale-killer if done literally (billions of keys on one
+    partition). Instead the counts are aggregated once more into the
+    COUNT HISTOGRAM (multiplicity c → m_c keys): keys sharing c are
+    rank-contiguous, so Σ rank·x collapses per block to
+    c·(m·o + m(m+1)/2) with o the number of keys in lower blocks —
+    and the histogram is bounded by max multiplicity, so the only
+    window runs over a value-bounded relation (ordered by c), never
+    over the key set. G = (2·Σrank·x − (n+1)·S) / (n·S), shipped as a
+    1e-6 integer via int64 `div`.
+
+    Output: (key_name, n_keys, n_rows, max_n, top_share_e6, gini_e6).
+    """
+    counts = df.groupBy(F.col(key_col).alias("_k")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    hist = counts.groupBy("_n").agg(F.count(F.lit(1)).alias("_m"))
+    # value-bounded relation: the constant partition key only keeps the
+    # plan out of WindowExec's unpartitioned path (and its warning)
+    w = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("_n")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # offset = keys in strictly-lower blocks; rank sum of this block =
+    # m*offset + m(m+1)/2, every key in it weighs _n
+    blocks = hist.select(
+        "_n",
+        "_m",
+        (F.sum("_m").over(w) - F.col("_m")).alias("_o"),
+    )
+    agg = blocks.agg(
+        F.sum("_m").alias("n_keys"),
+        F.sum(F.col("_n") * F.col("_m")).alias("n_rows"),
+        F.max("_n").alias("max_n"),
+        F.sum(
+            F.col("_n")
+            * (
+                F.col("_m") * F.col("_o")
+                + F.expr("(_m * (_m + 1)) div 2")
+            )
+        ).alias("_sw"),
+    )
+    return agg.select(
+        F.lit(label or key_col).alias("key_name"),
+        "n_keys",
+        "n_rows",
+        "max_n",
+        F.expr("(1000000 * max_n) div n_rows").alias("top_share_e6"),
+        F.expr(
+            "((2 * _sw - (n_keys + 1) * n_rows) * 1000000)"
+            " div (n_keys * n_rows)"
+        ).alias("gini_e6"),
+    )

@@ -326,3 +326,44 @@ def trailing_spikes(
         "sum_trail",
         spike.cast("int").alias("is_spike"),
     )
+
+
+def rolling_active_users(
+    events: DataFrame,
+    window_days: int = 7,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Rolling distinct actives — DAU/WAU/stickiness, the
+    product-analytics metric a windowed aggregation CANNOT compute
+    (COUNT DISTINCT is not additive across days, so no rolling-sum
+    trick works): for every day with activity, the number of distinct
+    keys active in the trailing ``window_days`` days and on the day
+    itself.
+
+    Plan: the distinct (key, day) relation fans out to the ≤
+    ``window_days`` report days it contributes to (explode of a
+    day-offset sequence — the standard exact formulation), then one
+    distinct-count aggregation per report day; report days without
+    their own activity are dropped (semi-join against the observed
+    day set). Fan-out is window_days × |distinct key-days| — bounded,
+    never events × days. Output: (day, wau, dau), all integers.
+    """
+    day = F.to_date(ts_col)
+    a = events.select(F.col(key_col).alias("_k"), day.alias("_d")).distinct()
+    g = a.select(
+        "_k",
+        "_d",
+        F.explode(F.sequence(F.lit(0), F.lit(window_days - 1))).alias("_off"),
+    ).select("_k", "_d", F.date_add("_d", F.col("_off")).alias("day"))
+    days = a.select(F.col("_d").alias("day")).distinct()
+    return (
+        g.join(days, on="day", how="left_semi")
+        .groupBy("day")
+        .agg(
+            F.countDistinct("_k").alias("wau"),
+            F.countDistinct(
+                F.when(F.col("_d") == F.col("day"), F.col("_k"))
+            ).alias("dau"),
+        )
+    )

@@ -975,6 +975,8 @@ _GRADE_ORDER = [
     "rel_events_spikes",
     "ext_approx_quantiles",
     "rel_basket_lift",
+    "rel_key_skew",
+    "rel_events_wau",
 ]
 
 

@@ -3818,6 +3818,93 @@ def rel_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _skew_oracle_block(table: str, key: str) -> str:
+    """One key_skew oracle row: count histogram → block-collapsed exact
+    Gini, same int64 formula as ``operators.stats.key_skew``."""
+    return f"""
+SELECT '{key}' AS key_name, n_keys, n_rows, max_n,
+       (1000000 * max_n) // n_rows AS top_share_e6,
+       ((2 * sw - (n_keys + 1) * n_rows) * 1000000) // (n_keys * n_rows)
+         AS gini_e6
+FROM (
+  SELECT CAST(sum(m) AS BIGINT) AS n_keys,
+         CAST(sum(n * m) AS BIGINT) AS n_rows,
+         CAST(max(n) AS BIGINT) AS max_n,
+         CAST(sum(n * (m * o + (m * (m + 1)) // 2)) AS BIGINT) AS sw
+  FROM (
+    SELECT n, m,
+           CAST(coalesce(sum(m) OVER (ORDER BY n ROWS BETWEEN
+             UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o
+    FROM (
+      SELECT n, CAST(count(*) AS BIGINT) AS m
+      FROM (SELECT {key}, count(*) AS n FROM {table} GROUP BY {key})
+      GROUP BY n
+    )
+  )
+)"""
+
+
+@register(
+    "rel_key_skew",
+    oracle=_skew_oracle_block("orders", "o_custkey")
+    + "\nUNION ALL"
+    + _skew_oracle_block("events", "user_id")
+    + "\nUNION ALL"
+    + _skew_oracle_block("lineitem", "l_partkey"),
+)
+def rel_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew audit (``operators.stats.key_skew``) over the
+    three keys this engine's relational queries shuffle on most: exact
+    Gini + top-key share of the multiplicity distribution, computed
+    from the COUNT HISTOGRAM so no window ever touches the key set
+    itself — the diagnostic that decides whether a join needs
+    ``salted_join``/AQE skew handling. All int64; the oracle replays
+    the histogram collapse per key."""
+    from .operators.stats import key_skew
+
+    o = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        key_skew(o, "o_custkey")
+        .unionByName(key_skew(ev, "user_id"))
+        .unionByName(key_skew(li, "l_partkey"))
+    )
+
+
+@register(
+    "rel_events_wau",
+    oracle="""
+WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+g AS (
+  SELECT user_id, day AS d0, day + CAST(off AS INTEGER) AS day
+  FROM (SELECT user_id, day, unnest(generate_series(0, 6)) AS off FROM a)
+),
+days AS (SELECT DISTINCT day FROM a)
+SELECT CAST(day AS TIMESTAMP) AS day,
+       CAST(count(DISTINCT g.user_id) AS BIGINT) AS wau,
+       CAST(count(DISTINCT CASE WHEN g.d0 = g.day THEN g.user_id END)
+            AS BIGINT) AS dau
+FROM g JOIN days USING (day)
+GROUP BY day
+""",
+)
+def rel_events_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct actives + same-day actives per activity
+    day (``operators.temporal.rolling_active_users``) — DAU/WAU, the
+    non-additive distinct-count metric no window frame can express;
+    computed by the exact day-offset fan-out (≤ 7× the distinct
+    user-day relation). Day ships as midnight TIMESTAMP (gapfill
+    precedent)."""
+    from .operators import temporal as _temporal
+
+    ev = load_table(spark, sf_dir, "events")
+    out = _temporal.rolling_active_users(ev, window_days=7)
+    return out.select(
+        F.col("day").cast("timestamp").alias("day"), "wau", "dau"
+    )
+
+
 @register(
     "rel_scd2_history",
     oracle=f"""
@@ -4111,6 +4198,9 @@ def _pipeline_pack_oracle() -> str:
     spk = QUERIES["rel_events_spikes"].oracle
     aq = QUERIES["ext_approx_quantiles"].oracle
     bl = QUERIES["rel_basket_lift"].oracle
+    ks = QUERIES["rel_key_skew"].oracle
+    wau = QUERIES["rel_events_wau"].oracle
+    h_kn = oracle_hash60("key_name")
     h_ft = oracle_hash60("from_type || '|' || to_type")
     h_w12 = oracle_hash60("w1 || '|' || w2")
     h_pay = oracle_hash60("text || '|' || lang || '|' || source")
@@ -4342,6 +4432,17 @@ SELECT 'basket_lift_check',
        * ((y * 131 + pair_baskets * 17 + x_baskets * 7 + y_baskets * 3
            + lift_e4) % 1000003)) AS BIGINT)
   FROM ({bl})
+UNION ALL
+SELECT 'key_skew_check',
+  CAST(count(*) + sum(({h_kn} % 997 + 1)
+       * ((n_keys * 131 + n_rows * 17 + max_n * 7 + top_share_e6 * 3
+           + gini_e6) % 1000003)) AS BIGINT)
+  FROM ({ks})
+UNION ALL
+SELECT 'wau_check',
+  CAST(count(*) + sum((epoch_us(day) % 100003 + 1)
+       * ((wau * 131 + dau) % 1000003)) AS BIGINT)
+  FROM ({wau})
 """
 
 
@@ -5147,6 +5248,45 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                             )
                             % 1000003
                         )
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    ks = QUERIES["rel_key_skew"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "key_skew_check",
+            ks.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (hash60(F.col("key_name")) % 997 + 1)
+                        * (
+                            (
+                                F.col("n_keys") * 131
+                                + F.col("n_rows") * 17
+                                + F.col("max_n") * 7
+                                + F.col("top_share_e6") * 3
+                                + F.col("gini_e6")
+                            )
+                            % 1000003
+                        )
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    wau = QUERIES["rel_events_wau"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "wau_check",
+            wau.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (F.unix_micros("day") % 100003 + 1)
+                        * ((F.col("wau") * 131 + F.col("dau")) % 1000003)
                     )
                 ).alias("value")
             ),
