@@ -1,0 +1,98 @@
+"""Round-6 batch-2 operators: deterministic k-means refinement,
+class rebalancing, MAD outliers, EWMA frames, bucketed joins."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vector_database_watermarking_spark.operators import clustering
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from vector_database_watermarking_spark.session import get_spark
+
+    return get_spark("round6b_tests", cpus=8)
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def _lloyd_numpy(X: np.ndarray, ids: np.ndarray, order: np.ndarray, k: int, iters: int):
+    """Reference Lloyd with the module's exact rational-centroid rule:
+    xq = floor(x*1e4 + 0.5); centroid = (sum, count); dist compared as
+    (c·x − s)² integer numerator over c². Returns final assignment."""
+    xq = np.floor(X.astype(np.float64) * 10000 + 0.5).astype(np.int64)
+    cents = [(xq[i].copy(), 1) for i in order[:k]]
+
+    def assign():
+        best = np.zeros(len(xq), dtype=np.int64)
+        bestd = np.full(len(xq), np.inf)
+        for j, (s, c) in enumerate(cents):
+            a = ((c * xq - s).astype(np.float64) ** 2).sum(axis=1)
+            d = a / float(c * c)
+            take = d < bestd  # strict: ties keep the lower index
+            best[take] = j
+            bestd[take] = d[take]
+        return best
+
+    lab = assign()
+    for _ in range(iters - 1):
+        new = []
+        for j, old in enumerate(cents):
+            m = lab == j
+            if m.any():
+                new.append((xq[m].sum(axis=0), int(m.sum())))
+            else:
+                new.append(old)
+        cents = new
+        lab = assign()
+    return lab
+
+
+def test_kmeans_refine_matches_numpy_reference(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    # init order: hash60('km_'||id) asc, ties by id — recompute in python
+    import hashlib
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    order = np.lexsort((ids, np.array([h60(f"km_{i}") for i in ids])))
+    ref = _lloyd_numpy(X, ids, order, k=8, iters=2)
+    got = clustering.kmeans_refine(emb, n_clusters=8, iters=2)
+    got_map = {r["vec_id"]: r["cluster"] for r in got.select("vec_id", "cluster").collect()}
+    for i, vid in enumerate(ids):
+        assert got_map[vid] == ref[i]
+
+
+def test_kmeans_refine_mean_tier_same_plan_shape(spark):
+    """The overflow-free scale tier partitions all rows into the same
+    number of clusters and never yields a null assignment."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = clustering.kmeans_refine(emb, n_clusters=8, iters=2, exact=False)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("cluster").isNull().cast("int")).alias("nulls"),
+        F.countDistinct("cluster").alias("k"),
+    ).collect()[0]
+    assert agg["n"] == emb.count()
+    assert agg["nulls"] == 0
+    assert agg["k"] == 8
+
+
+def test_kmeans_refine_empty_cluster_keeps_centroid(spark):
+    """A cluster whose members all migrate keeps its previous centroid
+    (no crash, k preserved): 4 clusters over 6 near-identical points
+    plus 2 outliers exercises the COALESCE path."""
+    pts = [(i, [0.1 + 0.0001 * i] * 4) for i in range(6)]
+    pts += [(6, [0.4] * 4), (7, [-0.4] * 4)]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    out = clustering.kmeans_refine(df, n_clusters=4, iters=3)
+    assert out.count() == 8
+    assert out.filter(F.col("cluster").isNull()).count() == 0

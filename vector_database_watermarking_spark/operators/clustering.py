@@ -1,0 +1,162 @@
+"""Deterministic k-means (Lloyd) refinement over embedding columns.
+
+North-star extension: document/embedding clustering is the backbone of
+curation recipes (SemDeDup-style pruning, cluster-balanced sampling,
+topic bucketing). The engine already has one-shot centroid routing
+(``similarity.ivf_build_fixed``) and seeded MLlib KMeans
+(``similarity.ivf_build``); this module adds the piece neither gives:
+an **iterative Lloyd refinement whose every step is exact and
+cross-engine replayable**, so cluster assignments are auditable row
+for row in SQL rather than trusted from an RNG-dependent library.
+
+Determinism design (registry docstring policy):
+
+- Embeddings are quantized once to e4 integers
+  (``floor(x*10000 + 0.5)`` — the established integer-bucket idiom).
+- A centroid is carried as ``(sums: array<long>, count)`` — the
+  *exact rational* mean ``s/c`` is never materialized as a float.
+- Squared distance of point ``x`` to centroid ``(s, c)`` is compared
+  via ``A = Σ_i (c·x_i − s_i)²`` (an order-free integer) divided by
+  ``c²`` as ONE double division — identical in Spark and DuckDB, ties
+  broken by cluster index. No accumulation-order hazard exists
+  anywhere in the loop.
+
+Scale shape (100 TB): each iteration is one scan + one
+map-side-combinable ``groupBy(cluster, dim)`` integer sum (k·d rows
+collected to the driver — kilobytes), then reassignment against k·d
+broadcast literals inside codegen. No all-pairs stage, no global
+sort; the init sample is a TakeOrderedAndProject over a keyed hash.
+The integer-exact compare is valid while ``c·max|x_e4|`` stays inside
+int64 (cluster size ≲ 6×10⁵ at e4 scale); past that, callers flip
+``exact=False`` for the same plan with float centroid means and
+6-decimal rounded ranking (the ``_RANK_DECIMALS`` discipline of
+``similarity._centroid_dists``).
+
+Reference tie-in: the reference clusters nothing — its grouping is
+hash-partition by content id (``watermarking.py:119-150``); this
+operator is pure north-star extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash60
+
+E4 = 10000
+
+
+def quantize_e4(emb_col) -> "F.Column":
+    """``array<long>`` e4 quantization of a float-array column."""
+    c = F.col(emb_col) if isinstance(emb_col, str) else emb_col
+    return F.transform(
+        c, lambda v: F.floor(v.cast("double") * E4 + F.lit(0.5)).cast("long")
+    )
+
+
+def _init_centroids(q: DataFrame, n_clusters: int) -> list[tuple[list[int], int]]:
+    """Keyed-hash spread sample: the ``n_clusters`` points with the
+    smallest ``hash60('km_' || vec_id)`` (ties by id), each an exact
+    centroid of count 1. Partitioning-invariant and SQL-replayable."""
+    key = hash60(F.concat(F.lit("km_"), F.col("vec_id").cast("string")))
+    rows = (
+        q.select("vec_id", "xq")
+        .withColumn("_k", key)
+        .orderBy("_k", "vec_id")
+        .limit(n_clusters)
+        .collect()
+    )
+    return [(list(r["xq"]), 1) for r in rows]
+
+
+def _assign_exact(q: DataFrame, cents: list[tuple[list[int], int]]) -> DataFrame:
+    """Adds ``cluster``: argmin_j Σ(c_j·x − s_j)² / c_j², ties to the
+    lowest j. All-integer numerators; one double division per pair."""
+    dists = []
+    for s, c in cents:
+        s_lit = F.array(*[F.lit(int(v)).cast("long") for v in s])
+        c_lit = F.lit(int(c)).cast("long")
+        a = F.aggregate(
+            F.zip_with(
+                F.col("xq"),
+                s_lit,
+                lambda x, sv: (c_lit * x - sv) * (c_lit * x - sv),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        dists.append(a.cast("double") / F.lit(float(c * c)))
+    best = F.least(*dists)
+    expr = F.when(dists[0] == best, 0)
+    for j in range(1, len(dists)):
+        expr = expr.when(dists[j] == best, j)
+    return q.withColumn("cluster", expr.cast("int"))
+
+
+def _assign_mean(q: DataFrame, cents: list[tuple[list[int], int]]) -> DataFrame:
+    """Scale tier: float centroid means, per-dim fold distance rounded
+    to 6 decimals for ranking (ties to lowest index) — the
+    ``similarity._centroid_dists`` discipline, int64-overflow-free."""
+    dists = []
+    for s, c in cents:
+        m_lit = F.array(*[F.lit(float(v) / c) for v in s])
+        a = F.aggregate(
+            F.zip_with(
+                F.col("xq"), m_lit, lambda x, mv: (x.cast("double") - mv) ** 2
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        dists.append(F.round(a, 6))
+    best = F.least(*dists)
+    expr = F.when(dists[0] == best, 0)
+    for j in range(1, len(dists)):
+        expr = expr.when(dists[j] == best, j)
+    return q.withColumn("cluster", expr.cast("int"))
+
+
+def kmeans_refine(
+    emb: DataFrame,
+    n_clusters: int = 8,
+    iters: int = 2,
+    exact: bool = True,
+) -> DataFrame:
+    """Lloyd-refined cluster assignment ``(vec_id, xq, cluster)``.
+
+    Each iteration: assign against the current ``(sums, count)``
+    centroids, recompute via one ``groupBy(cluster, dim)`` integer
+    sum (k·d driver-collected rows), keep the previous centroid for
+    any emptied cluster. The final DataFrame carries the assignment
+    after ``iters`` refinements.
+    """
+    assign = _assign_exact if exact else _assign_mean
+    q = emb.select("vec_id", quantize_e4("embedding").alias("xq")).persist()
+    cents = _init_centroids(q, n_clusters)
+    out = assign(q, cents)
+    # `iters` assignment passes with a centroid update between each
+    # pair (classic Lloyd: the returned assignment is the one taken
+    # against the last refined centroids — no trailing update).
+    for _ in range(iters - 1):
+        stats = (
+            out.select("cluster", F.posexplode("xq").alias("dim", "v"))
+            .groupBy("cluster", "dim")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        by_cluster: dict[int, tuple[dict[int, int], int]] = {}
+        for r in stats:
+            sums, _ = by_cluster.setdefault(r["cluster"], ({}, 0))
+            sums[r["dim"]] = r["s"]
+            by_cluster[r["cluster"]] = (sums, r["cnt"])
+        new_cents = []
+        for j, old in enumerate(cents):
+            if j in by_cluster:
+                sums, cnt = by_cluster[j]
+                new_cents.append(([sums[d] for d in range(len(old[0]))], cnt))
+            else:
+                new_cents.append(old)
+        cents = new_cents
+        out = assign(q, cents)
+    q.unpersist()
+    return out

@@ -977,6 +977,7 @@ _GRADE_ORDER = [
     "rel_basket_lift",
     "rel_key_skew",
     "rel_events_wau",
+    "ext_kmeans_refine",
 ]
 
 

@@ -5296,3 +5296,80 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in parts[1:]:
         out = out.unionByName(df)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Round-6 batch 2: iterative clustering, class rebalancing, robust
+# outliers, weighted-window EWMA, nation-pair trade volume, bucketed
+# storage joins. Each registration replays its full computation in
+# DuckDB; floats never accumulate (integer-e4 / dyadic arithmetic).
+# ---------------------------------------------------------------------------
+
+_KM_ASSIGN = """
+  SELECT vec_id, xq, cid FROM (
+    SELECT v.vec_id, v.xq, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             CAST(list_sum(list_transform(range(1, 65),
+               i -> (c.cnt * v.xq[i] - c.s[i]) * (c.cnt * v.xq[i] - c.s[i])))
+               AS DOUBLE) / CAST(c.cnt * c.cnt AS DOUBLE), c.cid) AS rnk
+    FROM q v CROSS JOIN {cents} c)
+  WHERE rnk = 1
+"""
+
+_KMEANS_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           v -> CAST(floor(CAST(v AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS xq
+  FROM embeddings
+),
+ranked AS (
+  SELECT vec_id, xq,
+         row_number() OVER (ORDER BY
+           CAST('0x' || substr(md5('km_' || CAST(vec_id AS VARCHAR)), 1, 15)
+                AS BIGINT), vec_id) AS rn
+  FROM q
+),
+c0 AS (SELECT rn - 1 AS cid, xq AS s, CAST(1 AS BIGINT) AS cnt
+       FROM ranked WHERE rn <= 8),
+a1 AS ({_KM_ASSIGN.format(cents="c0")}),
+n1 AS (
+  SELECT cid, di.i AS dim, sum(xq[di.i]) AS s, count(*) AS cnt
+  FROM a1, LATERAL (SELECT unnest(range(1, 65)) AS i) di
+  GROUP BY cid, di.i
+),
+n1l AS (SELECT cid, list(s ORDER BY dim) AS s, max(cnt) AS cnt
+        FROM n1 GROUP BY cid),
+c1 AS (
+  SELECT c0.cid, COALESCE(n1l.s, c0.s) AS s, COALESCE(n1l.cnt, c0.cnt) AS cnt
+  FROM c0 LEFT JOIN n1l USING (cid)
+),
+a2 AS ({_KM_ASSIGN.format(cents="c1")})
+SELECT CAST(cid AS INTEGER) AS cluster,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(vec_id) AS BIGINT) AS id_sum
+FROM a2 GROUP BY cid
+"""
+
+
+@register("ext_kmeans_refine", oracle=_KMEANS_ORACLE)
+def ext_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd k-means refinement
+    (``operators.clustering.kmeans_refine``, k=8, 2 assignment passes
+    with one exact centroid update between them): cluster cardinality
+    + member-id checksum per final cluster. Centroids are carried as
+    exact ``(integer-sum, count)`` rationals and distances compared
+    via the all-integer numerator ``Σ(c·x − s)²`` over e4-quantized
+    embeddings, so the oracle replays every step bit-for-bit —
+    clustering as an auditable query, not an RNG artifact. The
+    curation backbone (SemDeDup pruning / cluster-balanced sampling)
+    the reference's hash-grouping (``watermarking.py:119-150``) can't
+    express."""
+    from .operators.clustering import kmeans_refine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = kmeans_refine(emb, n_clusters=8, iters=2)
+    return out.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("vec_id").alias("id_sum"),
+    )
