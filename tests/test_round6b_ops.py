@@ -96,3 +96,45 @@ def test_kmeans_refine_empty_cluster_keeps_centroid(spark):
     out = clustering.kmeans_refine(df, n_clusters=4, iters=3)
     assert out.count() == 8
     assert out.filter(F.col("cluster").isNull()).count() == 0
+
+
+def test_rebalance_classes_exact_quota_per_class(spark):
+    """Every class lands on exactly max_class_count rows; copies are
+    contiguous 1..copies per (class, key); base rows all survive."""
+    from vector_database_watermarking_spark.operators.sampling import (
+        rebalance_classes,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "lang")
+    m = docs.groupBy("lang").count().agg(F.max("count")).collect()[0][0]
+    out = rebalance_classes(docs, class_col="lang", key_col="doc_id", seed=42)
+    per_class = {r["lang"]: r["n"] for r in
+                 out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(per_class.values()) == {m}
+    # replica indices are exactly 1..copies for every source row
+    bad = out.groupBy("lang", "doc_id", "copies").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("copy_idx").alias("lo"),
+        F.max("copy_idx").alias("hi"),
+    ).filter(
+        (F.col("n") != F.col("copies"))
+        | (F.col("lo") != 1)
+        | (F.col("hi") != F.col("copies"))
+    )
+    assert bad.count() == 0
+    # no source row dropped
+    assert out.select("doc_id").distinct().count() == docs.count()
+
+
+def test_rebalance_classes_partitioning_invariant(spark):
+    """The copy assignment is a pure function of (seed, key): a
+    repartitioned input yields the identical multiset."""
+    from vector_database_watermarking_spark.operators.sampling import (
+        rebalance_classes,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "lang")
+    a = rebalance_classes(docs, class_col="lang", key_col="doc_id", seed=7)
+    b = rebalance_classes(docs.repartition(17), class_col="lang",
+                          key_col="doc_id", seed=7)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

@@ -89,3 +89,49 @@ def weighted_exact_sample(
         .limit(n)
         .drop("_k")
     )
+
+
+def rebalance_classes(
+    df: DataFrame,
+    class_col: str,
+    key_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Exact oversampling to class balance: every class is replicated
+    up to the size of the LARGEST class (the classic minority-class
+    rebalance for skewed training labels/languages/sources).
+
+    A class with ``c`` rows and target ``m = max_class_count`` emits
+    ``m // c`` copies of every row plus one extra copy of the
+    ``m % c`` rows with the smallest keyed hash (ties by key) — so
+    every class lands on exactly ``m`` rows and the choice of which
+    rows repeat is deterministic, partitioning-invariant, and
+    SQL-replayable (same keyed-hash-order idiom as
+    :func:`stratified_exact_sample`).
+
+    Output = input columns + ``copies`` + ``copy_idx`` (1-based copy
+    number, so downstream shuffles can tell replicas apart).
+
+    Scale shape: one tiny class-count aggregate (broadcast back), one
+    shuffle on the class key for the within-class hash rank, then a
+    row-local ``explode(sequence(1, copies))`` — output-bound, no
+    global sort. The rank is needed for every row (all rows keep at
+    least ``m // c`` copies), so WindowGroupLimit pruning does not
+    apply; the per-class sort is the price of exact quotas.
+    """
+    counts = df.groupBy(class_col).agg(F.count(F.lit(1)).alias("_c"))
+    m = counts.agg(F.max("_c").alias("m")).collect()[0]["m"]
+    order = hash60(F.concat(F.lit(f"rb_{seed}_"), F.col(key_col).cast("string")))
+    w = Window.partitionBy(class_col).orderBy(order, F.col(key_col))
+    base = F.expr(f"CAST({int(m)} AS BIGINT) div _c")
+    extra = F.lit(int(m)) % F.col("_c")
+    return (
+        df.join(F.broadcast(counts), class_col)
+        .withColumn("_rk", F.row_number().over(w))
+        .withColumn(
+            "copies",
+            (base + (F.col("_rk") <= extra).cast("long")).cast("long"),
+        )
+        .withColumn("copy_idx", F.explode(F.sequence(F.lit(1).cast("long"), F.col("copies"))))
+        .drop("_c", "_rk")
+    )

@@ -978,6 +978,7 @@ _GRADE_ORDER = [
     "rel_key_skew",
     "rel_events_wau",
     "ext_kmeans_refine",
+    "ext_class_rebalance",
 ]
 
 

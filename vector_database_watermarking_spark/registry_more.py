@@ -4142,6 +4142,122 @@ def ext_spelling_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.spelling_variants(docs, min_len=3)
 
 
+# ---------------------------------------------------------------------------
+# Round-6 batch 2: iterative clustering, class rebalancing, robust
+# outliers, weighted-window EWMA, nation-pair trade volume, bucketed
+# storage joins. Each registration replays its full computation in
+# DuckDB; floats never accumulate (integer-e4 / dyadic arithmetic).
+# ---------------------------------------------------------------------------
+
+_KM_ASSIGN = """
+  SELECT vec_id, xq, cid FROM (
+    SELECT v.vec_id, v.xq, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             CAST(list_sum(list_transform(range(1, 65),
+               i -> (c.cnt * v.xq[i] - c.s[i]) * (c.cnt * v.xq[i] - c.s[i])))
+               AS DOUBLE) / CAST(c.cnt * c.cnt AS DOUBLE), c.cid) AS rnk
+    FROM q v CROSS JOIN {cents} c)
+  WHERE rnk = 1
+"""
+
+_KMEANS_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           v -> CAST(floor(CAST(v AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS xq
+  FROM embeddings
+),
+ranked AS (
+  SELECT vec_id, xq,
+         row_number() OVER (ORDER BY
+           CAST('0x' || substr(md5('km_' || CAST(vec_id AS VARCHAR)), 1, 15)
+                AS BIGINT), vec_id) AS rn
+  FROM q
+),
+c0 AS (SELECT rn - 1 AS cid, xq AS s, CAST(1 AS BIGINT) AS cnt
+       FROM ranked WHERE rn <= 8),
+a1 AS ({_KM_ASSIGN.format(cents="c0")}),
+n1 AS (
+  SELECT cid, di.i AS dim, sum(xq[di.i]) AS s, count(*) AS cnt
+  FROM a1, LATERAL (SELECT unnest(range(1, 65)) AS i) di
+  GROUP BY cid, di.i
+),
+n1l AS (SELECT cid, list(s ORDER BY dim) AS s, max(cnt) AS cnt
+        FROM n1 GROUP BY cid),
+c1 AS (
+  SELECT c0.cid, COALESCE(n1l.s, c0.s) AS s, COALESCE(n1l.cnt, c0.cnt) AS cnt
+  FROM c0 LEFT JOIN n1l USING (cid)
+),
+a2 AS ({_KM_ASSIGN.format(cents="c1")})
+SELECT CAST(cid AS INTEGER) AS cluster,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(vec_id) AS BIGINT) AS id_sum
+FROM a2 GROUP BY cid
+"""
+
+
+@register("ext_kmeans_refine", oracle=_KMEANS_ORACLE)
+def ext_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd k-means refinement
+    (``operators.clustering.kmeans_refine``, k=8, 2 assignment passes
+    with one exact centroid update between them): cluster cardinality
+    + member-id checksum per final cluster. Centroids are carried as
+    exact ``(integer-sum, count)`` rationals and distances compared
+    via the all-integer numerator ``Σ(c·x − s)²`` over e4-quantized
+    embeddings, so the oracle replays every step bit-for-bit —
+    clustering as an auditable query, not an RNG artifact. The
+    curation backbone (SemDeDup pruning / cluster-balanced sampling)
+    the reference's hash-grouping (``watermarking.py:119-150``) can't
+    express."""
+    from .operators.clustering import kmeans_refine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = kmeans_refine(emb, n_clusters=8, iters=2)
+    return out.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("vec_id").alias("id_sum"),
+    )
+
+
+@register(
+    "ext_class_rebalance",
+    oracle="""
+WITH c AS (SELECT lang, count(*) AS _c FROM documents GROUP BY lang),
+mm AS (SELECT max(_c) AS m FROM c),
+r AS (
+  SELECT d.doc_id, d.lang, c._c, mm.m,
+         row_number() OVER (PARTITION BY d.lang ORDER BY
+           CAST('0x' || substr(md5(concat('rb_42_', CAST(d.doc_id AS VARCHAR))), 1, 15)
+                AS BIGINT),
+           d.doc_id) AS rk
+  FROM documents d JOIN c USING (lang) CROSS JOIN mm
+),
+e AS (
+  SELECT lang, doc_id,
+         CAST(m // _c + CASE WHEN rk <= m % _c THEN 1 ELSE 0 END AS BIGINT) AS copies
+  FROM r
+)
+SELECT lang, doc_id, copies,
+       CAST(unnest(generate_series(1, copies)) AS BIGINT) AS copy_idx
+FROM e
+""",
+)
+def ext_class_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact class rebalance by oversampling
+    (``operators.sampling.rebalance_classes``): every language is
+    replicated up to the size of the largest one — ``m div c`` copies
+    of every row plus one extra for the ``m mod c`` smallest keyed
+    hashes, so each class lands on exactly ``max_class_count`` rows.
+    The minority-upsampling half of corpus balancing (the
+    down-sampling half is ``ext_stratified_sample``); which rows
+    repeat is a pure function of (seed, doc_id), replayed row-for-row
+    including the 1-based ``copy_idx`` replica numbers."""
+    from .operators.sampling import rebalance_classes
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return rebalance_classes(docs, class_col="lang", key_col="doc_id", seed=42)
+
+
 # ------------------------------------------------- pipeline coverage pack
 #
 # Registered LAST in this module so it can embed the oracles of the
@@ -4200,6 +4316,8 @@ def _pipeline_pack_oracle() -> str:
     bl = QUERIES["rel_basket_lift"].oracle
     ks = QUERIES["rel_key_skew"].oracle
     wau = QUERIES["rel_events_wau"].oracle
+    km = QUERIES["ext_kmeans_refine"].oracle
+    rb = QUERIES["ext_class_rebalance"].oracle
     h_kn = oracle_hash60("key_name")
     h_ft = oracle_hash60("from_type || '|' || to_type")
     h_w12 = oracle_hash60("w1 || '|' || w2")
@@ -4443,6 +4561,16 @@ SELECT 'wau_check',
   CAST(count(*) + sum((epoch_us(day) % 100003 + 1)
        * ((wau * 131 + dau) % 1000003)) AS BIGINT)
   FROM ({wau})
+UNION ALL
+SELECT 'kmeans_check',
+  CAST(count(*) + sum((cluster % 997 + 1)
+       * ((n_members * 131 + id_sum) % 1000003)) AS BIGINT)
+  FROM ({km})
+UNION ALL
+SELECT 'rebalance_check',
+  CAST(count(*) + sum((doc_id % 997 + 1)
+       * (({h_lang} % 1000003 + copies * 131 + copy_idx * 17) % 1000003)) AS BIGINT)
+  FROM ({rb})
 """
 
 
@@ -4470,9 +4598,12 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracles), and every round-6 past-window registration: bigram-LM
     and novelty doc-weighted sums, the grouping-sets group hash, the
     EXCEPT ALL / INTERSECT ALL bag checksums (count + Σqty + Σqty² —
-    multiplicity-sensitive), the JSON extraction aggregate, and the
+    multiplicity-sensitive), the JSON extraction aggregate, the
     stateful-sessionization replay (session count + user-weighted
-    boundary/count hash).
+    boundary/count hash), the exact k-means refinement (cluster-
+    weighted cardinality/id-sum hash over the full 2-pass Lloyd
+    replay), and the class-rebalance oversample (doc-weighted
+    copies/copy_idx hash — replica-multiplicity sensitive).
     Each oracle side embeds the corresponding full-value oracle
     verbatim as a subquery, so a pass here certifies the same
     computation the standalone query would."""
@@ -5292,84 +5423,44 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    km = QUERIES["ext_kmeans_refine"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "kmeans_check",
+            km.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (F.col("cluster") % 997 + 1)
+                        * ((F.col("n_members") * 131 + F.col("id_sum")) % 1000003)
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    rb = QUERIES["ext_class_rebalance"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "rebalance_check",
+            rb.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (F.col("doc_id") % 997 + 1)
+                        * (
+                            (
+                                hash60(F.col("lang")) % 1000003
+                                + F.col("copies") * 131
+                                + F.col("copy_idx") * 17
+                            )
+                            % 1000003
+                        )
+                    )
+                ).alias("value")
+            ),
+        )
+    )
     out = parts[0]
     for df in parts[1:]:
         out = out.unionByName(df)
     return out
-
-
-# ---------------------------------------------------------------------------
-# Round-6 batch 2: iterative clustering, class rebalancing, robust
-# outliers, weighted-window EWMA, nation-pair trade volume, bucketed
-# storage joins. Each registration replays its full computation in
-# DuckDB; floats never accumulate (integer-e4 / dyadic arithmetic).
-# ---------------------------------------------------------------------------
-
-_KM_ASSIGN = """
-  SELECT vec_id, xq, cid FROM (
-    SELECT v.vec_id, v.xq, c.cid,
-           row_number() OVER (PARTITION BY v.vec_id ORDER BY
-             CAST(list_sum(list_transform(range(1, 65),
-               i -> (c.cnt * v.xq[i] - c.s[i]) * (c.cnt * v.xq[i] - c.s[i])))
-               AS DOUBLE) / CAST(c.cnt * c.cnt AS DOUBLE), c.cid) AS rnk
-    FROM q v CROSS JOIN {cents} c)
-  WHERE rnk = 1
-"""
-
-_KMEANS_ORACLE = f"""
-WITH q AS (
-  SELECT vec_id,
-         list_transform(embedding,
-           v -> CAST(floor(CAST(v AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS xq
-  FROM embeddings
-),
-ranked AS (
-  SELECT vec_id, xq,
-         row_number() OVER (ORDER BY
-           CAST('0x' || substr(md5('km_' || CAST(vec_id AS VARCHAR)), 1, 15)
-                AS BIGINT), vec_id) AS rn
-  FROM q
-),
-c0 AS (SELECT rn - 1 AS cid, xq AS s, CAST(1 AS BIGINT) AS cnt
-       FROM ranked WHERE rn <= 8),
-a1 AS ({_KM_ASSIGN.format(cents="c0")}),
-n1 AS (
-  SELECT cid, di.i AS dim, sum(xq[di.i]) AS s, count(*) AS cnt
-  FROM a1, LATERAL (SELECT unnest(range(1, 65)) AS i) di
-  GROUP BY cid, di.i
-),
-n1l AS (SELECT cid, list(s ORDER BY dim) AS s, max(cnt) AS cnt
-        FROM n1 GROUP BY cid),
-c1 AS (
-  SELECT c0.cid, COALESCE(n1l.s, c0.s) AS s, COALESCE(n1l.cnt, c0.cnt) AS cnt
-  FROM c0 LEFT JOIN n1l USING (cid)
-),
-a2 AS ({_KM_ASSIGN.format(cents="c1")})
-SELECT CAST(cid AS INTEGER) AS cluster,
-       CAST(count(*) AS BIGINT) AS n_members,
-       CAST(sum(vec_id) AS BIGINT) AS id_sum
-FROM a2 GROUP BY cid
-"""
-
-
-@register("ext_kmeans_refine", oracle=_KMEANS_ORACLE)
-def ext_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic Lloyd k-means refinement
-    (``operators.clustering.kmeans_refine``, k=8, 2 assignment passes
-    with one exact centroid update between them): cluster cardinality
-    + member-id checksum per final cluster. Centroids are carried as
-    exact ``(integer-sum, count)`` rationals and distances compared
-    via the all-integer numerator ``Σ(c·x − s)²`` over e4-quantized
-    embeddings, so the oracle replays every step bit-for-bit —
-    clustering as an auditable query, not an RNG artifact. The
-    curation backbone (SemDeDup pruning / cluster-balanced sampling)
-    the reference's hash-grouping (``watermarking.py:119-150``) can't
-    express."""
-    from .operators.clustering import kmeans_refine
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    out = kmeans_refine(emb, n_clusters=8, iters=2)
-    return out.groupBy("cluster").agg(
-        F.count(F.lit(1)).alias("n_members"),
-        F.sum("vec_id").alias("id_sum"),
-    )
