@@ -138,3 +138,89 @@ def test_rebalance_classes_partitioning_invariant(spark):
     b = rebalance_classes(docs.repartition(17), class_col="lang",
                           key_col="doc_id", seed=7)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_robust_outliers_planted(spark):
+    """A planted extreme value is flagged; the bulk of a tight group
+    is not; median/MAD match a numpy reference exactly."""
+    from vector_database_watermarking_spark.operators.stats import robust_outliers
+
+    rows = [(i, "g", 100 + (i % 7)) for i in range(40)] + [(40, "g", 100000)]
+    df = spark.createDataFrame(rows, "id long, grp string, v long")
+    out = robust_outliers(df, value_col="v", group_col="grp", k=3).collect()
+    vals = np.array([100 + (i % 7) for i in range(40)] + [100000], dtype=float)
+    med = np.median(vals)
+    mad = np.median(np.abs(vals - med))
+    by_id = {r["id"]: r for r in out}
+    assert by_id[40]["is_outlier"] is True
+    assert by_id[0]["med"] == med and by_id[0]["mad"] == mad
+    flagged = {i for i, r in by_id.items() if r["is_outlier"]}
+    expected = {i for i, v in enumerate(vals) if abs(v - med) > 3 * mad}
+    assert flagged == expected
+
+
+def test_robust_outliers_approx_tier_same_shape(spark):
+    from vector_database_watermarking_spark.operators.stats import robust_outliers
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source", "n_chars"
+    )
+    out = robust_outliers(docs, "n_chars", "source", k=3, exact=False)
+    assert out.count() == docs.count()
+    assert set(out.columns) == {"source", "doc_id", "n_chars", "med", "mad", "is_outlier"}
+
+
+def test_ewma_matches_numpy_fold(spark):
+    from vector_database_watermarking_spark.operators.temporal import ewma_last
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    got = {
+        r["user_id"]: (r["n_events"], r["ewma"])
+        for r in ewma_last(ev, "user_id", "ts", "value", "event_id").collect()
+    }
+    pdf = ev.select("user_id", "ts", "event_id", "value").toPandas()
+    pdf = pdf.sort_values(["user_id", "ts", "event_id"])
+    for uid, g in pdf.groupby("user_id"):
+        e = None
+        for x in g["value"]:
+            e = x if e is None else (e + x) / 2
+        n, ewma = got[uid]
+        assert n == len(g)
+        assert ewma == e  # bit-exact: same fold order, same IEEE ops
+
+
+def test_ewma_partitioning_invariant(spark):
+    from vector_database_watermarking_spark.operators.temporal import ewma_last
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    a = ewma_last(ev, "user_id", "ts", "value", "event_id")
+    b = ewma_last(ev.repartition(13), "user_id", "ts", "value", "event_id")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_bucketed_table_join_no_exchange(spark):
+    """The registered rel_bucketed_join layout: both sides re-read
+    from bucketed storage join without any Exchange feeding the join."""
+    from vector_database_watermarking_spark.operators.maintenance import (
+        bucketed_table,
+    )
+
+    o = spark.read.parquet(f"{SF}/orders.parquet").withColumnRenamed(
+        "o_custkey", "custkey"
+    )
+    c = spark.read.parquet(f"{SF}/customer.parquet").withColumnRenamed(
+        "c_custkey", "custkey"
+    )
+    ot = bucketed_table(spark, o, "t_bj_orders", "custkey", 8)
+    ct = bucketed_table(spark, c, "t_bj_customer", "custkey", 8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = ot.join(ct, "custkey")
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan.split("SortMergeJoin")[1], plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS t_bj_orders")
+        spark.sql("DROP TABLE IF EXISTS t_bj_customer")

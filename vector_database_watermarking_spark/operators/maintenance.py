@@ -206,3 +206,35 @@ def zorder_by(
         .sortWithinPartitions("_zkey")
         .drop("_za", "_zb", "_zkey")
     )
+
+
+def bucketed_table(spark, df, name: str, key: str, buckets: int):
+    """Materialize ``df`` as a catalog table bucketed (and sorted)
+    by ``key`` and return the re-read DataFrame.
+
+    Bucketing is the storage half of the co-located join: two tables
+    bucketed by the same key with the same bucket count join with NO
+    exchange on either side — the layout the 100 TB fact/fact joins
+    (edges⨝embeddings, orders⨝customer) are written into once and
+    joined many times. The write is one shuffle into ``buckets``
+    output tasks; every later join against an equally-bucketed peer
+    is exchange-free (asserted by the plan tests).
+
+    Any stale physical location is cleared first: the session-scoped
+    in-memory catalog can forget a directory a crashed run left
+    behind, and ``saveAsTable`` would then fail with
+    LOCATION_ALREADY_EXISTS instead of overwriting.
+    """
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
+    (
+        df.write.bucketBy(buckets, key)
+        .sortBy(key)
+        .mode("overwrite")
+        .saveAsTable(name)
+    )
+    return spark.table(name)

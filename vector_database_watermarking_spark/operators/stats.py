@@ -353,3 +353,46 @@ def key_skew(df: DataFrame, key_col: str, label: str | None = None) -> DataFrame
             " div (n_keys * n_rows)"
         ).alias("gini_e6"),
     )
+
+
+def robust_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    k: int = 3,
+    exact: bool = True,
+) -> DataFrame:
+    """Median/MAD robust outlier flags per group (extension): a row is
+    an outlier when ``|x - median| > k * MAD`` within its group — the
+    heavy-tail-safe alternative to mean/stddev z-scores for corpus
+    length/quality screens (one pathological document cannot shift the
+    gate the way it shifts a mean).
+
+    Exact tier (default): two ``percentile(…, 0.5)`` group aggregates
+    (median, then MAD over the absolute deviations) and two broadcast
+    joins back. On integer inputs every quantity is a dyadic rational
+    (interpolated medians are midpoints, deviations are multiples of
+    0.25), so ``median``/``mad``/``is_outlier`` are engine-exact and
+    SQL-replayable. Scale tier (``exact=False``): same plan with
+    ``percentile_approx`` — group state is a bounded sketch instead of
+    the sorted value list, the choice at 100 TB where per-group value
+    lists no longer fit an aggregation buffer. Group cardinality is
+    assumed small (sources/languages), so the stats join is broadcast;
+    the only full-data shuffles are the two group aggregates.
+    """
+    pct = "percentile_approx" if not exact else "percentile"
+    v, g = F.col(value_col), F.col(group_col)
+    med = df.groupBy(group_col).agg(
+        F.expr(f"{pct}({value_col}, 0.5)").alias("med")
+    )
+    dev = df.join(F.broadcast(med), group_col).withColumn(
+        "_dev", F.abs(v.cast("double") - F.col("med"))
+    )
+    mad = dev.groupBy(group_col).agg(F.expr(f"{pct}(_dev, 0.5)").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), group_col)
+        .withColumn(
+            "is_outlier", F.abs(v.cast("double") - F.col("med")) > k * F.col("mad")
+        )
+        .drop("_dev")
+    )

@@ -367,3 +367,54 @@ def rolling_active_users(
             ).alias("dau"),
         )
     )
+
+
+def ewma_last(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    order_tiebreak: str,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average with α = 1/2 —
+    the smoothed per-user signal (latency, spend, engagement) behind
+    rate limiting and trend features. Returns one row per key:
+    ``n_events`` and the final EWMA over the time-ordered values as
+    ``ewma`` plus an integer micro-bucket ``ewma_e6``.
+
+    The recurrence ``e' = (e + x) / 2`` (seeded with the first value)
+    is inherently sequential per key, so it cannot be a partial
+    aggregate; instead each key's values are gathered with
+    ``collect_list`` and folded with the native ``aggregate`` HOF —
+    ONE shuffle on the key, fold cost linear in the key's history.
+    Per-key state is the value list: bounded by per-key event counts
+    (cap histories upstream for adversarially hot keys — the same
+    discipline as sessionize). α = 1/2 halves exactly, and every fold
+    step is one IEEE-754 double add + one exact halving executed in a
+    deterministic order, so the result is bit-reproducible and
+    replayable by any engine that folds the same order (DuckDB
+    ``list_reduce`` in the oracle).
+    """
+    pair = F.struct(
+        F.col(ts_col).alias("t"),
+        F.col(order_tiebreak).alias("k"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    vals = F.expr("transform(array_sort(_pairs), p -> p.v)")
+    fold = F.aggregate(
+        F.expr("slice(_vals, 2, size(_vals) - 1)"),
+        F.element_at(F.col("_vals"), 1),
+        lambda acc, x: (acc + x) / F.lit(2.0),
+    )
+    return (
+        df.select(F.col(key_col), pair.alias("_pairs"))
+        .groupBy(key_col)
+        .agg(F.collect_list("_pairs").alias("_pairs"))
+        .withColumn("_vals", vals)
+        .select(
+            F.col(key_col),
+            F.size("_vals").cast("long").alias("n_events"),
+            fold.alias("ewma"),
+        )
+        .withColumn("ewma_e6", F.floor(F.col("ewma") * 1000000 + F.lit(0.5)).cast("long"))
+    )

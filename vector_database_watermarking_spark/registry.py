@@ -979,6 +979,10 @@ _GRADE_ORDER = [
     "rel_events_wau",
     "ext_kmeans_refine",
     "ext_class_rebalance",
+    "ext_mad_outliers",
+    "rel_events_ewma",
+    "rel_nation_trade",
+    "rel_bucketed_join",
 ]
 
 

@@ -4258,6 +4258,174 @@ def ext_class_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rebalance_classes(docs, class_col="lang", key_col="doc_id", seed=42)
 
 
+@register(
+    "ext_mad_outliers",
+    oracle="""
+WITH med AS (
+  SELECT source, quantile_cont(n_chars, 0.5) AS med FROM documents GROUP BY source
+),
+dev AS (
+  SELECT d.source, abs(d.n_chars - m.med) AS dev
+  FROM documents d JOIN med m USING (source)
+),
+mad AS (SELECT source, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY source)
+SELECT d.doc_id, d.source, d.n_chars, m.med, a.mad,
+       abs(d.n_chars - m.med) > 3 * a.mad AS is_outlier
+FROM documents d JOIN med m USING (source) JOIN mad a USING (source)
+""",
+)
+def ext_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier flags on document length per source
+    (``operators.stats.robust_outliers``, k=3): the heavy-tail-safe
+    length screen (a handful of pathological documents cannot shift a
+    median the way they shift a mean/stddev gate). On the integer
+    ``n_chars`` every median/MAD is a dyadic rational, so the doubles
+    and the boolean flags replay engine-exactly (10 planted-long/short
+    outliers flagged at sf0.01)."""
+    from .operators.stats import robust_outliers
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return robust_outliers(docs, value_col="n_chars", group_col="source", k=3)
+
+
+@register(
+    "rel_events_ewma",
+    oracle="""
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(floor(list_reduce(list(value ORDER BY ts, event_id), (a, b) -> (a + b) / 2)
+            * 1000000 + 0.5) AS BIGINT) AS ewma_e6
+FROM events GROUP BY user_id
+""",
+)
+def rel_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA (α = 1/2) over the time-ordered event values
+    (``operators.temporal.ewma_last``): the smoothed per-key signal
+    behind rate limits and trend features. The sequential recurrence
+    ``e' = (e + x) / 2`` folds in a deterministic order with exact
+    halving at every step, so Spark's ``aggregate`` HOF and DuckDB's
+    ``list_reduce`` agree bit-for-bit (verified, then bucketed to e6
+    integers for the hash)."""
+    from .operators.temporal import ewma_last
+
+    ev = load_table(spark, sf_dir, "events")
+    return ewma_last(ev, "user_id", "ts", "value", "event_id").select(
+        "user_id", "n_events", "ewma_e6"
+    )
+
+
+@register(
+    "rel_nation_trade",
+    oracle="""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(count(*) AS BIGINT) AS n_lineitems,
+       CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (10000 - CAST(floor(l.l_discount * 10000 + 0.5) AS BIGINT)))
+            AS BIGINT) AS revenue_e6
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+WHERE sn.n_name <> cn.n_name
+GROUP BY sn.n_name, cn.n_name
+""",
+)
+def rel_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape — cross-nation trade volume: lineitem joined
+    through supplier and orders→customer to BOTH nation sides, pairs
+    with different nations aggregated to (supp_nation, cust_nation).
+    The one genuinely big join (lineitem⨝orders) shuffles on the
+    orderkey; supplier/customer/nation ride broadcasts. Revenue is
+    exact integer micro-units (cents × discount-e4) so the sum is
+    order-free — the money-sum discipline DECIMAL would give at 100 TB
+    without paying decimal arithmetic in the scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    sn = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    cn = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    rev = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long") * (
+        10000 - F.floor(F.col("l_discount") * 10000 + F.lit(0.5)).cast("long")
+    )
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.sum(rev).alias("revenue_e6"),
+        )
+    )
+
+
+@register(
+    "rel_bucketed_join",
+    oracle="""
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def rel_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join through bucketed storage
+    (``operators.maintenance.bucketed_table``): orders and customer
+    are each written ``bucketBy(8, custkey)``+sorted via the real
+    catalog writer, re-read, and joined — the join runs with NO
+    exchange on either side (asserted by the plan test), the layout a
+    100 TB fact/fact join is written into once and joined many times.
+    The oracle replays the logical join; the physical claim is that
+    the bucketed round-trip changes nothing."""
+    import os as _os
+
+    from .operators.maintenance import bucketed_table
+
+    tag = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    o = bucketed_table(
+        spark,
+        load_table(spark, sf_dir, "orders").withColumnRenamed(
+            "o_custkey", "custkey"
+        ),
+        f"bj_orders_{tag}",
+        "custkey",
+        8,
+    )
+    c = bucketed_table(
+        spark,
+        load_table(spark, sf_dir, "customer").withColumnRenamed(
+            "c_custkey", "custkey"
+        ),
+        f"bj_customer_{tag}",
+        "custkey",
+        8,
+    )
+    return (
+        o.join(c, "custkey")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("total_cents"),
+        )
+    )
+
+
 # ------------------------------------------------- pipeline coverage pack
 #
 # Registered LAST in this module so it can embed the oracles of the
@@ -4318,6 +4486,12 @@ def _pipeline_pack_oracle() -> str:
     wau = QUERIES["rel_events_wau"].oracle
     km = QUERIES["ext_kmeans_refine"].oracle
     rb = QUERIES["ext_class_rebalance"].oracle
+    mo = QUERIES["ext_mad_outliers"].oracle
+    ew = QUERIES["rel_events_ewma"].oracle
+    nt = QUERIES["rel_nation_trade"].oracle
+    bj = QUERIES["rel_bucketed_join"].oracle
+    h_pair = oracle_hash60("supp_nation || '|' || cust_nation")
+    h_seg = oracle_hash60("c_mktsegment")
     h_kn = oracle_hash60("key_name")
     h_ft = oracle_hash60("from_type || '|' || to_type")
     h_w12 = oracle_hash60("w1 || '|' || w2")
@@ -4571,6 +4745,27 @@ SELECT 'rebalance_check',
   CAST(count(*) + sum((doc_id % 997 + 1)
        * (({h_lang} % 1000003 + copies * 131 + copy_idx * 17) % 1000003)) AS BIGINT)
   FROM ({rb})
+UNION ALL
+SELECT 'mad_outliers_check',
+  CAST(count(*) + sum((doc_id % 997 + 1)
+       * ((n_chars + CAST(med * 4 AS BIGINT) * 131 + CAST(mad * 4 AS BIGINT) * 17
+           + CASE WHEN is_outlier THEN 1 ELSE 0 END) % 1000003)) AS BIGINT)
+  FROM ({mo})
+UNION ALL
+SELECT 'ewma_check',
+  CAST(count(*) + sum((user_id % 997 + 1)
+       * ((n_events * 131 + ewma_e6) % 1000003)) AS BIGINT)
+  FROM ({ew})
+UNION ALL
+SELECT 'nation_trade_check',
+  CAST(count(*) + sum(({h_pair} % 997 + 1)
+       * ((n_lineitems * 131 + revenue_e6) % 1000003)) AS BIGINT)
+  FROM ({nt})
+UNION ALL
+SELECT 'bucketed_join_check',
+  CAST(count(*) + sum(({h_seg} % 997 + 1)
+       * ((n_orders * 131 + total_cents) % 1000003)) AS BIGINT)
+  FROM ({bj})
 """
 
 
@@ -4602,8 +4797,13 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     stateful-sessionization replay (session count + user-weighted
     boundary/count hash), the exact k-means refinement (cluster-
     weighted cardinality/id-sum hash over the full 2-pass Lloyd
-    replay), and the class-rebalance oversample (doc-weighted
-    copies/copy_idx hash — replica-multiplicity sensitive).
+    replay), the class-rebalance oversample (doc-weighted
+    copies/copy_idx hash — replica-multiplicity sensitive), the
+    median/MAD outlier flags (doc-weighted value/median/MAD/flag
+    hash), the per-user EWMA fold (user-weighted count/e6 hash), the
+    Q7-style nation-pair trade rollup (pair-hash-weighted
+    count/revenue sum), and the bucketed-storage join (segment-hash-
+    weighted count/cents sum over the real bucketed round-trip).
     Each oracle side embeds the corresponding full-value oracle
     verbatim as a subquery, so a pass here certifies the same
     computation the standalone query would."""
@@ -5455,6 +5655,81 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                             )
                             % 1000003
                         )
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    mo = QUERIES["ext_mad_outliers"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "mad_outliers_check",
+            mo.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (F.col("doc_id") % 997 + 1)
+                        * (
+                            (
+                                F.col("n_chars")
+                                + (F.col("med") * 4).cast("long") * 131
+                                + (F.col("mad") * 4).cast("long") * 17
+                                + F.col("is_outlier").cast("long")
+                            )
+                            % 1000003
+                        )
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    ew = QUERIES["rel_events_ewma"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "ewma_check",
+            ew.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (F.col("user_id") % 997 + 1)
+                        * ((F.col("n_events") * 131 + F.col("ewma_e6")) % 1000003)
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    nt = QUERIES["rel_nation_trade"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "nation_trade_check",
+            nt.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (
+                            hash60(F.concat_ws("|", "supp_nation", "cust_nation"))
+                            % 997
+                            + 1
+                        )
+                        * (
+                            (F.col("n_lineitems") * 131 + F.col("revenue_e6"))
+                            % 1000003
+                        )
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    bj = QUERIES["rel_bucketed_join"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "bucketed_join_check",
+            bj.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (hash60(F.col("c_mktsegment")) % 997 + 1)
+                        * ((F.col("n_orders") * 131 + F.col("total_cents")) % 1000003)
                     )
                 ).alias("value")
             ),
