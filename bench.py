@@ -72,6 +72,13 @@ HEADLINE = [
     # two new shapes whose cost isn't already tracked by another row
     "ext_heavy_hitters",
     "ext_graph_link_pred",
+    # round-6 batch 2: the 6-table Q7 join tree (the biggest shuffle
+    # plan in the registry) and the iterative exact-centroid k-means
+    # (two assignment passes over the embedding table) — the two new
+    # shapes whose cost no earlier row tracks. MAD/EWMA/rebalance ride
+    # existing group-agg/window shapes already benched.
+    "rel_nation_trade",
+    "ext_kmeans_refine",
 ]
 # ext_contamination_bloom is deliberately NOT a headline: at fixture
 # scale both fingerprint sides are equally tiny, so the exact one-job

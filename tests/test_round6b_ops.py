@@ -224,3 +224,40 @@ def test_bucketed_table_join_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS t_bj_orders")
         spark.sql("DROP TABLE IF EXISTS t_bj_customer")
+
+
+def test_quantile_normalize_ties_and_bounds(spark):
+    from vector_database_watermarking_spark.operators.stats import quantile_normalize
+
+    rows = [(0, "g", 10), (1, "g", 20), (2, "g", 20), (3, "g", 30), (4, "h", 5)]
+    df = spark.createDataFrame(rows, "id long, grp string, v long")
+    out = {r["id"]: r["pr_e6"] for r in quantile_normalize(df, "v", "grp").collect()}
+    # ANSI percent_rank over 4 rows: (rank-1)/3; ties share rank 2
+    assert out[0] == 0
+    assert out[1] == out[2] == round(1 / 3 * 1e6)
+    assert out[3] == 1000000
+    assert out[4] == 0  # single-row group
+
+
+def test_mixture_plan_hand_computed(spark):
+    from vector_database_watermarking_spark.operators.sampling import mixture_plan
+
+    rows = [("a", 100), ("a", 150), ("b", 4000), ("c", 50)]
+    df = spark.createDataFrame(rows, "source string, n long")
+    out = {
+        r["source"]: r
+        for r in mixture_plan(
+            df, "source", F.col("n"),
+            weights_e6={"a": 500000, "b": 250000}, budget_tokens=1000,
+        ).collect()
+    }
+    # a: avail 250, target 500 -> 2 epochs, rate 2.0
+    assert out["a"]["target_tokens"] == 500
+    assert out["a"]["epochs"] == 2
+    assert out["a"]["rate_e6"] == 2000000
+    # b: avail 4000, target 250 -> 1 epoch, rate 0.0625
+    assert out["b"]["target_tokens"] == 250
+    assert out["b"]["epochs"] == 1
+    assert out["b"]["rate_e6"] == 62500
+    # c: absent from recipe -> zeroed
+    assert out["c"]["target_tokens"] == 0 and out["c"]["epochs"] == 0

@@ -135,3 +135,55 @@ def rebalance_classes(
         .withColumn("copy_idx", F.explode(F.sequence(F.lit(1).cast("long"), F.col("copies"))))
         .drop("_c", "_rk")
     )
+
+
+def mixture_plan(
+    df: DataFrame,
+    source_col: str,
+    token_count_col,
+    weights_e6: dict[str, int],
+    budget_tokens: int,
+) -> DataFrame:
+    """Static dataset-mixture plan (extension): given per-source
+    available token counts, target mixture ``weights_e6`` (integer
+    1e-6 parts), and a total token ``budget``, emit per source the
+    target token count, the number of epochs (full passes) needed,
+    and the sampling rate in e6 units — the planning aggregate behind
+    Pile/DoReMi-style weighted mixing, where under-represented sources
+    repeat (rate > 1e6) and over-represented ones are subsampled
+    (rate < 1e6). Sources absent from the map get weight 0 (an
+    explicit recipe, same contract as ``stratified_exact_sample``).
+
+    All-integer arithmetic (``div`` + ceiling-division identity), so
+    the plan is engine-exact at any scale; the input scan is one
+    group-aggregate over the corpus, the plan itself is |sources|
+    rows. Feed the ``rate_e6`` column to ``weighted_exact_sample`` /
+    ``rebalance_classes`` to execute the plan.
+    """
+    w = F.lit(0)
+    for src, pw in weights_e6.items():
+        w = F.when(F.col(source_col) == src, F.lit(int(pw))).otherwise(w)
+    avail = df.groupBy(source_col).agg(
+        F.sum(token_count_col).cast("long").alias("available_tokens")
+    )
+    b = int(budget_tokens)
+    return (
+        avail.withColumn("weight_e6", w.cast("long"))
+        .withColumn(
+            "target_tokens", F.expr(f"CAST({b} AS BIGINT) * weight_e6 div 1000000")
+        )
+        .withColumn(
+            "epochs",
+            F.when(F.col("target_tokens") == 0, F.lit(0).cast("long")).otherwise(
+                F.expr(
+                    "(target_tokens + available_tokens - 1) div available_tokens"
+                )
+            ),
+        )
+        .withColumn(
+            "rate_e6",
+            F.when(F.col("target_tokens") == 0, F.lit(0).cast("long")).otherwise(
+                F.expr("target_tokens * 1000000 div available_tokens")
+            ),
+        )
+    )

@@ -396,3 +396,29 @@ def robust_outliers(
         )
         .drop("_dev")
     )
+
+
+def quantile_normalize(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """Per-group rank normalization (extension): adds ``pr_e6`` — the
+    ANSI ``percent_rank`` of the value within its group, bucketed to
+    integer 1e-6 units. This is how heterogeneous per-source quality
+    scores are made comparable before a global curation threshold
+    ("keep the top 30% of EVERY source"): raw score scales differ per
+    source, rank position doesn't. Ties share a rank (ANSI), so the
+    result needs no tie-break column and is partitioning-invariant;
+    the single ``(rank-1)/(n-1)`` division is one IEEE op, engine-
+    exact before bucketing.
+
+    Scale shape: one shuffle on the group key + a per-group sort —
+    the exact-rank price. At 100 TB with few giant groups, swap the
+    window for the broadcast-quantile binning tier (``zorder_key_binned``
+    pattern): approximate ranks from a quantile sketch, no global
+    per-group sort.
+    """
+    w = Window.partitionBy(group_col).orderBy(value_col)
+    return df.withColumn(
+        "pr_e6",
+        F.floor(F.percent_rank().over(w) * 1000000 + F.lit(0.5)).cast("long"),
+    )

@@ -983,6 +983,8 @@ _GRADE_ORDER = [
     "rel_events_ewma",
     "rel_nation_trade",
     "rel_bucketed_join",
+    "ext_quantile_norm",
+    "ext_mixture_plan",
 ]
 
 

@@ -4426,6 +4426,88 @@ def rel_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ext_quantile_norm",
+    oracle="""
+SELECT doc_id, source, n_chars,
+       CAST(floor(percent_rank() OVER (PARTITION BY source ORDER BY n_chars)
+            * 1000000 + 0.5) AS BIGINT) AS pr_e6
+FROM documents
+""",
+)
+def ext_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source rank normalization of document length
+    (``operators.stats.quantile_normalize``): ANSI percent_rank inside
+    each source, bucketed to e6 integers — the cross-source score
+    calibration step before a global curation threshold ("top 30% of
+    every source"). Ties share a rank, so no tie-break key is needed
+    and the replay is exact."""
+    from .operators.stats import quantile_normalize
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return quantile_normalize(docs, value_col="n_chars", group_col="source")
+
+
+_MIX_WEIGHTS = {"src0": 300000, "src1": 200000, "src2": 200000, "src3": 100000}
+_MIX_BUDGET = 5_000_000
+_MIX_CASE = (
+    "CASE source "
+    + " ".join(f"WHEN '{s}' THEN {w}" for s, w in _MIX_WEIGHTS.items())
+    + " ELSE 0 END"
+)
+
+
+@register(
+    "ext_mixture_plan",
+    oracle=f"""
+WITH tok AS (
+  SELECT source,
+         CAST(sum(len(string_split({_NORM}, ' '))) AS BIGINT) AS available_tokens
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, available_tokens,
+         CAST({_MIX_CASE} AS BIGINT) AS weight_e6
+  FROM tok
+),
+t AS (
+  SELECT source, available_tokens, weight_e6,
+         CAST({_MIX_BUDGET} AS BIGINT) * weight_e6 // 1000000 AS target_tokens
+  FROM w
+)
+SELECT source, available_tokens, weight_e6, target_tokens,
+       CASE WHEN target_tokens = 0 THEN 0
+            ELSE (target_tokens + available_tokens - 1) // available_tokens
+       END AS epochs,
+       CASE WHEN target_tokens = 0 THEN 0
+            ELSE target_tokens * 1000000 // available_tokens
+       END AS rate_e6
+FROM t
+""",
+)
+def ext_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static dataset-mixture plan (``operators.sampling.mixture_plan``):
+    per-source available tokens vs a 5M-token budget at 30/20/20/10%
+    target weights — emits target tokens, epochs (repeats for
+    under-represented sources), and the e6 sampling rate. All-integer
+    (div + ceiling-division identity), replayed exactly; the
+    Pile/DoReMi-style planning aggregate that decides repetition
+    before any sampling runs."""
+    from .operators.sampling import mixture_plan
+    from .operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_plan(
+        docs,
+        source_col="source",
+        token_count_col=token_count("text"),
+        weights_e6=_MIX_WEIGHTS,
+        budget_tokens=_MIX_BUDGET,
+    )
+
+
 # ------------------------------------------------- pipeline coverage pack
 #
 # Registered LAST in this module so it can embed the oracles of the
@@ -4490,6 +4572,8 @@ def _pipeline_pack_oracle() -> str:
     ew = QUERIES["rel_events_ewma"].oracle
     nt = QUERIES["rel_nation_trade"].oracle
     bj = QUERIES["rel_bucketed_join"].oracle
+    qn = QUERIES["ext_quantile_norm"].oracle
+    mx = QUERIES["ext_mixture_plan"].oracle
     h_pair = oracle_hash60("supp_nation || '|' || cust_nation")
     h_seg = oracle_hash60("c_mktsegment")
     h_kn = oracle_hash60("key_name")
@@ -4766,6 +4850,17 @@ SELECT 'bucketed_join_check',
   CAST(count(*) + sum(({h_seg} % 997 + 1)
        * ((n_orders * 131 + total_cents) % 1000003)) AS BIGINT)
   FROM ({bj})
+UNION ALL
+SELECT 'quantile_norm_check',
+  CAST(count(*) + sum((doc_id % 997 + 1)
+       * ((n_chars * 131 + pr_e6) % 1000003)) AS BIGINT)
+  FROM ({qn})
+UNION ALL
+SELECT 'mixture_plan_check',
+  CAST(count(*) + sum(({h_src} % 997 + 1)
+       * ((available_tokens * 131 + target_tokens * 17 + epochs * 7
+           + rate_e6) % 1000003)) AS BIGINT)
+  FROM ({mx})
 """
 
 
@@ -5730,6 +5825,44 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.sum(
                         (hash60(F.col("c_mktsegment")) % 997 + 1)
                         * ((F.col("n_orders") * 131 + F.col("total_cents")) % 1000003)
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    qn = QUERIES["ext_quantile_norm"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "quantile_norm_check",
+            qn.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (F.col("doc_id") % 997 + 1)
+                        * ((F.col("n_chars") * 131 + F.col("pr_e6")) % 1000003)
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    mx = QUERIES["ext_mixture_plan"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "mixture_plan_check",
+            mx.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (hash60(F.col("source")) % 997 + 1)
+                        * (
+                            (
+                                F.col("available_tokens") * 131
+                                + F.col("target_tokens") * 17
+                                + F.col("epochs") * 7
+                                + F.col("rate_e6")
+                            )
+                            % 1000003
+                        )
                     )
                 ).alias("value")
             ),
