@@ -4338,7 +4338,11 @@ def rel_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     through supplier and orders→customer to BOTH nation sides, pairs
     with different nations aggregated to (supp_nation, cust_nation).
     The one genuinely big join (lineitem⨝orders) shuffles on the
-    orderkey; supplier/customer/nation ride broadcasts. Revenue is
+    orderkey; only the fixed-25-row nation sides carry an explicit
+    broadcast hint — supplier and customer SCALE with the data, so
+    their strategy is left to Catalyst/AQE (auto-broadcast while they
+    fit, shuffle join past the budget — no driver-OOM hint baked into
+    the query, the unigram-vocab discipline). Revenue is
     exact integer micro-units (cents × discount-e4) so the sum is
     order-free — the money-sum discipline DECIMAL would give at 100 TB
     without paying decimal arithmetic in the scan."""
@@ -4357,10 +4361,10 @@ def rel_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         10000 - F.floor(F.col("l_discount") * 10000 + F.lit(0.5)).cast("long")
     )
     return (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation")
