@@ -261,3 +261,42 @@ def test_mixture_plan_hand_computed(spark):
     assert out["b"]["rate_e6"] == 62500
     # c: absent from recipe -> zeroed
     assert out["c"]["target_tokens"] == 0 and out["c"]["epochs"] == 0
+
+
+def test_table_diff_classifies_hand_built_delta(spark):
+    from vector_database_watermarking_spark.operators.merge import table_diff
+
+    a = spark.createDataFrame(
+        [(1, "x", 10), (2, "y", 20), (3, "z", 30), (4, None, 40)],
+        "k long, s string, v long",
+    )
+    b = spark.createDataFrame(
+        [(2, "y", 20), (3, "z2", 30), (4, "w", 40), (5, "new", 50)],
+        "k long, s string, v long",
+    )
+    out = {r["k"]: r for r in table_diff(a, b, ["k"], ["s", "v"]).collect()}
+    assert set(out) == {1, 3, 4, 5}  # 2 unchanged -> dropped
+    assert out[1]["status"] == "removed" and out[1]["changed_mask"] == 0
+    assert out[5]["status"] == "added" and out[5]["n_changed_cols"] == 0
+    assert out[3]["status"] == "changed" and out[3]["changed_mask"] == 1
+    # NULL -> 'w' is a null-safe change on column s (bit 0)
+    assert out[4]["status"] == "changed" and out[4]["changed_mask"] == 1
+
+
+def test_dq_audit_counts_planted_violations(spark):
+    from vector_database_watermarking_spark.operators.audit import (
+        duplicate_keys,
+        null_violations,
+        orphan_foreign_keys,
+    )
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, None), (2, 20), (3, 99)], "k long, fk long"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    nulls = null_violations(child, ["fk"], "child").collect()[0]
+    assert nulls["violations"] == 1
+    dups = duplicate_keys(child, ["k"], "child").collect()[0]
+    assert dups["violations"] == 1  # one row in excess of unique k=2
+    orph = orphan_foreign_keys(child, parent, "fk", "pk", "child", "parent")
+    assert orph.collect()[0]["violations"] == 1  # fk=99; NULL not counted

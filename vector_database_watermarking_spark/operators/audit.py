@@ -1,0 +1,81 @@
+"""Data-quality / constraint audit (extension — the dbt-test /
+Great-Expectations shape expressed as plain aggregates).
+
+The reference trusts its pickles; a 100 TB lakehouse table is fed by
+many writers and needs its invariants measured, not assumed. Three
+constraint families cover most production checks:
+
+- ``null_violations`` — NOT NULL: one scan, one conditional count per
+  column (all map-side; a single pass regardless of column count).
+- ``duplicate_keys`` — PRIMARY KEY/uniqueness: rows in excess of one
+  per key (``count - countDistinct`` over the key tuple; one shuffle
+  on the key, partial aggregation map-side).
+- ``orphan_foreign_keys`` — referential integrity: child keys with no
+  parent (left-anti join; at scale the parent key set rides a Bloom/
+  broadcast runtime filter exactly like ``contamination_scan_bloom``).
+
+Each emits long-format ``(check_name, target, violations)`` rows so audits
+compose with ``unionByName`` into one dashboard-ready result; 0 rows
+violated means the constraint HOLDS and is still reported (absence of
+evidence is made explicit — an audit that silently skips a check is
+indistinguishable from a passing one).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def null_violations(df: DataFrame, cols: list[str], table: str) -> DataFrame:
+    aggs = [
+        F.sum(F.col(c).isNull().cast("long")).alias(c) for c in cols
+    ]
+    wide = df.agg(*aggs)
+    parts = [
+        wide.select(
+            F.lit("not_null").alias("check_name"),
+            F.lit(f"{table}.{c}").alias("target"),
+            F.col(c).cast("long").alias("violations"),
+        )
+        for c in cols
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def duplicate_keys(df: DataFrame, key_cols: list[str], table: str) -> DataFrame:
+    excess = df.groupBy(*key_cols).agg(
+        (F.count(F.lit(1)) - 1).alias("_x")
+    )
+    return excess.agg(F.sum("_x").cast("long").alias("violations")).select(
+        F.lit("unique").alias("check_name"),
+        F.lit(f"{table}({', '.join(key_cols)})").alias("target"),
+        "violations",
+    )
+
+
+def orphan_foreign_keys(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+    table: str,
+    ref_table: str,
+) -> DataFrame:
+    orphans = (
+        child.filter(F.col(child_key).isNotNull())
+        .join(
+            parent.select(F.col(parent_key).alias(child_key)).distinct(),
+            on=child_key,
+            how="left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("violations"))
+    )
+    return orphans.select(
+        F.lit("foreign_key").alias("check_name"),
+        F.lit(f"{table}.{child_key} -> {ref_table}.{parent_key}").alias("target"),
+        "violations",
+    )

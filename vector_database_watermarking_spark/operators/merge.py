@@ -141,3 +141,59 @@ def scd2_history(
         F.col("valid_to_seq").isNull().cast("int").alias("is_current"),
         *payload,
     )
+
+
+def table_diff(
+    a: DataFrame,
+    b: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Snapshot reconciliation (extension): classify every key as
+    ``added`` (only in ``b``), ``removed`` (only in ``a``) or
+    ``changed`` (present in both, any compared column differs
+    null-safely) — the audit run after every MERGE/backfill to prove
+    the delta is exactly the intended change log, and the engine half
+    of cross-engine migration checks. Unchanged keys are dropped (the
+    overwhelming majority at scale, so the output is delta-sized).
+
+    Adds ``changed_mask`` (bit i set ⇔ ``compare_cols[i]`` differs;
+    0 for added/removed) and ``n_changed_cols`` — integer-exact and
+    order-stable, so the diff itself is hashable. One full-outer join
+    shuffled on the key; with both snapshots bucketed by key on disk
+    the join is co-located (``bucketed_table``).
+    """
+    an = a.select(
+        *[F.col(k).alias(f"_ak_{k}") for k in key_cols],
+        *[F.col(c).alias(f"_a_{c}") for c in compare_cols],
+    )
+    bn = b.select(
+        *[F.col(k).alias(f"_bk_{k}") for k in key_cols],
+        *[F.col(c).alias(f"_b_{c}") for c in compare_cols],
+    )
+    cond = None
+    for k in key_cols:
+        c = F.col(f"_ak_{k}") == F.col(f"_bk_{k}")
+        cond = c if cond is None else (cond & c)
+    j = an.join(bn, cond, "full_outer")
+    in_a = F.col(f"_ak_{key_cols[0]}").isNotNull()
+    in_b = F.col(f"_bk_{key_cols[0]}").isNotNull()
+    mask = F.lit(0).cast("long")
+    for i, c in enumerate(compare_cols):
+        differs = ~F.col(f"_a_{c}").eqNullSafe(F.col(f"_b_{c}"))
+        mask = mask + F.when(in_a & in_b & differs, F.lit(1 << i)).otherwise(0)
+    out = (
+        j.withColumn(
+            "status",
+            F.when(~in_a, F.lit("added"))
+            .when(~in_b, F.lit("removed"))
+            .otherwise(F.lit("changed")),
+        )
+        .withColumn("changed_mask", mask)
+        .filter((~in_a) | (~in_b) | (mask > 0))
+        .withColumn("n_changed_cols", F.bit_count("changed_mask").cast("int"))
+    )
+    keys = [
+        F.coalesce(F.col(f"_bk_{k}"), F.col(f"_ak_{k}")).alias(k) for k in key_cols
+    ]
+    return out.select(*keys, "status", "changed_mask", "n_changed_cols")

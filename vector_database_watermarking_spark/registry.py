@@ -985,6 +985,8 @@ _GRADE_ORDER = [
     "rel_bucketed_join",
     "ext_quantile_norm",
     "ext_mixture_plan",
+    "rel_dq_audit",
+    "rel_table_diff",
 ]
 
 

@@ -4512,6 +4512,124 @@ def ext_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DQ_H = (
+    "CAST('0x' || substr(md5(concat('dq_', CAST(o_orderkey AS VARCHAR))), 1, 15)"
+    " AS BIGINT)"
+)
+
+
+@register(
+    "rel_dq_audit",
+    oracle=f"""
+WITH h AS (
+  SELECT o_orderkey, o_custkey, {_DQ_H} AS hh FROM orders
+),
+c AS (
+  SELECT o_orderkey,
+         CASE WHEN hh % 97 = 0 THEN NULL
+              WHEN hh % 103 = 2 THEN -o_orderkey
+              ELSE o_custkey END AS o_custkey,
+         hh
+  FROM h
+),
+v AS (SELECT * FROM c UNION ALL SELECT * FROM c WHERE hh % 101 = 1)
+SELECT 'not_null' AS check_name, 'orders.o_custkey' AS target,
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS violations
+FROM v
+UNION ALL
+SELECT 'unique', 'orders(o_orderkey)',
+       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+FROM v
+UNION ALL
+SELECT 'foreign_key', 'orders.o_custkey -> customer.c_custkey',
+       CAST((SELECT count(*) FROM v
+             WHERE o_custkey IS NOT NULL
+               AND o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT)
+""",
+)
+def rel_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint audit (``operators.audit``): NOT NULL,
+    key-uniqueness, and referential-integrity violation counts in one
+    long-format result — run against a deterministically corrupted
+    orders view (hash-selected rows get NULL custkeys, orphan
+    custkeys, and duplicated orderkeys) so every check has planted,
+    exactly-replayable violations. The dbt-test shape a many-writer
+    lakehouse table needs measured, not assumed."""
+    from .functions.hashing import hash60
+    from .operators.audit import (
+        duplicate_keys,
+        null_violations,
+        orphan_foreign_keys,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer")
+    hh = hash60(F.concat(F.lit("dq_"), F.col("o_orderkey").cast("string")))
+    c = o.select(
+        "o_orderkey",
+        F.when(hh % 97 == 0, F.lit(None).cast("long"))
+        .when(hh % 103 == 2, -F.col("o_orderkey"))
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+        hh.alias("hh"),
+    )
+    v = c.unionByName(c.filter(F.col("hh") % 101 == 1))
+    return (
+        null_violations(v, ["o_custkey"], "orders")
+        .unionByName(duplicate_keys(v, ["o_orderkey"], "orders"))
+        .unionByName(
+            orphan_foreign_keys(
+                v, cust, "o_custkey", "c_custkey", "orders", "customer"
+            )
+        )
+    )
+
+
+@register(
+    "rel_table_diff",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, text, lang, source FROM documents WHERE doc_id % 4 <> 3
+),
+merged AS ({_MERGE_ORACLE}),
+j AS (
+  SELECT coalesce(m.doc_id, b.doc_id) AS doc_id,
+         b.doc_id AS bk, m.doc_id AS mk,
+         CASE WHEN b.text IS DISTINCT FROM m.text THEN 1 ELSE 0 END
+       + CASE WHEN b.lang IS DISTINCT FROM m.lang THEN 2 ELSE 0 END
+       + CASE WHEN b.source IS DISTINCT FROM m.source THEN 4 ELSE 0 END AS mask0
+  FROM base b FULL OUTER JOIN merged m ON b.doc_id = m.doc_id
+)
+SELECT doc_id,
+       CASE WHEN bk IS NULL THEN 'added'
+            WHEN mk IS NULL THEN 'removed'
+            ELSE 'changed' END AS status,
+       CAST(CASE WHEN bk IS NULL OR mk IS NULL THEN 0 ELSE mask0 END AS BIGINT)
+         AS changed_mask,
+       CAST(bit_count(CASE WHEN bk IS NULL OR mk IS NULL THEN 0 ELSE mask0 END)
+            AS INTEGER) AS n_changed_cols
+FROM j
+WHERE bk IS NULL OR mk IS NULL OR mask0 > 0
+""",
+)
+def rel_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (``operators.merge.table_diff``): the
+    exact delta between the pre-merge corpus and the merged snapshot
+    of ``rel_merge_upsert`` — added / removed / changed keys with a
+    per-column change bitmask. Composes two graded operators (the
+    MERGE and the diff) and proves the merge applied EXACTLY its
+    change log: the oracle replays the merge AND the full-outer
+    reconciliation."""
+    from .operators.merge import table_diff
+
+    base, _ = _merge_inputs(spark, sf_dir)
+    merged = QUERIES["rel_merge_upsert"].fn(spark, sf_dir)
+    return table_diff(
+        base, merged, key_cols=["doc_id"], compare_cols=["text", "lang", "source"]
+    )
+
+
 # ------------------------------------------------- pipeline coverage pack
 #
 # Registered LAST in this module so it can embed the oracles of the
@@ -4578,6 +4696,10 @@ def _pipeline_pack_oracle() -> str:
     bj = QUERIES["rel_bucketed_join"].oracle
     qn = QUERIES["ext_quantile_norm"].oracle
     mx = QUERIES["ext_mixture_plan"].oracle
+    dq = QUERIES["rel_dq_audit"].oracle
+    td = QUERIES["rel_table_diff"].oracle
+    h_chk = oracle_hash60("check_name || '|' || target")
+    h_st = oracle_hash60("status")
     h_pair = oracle_hash60("supp_nation || '|' || cust_nation")
     h_seg = oracle_hash60("c_mktsegment")
     h_kn = oracle_hash60("key_name")
@@ -4865,6 +4987,16 @@ SELECT 'mixture_plan_check',
        * ((available_tokens * 131 + target_tokens * 17 + epochs * 7
            + rate_e6) % 1000003)) AS BIGINT)
   FROM ({mx})
+UNION ALL
+SELECT 'dq_audit_check',
+  CAST(count(*) + sum(({h_chk} % 997 + 1) * (violations % 1000003)) AS BIGINT)
+  FROM ({dq})
+UNION ALL
+SELECT 'table_diff_check',
+  CAST(count(*) + sum((doc_id % 997 + 1)
+       * (({h_st} % 1000003 + changed_mask * 131 + n_changed_cols * 17)
+          % 1000003)) AS BIGINT)
+  FROM ({td})
 """
 
 
@@ -5864,6 +5996,43 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 + F.col("target_tokens") * 17
                                 + F.col("epochs") * 7
                                 + F.col("rate_e6")
+                            )
+                            % 1000003
+                        )
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    dq = QUERIES["rel_dq_audit"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "dq_audit_check",
+            dq.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (hash60(F.concat_ws("|", "check_name", "target")) % 997 + 1)
+                        * (F.col("violations") % 1000003)
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    td = QUERIES["rel_table_diff"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "table_diff_check",
+            td.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (F.col("doc_id") % 997 + 1)
+                        * (
+                            (
+                                hash60(F.col("status")) % 1000003
+                                + F.col("changed_mask") * 131
+                                + F.col("n_changed_cols") * 17
                             )
                             % 1000003
                         )
