@@ -300,3 +300,21 @@ def test_dq_audit_counts_planted_violations(spark):
     assert dups["violations"] == 1  # one row in excess of unique k=2
     orph = orphan_foreign_keys(child, parent, "fk", "pk", "child", "parent")
     assert orph.collect()[0]["violations"] == 1  # fk=99; NULL not counted
+
+
+def test_kmeans_arrow_tier_bit_identical(spark):
+    """assign_impl='arrow' must reproduce the native exact tier's
+    assignment row-for-row (same integer numerators mod 2^64, same
+    double division, same tie rule)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    a = clustering.kmeans_refine(emb, 8, 2).select("vec_id", "cluster")
+    b = clustering.kmeans_refine(emb, 8, 2, assign_impl="arrow").select(
+        "vec_id", "cluster"
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_kmeans_arrow_rejects_mean_tier(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    with pytest.raises(ValueError):
+        clustering.kmeans_refine(emb, 8, 2, exact=False, assign_impl="arrow")

@@ -4144,9 +4144,14 @@ def ext_spelling_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Round-6 batch 2: iterative clustering, class rebalancing, robust
-# outliers, weighted-window EWMA, nation-pair trade volume, bucketed
-# storage joins. Each registration replays its full computation in
-# DuckDB; floats never accumulate (integer-e4 / dyadic arithmetic).
+# outliers, per-key EWMA, nation-pair trade volume, bucketed storage
+# joins, rank normalization, mixture planning, data-quality audit,
+# snapshot diff. Each registration replays its full computation in
+# DuckDB; floats never accumulate (integer-e4 / dyadic arithmetic, or
+# — for the EWMA — a bit-reproducible sequential fold). All sit past
+# the 50-slot grading window and carry cov_pipeline_pack checksum
+# rows for driver-graded coverage (the section is placed BEFORE the
+# pack so its oracles can be embedded).
 # ---------------------------------------------------------------------------
 
 _KM_ASSIGN = """
