@@ -88,3 +88,62 @@ def test_cdc_stream_converges_to_batch_merge(spark, tmp_path):
     for i in range(50, 55):
         assert i not in d
     assert d[100] == 1002 and d[101] == 1012 and d[105] == 1050
+
+
+def test_ivm_view_equals_recompute_after_stream(spark, tmp_path):
+    """The defining IVM property: after the stream converges, the
+    delta-maintained view equals a from-scratch group aggregate of the
+    maintained base — including a group that empties out (delete of
+    its last row must retract it from the view)."""
+    import pyspark.sql.functions as F
+
+    from vector_database_watermarking_spark.streaming import cdc, ivm
+
+    base = spark.createDataFrame(
+        [(1, "a", "g1"), (2, "bb", "g1"), (3, "ccc", "g2"), (4, "dddd", "g3")],
+        "doc_id long, text string, source string",
+    )
+    # batch1: update key 1 into g2, insert key 5 into g3
+    # batch2: delete key 4 (empties g3? no - key 5 is g3) and key 3
+    #         (empties g2's original member; key 1 moved in)
+    ch = spark.createDataFrame(
+        [
+            (1, "zzzz", "g2", 10, "update"),
+            (5, "ee", "g3", 11, "insert"),
+            (4, None, None, 20, "delete"),
+            (3, None, None, 21, "delete"),
+        ],
+        "doc_id long, text string, source string, seq long, op string",
+    )
+    changes_dir = str(tmp_path / "changes")
+    for b, pred in ((0, F.col("seq") < 20), (1, F.col("seq") >= 20)):
+        ch.filter(pred).coalesce(1).write.mode("append").parquet(changes_dir)
+    table_dir = str(tmp_path / "table")
+    agg_dir = str(tmp_path / "view")
+    cdc.init_table(base, table_dir)
+    ivm.init_view(base, agg_dir, "source", "length(text)")
+    stream = (
+        spark.readStream.schema(ch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(changes_dir)
+    )
+    q = ivm.ivm_agg_stream(
+        stream, table_dir, agg_dir, "source", "length(text)",
+        checkpoint_dir=str(tmp_path / "ckpt"), retain=1,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    view = {
+        r["source"]: (r["n_rows"], r["sum_value"])
+        for r in cdc.read_current(spark, agg_dir).collect()
+    }
+    recomputed = {
+        r["source"]: (r["n_rows"], r["sum_value"])
+        for r in ivm.group_contrib(
+            cdc.read_current(spark, table_dir), "source", "length(text)"
+        ).collect()
+    }
+    assert view == recomputed
+    assert view == {"g1": (1, 2), "g2": (1, 4), "g3": (1, 2)}

@@ -987,6 +987,7 @@ _GRADE_ORDER = [
     "ext_mixture_plan",
     "rel_dq_audit",
     "rel_table_diff",
+    "stream_agg_ivm_replay",
 ]
 
 

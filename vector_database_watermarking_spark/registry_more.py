@@ -4635,6 +4635,71 @@ def rel_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_agg_ivm_replay",
+    oracle=f"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(length(text)) AS BIGINT) AS sum_value
+FROM ({_MERGE_ORACLE})
+GROUP BY source
+""",
+)
+def stream_agg_ivm_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (``streaming/ivm.py``) graded
+    end-to-end: the per-source (count, Σ length(text)) rollup is
+    maintained delta-only under the same key-disjoint three-batch CDC
+    stream as ``stream_cdc_replay`` — per trigger only the batch's
+    affected keys are re-aggregated (retraction + new state), never
+    the base. The converged view must equal the one-shot group
+    aggregate over the MERGE oracle EXACTLY (integer measures), which
+    is the defining IVM property; a drift of a single retraction
+    flips the hash."""
+    import shutil
+
+    from .streaming import cdc, ivm
+
+    base, ch = _merge_inputs(spark, sf_dir)
+    scratch = _scratch_dir("ivm_replay", sf_dir)
+    shutil.rmtree(scratch, ignore_errors=True)
+    changes_dir = _os.path.join(scratch, "changes")
+    table_dir = _os.path.join(scratch, "table")
+    agg_dir = _os.path.join(scratch, "view")
+    ckpt_dir = _os.path.join(scratch, "ckpt")
+
+    cdc.init_table(base, table_dir)
+    ivm.init_view(base, agg_dir, group_col="source", value_expr="length(text)")
+    for b in range(3):
+        (
+            ch.filter(F.pmod(F.col("doc_id"), F.lit(3)) == b)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(changes_dir)
+        )
+    stream = (
+        spark.readStream.schema(ch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(changes_dir)
+    )
+    q = ivm.ivm_agg_stream(
+        stream,
+        table_dir,
+        agg_dir,
+        group_col="source",
+        value_expr="length(text)",
+        key="doc_id",
+        seq="seq",
+        op="op",
+        checkpoint_dir=ckpt_dir,
+        retain=1,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return cdc.read_current(spark, agg_dir)
+
+
 # ------------------------------------------------- pipeline coverage pack
 #
 # Registered LAST in this module so it can embed the oracles of the
@@ -4703,6 +4768,7 @@ def _pipeline_pack_oracle() -> str:
     mx = QUERIES["ext_mixture_plan"].oracle
     dq = QUERIES["rel_dq_audit"].oracle
     td = QUERIES["rel_table_diff"].oracle
+    iv = QUERIES["stream_agg_ivm_replay"].oracle
     h_chk = oracle_hash60("check_name || '|' || target")
     h_st = oracle_hash60("status")
     h_pair = oracle_hash60("supp_nation || '|' || cust_nation")
@@ -5002,6 +5068,11 @@ SELECT 'table_diff_check',
        * (({h_st} % 1000003 + changed_mask * 131 + n_changed_cols * 17)
           % 1000003)) AS BIGINT)
   FROM ({td})
+UNION ALL
+SELECT 'agg_ivm_check',
+  CAST(count(*) + sum(({h_src} % 997 + 1)
+       * ((n_rows * 131 + sum_value) % 1000003)) AS BIGINT)
+  FROM ({iv})
 """
 
 
@@ -6041,6 +6112,21 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                             )
                             % 1000003
                         )
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    iv = QUERIES["stream_agg_ivm_replay"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "agg_ivm_check",
+            iv.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (hash60(F.col("source")) % 997 + 1)
+                        * ((F.col("n_rows") * 131 + F.col("sum_value")) % 1000003)
                     )
                 ).alias("value")
             ),
