@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from vector_database_watermarking_spark.operators import clustering
@@ -318,3 +319,58 @@ def test_kmeans_arrow_rejects_mean_tier(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     with pytest.raises(ValueError):
         clustering.kmeans_refine(emb, 8, 2, exact=False, assign_impl="arrow")
+
+
+def test_running_concurrency_hand_built(spark):
+    """Known interval stack: closed-interval semantics, start-before-
+    end ties, point intervals never dip the count."""
+    from vector_database_watermarking_spark.operators.temporal import (
+        running_concurrency,
+    )
+
+    iv = spark.createDataFrame(
+        [
+            ("2024-01-01 10:00:00", "2024-01-01 11:00:00"),
+            ("2024-01-01 10:30:00", "2024-01-01 12:00:00"),
+            ("2024-01-01 11:00:00", "2024-01-01 11:30:00"),  # starts as #1 ends
+            ("2024-01-01 13:00:00", "2024-01-01 13:00:00"),  # point interval
+        ],
+        "s string, e string",
+    ).select(
+        F.col("s").cast("timestamp").alias("s"),
+        F.col("e").cast("timestamp").alias("e"),
+    )
+    out = running_concurrency(iv, "s", "e", bucket="hour")
+    peak = out.agg(F.max("concurrency")).collect()[0][0]
+    assert peak == 3  # at 11:00 the new start applies before the end
+    assert out.agg(F.min("concurrency")).collect()[0][0] == 0
+    # boundary conservation: sum of deltas is zero
+    assert out.agg(F.sum("delta")).collect()[0][0] == 0
+
+
+def test_running_concurrency_matches_single_sort(spark):
+    """The hour-bucketed two-level prefix sum equals the naive global
+    running sum on real session intervals (and is partitioning
+    invariant)."""
+    from vector_database_watermarking_spark.operators.temporal import (
+        running_concurrency,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    iv = ev.groupBy("user_id").agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    two = running_concurrency(iv.repartition(11), "s", "e", bucket="hour")
+    w = Window.orderBy(F.col("ts"), F.col("delta").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    naive = (
+        iv.select(F.col("s").alias("ts"), F.lit(1).alias("delta"))
+        .unionByName(iv.select(F.col("e").alias("ts"), F.lit(-1).alias("delta")))
+        .withColumn("concurrency", F.sum("delta").over(w).cast("long"))
+    )
+    # compare the deterministic per-(ts,delta) max (per-row values among
+    # identical boundaries are permutation-dependent by design)
+    agg = lambda df: df.groupBy("ts", "delta").agg(
+        F.max("concurrency").alias("m"), F.count(F.lit(1)).alias("n")
+    )
+    assert agg(two).exceptAll(agg(naive)).count() == 0
+    assert agg(naive).exceptAll(agg(two)).count() == 0

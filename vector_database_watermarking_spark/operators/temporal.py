@@ -418,3 +418,61 @@ def ewma_last(
         )
         .withColumn("ewma_e6", F.floor(F.col("ewma") * 1000000 + F.lit(0.5)).cast("long"))
     )
+
+
+def running_concurrency(
+    intervals: DataFrame,
+    start_col: str,
+    end_col: str,
+    bucket: str = "hour",
+) -> DataFrame:
+    """Sweep-line concurrency over closed intervals: every interval
+    boundary becomes a ±1 delta and the running sum at each boundary
+    is the number of intervals active there — concurrent sessions,
+    simultaneous connections, peak room occupancy. Returns
+    ``(ts, delta, concurrency)`` per boundary.
+
+    A running sum is the textbook "needs one global sort" shape; this
+    is the DISTRIBUTED PREFIX SUM instead: boundaries are bucketed by
+    ``date_trunc(bucket)``, each bucket computes its local prefix sum
+    in parallel (window partitioned BY bucket), and the cross-bucket
+    carry is a running total over the per-bucket deltas — a window
+    over |buckets| rows (time-range-bounded: one row per hour, never
+    one per event), broadcast back. Identical to the single-sort
+    answer because bucketing by time truncation respects the sweep
+    order.
+
+    Tie rule: at an equal timestamp, starts apply before ends
+    (``delta`` descending) — the closed-interval convention, so a
+    session ending exactly when another starts counts both as
+    concurrent and a single-point interval never dips the count.
+    Per-boundary values among identical ``(ts, delta)`` rows are
+    permutation-dependent, but any aggregate of them (max/min per
+    group) is deterministic.
+    """
+    starts = intervals.select(
+        F.col(start_col).alias("ts"), F.lit(1).alias("delta")
+    )
+    ends = intervals.select(F.col(end_col).alias("ts"), F.lit(-1).alias("delta"))
+    d = starts.unionByName(ends).withColumn("_b", F.date_trunc(bucket, "ts"))
+    w_local = (
+        Window.partitionBy("_b")
+        .orderBy(F.col("ts"), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    totals = d.groupBy("_b").agg(F.sum("delta").alias("_t"))
+    w_carry = Window.orderBy("_b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = totals.select(
+        "_b", F.coalesce(F.sum("_t").over(w_carry), F.lit(0)).alias("_carry")
+    )
+    return (
+        d.withColumn("_within", F.sum("delta").over(w_local))
+        .join(F.broadcast(carry), "_b")
+        .select(
+            "ts",
+            "delta",
+            (F.col("_carry") + F.col("_within")).cast("long").alias("concurrency"),
+        )
+    )

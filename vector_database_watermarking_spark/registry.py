@@ -988,6 +988,7 @@ _GRADE_ORDER = [
     "rel_dq_audit",
     "rel_table_diff",
     "stream_agg_ivm_replay",
+    "rel_events_concurrency",
 ]
 
 

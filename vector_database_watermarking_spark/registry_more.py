@@ -4700,6 +4700,76 @@ def stream_agg_ivm_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc.read_current(spark, agg_dir)
 
 
+@register(
+    "rel_events_concurrency",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+),
+iv AS (
+  SELECT user_id, session_id, min(ts) AS s, max(ts) AS e
+  FROM sess GROUP BY user_id, session_id
+),
+d AS (
+  SELECT s AS ts, 1 AS delta FROM iv
+  UNION ALL
+  SELECT e, -1 FROM iv
+),
+r AS (
+  SELECT ts, delta,
+         sum(delta) OVER (ORDER BY ts, delta DESC ROWS UNBOUNDED PRECEDING)
+           AS conc
+  FROM d
+)
+SELECT date_trunc('day', ts) AS day,
+       CAST(max(conc) AS BIGINT) AS max_concurrency,
+       CAST(count(*) AS BIGINT) AS n_boundaries
+FROM r GROUP BY day
+""",
+)
+def rel_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day
+    (``operators.temporal.running_concurrency``): 30-min-gap session
+    intervals swept as ±1 boundaries, the running count computed as a
+    DISTRIBUTED prefix sum (hour-bucket local windows + a carry over
+    the |buckets|-row totals), then the daily max. The oracle computes
+    the same sweep with one global window — equality proves the
+    two-level decomposition exact, boundary for boundary."""
+    from .operators.temporal import running_concurrency
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    new_sess = F.when(
+        (us - F.lag(us).over(w) > 1_800_000_000) | F.lag("ts").over(w).isNull(), 1
+    ).otherwise(0)
+    wsum = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    iv = (
+        ev.withColumn("new_session", new_sess)
+        .withColumn("session_id", F.sum("new_session").over(wsum))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    conc = running_concurrency(iv, "s", "e", bucket="hour")
+    return conc.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.max("concurrency").alias("max_concurrency"),
+        F.count(F.lit(1)).alias("n_boundaries"),
+    )
+
+
 # ------------------------------------------------- pipeline coverage pack
 #
 # Registered LAST in this module so it can embed the oracles of the
@@ -4769,6 +4839,7 @@ def _pipeline_pack_oracle() -> str:
     dq = QUERIES["rel_dq_audit"].oracle
     td = QUERIES["rel_table_diff"].oracle
     iv = QUERIES["stream_agg_ivm_replay"].oracle
+    cc = QUERIES["rel_events_concurrency"].oracle
     h_chk = oracle_hash60("check_name || '|' || target")
     h_st = oracle_hash60("status")
     h_pair = oracle_hash60("supp_nation || '|' || cust_nation")
@@ -5073,6 +5144,11 @@ SELECT 'agg_ivm_check',
   CAST(count(*) + sum(({h_src} % 997 + 1)
        * ((n_rows * 131 + sum_value) % 1000003)) AS BIGINT)
   FROM ({iv})
+UNION ALL
+SELECT 'concurrency_check',
+  CAST(count(*) + sum((epoch_us(day) % 100003 + 1)
+       * ((max_concurrency * 131 + n_boundaries) % 1000003)) AS BIGINT)
+  FROM ({cc})
 """
 
 
@@ -6127,6 +6203,24 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.sum(
                         (hash60(F.col("source")) % 997 + 1)
                         * ((F.col("n_rows") * 131 + F.col("sum_value")) % 1000003)
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    cc = QUERIES["rel_events_concurrency"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "concurrency_check",
+            cc.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (F.unix_micros("day") % 100003 + 1)
+                        * (
+                            (F.col("max_concurrency") * 131 + F.col("n_boundaries"))
+                            % 1000003
+                        )
                     )
                 ).alias("value")
             ),
