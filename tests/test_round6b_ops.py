@@ -374,3 +374,37 @@ def test_running_concurrency_matches_single_sort(spark):
     )
     assert agg(two).exceptAll(agg(naive)).count() == 0
     assert agg(naive).exceptAll(agg(two)).count() == 0
+
+
+def test_wau_bitmap_equals_count_distinct_tier(spark):
+    from vector_database_watermarking_spark.operators.temporal import (
+        rolling_active_users,
+        rolling_active_users_bitmap,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    a = rolling_active_users(ev, window_days=7)
+    b = rolling_active_users_bitmap(ev, window_days=7)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_wau_bitmap_block_boundaries(spark):
+    """Users straddling a 64-block boundary (63, 64) and the same user
+    on two days count correctly."""
+    from vector_database_watermarking_spark.operators.temporal import (
+        rolling_active_users_bitmap,
+    )
+
+    rows = [
+        (63, "2024-01-01 10:00:00"),
+        (64, "2024-01-01 11:00:00"),
+        (63, "2024-01-02 10:00:00"),
+        (127, "2024-01-02 11:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts string").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = {str(r["day"]): (r["wau"], r["dau"]) for r in
+           rolling_active_users_bitmap(ev).collect()}
+    assert out["2024-01-01"] == (2, 2)
+    assert out["2024-01-02"] == (3, 2)  # 63,64 carried + 127 new; dau 63,127

@@ -476,3 +476,61 @@ def running_concurrency(
             (F.col("_carry") + F.col("_within")).cast("long").alias("concurrency"),
         )
     )
+
+
+def rolling_active_users_bitmap(
+    events: DataFrame,
+    window_days: int = 7,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Bitmap tier of :func:`rolling_active_users` — same exact
+    (day, wau, dau) answer, radically less shuffle at scale: instead
+    of fanning out (key, day) PAIRS and re-distinct-counting each
+    report day, keys are packed 64-per-row into int64 blocks
+    (``block = key div 64``, bit ``key mod 64``) with a ``bit_or``
+    aggregate; the day-offset fan-out then moves |blocks| rows per
+    day (one row per 64 users instead of per user), the per-report-
+    day union is another ``bit_or``, and the distinct count is
+    ``Σ bit_count(block)`` — exact, not a sketch. With 10⁹ users a
+    day, the fan-out shrinks from 7 × 10⁹ rows to 7 × 1.6 × 10⁷.
+    This is the roaring-bitmap pattern expressed in pure relational
+    ops (fixed 64-bit chunks instead of adaptive containers).
+
+    Requires non-negative integral keys (the block/bit split);
+    re-key via a dense id first otherwise.
+    """
+    day = F.to_date(ts_col)
+    one = F.lit(1).cast("long")
+    daily = (
+        events.select(
+            day.alias("_d"),
+            F.expr(f"{key_col} div 64").alias("_blk"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(pmod({key_col}, 64) AS INT))"
+            ).alias("_m"),
+        )
+        .groupBy("_d", "_blk")
+        .agg(F.bit_or("_m").alias("bits"))
+    )
+    g = daily.select(
+        "_d",
+        "_blk",
+        "bits",
+        F.explode(F.sequence(F.lit(0), F.lit(window_days - 1))).alias("_off"),
+    ).select("_d", "_blk", "bits", F.date_add("_d", F.col("_off")).alias("day"))
+    days = daily.select(F.col("_d").alias("day")).distinct()
+    merged = (
+        g.join(days, on="day", how="left_semi")
+        .groupBy("day", "_blk")
+        .agg(
+            F.bit_or("bits").alias("_w"),
+            F.bit_or(
+                F.when(F.col("_d") == F.col("day"), F.col("bits")).otherwise(one * 0)
+            ).alias("_t"),
+        )
+    )
+    return merged.groupBy("day").agg(
+        F.sum(F.bit_count("_w")).alias("wau"),
+        F.sum(F.bit_count("_t")).alias("dau"),
+    )

@@ -989,6 +989,7 @@ _GRADE_ORDER = [
     "rel_table_diff",
     "stream_agg_ivm_replay",
     "rel_events_concurrency",
+    "rel_events_wau_bitmap",
 ]
 
 

@@ -4770,6 +4770,40 @@ def rel_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rel_events_wau_bitmap",
+    oracle="""
+WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+g AS (
+  SELECT user_id, day AS d0, day + CAST(off AS INTEGER) AS day
+  FROM (SELECT user_id, day, unnest(generate_series(0, 6)) AS off FROM a)
+),
+days AS (SELECT DISTINCT day FROM a)
+SELECT CAST(day AS TIMESTAMP) AS day,
+       CAST(count(DISTINCT g.user_id) AS BIGINT) AS wau,
+       CAST(count(DISTINCT CASE WHEN g.d0 = g.day THEN g.user_id END)
+            AS BIGINT) AS dau
+FROM g JOIN days USING (day)
+GROUP BY day
+""",
+)
+def rel_events_wau_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap tier of the rolling 7-day distinct actives
+    (``operators.temporal.rolling_active_users_bitmap``): users packed
+    64-per-row into int64 blocks, unions as ``bit_or``, counts as
+    ``Σ bit_count`` — the SAME oracle as ``rel_events_wau`` (the
+    count-distinct formulation), so the driver grades the two tiers
+    equal value-for-value. At 10⁹ users/day the fan-out carries one
+    row per 64 users instead of one per user; exact, not a sketch."""
+    from .operators import temporal as _temporal
+
+    ev = load_table(spark, sf_dir, "events")
+    out = _temporal.rolling_active_users_bitmap(ev, window_days=7)
+    return out.select(
+        F.col("day").cast("timestamp").alias("day"), "wau", "dau"
+    )
+
+
 # ------------------------------------------------- pipeline coverage pack
 #
 # Registered LAST in this module so it can embed the oracles of the
@@ -4840,6 +4874,7 @@ def _pipeline_pack_oracle() -> str:
     td = QUERIES["rel_table_diff"].oracle
     iv = QUERIES["stream_agg_ivm_replay"].oracle
     cc = QUERIES["rel_events_concurrency"].oracle
+    wb = QUERIES["rel_events_wau_bitmap"].oracle
     h_chk = oracle_hash60("check_name || '|' || target")
     h_st = oracle_hash60("status")
     h_pair = oracle_hash60("supp_nation || '|' || cust_nation")
@@ -5149,6 +5184,11 @@ SELECT 'concurrency_check',
   CAST(count(*) + sum((epoch_us(day) % 100003 + 1)
        * ((max_concurrency * 131 + n_boundaries) % 1000003)) AS BIGINT)
   FROM ({cc})
+UNION ALL
+SELECT 'wau_bitmap_check',
+  CAST(count(*) + sum((epoch_us(day) % 100003 + 1)
+       * ((wau * 131 + dau) % 1000003)) AS BIGINT)
+  FROM ({wb})
 """
 
 
@@ -6221,6 +6261,21 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                             (F.col("max_concurrency") * 131 + F.col("n_boundaries"))
                             % 1000003
                         )
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    wb = QUERIES["rel_events_wau_bitmap"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "wau_bitmap_check",
+            wb.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (F.unix_micros("day") % 100003 + 1)
+                        * ((F.col("wau") * 131 + F.col("dau")) % 1000003)
                     )
                 ).alias("value")
             ),
