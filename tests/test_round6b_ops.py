@@ -408,3 +408,35 @@ def test_wau_bitmap_block_boundaries(spark):
            rolling_active_users_bitmap(ev).collect()}
     assert out["2024-01-01"] == (2, 2)
     assert out["2024-01-02"] == (3, 2)  # 63,64 carried + 127 new; dau 63,127
+
+
+def test_interval_union_swallowed_interval(spark):
+    """The running-max rule: an interval entirely inside an earlier
+    one must not split the island (the lag(end) formulation fails
+    this); touching intervals merge; disjoint ones split."""
+    from vector_database_watermarking_spark.operators.temporal import (
+        interval_union,
+    )
+
+    rows = [
+        ("k", "2024-01-01 00:00:00", "2024-01-10 00:00:00"),
+        ("k", "2024-01-02 00:00:00", "2024-01-03 00:00:00"),  # swallowed
+        ("k", "2024-01-10 00:00:00", "2024-01-12 00:00:00"),  # touching
+        ("k", "2024-01-20 00:00:00", "2024-01-21 00:00:00"),  # disjoint
+        ("j", "2024-01-05 00:00:00", "2024-01-06 00:00:00"),
+    ]
+    iv = spark.createDataFrame(rows, "key string, s string, e string").select(
+        "key",
+        F.col("s").cast("timestamp").alias("s"),
+        F.col("e").cast("timestamp").alias("e"),
+    )
+    out = interval_union(iv, "key", "s", "e").collect()
+    k = sorted(
+        [r for r in out if r["key"] == "k"], key=lambda r: r["island_id"]
+    )
+    assert len(k) == 2
+    assert str(k[0]["union_start"]).startswith("2024-01-01")
+    assert str(k[0]["union_end"]).startswith("2024-01-12")
+    assert k[0]["n_intervals"] == 3
+    assert k[1]["n_intervals"] == 1
+    assert len([r for r in out if r["key"] == "j"]) == 1

@@ -534,3 +534,40 @@ def rolling_active_users_bitmap(
         F.sum(F.bit_count("_w")).alias("wau"),
         F.sum(F.bit_count("_t")).alias("dau"),
     )
+
+
+def interval_union(
+    intervals: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Per-key union of closed intervals (gaps-and-islands over TIME,
+    not rows): overlapping or touching intervals merge into maximal
+    islands — coverage windows, total on-time, SLA clocks. Returns
+    ``(key, island_id, union_start, union_end, n_intervals)``.
+
+    The classic formulation: order each key's intervals by (start,
+    end); an interval opens a new island iff its start lies strictly
+    past the RUNNING MAX of all earlier ends (the running max — not
+    ``lag(end)`` — is what makes an interval swallowed entirely by an
+    earlier one stay in the same island); islands are then a running
+    count of opens. One shuffle on the key, two frames over the same
+    sort — per-key linear, no joins, the same single-pass discipline
+    as ``duplicate_spans``'s islands merge but over timestamps.
+    """
+    w = Window.partitionBy(key_col).orderBy(start_col, end_col)
+    prev_max_end = F.max(end_col).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    opens = F.when(
+        prev_max_end.isNull() | (F.col(start_col) > prev_max_end), 1
+    ).otherwise(0)
+    island = F.sum(opens).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        intervals.withColumn("island_id", island.cast("long"))
+        .groupBy(key_col, "island_id")
+        .agg(
+            F.min(start_col).alias("union_start"),
+            F.max(end_col).alias("union_end"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+    )

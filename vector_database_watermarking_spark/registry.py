@@ -990,6 +990,7 @@ _GRADE_ORDER = [
     "stream_agg_ivm_replay",
     "rel_events_concurrency",
     "rel_events_wau_bitmap",
+    "rel_order_coverage",
 ]
 
 

@@ -4804,6 +4804,61 @@ def rel_events_wau_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rel_order_coverage",
+    oracle="""
+WITH iv AS (
+  SELECT o_custkey AS custkey, o_orderdate AS s,
+         o_orderdate + INTERVAL (o_orderkey % 30) DAY AS e
+  FROM orders
+),
+ord AS (
+  SELECT custkey, s, e,
+         max(e) OVER (PARTITION BY custkey ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+  FROM iv
+),
+isl AS (
+  SELECT custkey, s, e,
+         sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+           OVER (PARTITION BY custkey ORDER BY s, e
+                 ROWS UNBOUNDED PRECEDING) AS island_id
+  FROM ord
+)
+SELECT custkey, CAST(island_id AS BIGINT) AS island_id,
+       min(s) AS union_start, max(e) AS union_end,
+       CAST(count(*) AS BIGINT) AS n_intervals
+FROM isl GROUP BY custkey, island_id
+""",
+)
+def rel_order_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer union of (overlapping) order-delivery windows
+    (``operators.temporal.interval_union``): each order spans
+    ``orderdate .. orderdate + (orderkey mod 30) days``; overlapping
+    or touching windows merge into maximal coverage islands via the
+    running-max-of-ends rule (an interval swallowed by an earlier one
+    stays in its island — the case ``lag(end)`` gets wrong). One key
+    shuffle, two frames over one sort, fully replayed in SQL."""
+    from .operators.temporal import interval_union
+
+    o = load_table(spark, sf_dir, "orders")
+    iv = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("s"),
+        F.expr(
+            "timestampadd(DAY, CAST(o_orderkey % 30 AS INT), o_orderdate)"
+        ).alias("e"),
+    )
+    out = interval_union(iv, key_col="custkey", start_col="s", end_col="e")
+    return out.select(
+        "custkey",
+        "island_id",
+        F.col("union_start"),
+        F.col("union_end"),
+        "n_intervals",
+    )
+
+
 # ------------------------------------------------- pipeline coverage pack
 #
 # Registered LAST in this module so it can embed the oracles of the
@@ -4875,6 +4930,7 @@ def _pipeline_pack_oracle() -> str:
     iv = QUERIES["stream_agg_ivm_replay"].oracle
     cc = QUERIES["rel_events_concurrency"].oracle
     wb = QUERIES["rel_events_wau_bitmap"].oracle
+    oc = QUERIES["rel_order_coverage"].oracle
     h_chk = oracle_hash60("check_name || '|' || target")
     h_st = oracle_hash60("status")
     h_pair = oracle_hash60("supp_nation || '|' || cust_nation")
@@ -5189,6 +5245,13 @@ SELECT 'wau_bitmap_check',
   CAST(count(*) + sum((epoch_us(day) % 100003 + 1)
        * ((wau * 131 + dau) % 1000003)) AS BIGINT)
   FROM ({wb})
+UNION ALL
+SELECT 'coverage_check',
+  CAST(count(*) + sum((custkey % 997 + 1)
+       * ((island_id * 131 + n_intervals * 17
+           + epoch_us(union_start) % 100003
+           + epoch_us(union_end) % 100003) % 1000003)) AS BIGINT)
+  FROM ({oc})
 """
 
 
@@ -6276,6 +6339,35 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.sum(
                         (F.unix_micros("day") % 100003 + 1)
                         * ((F.col("wau") * 131 + F.col("dau")) % 1000003)
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    oc = QUERIES["rel_order_coverage"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "coverage_check",
+            oc.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (F.col("custkey") % 997 + 1)
+                        * (
+                            (
+                                F.col("island_id") * 131
+                                + F.col("n_intervals") * 17
+                                + F.unix_micros(
+                                    F.col("union_start").cast("timestamp")
+                                )
+                                % 100003
+                                + F.unix_micros(
+                                    F.col("union_end").cast("timestamp")
+                                )
+                                % 100003
+                            )
+                            % 1000003
+                        )
                     )
                 ).alias("value")
             ),
