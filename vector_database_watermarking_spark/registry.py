@@ -991,6 +991,7 @@ _GRADE_ORDER = [
     "rel_events_concurrency",
     "rel_events_wau_bitmap",
     "rel_order_coverage",
+    "rel_division",
 ]
 
 

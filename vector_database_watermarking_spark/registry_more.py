@@ -4859,6 +4859,45 @@ def rel_order_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rel_division",
+    oracle="""
+SELECT c.c_custkey, c.c_name,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey, c.c_name
+HAVING count(DISTINCT o.o_orderpriority)
+     = (SELECT count(DISTINCT o_orderpriority) FROM orders)
+""",
+)
+def rel_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational DIVISION (the "FOR ALL" shape — SURVEY §2.7's last
+    untouched set-theoretic form): customers who placed orders in
+    EVERY order-priority class that exists. Expressed as the standard
+    division rewrite — per-key distinct-divisor count equal to the
+    global divisor count (a 1-row broadcast scalar), no double-
+    NOT-EXISTS correlated plan for Catalyst to decorrelate. One key
+    shuffle; the divisor cardinality aggregate is map-side tiny."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    total = o.select(
+        F.countDistinct("o_orderpriority").alias("_total")
+    )
+    per_c = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_orderpriority").alias("_k"),
+        )
+    )
+    return (
+        per_c.crossJoin(F.broadcast(total))
+        .filter(F.col("_k") == F.col("_total"))
+        .select("c_custkey", "c_name", "n_orders")
+    )
+
+
 # ------------------------------------------------- pipeline coverage pack
 #
 # Registered LAST in this module so it can embed the oracles of the
@@ -4931,6 +4970,8 @@ def _pipeline_pack_oracle() -> str:
     cc = QUERIES["rel_events_concurrency"].oracle
     wb = QUERIES["rel_events_wau_bitmap"].oracle
     oc = QUERIES["rel_order_coverage"].oracle
+    dv = QUERIES["rel_division"].oracle
+    h_cn = oracle_hash60("c_name")
     h_chk = oracle_hash60("check_name || '|' || target")
     h_st = oracle_hash60("status")
     h_pair = oracle_hash60("supp_nation || '|' || cust_nation")
@@ -5252,6 +5293,11 @@ SELECT 'coverage_check',
            + epoch_us(union_start) % 100003
            + epoch_us(union_end) % 100003) % 1000003)) AS BIGINT)
   FROM ({oc})
+UNION ALL
+SELECT 'division_check',
+  CAST(count(*) + coalesce(sum((c_custkey % 997 + 1)
+       * (({h_cn} % 1000003 + n_orders * 131) % 1000003)), 0) AS BIGINT)
+  FROM ({dv})
 """
 
 
@@ -6339,6 +6385,30 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.sum(
                         (F.unix_micros("day") % 100003 + 1)
                         * ((F.col("wau") * 131 + F.col("dau")) % 1000003)
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    dv = QUERIES["rel_division"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "division_check",
+            dv.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.coalesce(
+                        F.sum(
+                            (F.col("c_custkey") % 997 + 1)
+                            * (
+                                (
+                                    hash60(F.col("c_name")) % 1000003
+                                    + F.col("n_orders") * 131
+                                )
+                                % 1000003
+                            )
+                        ),
+                        F.lit(0),
                     )
                 ).alias("value")
             ),
