@@ -440,3 +440,131 @@ def test_interval_union_swallowed_interval(spark):
     assert k[0]["n_intervals"] == 3
     assert k[1]["n_intervals"] == 1
     assert len([r for r in out if r["key"] == "j"]) == 1
+
+
+# ---------------------------------------------------------------- hypothesis
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_intervals = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2000),
+        st.integers(min_value=0, max_value=500),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(_intervals)
+@settings(max_examples=20, deadline=None)
+def _check_interval_union_property(raw):
+    """interval_union must match a brute-force union of closed integer
+    intervals: same islands, same per-island interval counts."""
+    spark = _check_interval_union_property._spark
+    iv = [(s, s + d) for s, d in raw]
+    df = spark.createDataFrame(
+        [("k", s, e) for s, e in iv],
+        "key string, s long, e long",
+    ).select(
+        "key",
+        F.timestamp_seconds("s").alias("s"),
+        F.timestamp_seconds("e").alias("e"),
+    )
+    from vector_database_watermarking_spark.operators.temporal import (
+        interval_union,
+    )
+
+    got = sorted(
+        (
+            int(r["union_start"].timestamp()),
+            int(r["union_end"].timestamp()),
+            r["n_intervals"],
+        )
+        for r in interval_union(df, "key", "s", "e").collect()
+    )
+    # brute force: sort, merge closed intervals (touching merges)
+    want = []
+    for s, e in sorted(iv):
+        if want and s <= want[-1][1]:
+            want[-1][1] = max(want[-1][1], e)
+            want[-1][2] += 1
+        else:
+            want.append([s, e, 1])
+    assert got == [tuple(w) for w in want]
+
+
+def test_interval_union_matches_bruteforce_property(spark):
+    _check_interval_union_property._spark = spark
+    _check_interval_union_property()
+
+
+@given(_intervals)
+@settings(max_examples=20, deadline=None)
+def _check_concurrency_property(raw):
+    """Peak running concurrency must equal the brute-force sweep over
+    closed intervals (starts before ends at equal instants)."""
+    spark = _check_concurrency_property._spark
+    iv = [(s, s + d) for s, d in raw]
+    df = spark.createDataFrame(iv, "s long, e long").select(
+        F.timestamp_seconds("s").alias("s"),
+        F.timestamp_seconds("e").alias("e"),
+    )
+    from vector_database_watermarking_spark.operators.temporal import (
+        running_concurrency,
+    )
+
+    got = (
+        running_concurrency(df, "s", "e", bucket="minute")
+        .agg(F.max("concurrency"))
+        .collect()[0][0]
+    )
+    events = sorted(
+        [(s, 1) for s, _ in iv] + [(e, -1) for _, e in iv],
+        key=lambda p: (p[0], -p[1]),
+    )
+    run = peak = 0
+    for _, d in events:
+        run += d
+        peak = max(peak, run)
+    assert got == peak
+
+
+def test_concurrency_matches_bruteforce_property(spark):
+    _check_concurrency_property._spark = spark
+    _check_concurrency_property()
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 400), st.sampled_from("abcd")),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(max_examples=15, deadline=None)
+def _check_rebalance_property(rows):
+    """Every class lands on exactly max-class-count rows and replica
+    indices are 1..copies per source row, for arbitrary class skew."""
+    spark = _check_rebalance_property._spark
+    from collections import Counter
+
+    from vector_database_watermarking_spark.operators.sampling import (
+        rebalance_classes,
+    )
+
+    df = spark.createDataFrame(rows, "k long, cls string")
+    out = rebalance_classes(df, class_col="cls", key_col="k", seed=3).collect()
+    counts = Counter(r["cls"] for r in out)
+    m = max(Counter(c for _, c in rows).values())
+    assert set(counts.values()) == {m}
+    per_row = Counter((r["cls"], r["k"]) for r in out)
+    for r in out:
+        assert 1 <= r["copy_idx"] <= r["copies"]
+        assert per_row[(r["cls"], r["k"])] == r["copies"]
+
+
+def test_rebalance_quota_property(spark):
+    _check_rebalance_property._spark = spark
+    _check_rebalance_property()
