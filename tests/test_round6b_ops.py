@@ -568,3 +568,26 @@ def _check_rebalance_property(rows):
 def test_rebalance_quota_property(spark):
     _check_rebalance_property._spark = spark
     _check_rebalance_property()
+
+
+def test_cluster_split_has_zero_leakage_by_construction(spark):
+    """Every near-dup cluster is split-homogeneous, and the leakage
+    audit over the resulting assignment finds zero cross-split
+    near-dup pairs."""
+    from vector_database_watermarking_spark.registry import QUERIES
+
+    out = QUERIES["ext_cluster_split"].fn(spark, SF)
+    hetero = (
+        out.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+    )
+    assert hetero.count() == 0
+    # cross-split near-dup pairs: members of one cluster in two splits
+    pairs = out.alias("a").join(
+        out.alias("b"),
+        (F.col("a.cluster_id") == F.col("b.cluster_id"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.col("a.split") != F.col("b.split")),
+    )
+    assert pairs.count() == 0

@@ -992,6 +992,7 @@ _GRADE_ORDER = [
     "rel_events_wau_bitmap",
     "rel_order_coverage",
     "rel_division",
+    "ext_cluster_split",
 ]
 
 

@@ -4898,6 +4898,45 @@ def rel_division(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cluster_split_oracle() -> str:
+    dc = QUERIES["ext_dedup_clusters"].oracle
+    cs = QUERIES["ext_corpus_split"].oracle
+    return f"""
+WITH dc AS ({dc}), cs AS ({cs})
+SELECT m.doc_id, m.cluster_id, s.split
+FROM dc m
+JOIN dc c ON m.cluster_id = c.cluster_id AND c.is_canonical
+JOIN cs s ON s.doc_id = c.doc_id
+"""
+
+
+@register("ext_cluster_split", oracle=_cluster_split_oracle())
+def ext_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware train/val/test split: every document inherits the
+    split of its near-dup cluster's CANONICAL member (content-keyed,
+    so re-ingestion keeps assignments) — the assignment-side closure
+    of the ``ext_split_leakage`` audit: near-duplicate pairs cannot
+    straddle splits BY CONSTRUCTION, instead of being counted after
+    the fact. Composes two graded operators (MinHash-banded dedup
+    clustering and the content-keyed split); the oracle replays both
+    end to end. Scale shape: the split hash rides the |clusters|-sized
+    canonical relation and one broadcastable join back to members."""
+    from .operators.relevance import corpus_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = QUERIES["ext_dedup_clusters"].fn(spark, sf_dir)
+    canon = clusters.filter(F.col("is_canonical")).select(
+        "cluster_id", F.col("doc_id").alias("_canon_id")
+    )
+    canon_split = corpus_split(docs).select(
+        F.col("doc_id").alias("_canon_id"), "split"
+    )
+    lut = canon.join(canon_split, on="_canon_id").select("cluster_id", "split")
+    return clusters.join(lut, on="cluster_id").select(
+        "doc_id", "cluster_id", "split"
+    )
+
+
 # ------------------------------------------------- pipeline coverage pack
 #
 # Registered LAST in this module so it can embed the oracles of the
@@ -4972,6 +5011,8 @@ def _pipeline_pack_oracle() -> str:
     oc = QUERIES["rel_order_coverage"].oracle
     dv = QUERIES["rel_division"].oracle
     h_cn = oracle_hash60("c_name")
+    cl = QUERIES["ext_cluster_split"].oracle
+    h_spl1 = oracle_hash60("split")
     h_chk = oracle_hash60("check_name || '|' || target")
     h_st = oracle_hash60("status")
     h_pair = oracle_hash60("supp_nation || '|' || cust_nation")
@@ -5298,6 +5339,11 @@ SELECT 'division_check',
   CAST(count(*) + coalesce(sum((c_custkey % 997 + 1)
        * (({h_cn} % 1000003 + n_orders * 131) % 1000003)), 0) AS BIGINT)
   FROM ({dv})
+UNION ALL
+SELECT 'cluster_split_check',
+  CAST(count(*) + sum((doc_id % 997 + 1)
+       * ((cluster_id * 131 + {h_spl1}) % 1000003)) AS BIGINT)
+  FROM ({cl})
 """
 
 
@@ -6385,6 +6431,27 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.sum(
                         (F.unix_micros("day") % 100003 + 1)
                         * ((F.col("wau") * 131 + F.col("dau")) % 1000003)
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    cl = QUERIES["ext_cluster_split"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "cluster_split_check",
+            cl.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (F.col("doc_id") % 997 + 1)
+                        * (
+                            (
+                                F.col("cluster_id") * 131
+                                + hash60(F.col("split"))
+                            )
+                            % 1000003
+                        )
                     )
                 ).alias("value")
             ),
