@@ -147,3 +147,33 @@ def test_ivm_view_equals_recompute_after_stream(spark, tmp_path):
     }
     assert view == recomputed
     assert view == {"g1": (1, 2), "g2": (1, 4), "g3": (1, 2)}
+
+
+def test_ivm_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch re-delivers a batch after failure: applying the
+    SAME batch twice must leave both the base and the view exactly as
+    after the first application (the merge is insert-or-replace and
+    the retraction then equals the new state)."""
+    from vector_database_watermarking_spark.streaming import cdc, ivm
+
+    base = spark.createDataFrame(
+        [(1, "a", "g1"), (2, "bb", "g2")], "doc_id long, text string, source string"
+    )
+    batch = spark.createDataFrame(
+        [(1, "zzz", "g2", 10, "update"), (3, "cc", "g1", 11, "insert"),
+         (2, None, None, 12, "delete")],
+        "doc_id long, text string, source string, seq long, op string",
+    )
+    table_dir, agg_dir = str(tmp_path / "t"), str(tmp_path / "v")
+    cdc.init_table(base, table_dir)
+    ivm.init_view(base, agg_dir, "source", "length(text)")
+
+    def snap():
+        b = sorted(map(tuple, cdc.read_current(spark, table_dir).collect()))
+        v = sorted(map(tuple, cdc.read_current(spark, agg_dir).collect()))
+        return b, v
+
+    ivm.apply_batch(batch, table_dir, agg_dir, "source", "length(text)", retain=0)
+    first = snap()
+    ivm.apply_batch(batch, table_dir, agg_dir, "source", "length(text)", retain=0)
+    assert snap() == first

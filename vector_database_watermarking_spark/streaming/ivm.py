@@ -81,6 +81,54 @@ def _combine(
     )
 
 
+def apply_batch(
+    batch_df: DataFrame,
+    table_dir: str,
+    agg_dir: str,
+    group_col: str,
+    value_expr: str,
+    key: str = "doc_id",
+    seq: str = "seq",
+    op: str = "op",
+    retain: int = 2,
+) -> None:
+    """One IVM trigger: retract the affected keys' old contributions,
+    MERGE the batch into the base, add the new contributions, commit
+    both snapshots.
+
+    REPLAY-IDEMPOTENT (the property ``foreachBatch`` requires after a
+    failure re-delivers a batch): re-applying a batch finds the base
+    already merged, so ``apply_changes`` is a no-op (insert-or-replace
+    with identical payloads, delete of absent keys) and the retraction
+    equals the new state — the view delta is exactly zero. Asserted by
+    test."""
+    if not batch_df.take(1):
+        return
+    spark = batch_df.sparkSession
+    keys = batch_df.select(key).distinct()
+    base = cdc.read_current(spark, table_dir)
+    old = group_contrib(
+        base.join(keys, on=key, how="left_semi"), group_col, value_expr
+    )
+    merged = apply_changes(base, batch_df, key=key, seq=seq, op=op)
+    # `new` reads the in-plan `merged`, not a committed snapshot,
+    # so the trigger is one unit: base and view commit together.
+    new = group_contrib(
+        merged.join(keys, on=key, how="left_semi"), group_col, value_expr
+    )
+    view = cdc.read_current(spark, agg_dir)
+    updated = _combine(view, old, new, group_col)
+    with open(os.path.join(table_dir, "_CURRENT")) as fh:
+        cur = int(fh.read().strip().lstrip("v"))
+    cdc._commit_snapshot(merged, table_dir, cur + 1)
+    with open(os.path.join(agg_dir, "_CURRENT")) as fh:
+        acur = int(fh.read().strip().lstrip("v"))
+    cdc._commit_snapshot(updated, agg_dir, acur + 1)
+    if retain:
+        cdc.vacuum(table_dir, retain)
+        cdc.vacuum(agg_dir, retain)
+
+
 def ivm_agg_stream(
     changes_stream: DataFrame,
     table_dir: str,
@@ -100,31 +148,17 @@ def ivm_agg_stream(
     StreamingQuery (caller stops it)."""
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.take(1):
-            return
-        spark = batch_df.sparkSession
-        keys = batch_df.select(key).distinct()
-        base = cdc.read_current(spark, table_dir)
-        old = group_contrib(
-            base.join(keys, on=key, how="left_semi"), group_col, value_expr
+        apply_batch(
+            batch_df,
+            table_dir,
+            agg_dir,
+            group_col,
+            value_expr,
+            key=key,
+            seq=seq,
+            op=op,
+            retain=retain,
         )
-        merged = apply_changes(base, batch_df, key=key, seq=seq, op=op)
-        # `new` reads the in-plan `merged`, not a committed snapshot,
-        # so the trigger is one unit: base and view commit together.
-        new = group_contrib(
-            merged.join(keys, on=key, how="left_semi"), group_col, value_expr
-        )
-        view = cdc.read_current(spark, agg_dir)
-        updated = _combine(view, old, new, group_col)
-        with open(os.path.join(table_dir, "_CURRENT")) as fh:
-            cur = int(fh.read().strip().lstrip("v"))
-        cdc._commit_snapshot(merged, table_dir, cur + 1)
-        with open(os.path.join(agg_dir, "_CURRENT")) as fh:
-            acur = int(fh.read().strip().lstrip("v"))
-        cdc._commit_snapshot(updated, agg_dir, acur + 1)
-        if retain:
-            cdc.vacuum(table_dir, retain)
-            cdc.vacuum(agg_dir, retain)
 
     writer = changes_stream.writeStream.foreachBatch(_apply).outputMode("update")
     if checkpoint_dir:
