@@ -591,3 +591,38 @@ def test_cluster_split_has_zero_leakage_by_construction(spark):
         & (F.col("a.split") != F.col("b.split")),
     )
     assert pairs.count() == 0
+
+
+def test_mixture_execute_expected_token_budget(spark):
+    """Executing a plan lands within 3% of its target token budget per
+    weighted source, and zero-weight sources vanish."""
+    from vector_database_watermarking_spark.operators.sampling import (
+        mixture_execute,
+        mixture_plan,
+    )
+    from vector_database_watermarking_spark.operators.text import token_count
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    weights = {"src0": 500000, "src1": 500000}
+    plan = mixture_plan(
+        docs, "source", token_count("text"), weights, budget_tokens=200_000
+    )
+    out = mixture_execute(
+        docs.select("doc_id", "source", token_count("text").alias("n_tok")),
+        plan,
+        source_col="source",
+        key_col="doc_id",
+    )
+    got = {
+        r["source"]: r["t"]
+        for r in out.groupBy("source").agg(F.sum("n_tok").alias("t")).collect()
+    }
+    assert set(got) == {"src0", "src1"}
+    for src in got:
+        assert abs(got[src] - 100_000) / 100_000 < 0.03
+    # determinism under repartitioning
+    out2 = mixture_execute(
+        docs.repartition(13).select("doc_id", "source", token_count("text").alias("n_tok")),
+        plan, source_col="source", key_col="doc_id",
+    )
+    assert out.exceptAll(out2).count() == 0 and out2.exceptAll(out).count() == 0

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import hash60
+from ..functions.hashing import hash60, hash_mod
 
 
 def stratified_exact_sample(
@@ -186,4 +186,43 @@ def mixture_plan(
                 F.expr("target_tokens * 1000000 div available_tokens")
             ),
         )
+    )
+
+
+def mixture_execute(
+    df: DataFrame,
+    plan: DataFrame,
+    source_col: str,
+    key_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Execute a :func:`mixture_plan`: every row is emitted
+    ``rate_e6 div 1e6`` times plus one more with probability
+    ``(rate_e6 mod 1e6) / 1e6`` — Bernoulli on the fractional part,
+    derived from the keyed hash, so rate > 1e6 repeats (epochs) and
+    rate < 1e6 subsamples, and the expected per-source token count is
+    exactly the plan's target. Output = input columns + ``copy_idx``.
+
+    Deterministic and partitioning-invariant (hash of seed + row key
+    decides the fractional draw); the plan joins in as a broadcast
+    (|sources| rows); the explode is output-bound. The same replicate-
+    by-sequence idiom as :func:`rebalance_classes`, driven by a rate
+    instead of a class quota.
+    """
+    u = hash_mod(
+        F.concat(F.lit(f"mix_{seed}_"), F.col(key_col).cast("string")), 1000000
+    )
+    rates = plan.select(source_col, "rate_e6")
+    copies = F.expr("rate_e6 div 1000000") + (
+        u < F.col("rate_e6") % 1000000
+    ).cast("long")
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .withColumn("_copies", copies)
+        .filter(F.col("_copies") > 0)
+        .withColumn(
+            "copy_idx",
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col("_copies"))),
+        )
+        .drop("rate_e6", "_copies")
     )

@@ -993,6 +993,7 @@ _GRADE_ORDER = [
     "rel_order_coverage",
     "rel_division",
     "ext_cluster_split",
+    "ext_mixture_execute",
 ]
 
 

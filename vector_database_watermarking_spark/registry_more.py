@@ -4898,6 +4898,51 @@ def rel_division(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mixture_execute_oracle() -> str:
+    plan = QUERIES["ext_mixture_plan"].oracle
+    return f"""
+WITH plan AS ({plan}),
+rated AS (
+  SELECT d.doc_id, d.source, p.rate_e6,
+         p.rate_e6 // 1000000
+         + CASE WHEN CAST('0x' || substr(md5(concat('mix_42_',
+                  CAST(d.doc_id AS VARCHAR))), 1, 15) AS BIGINT) % 1000000
+                < p.rate_e6 % 1000000 THEN 1 ELSE 0 END AS copies
+  FROM documents d JOIN plan p USING (source)
+)
+SELECT doc_id, source,
+       CAST(unnest(generate_series(1, copies)) AS BIGINT) AS copy_idx
+FROM rated WHERE copies > 0
+"""
+
+
+@register("ext_mixture_execute", oracle=_mixture_execute_oracle())
+def ext_mixture_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the graded mixture plan
+    (``operators.sampling.mixture_execute``): each document emits
+    ``rate div 1e6`` copies plus a keyed-hash Bernoulli draw on the
+    fractional part — epochs for under-represented sources, subsample
+    for over-represented ones, expected tokens equal to the plan's
+    target. Replica-for-replica replay (plan oracle embedded), closing
+    the plan → corpus loop: ``ext_mixture_plan`` decides, this
+    materializes."""
+    from .operators.sampling import mixture_execute, mixture_plan
+    from .operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = mixture_plan(
+        docs,
+        source_col="source",
+        token_count_col=token_count("text"),
+        weights_e6=_MIX_WEIGHTS,
+        budget_tokens=_MIX_BUDGET,
+    )
+    return mixture_execute(
+        docs.select("doc_id", "source"), plan, source_col="source",
+        key_col="doc_id", seed=42,
+    ).select("doc_id", "source", "copy_idx")
+
+
 def _cluster_split_oracle() -> str:
     dc = QUERIES["ext_dedup_clusters"].oracle
     cs = QUERIES["ext_corpus_split"].oracle
@@ -5013,6 +5058,7 @@ def _pipeline_pack_oracle() -> str:
     h_cn = oracle_hash60("c_name")
     cl = QUERIES["ext_cluster_split"].oracle
     h_spl1 = oracle_hash60("split")
+    me = QUERIES["ext_mixture_execute"].oracle
     h_chk = oracle_hash60("check_name || '|' || target")
     h_st = oracle_hash60("status")
     h_pair = oracle_hash60("supp_nation || '|' || cust_nation")
@@ -5344,6 +5390,11 @@ SELECT 'cluster_split_check',
   CAST(count(*) + sum((doc_id % 997 + 1)
        * ((cluster_id * 131 + {h_spl1}) % 1000003)) AS BIGINT)
   FROM ({cl})
+UNION ALL
+SELECT 'mixture_exec_check',
+  CAST(count(*) + sum((doc_id % 997 + 1)
+       * (({h_src} % 1000003 + copy_idx * 131) % 1000003)) AS BIGINT)
+  FROM ({me})
 """
 
 
@@ -6431,6 +6482,27 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.sum(
                         (F.unix_micros("day") % 100003 + 1)
                         * ((F.col("wau") * 131 + F.col("dau")) % 1000003)
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    me = QUERIES["ext_mixture_execute"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "mixture_exec_check",
+            me.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (F.col("doc_id") % 997 + 1)
+                        * (
+                            (
+                                hash60(F.col("source")) % 1000003
+                                + F.col("copy_idx") * 131
+                            )
+                            % 1000003
+                        )
                     )
                 ).alias("value")
             ),
