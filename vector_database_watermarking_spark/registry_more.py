@@ -5431,8 +5431,14 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     median/MAD outlier flags (doc-weighted value/median/MAD/flag
     hash), the per-user EWMA fold (user-weighted count/e6 hash), the
     Q7-style nation-pair trade rollup (pair-hash-weighted
-    count/revenue sum), and the bucketed-storage join (segment-hash-
-    weighted count/cents sum over the real bucketed round-trip).
+    count/revenue sum), the bucketed-storage join (segment-hash-
+    weighted count/cents sum over the real bucketed round-trip), the
+    rank normalization and mixture plan/execute trio, the dq-audit
+    violation counts, the snapshot diff (status/bitmask hash), the
+    IVM converged view, the sweep-line daily concurrency peaks, the
+    bitmap distinct-actives tier, the interval-union coverage
+    islands, the relational division, and the dedup-aware cluster
+    split.
     Each oracle side embeds the corresponding full-value oracle
     verbatim as a subquery, so a pass here certifies the same
     computation the standalone query would."""
