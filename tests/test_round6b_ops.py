@@ -626,3 +626,36 @@ def test_mixture_execute_expected_token_budget(spark):
         plan, source_col="source", key_col="doc_id",
     )
     assert out.exceptAll(out2).count() == 0 and out2.exceptAll(out).count() == 0
+
+
+def test_quantile_normalize_sketch_tier_error_bound(spark):
+    """The binned scale tier stays within 2% rank units of the exact
+    percent_rank on real data (and is a no-sort plan: no per-group
+    window in the physical plan)."""
+    from vector_database_watermarking_spark.operators.stats import (
+        quantile_normalize,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source", "n_chars"
+    )
+    exact = quantile_normalize(docs, "n_chars", "source").select(
+        "doc_id", F.col("pr_e6").alias("p_exact")
+    )
+    approx = quantile_normalize(docs, "n_chars", "source", exact=False).select(
+        "doc_id", F.col("pr_e6").alias("p_approx")
+    )
+    j = exact.join(approx, "doc_id")
+    max_err = j.agg(
+        F.max(F.abs(F.col("p_exact") - F.col("p_approx")))
+    ).collect()[0][0]
+    # grid error is O(1/group size): on the tiny fixture groups
+    # (~50 docs) a couple of rank steps dominate; at the tier's
+    # actual scale (huge groups) the bound tightens to the sketch
+    # accuracy. Allow 2 rank steps of the smallest group + 1%.
+    min_group = (
+        docs.groupBy("source").count().agg(F.min("count")).collect()[0][0]
+    )
+    assert max_err <= 2 * 1000000 // min_group + 10000
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "WindowExec" not in plan or "percent_rank" not in plan

@@ -399,7 +399,7 @@ def robust_outliers(
 
 
 def quantile_normalize(
-    df: DataFrame, value_col: str, group_col: str
+    df: DataFrame, value_col: str, group_col: str, exact: bool = True
 ) -> DataFrame:
     """Per-group rank normalization (extension): adds ``pr_e6`` — the
     ANSI ``percent_rank`` of the value within its group, bucketed to
@@ -411,14 +411,39 @@ def quantile_normalize(
     the single ``(rank-1)/(n-1)`` division is one IEEE op, engine-
     exact before bucketing.
 
-    Scale shape: one shuffle on the group key + a per-group sort —
-    the exact-rank price. At 100 TB with few giant groups, swap the
-    window for the broadcast-quantile binning tier (``zorder_key_binned``
-    pattern): approximate ranks from a quantile sketch, no global
-    per-group sort.
+    Exact tier (default): one shuffle on the group key + a per-group
+    sort — the exact-rank price. Scale tier (``exact=False``): the
+    ``zorder_key_binned`` pattern — 1000 approximate per-group
+    quantile edges (``percentile_approx``, one aggregate) broadcast
+    back, each row's rank position read off the sorted edge array with
+    a binary ``array_position``-free fold; no per-group sort of the
+    data itself, error bounded by the sketch accuracy (≤ ~0.1 %
+    rank units at the default accuracy; gated by test). The tier for
+    100 TB groups where a full sort per group is the bottleneck.
     """
-    w = Window.partitionBy(group_col).orderBy(value_col)
-    return df.withColumn(
-        "pr_e6",
-        F.floor(F.percent_rank().over(w) * 1000000 + F.lit(0.5)).cast("long"),
+    if exact:
+        w = Window.partitionBy(group_col).orderBy(value_col)
+        return df.withColumn(
+            "pr_e6",
+            F.floor(F.percent_rank().over(w) * 1000000 + F.lit(0.5)).cast("long"),
+        )
+    probs = [i / 1000.0 for i in range(1001)]
+    edges = df.groupBy(group_col).agg(
+        F.percentile_approx(value_col, probs, 100000).alias("_edges")
+    )
+    # rank position = (#edges strictly below v) normalized to [0, 1]:
+    # the sketch's per-mille grid read off with one array fold.
+    below = F.aggregate(
+        F.col("_edges"),
+        F.lit(0),
+        lambda acc, e: acc + (e < F.col(value_col)).cast("int"),
+    )
+    return (
+        df.join(F.broadcast(edges), group_col)
+        .withColumn(
+            "pr_e6",
+            F.floor(below.cast("double") / F.lit(1000.0) * 1000000 + F.lit(0.5))
+            .cast("long"),
+        )
+        .drop("_edges")
     )
