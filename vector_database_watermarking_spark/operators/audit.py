@@ -29,7 +29,8 @@ from pyspark.sql import functions as F
 
 def null_violations(df: DataFrame, cols: list[str], table: str) -> DataFrame:
     aggs = [
-        F.sum(F.col(c).isNull().cast("long")).alias(c) for c in cols
+        F.coalesce(F.sum(F.col(c).isNull().cast("long")), F.lit(0)).alias(c)
+        for c in cols
     ]
     wide = df.agg(*aggs)
     parts = [
@@ -50,7 +51,9 @@ def duplicate_keys(df: DataFrame, key_cols: list[str], table: str) -> DataFrame:
     excess = df.groupBy(*key_cols).agg(
         (F.count(F.lit(1)) - 1).alias("_x")
     )
-    return excess.agg(F.sum("_x").cast("long").alias("violations")).select(
+    return excess.agg(
+        F.coalesce(F.sum("_x"), F.lit(0)).cast("long").alias("violations")
+    ).select(
         F.lit("unique").alias("check_name"),
         F.lit(f"{table}({', '.join(key_cols)})").alias("target"),
         "violations",
