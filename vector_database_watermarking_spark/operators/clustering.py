@@ -136,6 +136,9 @@ def _assign_arrow(q: DataFrame, cents: list[tuple[list[int], int]]) -> DataFrame
 
     def batches(it):
         for pdf in it:
+            if pdf.empty:
+                yield pdf.assign(cluster=np.array([], dtype=np.int32))
+                continue
             X = np.stack(pdf["xq"].to_numpy()).astype(np.int64)  # n × d
             D = X[:, None, :] * C[None, :, None] - S[None, :, :]
             num = (D * D).sum(axis=2)  # n × k, int64 wrap = JVM long
