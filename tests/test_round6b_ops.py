@@ -659,3 +659,15 @@ def test_quantile_normalize_sketch_tier_error_bound(spark):
     assert max_err <= 2 * 1000000 // min_group + 10000
     plan = approx._jdf.queryExecution().executedPlan().toString()
     assert "WindowExec" not in plan or "percent_rank" not in plan
+
+
+def test_winsorize_hand_computed(spark):
+    from vector_database_watermarking_spark.operators.stats import winsorize_iqr
+
+    rows = [(i, "g", v) for i, v in enumerate([1, 2, 3, 4, 100])]
+    df = spark.createDataFrame(rows, "id long, grp string, v long")
+    out = {r["id"]: r for r in winsorize_iqr(df, "v", "grp", k=1.5).collect()}
+    # q1 = 2, q3 = 4, IQR = 2 -> fences [-1, 7]
+    assert out[0]["lo"] == -1.0 and out[0]["hi"] == 7.0
+    assert out[4]["clipped"] == 7.0  # 100 clipped to the fence
+    assert out[0]["clipped"] == 1.0  # in-range values unchanged

@@ -447,3 +447,42 @@ def quantile_normalize(
         )
         .drop("_edges")
     )
+
+
+def winsorize_iqr(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    k: float = 1.5,
+    exact: bool = True,
+) -> DataFrame:
+    """Tukey-fence winsorization per group (extension): values are
+    CLIPPED to ``[q1 - k·IQR, q3 + k·IQR]`` instead of dropped — the
+    transform used when outliers must not bias a statistic but every
+    row must survive (length features, rate denominators). Adds
+    ``lo``/``hi`` (the fences) and ``clipped`` (the winsorized value);
+    pairs with :func:`robust_outliers`, which flags rather than
+    rewrites.
+
+    On integer inputs q1/q3 interpolate at quarter steps, so with a
+    dyadic ``k`` (1.5 default) every fence and clipped value is a
+    dyadic rational — engine-exact, SQL-replayable. Same plan as the
+    MAD screen: one group percentile aggregate + a broadcast join;
+    ``exact=False`` swaps in ``percentile_approx`` for sketch-state
+    groups at corpus scale.
+    """
+    pct = "percentile" if exact else "percentile_approx"
+    q = df.groupBy(group_col).agg(
+        F.expr(f"{pct}({value_col}, 0.25)").alias("_q1"),
+        F.expr(f"{pct}({value_col}, 0.75)").alias("_q3"),
+    )
+    lo = F.col("_q1") - k * (F.col("_q3") - F.col("_q1"))
+    hi = F.col("_q3") + k * (F.col("_q3") - F.col("_q1"))
+    v = F.col(value_col).cast("double")
+    return (
+        df.join(F.broadcast(q), group_col)
+        .withColumn("lo", lo)
+        .withColumn("hi", hi)
+        .withColumn("clipped", F.least(F.greatest(v, F.col("lo")), F.col("hi")))
+        .drop("_q1", "_q3")
+    )

@@ -994,6 +994,7 @@ _GRADE_ORDER = [
     "rel_division",
     "ext_cluster_split",
     "ext_mixture_execute",
+    "ext_winsorize",
 ]
 
 

@@ -4898,6 +4898,37 @@ def rel_division(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ext_winsorize",
+    oracle="""
+WITH q AS (
+  SELECT source, quantile_cont(n_chars, 0.25) AS q1,
+         quantile_cont(n_chars, 0.75) AS q3
+  FROM documents GROUP BY source
+)
+SELECT d.doc_id, d.source, d.n_chars,
+       q.q1 - 1.5 * (q.q3 - q.q1) AS lo,
+       q.q3 + 1.5 * (q.q3 - q.q1) AS hi,
+       least(greatest(CAST(d.n_chars AS DOUBLE), q.q1 - 1.5 * (q.q3 - q.q1)),
+             q.q3 + 1.5 * (q.q3 - q.q1)) AS clipped
+FROM documents d JOIN q USING (source)
+""",
+)
+def ext_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence winsorization of document length per source
+    (``operators.stats.winsorize_iqr``, k=1.5): values clipped to
+    ``[q1 − 1.5·IQR, q3 + 1.5·IQR]`` — the keep-every-row counterpart
+    of ``ext_mad_outliers``' flags. On integer lengths the quartiles
+    interpolate at quarter steps and k is dyadic, so fences and
+    clipped values are exact dyadic rationals replayed bit-for-bit."""
+    from .operators.stats import winsorize_iqr
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return winsorize_iqr(docs, value_col="n_chars", group_col="source", k=1.5)
+
+
 def _mixture_execute_oracle() -> str:
     plan = QUERIES["ext_mixture_plan"].oracle
     return f"""
@@ -5059,6 +5090,7 @@ def _pipeline_pack_oracle() -> str:
     cl = QUERIES["ext_cluster_split"].oracle
     h_spl1 = oracle_hash60("split")
     me = QUERIES["ext_mixture_execute"].oracle
+    wz = QUERIES["ext_winsorize"].oracle
     h_chk = oracle_hash60("check_name || '|' || target")
     h_st = oracle_hash60("status")
     h_pair = oracle_hash60("supp_nation || '|' || cust_nation")
@@ -5395,6 +5427,12 @@ SELECT 'mixture_exec_check',
   CAST(count(*) + sum((doc_id % 997 + 1)
        * (({h_src} % 1000003 + copy_idx * 131) % 1000003)) AS BIGINT)
   FROM ({me})
+UNION ALL
+SELECT 'winsorize_check',
+  CAST(count(*) + sum((doc_id % 997 + 1)
+       * ((n_chars + CAST(lo * 8 AS BIGINT) * 131 + CAST(hi * 8 AS BIGINT) * 17
+           + CAST(clipped * 8 AS BIGINT) * 7) % 1000003)) AS BIGINT)
+  FROM ({wz})
 """
 
 
@@ -6488,6 +6526,29 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.sum(
                         (F.unix_micros("day") % 100003 + 1)
                         * ((F.col("wau") * 131 + F.col("dau")) % 1000003)
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    wz = QUERIES["ext_winsorize"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "winsorize_check",
+            wz.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (F.col("doc_id") % 997 + 1)
+                        * (
+                            (
+                                F.col("n_chars")
+                                + (F.col("lo") * 8).cast("long") * 131
+                                + (F.col("hi") * 8).cast("long") * 17
+                                + (F.col("clipped") * 8).cast("long") * 7
+                            )
+                            % 1000003
+                        )
                     )
                 ).alias("value")
             ),
