@@ -671,3 +671,28 @@ def test_winsorize_hand_computed(spark):
     assert out[0]["lo"] == -1.0 and out[0]["hi"] == 7.0
     assert out[4]["clipped"] == 7.0  # 100 clipped to the fence
     assert out[0]["clipped"] == 1.0  # in-range values unchanged
+
+
+@given(st.lists(st.integers(0, 10000), min_size=2, max_size=40))
+@settings(max_examples=15, deadline=None)
+def _check_winsorize_property(vals):
+    """Fences and clipped values must match numpy's linear-interpolated
+    quartiles exactly (dyadic arithmetic on integer inputs)."""
+    spark = _check_winsorize_property._spark
+    from vector_database_watermarking_spark.operators.stats import winsorize_iqr
+
+    df = spark.createDataFrame(
+        [(i, "g", v) for i, v in enumerate(vals)], "id long, grp string, v long"
+    )
+    out = {r["id"]: r for r in winsorize_iqr(df, "v", "grp", k=1.5).collect()}
+    q1 = np.percentile(vals, 25, method="linear")
+    q3 = np.percentile(vals, 75, method="linear")
+    lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+    for i, v in enumerate(vals):
+        assert out[i]["lo"] == lo and out[i]["hi"] == hi
+        assert out[i]["clipped"] == min(max(float(v), lo), hi)
+
+
+def test_winsorize_matches_numpy_property(spark):
+    _check_winsorize_property._spark = spark
+    _check_winsorize_property()
