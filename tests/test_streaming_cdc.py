@@ -177,3 +177,74 @@ def test_ivm_batch_replay_is_idempotent(spark, tmp_path):
     first = snap()
     ivm.apply_batch(batch, table_dir, agg_dir, "source", "length(text)", retain=0)
     assert snap() == first
+
+
+def test_ivm_crash_between_commits_heals_on_replay(spark, tmp_path, monkeypatch):
+    """Kill the trigger BETWEEN the base commit and the view commit
+    (the torn window), then replay the batch as foreachBatch would.
+    The replay must detect the stamp lag and recompute the missed
+    delta from the retained pre-merge snapshot — the view must equal
+    a from-scratch recompute, not silently miss the batch."""
+    from vector_database_watermarking_spark.streaming import cdc, ivm
+
+    base = spark.createDataFrame(
+        [(1, "a", "g1"), (2, "bb", "g1"), (3, "ccc", "g2")],
+        "doc_id long, text string, source string",
+    )
+    batch = spark.createDataFrame(
+        [(1, "zzzz", "g2", 10, "update"), (4, "ee", "g3", 11, "insert"),
+         (3, None, None, 12, "delete")],
+        "doc_id long, text string, source string, seq long, op string",
+    )
+    table_dir, agg_dir = str(tmp_path / "t"), str(tmp_path / "v")
+    cdc.init_table(base, table_dir)
+    ivm.init_view(base, agg_dir, "source", "length(text)")
+
+    class Boom(RuntimeError):
+        pass
+
+    def crash_commit_view(*a, **k):
+        raise Boom("simulated crash between base and view commits")
+
+    monkeypatch.setattr(ivm, "_commit_view", crash_commit_view)
+    try:
+        ivm.apply_batch(batch, table_dir, agg_dir, "source", "length(text)")
+    except Boom:
+        pass
+    monkeypatch.undo()
+
+    # torn state: base merged (v1), view still v0 stamped with base v0
+    with open(f"{table_dir}/_CURRENT") as fh:
+        assert fh.read().strip() == "v1"
+    with open(f"{agg_dir}/_CURRENT") as fh:
+        assert fh.read().strip() == "v0"
+    assert ivm._read_stamp(agg_dir, 0, default=-1) == 0
+
+    # foreachBatch re-delivers the same batch → heal path
+    ivm.apply_batch(batch, table_dir, agg_dir, "source", "length(text)")
+    view = {
+        r["source"]: (r["n_rows"], r["sum_value"])
+        for r in cdc.read_current(spark, agg_dir).collect()
+    }
+    recomputed = {
+        r["source"]: (r["n_rows"], r["sum_value"])
+        for r in ivm.group_contrib(
+            cdc.read_current(spark, table_dir), "source", "length(text)"
+        ).collect()
+    }
+    assert view == recomputed
+    assert view == {"g1": (1, 2), "g2": (1, 4), "g3": (1, 2)}
+    # base was NOT re-merged by the heal (no spurious version bump)
+    with open(f"{table_dir}/_CURRENT") as fh:
+        assert fh.read().strip() == "v1"
+    assert ivm._read_stamp(agg_dir, 1, default=-1) == 1
+
+    # a further clean re-delivery (crash after heal, before checkpoint
+    # advance) stays stable
+    before = view
+    ivm.apply_batch(batch, table_dir, agg_dir, "source", "length(text)")
+    after = {
+        r["source"]: (r["n_rows"], r["sum_value"])
+        for r in cdc.read_current(spark, agg_dir).collect()
+    }
+    assert after == before

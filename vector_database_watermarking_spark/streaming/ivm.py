@@ -26,6 +26,21 @@ affected buckets plus a |groups|-row combine; the full base is never
 re-aggregated. This is the standard lakehouse pattern for keeping a
 dashboard rollup fresh under a change stream at 100 TB, where
 ``REFRESH MATERIALIZED VIEW`` (a full rescan) costs hours.
+
+Crash consistency: the base and the view are two snapshot pointers,
+so a trigger cannot flip both in one filesystem operation. Instead
+every view snapshot is STAMPED with the base version it reflects
+(``vN/_BASE_VERSION`` — underscore-prefixed, so parquet readers skip
+it), and ``apply_batch`` starts by comparing the stamp against the
+base pointer. A crash between the base commit and the view commit
+leaves ``stamp < base`` — the re-delivered batch (Structured
+Streaming only advances its checkpoint after ``foreachBatch``
+returns) takes the HEAL path: the missed delta is recomputed from
+the retained pre-merge base snapshot (``view − contrib(base@stamp ⋉
+keys) + contrib(base@current ⋉ keys)``) and only the view is
+committed. The happy path, the crash-replay path, and the
+already-healed replay path all converge to ``view == recompute``;
+asserted by ``test_ivm_crash_between_commits_heals_on_replay``.
 """
 
 from __future__ import annotations
@@ -49,11 +64,49 @@ def group_contrib(
     )
 
 
-def init_view(
-    base: DataFrame, agg_dir: str, group_col: str, value_expr: str
+def _stamp_path(agg_dir: str, version: int) -> str:
+    return os.path.join(agg_dir, f"v{version}", "_BASE_VERSION")
+
+
+def _read_stamp(agg_dir: str, version: int, default: int) -> int:
+    """Base version this view snapshot reflects (``default`` for
+    pre-stamp legacy snapshots, trusted as current)."""
+    try:
+        with open(_stamp_path(agg_dir, version)) as fh:
+            return int(fh.read().strip().lstrip("v"))
+    except FileNotFoundError:
+        return default
+
+
+def _commit_view(
+    df: DataFrame, agg_dir: str, version: int, base_version: int
 ) -> None:
-    """Materialize v0 of the view from the initial base."""
+    """Commit a view snapshot stamped with the base version it
+    reflects. Write order: parquet dir, stamp inside it, pointer flip
+    last — a crash anywhere before the flip leaves the old snapshot
+    live and the orphan dir is overwritten on the next attempt."""
+    vdir = f"v{version}"
+    df.write.mode("overwrite").parquet(os.path.join(agg_dir, vdir))
+    with open(_stamp_path(agg_dir, version), "w") as fh:
+        fh.write(f"v{base_version}")
+    tmp = cdc._pointer_path(agg_dir) + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(vdir)
+    os.replace(tmp, cdc._pointer_path(agg_dir))
+
+
+def init_view(
+    base: DataFrame,
+    agg_dir: str,
+    group_col: str,
+    value_expr: str,
+    base_version: int = 0,
+) -> None:
+    """Materialize v0 of the view from the initial base, stamped with
+    the base version it reflects (v0 right after ``cdc.init_table``)."""
     cdc.init_table(group_contrib(base, group_col, value_expr), agg_dir)
+    with open(_stamp_path(agg_dir, 0), "w") as fh:
+        fh.write(f"v{base_version}")
 
 
 def _combine(
@@ -94,36 +147,81 @@ def apply_batch(
 ) -> None:
     """One IVM trigger: retract the affected keys' old contributions,
     MERGE the batch into the base, add the new contributions, commit
-    both snapshots.
+    the base snapshot then the stamped view snapshot.
 
-    REPLAY-IDEMPOTENT (the property ``foreachBatch`` requires after a
-    failure re-delivers a batch): re-applying a batch finds the base
-    already merged, so ``apply_changes`` is a no-op (insert-or-replace
-    with identical payloads, delete of absent keys) and the retraction
-    equals the new state — the view delta is exactly zero. Asserted by
-    test."""
+    REPLAY-IDEMPOTENT across every crash point ``foreachBatch`` can
+    re-deliver through (the checkpoint only advances after this
+    returns), case-split on the view's base-version stamp:
+
+    - stamp == base (no crash, or crash BEFORE the base commit): the
+      normal path. A clean re-delivery finds ``apply_changes`` a
+      no-op (insert-or-replace with identical payloads, delete of
+      absent keys) and retraction == new state → view delta zero.
+    - stamp <  base (crash BETWEEN the base commit and the view
+      commit — the torn window): the base already holds this batch,
+      so re-running the merge-then-retract would compute a zero delta
+      and permanently drop the batch from the view. Instead the HEAL
+      path recomputes the missed delta against the retained pre-merge
+      snapshot: ``view − contrib(base@stamp ⋉ keys) +
+      contrib(base@current ⋉ keys)``, committing only the view. The
+      pre-merge snapshot exists because vacuum runs after both
+      commits — a crash inside the torn window never reached it.
+    - stamp >  base cannot occur (the view commit always follows the
+      base commit) and raises.
+
+    Asserted by ``test_ivm_crash_between_commits_heals_on_replay``."""
     if not batch_df.take(1):
         return
     spark = batch_df.sparkSession
     keys = batch_df.select(key).distinct()
-    base = cdc.read_current(spark, table_dir)
-    old = group_contrib(
-        base.join(keys, on=key, how="left_semi"), group_col, value_expr
-    )
-    merged = apply_changes(base, batch_df, key=key, seq=seq, op=op)
-    # `new` reads the in-plan `merged`, not a committed snapshot,
-    # so the trigger is one unit: base and view commit together.
-    new = group_contrib(
-        merged.join(keys, on=key, how="left_semi"), group_col, value_expr
-    )
-    view = cdc.read_current(spark, agg_dir)
-    updated = _combine(view, old, new, group_col)
-    with open(os.path.join(table_dir, "_CURRENT")) as fh:
-        cur = int(fh.read().strip().lstrip("v"))
-    cdc._commit_snapshot(merged, table_dir, cur + 1)
-    with open(os.path.join(agg_dir, "_CURRENT")) as fh:
+    with open(cdc._pointer_path(table_dir)) as fh:
+        bcur = int(fh.read().strip().lstrip("v"))
+    with open(cdc._pointer_path(agg_dir)) as fh:
         acur = int(fh.read().strip().lstrip("v"))
-    cdc._commit_snapshot(updated, agg_dir, acur + 1)
+    stamp = _read_stamp(agg_dir, acur, default=bcur)
+    if stamp > bcur:
+        raise RuntimeError(
+            f"view snapshot v{acur} is stamped with base v{stamp} but the "
+            f"base pointer is at v{bcur}; the base directory was rewound "
+            "or is not owned by this IVM trigger"
+        )
+    view = cdc.read_current(spark, agg_dir)
+    if stamp == bcur:
+        base = cdc.read_current(spark, table_dir)
+        old = group_contrib(
+            base.join(keys, on=key, how="left_semi"), group_col, value_expr
+        )
+        merged = apply_changes(base, batch_df, key=key, seq=seq, op=op)
+        new = group_contrib(
+            merged.join(keys, on=key, how="left_semi"), group_col, value_expr
+        )
+        updated = _combine(view, old, new, group_col)
+        cdc._commit_snapshot(merged, table_dir, bcur + 1)
+        _commit_view(updated, agg_dir, acur + 1, base_version=bcur + 1)
+    else:
+        # torn window: base@stamp is the pre-merge snapshot this view
+        # reflects; base@bcur already contains the re-delivered batch.
+        prev = os.path.join(table_dir, f"v{stamp}")
+        if not os.path.isdir(prev):
+            raise RuntimeError(
+                f"cannot heal torn IVM commit: pre-merge base snapshot "
+                f"v{stamp} was vacuumed (view is at base v{stamp}, base "
+                f"pointer at v{bcur})"
+            )
+        old = group_contrib(
+            spark.read.parquet(prev).join(keys, on=key, how="left_semi"),
+            group_col,
+            value_expr,
+        )
+        new = group_contrib(
+            cdc.read_current(spark, table_dir).join(
+                keys, on=key, how="left_semi"
+            ),
+            group_col,
+            value_expr,
+        )
+        updated = _combine(view, old, new, group_col)
+        _commit_view(updated, agg_dir, acur + 1, base_version=bcur)
     if retain:
         cdc.vacuum(table_dir, retain)
         cdc.vacuum(agg_dir, retain)
