@@ -109,3 +109,24 @@ def test_repetition_bounds_and_mode_property(spark):
     # functions cannot take pytest fixtures directly)
     _check_repetition_property._spark = spark
     _check_repetition_property()
+
+
+def test_readme_query_count_matches_registry():
+    """README's coverage numbers are the map the next round works
+    from — pin them to the live registry so they can't drift."""
+    import re
+    from pathlib import Path
+
+    from vector_database_watermarking_spark.registry import QUERIES
+
+    readme = Path(__file__).resolve().parents[1] / "README.md"
+    counts = {
+        int(m) for m in re.findall(r"\((\d+) (?:oracle-backed )?queries", readme.read_text())
+    }
+    counts |= {
+        int(m) for m in re.findall(r"checks all (\d+) locally", readme.read_text())
+    }
+    assert counts == {len(QUERIES)}, (
+        f"README claims {sorted(counts)} queries but the registry has "
+        f"{len(QUERIES)} — update README.md"
+    )

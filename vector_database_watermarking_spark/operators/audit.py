@@ -8,8 +8,9 @@ constraint families cover most production checks:
 - ``null_violations`` — NOT NULL: one scan, one conditional count per
   column (all map-side; a single pass regardless of column count).
 - ``duplicate_keys`` — PRIMARY KEY/uniqueness: rows in excess of one
-  per key (``count - countDistinct`` over the key tuple; one shuffle
-  on the key, partial aggregation map-side).
+  per key (``count - countDistinct`` over the NULL-free key tuples;
+  one shuffle on the key, partial aggregation map-side; NULL keys are
+  excluded, matching UNIQUE-constraint semantics).
 - ``orphan_foreign_keys`` — referential integrity: child keys with no
   parent (left-anti join; at scale the parent key set rides a Bloom/
   broadcast runtime filter exactly like ``contamination_scan_bloom``).
@@ -28,6 +29,8 @@ from pyspark.sql import functions as F
 
 
 def null_violations(df: DataFrame, cols: list[str], table: str) -> DataFrame:
+    if not cols:
+        raise ValueError("null_violations: cols must name at least one column")
     aggs = [
         F.coalesce(F.sum(F.col(c).isNull().cast("long")), F.lit(0)).alias(c)
         for c in cols
@@ -48,7 +51,17 @@ def null_violations(df: DataFrame, cols: list[str], table: str) -> DataFrame:
 
 
 def duplicate_keys(df: DataFrame, key_cols: list[str], table: str) -> DataFrame:
-    excess = df.groupBy(*key_cols).agg(
+    """Rows in excess of one per key tuple. SQL-style uniqueness: rows
+    with a NULL in any key column are excluded (a NULL key equals
+    nothing, so it can't collide — matching UNIQUE-constraint
+    semantics and the ``count - countDistinct`` formulation, which
+    diverge from a raw groupBy exactly on NULL keys)."""
+    if not key_cols:
+        raise ValueError("duplicate_keys: key_cols must name at least one column")
+    nonnull = df
+    for c in key_cols:
+        nonnull = nonnull.filter(F.col(c).isNotNull())
+    excess = nonnull.groupBy(*key_cols).agg(
         (F.count(F.lit(1)) - 1).alias("_x")
     )
     return excess.agg(

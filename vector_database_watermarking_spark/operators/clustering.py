@@ -67,6 +67,11 @@ def _init_centroids(q: DataFrame, n_clusters: int) -> list[tuple[list[int], int]
         .limit(n_clusters)
         .collect()
     )
+    if len(rows) < n_clusters:
+        raise ValueError(
+            f"kmeans_refine: n_clusters={n_clusters} but the input has "
+            f"only {len(rows)} rows — reduce n_clusters or supply more data"
+        )
     return [(list(r["xq"]), 1) for r in rows]
 
 
@@ -169,6 +174,11 @@ def kmeans_refine(
     (:func:`_assign_arrow`) — same integers, same ranking, ~3×
     faster per pass; only valid with ``exact=True``.
     """
+    if iters < 1:
+        raise ValueError(
+            f"kmeans_refine: iters={iters} — at least one assignment "
+            "pass is required (the result IS an assignment)"
+        )
     if assign_impl == "arrow":
         if not exact:
             raise ValueError("assign_impl='arrow' implements the exact tier only")

@@ -223,14 +223,24 @@ def bucketed_table(spark, df, name: str, key: str, buckets: int):
     Any stale physical location is cleared first: the session-scoped
     in-memory catalog can forget a directory a crashed run left
     behind, and ``saveAsTable`` would then fail with
-    LOCATION_ALREADY_EXISTS instead of overwriting.
+    LOCATION_ALREADY_EXISTS instead of overwriting. The location is
+    resolved through the catalog's database descriptor (not
+    reconstructed by string concatenation), and the cleanup applies
+    only to ``file:`` warehouses — on an object-store/HDFS warehouse
+    a stale location must be cleared by that filesystem's own tooling
+    (``shutil`` cannot reach it), so it is left untouched.
     """
     import shutil
     from urllib.parse import urlparse
 
     spark.sql(f"DROP TABLE IF EXISTS {name}")
-    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
+    if "." in name:
+        db, tbl = name.rsplit(".", 1)
+    else:
+        db, tbl = spark.catalog.currentDatabase(), name
+    loc = urlparse(spark.catalog.getDatabase(db).locationUri)
+    if loc.scheme in ("", "file"):
+        shutil.rmtree(f"{loc.path}/{tbl.lower()}", ignore_errors=True)
     (
         df.write.bucketBy(buckets, key)
         .sortBy(key)

@@ -822,15 +822,18 @@ _GRADE_ORDER = [
     # the ntile shape replayed by the pack's zorder_zkey_sum row).
     "ext_dedup_clusters",
     "ext_incremental_dedup",
-    "ext_semantic_dedup",
+    # Round-7 demotions from this block (VERDICT r06 #3): the two
+    # newest streaming gates rotate in; ext_semantic_dedup (LSH pair
+    # stage replayed verbatim inside in-window ext_emb_near_dups_lsh;
+    # full cluster closure now checksummed by the pipeline pack's
+    # semantic_dedup_check row against its complete oracle) and
+    # ext_contamination_bloom (exact-scan oracle now checksummed by
+    # the pipeline pack's contamination_check row, alongside the
+    # operator pack's Spark-side bloom_equals_exact parity gate) out.
     "ext_seq_packing",
     "ext_pii_scrub",
     "ext_corpus_clean",
     "ext_source_mix",
-    # (ext_contamination sits past the window: the bloom variant below
-    # is graded against the SAME exact-scan oracle, so the exact
-    # contamination computation keeps a driver row through it)
-    "ext_contamination_bloom",
     "ext_emb_near_dups_lsh",
     "ext_ivf_topk",
     "ext_doc_embeddings",
@@ -865,6 +868,13 @@ _GRADE_ORDER = [
     "stream_ingest_replay",
     "stream_ingest_candidates_replay",
     "stream_curation_replay",
+    # promoted round 7 (VERDICT r06 #3): the two newest streaming
+    # gates — sessionization via applyInPandasWithState and the IVM
+    # base+view maintenance loop (this round's crash-consistency fix)
+    # — get full-output driver rows; their pack checksum rows
+    # (session_check / agg_ivm_check) remain as belt-and-braces.
+    "stream_session_replay",
+    "stream_agg_ivm_replay",
     "ext_dup_spans",
     "ext_unigram_nll",
     "ext_hard_negatives",
@@ -954,7 +964,11 @@ _GRADE_ORDER = [
     "rel_lineitem_unpivot",
     "ext_bigram_nll",
     "ext_ngram_novelty",
-    "stream_session_replay",
+    # (stream_session_replay / stream_agg_ivm_replay promoted into the
+    # window round 7; ext_semantic_dedup / ext_contamination_bloom
+    # demoted here — both keep full-oracle pack checksum rows)
+    "ext_semantic_dedup",
+    "ext_contamination_bloom",
     "ext_random_projection",
     "rel_events_rolling",
     "ext_perplexity_filter",
@@ -987,7 +1001,6 @@ _GRADE_ORDER = [
     "ext_mixture_plan",
     "rel_dq_audit",
     "rel_table_diff",
-    "stream_agg_ivm_replay",
     "rel_events_concurrency",
     "rel_events_wau_bitmap",
     "rel_order_coverage",

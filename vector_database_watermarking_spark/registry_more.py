@@ -454,7 +454,7 @@ def rel_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_events_sessions",
     oracle="""
 WITH ordered AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, event_id, value,
          CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
                 OR lag(ts) OVER w IS NULL
               THEN 1 ELSE 0 END AS new_session
@@ -463,7 +463,7 @@ WITH ordered AS (
 ),
 sess AS (
   SELECT user_id, ts, value,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS session_id
   FROM ordered
 )
@@ -484,7 +484,10 @@ def ext_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_sess = F.when(
         (us - F.lag(us).over(w) > 1_800_000_000) | F.lag("ts").over(w).isNull(), 1
     ).otherwise(0)
-    wsum = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+    # event_id tiebreak on the ROWS running sum: with duplicate
+    # per-user timestamps an untied ROWS frame is nondeterministic and
+    # the two engines could assign tied rows to different sessions
+    wsum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, 0
     )
     sess = ev.withColumn("new_session", new_sess).withColumn(
@@ -4704,7 +4707,7 @@ def stream_agg_ivm_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_events_concurrency",
     oracle="""
 WITH ordered AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
                 OR lag(ts) OVER w IS NULL
               THEN 1 ELSE 0 END AS new_session
@@ -4713,7 +4716,7 @@ WITH ordered AS (
 ),
 sess AS (
   SELECT user_id, ts,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS session_id
   FROM ordered
 ),
@@ -4754,7 +4757,10 @@ def rel_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_sess = F.when(
         (us - F.lag(us).over(w) > 1_800_000_000) | F.lag("ts").over(w).isNull(), 1
     ).otherwise(0)
-    wsum = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+    # event_id tiebreak on the ROWS running sum: with duplicate
+    # per-user timestamps an untied ROWS frame is nondeterministic and
+    # the two engines could assign tied rows to different sessions
+    wsum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, 0
     )
     iv = (
@@ -5091,6 +5097,22 @@ def _pipeline_pack_oracle() -> str:
     h_spl1 = oracle_hash60("split")
     me = QUERIES["ext_mixture_execute"].oracle
     wz = QUERIES["ext_winsorize"].oracle
+    ps = QUERIES["rel_pricing_summary"].oracle
+    tn = QUERIES["rel_top_revenue_nations"].oracle
+    orw = QUERIES["rel_order_rank_window"].oracle
+    shp = QUERIES["rel_shipping_priority"].oracle
+    sqr = QUERIES["rel_small_qty_revenue"].oracle
+    cwo = QUERIES["rel_customers_without_orders"].oracle
+    pwo = QUERIES["rel_parts_with_orders_semi"].oracle
+    orr = QUERIES["rel_orders_rollup"].oracle
+    pvs = QUERIES["rel_pivot_status"].oracle
+    sdd2 = QUERIES["ext_semantic_dedup"].oracle
+    ctb = QUERIES["ext_contamination_bloom"].oracle
+    h_rfls = oracle_hash60("l_returnflag || '|' || l_linestatus")
+    h_nn = oracle_hash60("n_name")
+    h_cn2 = oracle_hash60("c_name")
+    h_pn = oracle_hash60("p_name")
+    h_op = oracle_hash60("o_orderpriority")
     h_chk = oracle_hash60("check_name || '|' || target")
     h_st = oracle_hash60("status")
     h_pair = oracle_hash60("supp_nation || '|' || cust_nation")
@@ -5433,6 +5455,74 @@ SELECT 'winsorize_check',
        * ((n_chars + CAST(lo * 8 AS BIGINT) * 131 + CAST(hi * 8 AS BIGINT) * 17
            + CAST(clipped * 8 AS BIGINT) * 7) % 1000003)) AS BIGINT)
   FROM ({wz})
+UNION ALL
+SELECT 'pricing_summary_check',
+  CAST(count(*) + sum(({h_rfls} % 997 + 1)
+       * ((CAST(floor(sum_qty * 100 + 0.5) AS BIGINT)
+           + CAST(floor(sum_base_price * 100 + 0.5) AS BIGINT) * 3
+           + CAST(floor(sum_disc_price * 100 + 0.5) AS BIGINT) * 17
+           + CAST(floor(avg_disc * 1000000 + 0.5) AS BIGINT) * 7
+           + count_order * 131) % 1000003)) AS BIGINT)
+  FROM ({ps})
+UNION ALL
+SELECT 'top_revenue_nations_check',
+  CAST(count(*) + sum(({h_nn} % 997 + 1)
+       * ((CAST(floor(revenue * 100 + 0.5) AS BIGINT) + n_orders * 131)
+          % 1000003)) AS BIGINT)
+  FROM ({tn})
+UNION ALL
+SELECT 'order_rank_window_check',
+  CAST(count(*) + sum((o_orderkey % 997 + 1)
+       * ((o_custkey + rk * 131
+           + CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 17)
+          % 1000003)) AS BIGINT)
+  FROM ({orw})
+UNION ALL
+SELECT 'shipping_priority_check',
+  CAST(count(*) + sum((l_orderkey % 997 + 1)
+       * ((epoch_us(o_orderdate) % 100003
+           + CAST(floor(revenue * 100 + 0.5) AS BIGINT)) % 1000003)) AS BIGINT)
+  FROM ({shp})
+UNION ALL
+SELECT 'small_qty_revenue_check',
+  CAST(count(*)
+       + coalesce(sum(CAST(floor(avg_yearly * 100 + 0.5) AS BIGINT)), -7)
+       AS BIGINT)
+  FROM ({sqr})
+UNION ALL
+SELECT 'customers_without_orders_check',
+  CAST(count(*) + coalesce(sum((c_custkey % 997 + 1) * ({h_cn2} % 1000003)), 0)
+       AS BIGINT)
+  FROM ({cwo})
+UNION ALL
+SELECT 'parts_with_orders_check',
+  CAST(count(*) + coalesce(sum((p_partkey % 997 + 1) * ({h_pn} % 1000003)), 0)
+       AS BIGINT)
+  FROM ({pwo})
+UNION ALL
+SELECT 'orders_rollup_check',
+  CAST(count(*) + sum(({oracle_hash60(
+        "coalesce(o_orderpriority, '~') || '|' || coalesce(o_orderstatus, '~')"
+    )} % 1000003)
+       + n_orders + CAST(floor(total * 100 + 0.5) AS BIGINT)) AS BIGINT)
+  FROM ({orr})
+UNION ALL
+SELECT 'pivot_status_check',
+  CAST(count(*) + sum(({h_op} % 997 + 1)
+       * ((n_open * 131 + n_finished * 17 + n_partial * 7) % 1000003)) AS BIGINT)
+  FROM ({pvs})
+UNION ALL
+SELECT 'semantic_dedup_check',
+  CAST(count(*) + sum((vec_id % 997 + 1)
+       * ((cluster_id * 131 + cluster_size * 17
+           + CASE WHEN is_canonical THEN 1 ELSE 0 END) % 1000003)) AS BIGINT)
+  FROM ({sdd2})
+UNION ALL
+SELECT 'contamination_check',
+  CAST(count(*) + coalesce(sum((corpus_doc % 997 + 1)
+       * ((n_shared_windows * 131 + n_probe_docs * 17 + first_probe_doc)
+          % 1000003)), 0) AS BIGINT)
+  FROM ({ctb})
 """
 
 
@@ -6644,6 +6734,267 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                             )
                             % 1000003
                         )
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    # TPC-H-ish relational breadth rows (plain-SQL equivalences past
+    # the grading window): one checksum row each so the last queries
+    # relying solely on judge-side re-runs become driver-graded too
+    ps = QUERIES["rel_pricing_summary"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "pricing_summary_check",
+            ps.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (
+                            hash60(F.concat_ws("|", "l_returnflag", "l_linestatus"))
+                            % 997
+                            + 1
+                        )
+                        * (
+                            (
+                                F.floor(F.col("sum_qty") * 100 + F.lit(0.5)).cast("long")
+                                + F.floor(
+                                    F.col("sum_base_price") * 100 + F.lit(0.5)
+                                ).cast("long")
+                                * 3
+                                + F.floor(
+                                    F.col("sum_disc_price") * 100 + F.lit(0.5)
+                                ).cast("long")
+                                * 17
+                                + F.floor(
+                                    F.col("avg_disc") * 1000000 + F.lit(0.5)
+                                ).cast("long")
+                                * 7
+                                + F.col("count_order") * 131
+                            )
+                            % 1000003
+                        )
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    tn = QUERIES["rel_top_revenue_nations"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "top_revenue_nations_check",
+            tn.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (hash60(F.col("n_name")) % 997 + 1)
+                        * (
+                            (
+                                F.floor(F.col("revenue") * 100 + F.lit(0.5)).cast("long")
+                                + F.col("n_orders") * 131
+                            )
+                            % 1000003
+                        )
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    orw = QUERIES["rel_order_rank_window"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "order_rank_window_check",
+            orw.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (F.col("o_orderkey") % 997 + 1)
+                        * (
+                            (
+                                F.col("o_custkey")
+                                + F.col("rk") * 131
+                                + F.floor(
+                                    F.col("o_totalprice") * 100 + F.lit(0.5)
+                                ).cast("long")
+                                * 17
+                            )
+                            % 1000003
+                        )
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    shp = QUERIES["rel_shipping_priority"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "shipping_priority_check",
+            shp.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (F.col("l_orderkey") % 997 + 1)
+                        * (
+                            (
+                                F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+                                % 100003
+                                + F.floor(F.col("revenue") * 100 + F.lit(0.5)).cast(
+                                    "long"
+                                )
+                            )
+                            % 1000003
+                        )
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    sqr = QUERIES["rel_small_qty_revenue"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "small_qty_revenue_check",
+            sqr.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.coalesce(
+                        F.sum(
+                            F.floor(F.col("avg_yearly") * 100 + F.lit(0.5)).cast("long")
+                        ),
+                        F.lit(-7),
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    cwo = QUERIES["rel_customers_without_orders"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "customers_without_orders_check",
+            cwo.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.coalesce(
+                        F.sum(
+                            (F.col("c_custkey") % 997 + 1)
+                            * (hash60(F.col("c_name")) % 1000003)
+                        ),
+                        F.lit(0),
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    pwo = QUERIES["rel_parts_with_orders_semi"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "parts_with_orders_check",
+            pwo.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.coalesce(
+                        F.sum(
+                            (F.col("p_partkey") % 997 + 1)
+                            * (hash60(F.col("p_name")) % 1000003)
+                        ),
+                        F.lit(0),
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    orr = QUERIES["rel_orders_rollup"].fn(spark, sf_dir)
+    h_grp_r = (
+        hash60(
+            F.concat_ws(
+                "|",
+                F.coalesce(F.col("o_orderpriority"), F.lit("~")),
+                F.coalesce(F.col("o_orderstatus"), F.lit("~")),
+            )
+        )
+        % 1000003
+    )
+    parts.append(
+        scalar(
+            "orders_rollup_check",
+            orr.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        h_grp_r
+                        + F.col("n_orders")
+                        + F.floor(F.col("total") * 100 + F.lit(0.5)).cast("long")
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    pvs = QUERIES["rel_pivot_status"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "pivot_status_check",
+            pvs.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (hash60(F.col("o_orderpriority")) % 997 + 1)
+                        * (
+                            (
+                                F.col("n_open") * 131
+                                + F.col("n_finished") * 17
+                                + F.col("n_partial") * 7
+                            )
+                            % 1000003
+                        )
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    # round-7 rotation ledger: the two rows demoted to make room for
+    # the session/IVM streaming gates keep a full-oracle driver-graded
+    # checksum here (not just the Spark-side bloom parity gate)
+    sdd2 = QUERIES["ext_semantic_dedup"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "semantic_dedup_check",
+            sdd2.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (F.col("vec_id") % 997 + 1)
+                        * (
+                            (
+                                F.col("cluster_id") * 131
+                                + F.col("cluster_size") * 17
+                                + F.col("is_canonical").cast("long")
+                            )
+                            % 1000003
+                        )
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    ctb = QUERIES["ext_contamination_bloom"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "contamination_check",
+            ctb.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.coalesce(
+                        F.sum(
+                            (F.col("corpus_doc") % 997 + 1)
+                            * (
+                                (
+                                    F.col("n_shared_windows") * 131
+                                    + F.col("n_probe_docs") * 17
+                                    + F.col("first_probe_doc")
+                                )
+                                % 1000003
+                            )
+                        ),
+                        F.lit(0),
                     )
                 ).alias("value")
             ),
