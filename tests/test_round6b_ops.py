@@ -696,3 +696,63 @@ def _check_winsorize_property(vals):
 def test_winsorize_matches_numpy_property(spark):
     _check_winsorize_property._spark = spark
     _check_winsorize_property()
+
+
+# ---------------------------------------------------------------- hierarchy
+
+
+def test_bom_rollup_hand_computed(spark):
+    """Forest: root 1 with children 2,3 (3 has child 4); root 5 alone.
+    Costs 10/20/30/40/50 cents."""
+    from vector_database_watermarking_spark.operators.hierarchy import bom_rollup
+
+    nodes = spark.createDataFrame(
+        [(1, None, 10), (2, 1, 20), (3, 1, 30), (4, 3, 40), (5, None, 50)],
+        "key long, parent_key long, cost_cents long",
+    )
+    out = {r["root"]: r for r in bom_rollup(nodes).collect()}
+    assert out[1]["n_parts"] == 4
+    assert out[1]["total_cost_cents"] == 100
+    assert out[1]["max_depth"] == 2
+    assert out[5]["n_parts"] == 1 and out[5]["max_depth"] == 0
+
+
+def test_bom_rollup_loop_equals_native_recursive_cte(spark, sf_dir):
+    """The frontier-iteration tier and Spark's native WITH RECURSIVE
+    tier must agree row-for-row on the derived parts forest."""
+    from vector_database_watermarking_spark.operators.hierarchy import (
+        bom_rollup,
+        derive_bom_edges,
+    )
+    from vector_database_watermarking_spark.sources.tables import load_table
+
+    nodes = derive_bom_edges(load_table(spark, sf_dir, "part"))
+    loop = {tuple(r) for r in bom_rollup(nodes, impl="loop").collect()}
+    sql = {tuple(r) for r in bom_rollup(nodes, impl="sql").collect()}
+    assert loop == sql and len(loop) == 8
+
+
+def test_bom_rollup_cycle_guard(spark):
+    """A detached parent cycle is unreachable from any root and drops
+    out of the walk (documented); a chain deeper than max_depth fails
+    fast with the guard error instead of looping."""
+    import pytest
+
+    from vector_database_watermarking_spark.operators.hierarchy import (
+        bom_rollup,
+        resolve_roots,
+    )
+
+    cyc = spark.createDataFrame(
+        [(1, None, 1), (2, 3, 1), (3, 2, 1)],
+        "key long, parent_key long, cost_cents long",
+    )
+    out = {r["root"]: r for r in bom_rollup(cyc).collect()}
+    assert set(out) == {1} and out[1]["n_parts"] == 1
+
+    chain = spark.createDataFrame(
+        [(1, None, 1), (2, 1, 1), (3, 2, 1), (4, 3, 1)],
+        "key long, parent_key long, cost_cents long",
+    )
+    with pytest.raises(RuntimeError, match="max_depth"):
+        resolve_roots(chain, carry=["cost_cents"], max_depth=2)

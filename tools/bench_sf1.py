@@ -1,0 +1,162 @@
+"""One-shot sf1 bench pass (VERDICT r06 "Next round" #4): run the six
+most expensive headline queries at 10x the regular bench scale and
+record whether the measured wall-times track the linear-scaling
+claims in SCALING.md.
+
+Inputs are sf0.1 replicated 10x with per-replica perturbation (the
+SCALING.md house method): ids get a replica offset so join/group keys
+stay well-formed and dedup doesn't collapse into exact 10-cliques;
+documents get a replica-tagged tail token (shifts a few shingles,
+keeps length stats); embeddings get one dimension nudged per replica
+(keeps kNN structure non-degenerate). Results are written as one JSON
+line per query to stdout; paste the table into SCALING.md.
+
+Usage: python tools/bench_sf1.py [--reps 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC_SF = "/root/testdata/sf0.1"
+SF1_DIR = "/root/repo/_scratch/sf1"
+REPLICAS = 10
+DOC_OFFSET = 1 << 24
+VEC_OFFSET = 1 << 24
+
+QUERY_NAMES = [
+    "j1_knn_edges",
+    "ext_dedup_clusters",
+    "ext_incremental_dedup",
+    "ext_bigram_nll",
+    "ext_graph_link_pred",
+    "ext_kmeans_refine_arrow",  # bench-extra arrow tier (production path)
+]
+
+
+def build_sf1(spark) -> None:
+    from pyspark.sql import functions as F
+
+    if os.path.isdir(os.path.join(SF1_DIR, "embeddings.parquet")):
+        return
+    os.makedirs(SF1_DIR, exist_ok=True)
+
+    docs = spark.read.parquet(os.path.join(SRC_SF, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(SRC_SF, "embeddings.parquet"))
+
+    doc_parts = []
+    for r in range(REPLICAS):
+        part = docs.select(
+            (F.col("doc_id") + F.lit(r * DOC_OFFSET)).alias("doc_id"),
+            (
+                F.col("text")
+                if r == 0
+                else F.concat(F.col("text"), F.lit(f" replica{r}tag"))
+            ).alias("text"),
+            "lang",
+            "source",
+            (
+                F.col("n_chars")
+                if r == 0
+                else F.col("n_chars") + F.lit(len(f" replica{r}tag"))
+            ).alias("n_chars"),
+        )
+        doc_parts.append(part)
+    out = doc_parts[0]
+    for p in doc_parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(SF1_DIR, "documents.parquet")
+    )
+
+    emb_parts = []
+    for r in range(REPLICAS):
+        nudged = F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(i == r % 64, x + F.lit(r * 1e-3).cast("float"))
+            .otherwise(x)
+            .cast("float"),
+        )
+        part = emb.select(
+            (F.col("vec_id") + F.lit(r * VEC_OFFSET)).alias("vec_id"),
+            (F.col("embedding") if r == 0 else nudged).alias("embedding"),
+            "label",
+        )
+        emb_parts.append(part)
+    out = emb_parts[0]
+    for p in emb_parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(SF1_DIR, "embeddings.parquet")
+    )
+
+
+def consume(df) -> int:
+    """Force full evaluation of every column (a bare count lets
+    Catalyst prune unused windows/projections, under-reporting)."""
+    df.write.format("noop").mode("overwrite").save()
+    return -1
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--rebuild", action="store_true")
+    args = ap.parse_args()
+
+    from vector_database_watermarking_spark.session import get_spark
+
+    import bench as bench_mod
+    from vector_database_watermarking_spark.registry import QUERIES
+
+    spark = get_spark("bench-sf1", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    if args.rebuild:
+        shutil.rmtree(SF1_DIR, ignore_errors=True)
+    t0 = time.monotonic()
+    build_sf1(spark)
+    print(
+        json.dumps({"stage": "build_sf1", "sec": round(time.monotonic() - t0, 1)}),
+        flush=True,
+    )
+
+    fns = {n: QUERIES[n].fn for n in QUERY_NAMES if n in QUERIES}
+    for n in QUERY_NAMES:
+        if n in bench_mod.BENCH_EXTRA:
+            fns[n] = bench_mod.BENCH_EXTRA[n]
+
+    # warmup at sf0.01: identical generated code, fills codegen caches
+    for name, fn in fns.items():
+        try:
+            consume(fn(spark, "/root/testdata/sf0.01"))
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"query": name, "warmup_error": str(e)[:200]}), flush=True)
+
+    for name, fn in fns.items():
+        reps = []
+        for _ in range(args.reps):
+            t0 = time.monotonic()
+            try:
+                consume(fn(spark, SF1_DIR))
+                reps.append(round(time.monotonic() - t0, 2))
+            except Exception as e:  # noqa: BLE001
+                print(
+                    json.dumps({"query": name, "error": str(e)[:400]}), flush=True
+                )
+                break
+        if reps:
+            print(
+                json.dumps({"query": name, "sf": 1.0, "reps_sec": reps}), flush=True
+            )
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

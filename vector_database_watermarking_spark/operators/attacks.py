@@ -67,7 +67,15 @@ def take_ranked(
         return df.filter(F.lit(False))
     akey = (-key) if descending else key
     akd = akey.cast("double")
-    w_all = Window.orderBy(F.asc_nulls_last(akey), F.col(tie_col))
+    # single-partition by construction (band is capped ~1e5 rows;
+    # fallback is the rare exact path) — the non-foldable constant
+    # partition key silences the WindowExec no-partition warning so a
+    # NEW unpartitioned window (a real bug) stays visible in the logs
+    from ..functions.windows import one_partition
+
+    w_all = Window.partitionBy(one_partition(tie_col)).orderBy(
+        F.asc_nulls_last(akey), F.col(tie_col)
+    )
 
     def _fallback() -> DataFrame:
         return (

@@ -825,9 +825,14 @@ def link_prediction_ra(
         .limit(top_k)
     )
     # rank runs AFTER the TakeOrdered top-k, so this window sees at
-    # most top_k rows; the constant partition key keeps the plan out
-    # of WindowExec's unpartitioned-window path (and its warning)
-    w = Window.partitionBy(F.lit(0)).orderBy(F.col("score_e6").desc(), "u", "v")
+    # most top_k rows; the non-foldable constant partition key keeps
+    # the plan out of WindowExec's unpartitioned-window warning (a
+    # foldable lit(0) is optimized away — functions.windows)
+    from ..functions.windows import one_partition
+
+    w = Window.partitionBy(one_partition("u")).orderBy(
+        F.col("score_e6").desc(), "u", "v"
+    )
     return candidates.select(
         "u", "v", "common_neighbors", "score_e6",
         F.row_number().over(w).cast("int").alias("rank"),

@@ -1,0 +1,144 @@
+"""Hierarchy / bill-of-materials walk (extension — the recursive-CTE
+relational shape; no reference counterpart, completing SURVEY §2.11's
+relational breadth).
+
+A parts hierarchy is a rooted forest given as ``(key, parent_key)``
+rows (``parent_key`` NULL at roots). The BOM explosion resolves every
+part to its root assembly with its depth, then rolls component count
+/ cost / depth up to the root — the classic ``WITH RECURSIVE`` query.
+
+Two tiers, equal row-for-row (pinned by test):
+
+- ``impl="loop"`` (default): frontier iteration in DataFrame ops —
+  level ``i+1`` is one equi-join of the unresolved nodes against
+  level ``i`` on ``parent_key == key``. Iterations = tree depth
+  (log_fanout(n): ~7 joins for a billion-part catalog at fanout 8),
+  each one key-partitioned shuffle join over ONLY the frontier and
+  its direct children — never the transitive closure as a whole.
+  ``localCheckpoint`` truncates the growing lineage per level (the
+  BFS hygiene from ``operators.graph.bfs_hops``). This is the tier
+  that scales: depth is bounded by construction, per-level work is
+  |level| rows, and a diverging input (a parent cycle) is caught by
+  ``max_depth`` instead of looping forever.
+- ``impl="sql"``: Spark's native ``WITH RECURSIVE`` (SQL 4.1+),
+  planned by Catalyst as a UnionLoop. Declarative and concise; the
+  loop tier exists because an explicit frontier gives cycle guards,
+  per-level checkpointing, and works on any Spark that lacks the
+  recursive-CTE feature flag.
+
+Scale notes: at 100 TB the per-level join wants both sides bucketed
+by the join key; the frontier is always the smaller side and
+broadcastable for the top levels (|roots| · fanout^i rows). Output
+is |roots| rows — a pure rollup, no fan-out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def derive_bom_edges(part: DataFrame, fanout: int = 8) -> DataFrame:
+    """Deterministic parts forest from the flat ``part`` table:
+    ``parent = p_partkey // fanout`` with keys below ``fanout`` as
+    roots (parent NULL). Cost is integer cents (money never rides a
+    float sum). Gives every scale factor a forest of ``fanout`` trees
+    of depth ~log_fanout(n)."""
+    return part.select(
+        F.col("p_partkey").alias("key"),
+        F.when(
+            F.col("p_partkey") >= fanout,
+            F.floor(F.col("p_partkey") / fanout).cast("long"),
+        ).alias("parent_key"),
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cost_cents"),
+    )
+
+
+def resolve_roots(
+    nodes: DataFrame,
+    key: str = "key",
+    parent: str = "parent_key",
+    carry: list[str] | None = None,
+    max_depth: int = 64,
+    impl: str = "loop",
+) -> DataFrame:
+    """``(key, root, depth, *carry)`` for every node reachable from a
+    root: the root of its tree and its distance from it. ``carry``
+    columns ride along from the node's own row (no post-join needed).
+    Nodes unreachable from any root (a detached parent cycle, an
+    orphaned subtree) drop out of the walk in both tiers — the same
+    semantics as the recursive CTE; a chain deeper than ``max_depth``
+    raises rather than looping."""
+    carry = carry or []
+    if impl == "sql":
+        spark = nodes.sparkSession
+        nodes.createOrReplaceTempView("_bom_nodes")
+        ccols = "".join(f", {c}" for c in carry)
+        return spark.sql(
+            f"""
+            WITH RECURSIVE walk(key, root, depth{ccols}) AS (
+              SELECT {key}, {key}, 0{ccols} FROM _bom_nodes WHERE {parent} IS NULL
+              UNION ALL
+              SELECT n.{key}, w.root, w.depth + 1{"".join(f", n.{c}" for c in carry)}
+              FROM _bom_nodes n JOIN walk w ON n.{parent} = w.key
+            )
+            SELECT * FROM walk
+            """
+        )
+    if impl != "loop":
+        raise ValueError(f"resolve_roots: unknown impl {impl!r}")
+
+    child_cols = [F.col(key).alias("key"), F.col(parent).alias("_p")] + [
+        F.col(c) for c in carry
+    ]
+    children = nodes.filter(F.col(parent).isNotNull()).select(*child_cols)
+    frontier = nodes.filter(F.col(parent).isNull()).select(
+        F.col(key).alias("key"), F.col(key).alias("root"), F.lit(0).alias("depth"),
+        *[F.col(c) for c in carry],
+    )
+    levels = [frontier]
+    for _ in range(max_depth):
+        nxt = (
+            children.join(
+                frontier.select(F.col("key").alias("_p"), "root", "depth"), on="_p"
+            )
+            .select(
+                "key",
+                "root",
+                (F.col("depth") + 1).alias("depth"),
+                *[F.col(c) for c in carry],
+            )
+            .localCheckpoint(eager=True)
+        )
+        if not nxt.take(1):
+            break
+        levels.append(nxt)
+        frontier = nxt
+    else:
+        raise RuntimeError(
+            f"resolve_roots: depth exceeded max_depth={max_depth} — "
+            "cycle in the parent relation?"
+        )
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out
+
+
+def bom_rollup(
+    nodes: DataFrame,
+    key: str = "key",
+    parent: str = "parent_key",
+    value: str = "cost_cents",
+    impl: str = "loop",
+) -> DataFrame:
+    """BOM explosion rollup: per root assembly, the component count,
+    total rolled-up cost (integer cents — exact), and subtree depth."""
+    resolved = resolve_roots(nodes, key=key, parent=parent, carry=[value], impl=impl)
+    return resolved.groupBy("root").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(value).alias("total_cost_cents"),
+        F.max("depth").cast("int").alias("max_depth"),
+    )

@@ -169,7 +169,13 @@ def hybrid_search(
             .orderBy(F.col("_s").desc(), "doc_id")
             .limit(n_list)
         )
-        w = Window.orderBy(F.col("_s").desc(), "doc_id")  # <= n_list rows
+        # <= n_list rows post-limit; non-foldable pinned partition
+        # (functions.windows), warning-free
+        from ..functions.windows import one_partition
+
+        w = Window.partitionBy(one_partition("doc_id")).orderBy(
+            F.col("_s").desc(), "doc_id"
+        )
         return top.withColumn(rank_name, F.row_number().over(w)).select(
             "doc_id", rank_name
         )

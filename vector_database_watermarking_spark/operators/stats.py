@@ -316,10 +316,13 @@ def key_skew(df: DataFrame, key_col: str, label: str | None = None) -> DataFrame
         F.count(F.lit(1)).alias("_n")
     )
     hist = counts.groupBy("_n").agg(F.count(F.lit(1)).alias("_m"))
-    # value-bounded relation: the constant partition key only keeps the
-    # plan out of WindowExec's unpartitioned path (and its warning)
+    # value-bounded relation: the non-foldable constant partition key
+    # keeps the plan out of WindowExec's unpartitioned path (and its
+    # warning; a foldable lit(0) is optimized away — functions.windows)
+    from ..functions.windows import one_partition
+
     w = (
-        Window.partitionBy(F.lit(0))
+        Window.partitionBy(one_partition("_n"))
         .orderBy("_n")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )

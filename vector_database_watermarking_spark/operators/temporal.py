@@ -461,7 +461,12 @@ def running_concurrency(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     totals = d.groupBy("_b").agg(F.sum("delta").alias("_t"))
-    w_carry = Window.orderBy("_b").rowsBetween(
+    # |buckets|-row relation: pin the single partition with a
+    # non-foldable key (functions.windows) rather than emit the
+    # no-partition warning
+    from ..functions.windows import one_partition
+
+    w_carry = Window.partitionBy(one_partition("_b")).orderBy("_b").rowsBetween(
         Window.unboundedPreceding, -1
     )
     carry = totals.select(

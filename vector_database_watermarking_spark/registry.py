@@ -1008,6 +1008,7 @@ _GRADE_ORDER = [
     "ext_cluster_split",
     "ext_mixture_execute",
     "ext_winsorize",
+    "rel_bom_rollup",
 ]
 
 

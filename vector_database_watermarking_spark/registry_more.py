@@ -4905,6 +4905,42 @@ def rel_division(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_bom_rollup",
+    oracle="""
+WITH RECURSIVE nodes AS (
+  SELECT p_partkey AS key,
+         CASE WHEN p_partkey >= 8 THEN p_partkey // 8 END AS parent_key,
+         CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cost_cents
+  FROM part
+),
+walk(key, root, depth, cost_cents) AS (
+  SELECT key, key, 0, cost_cents FROM nodes WHERE parent_key IS NULL
+  UNION ALL
+  SELECT n.key, w.root, w.depth + 1, n.cost_cents
+  FROM nodes n JOIN walk w ON n.parent_key = w.key
+)
+SELECT root, CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(cost_cents) AS BIGINT) AS total_cost_cents,
+       CAST(max(depth) AS INTEGER) AS max_depth
+FROM walk GROUP BY root
+""",
+)
+def rel_bom_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bill-of-materials explosion rollup (``operators.hierarchy``) —
+    the recursive-CTE relational shape: a deterministic parts forest
+    (parent = key // 8, keys < 8 root) walked to its roots, component
+    count / integer-cents cost / depth rolled up per assembly. The
+    graded tier is the frontier-iteration loop (depth-bounded joins,
+    per-level localCheckpoint — the 100 TB shape); Spark 4.1's native
+    ``WITH RECURSIVE`` tier is pinned equal by test, and the oracle
+    IS that recursive CTE in DuckDB."""
+    from .operators.hierarchy import bom_rollup, derive_bom_edges
+
+    part = load_table(spark, sf_dir, "part")
+    return bom_rollup(derive_bom_edges(part, fanout=8))
+
+
+@register(
     "ext_winsorize",
     oracle="""
 WITH q AS (
@@ -5106,6 +5142,7 @@ def _pipeline_pack_oracle() -> str:
     pwo = QUERIES["rel_parts_with_orders_semi"].oracle
     orr = QUERIES["rel_orders_rollup"].oracle
     pvs = QUERIES["rel_pivot_status"].oracle
+    bom = QUERIES["rel_bom_rollup"].oracle
     sdd2 = QUERIES["ext_semantic_dedup"].oracle
     ctb = QUERIES["ext_contamination_bloom"].oracle
     h_rfls = oracle_hash60("l_returnflag || '|' || l_linestatus")
@@ -5523,6 +5560,12 @@ SELECT 'contamination_check',
        * ((n_shared_windows * 131 + n_probe_docs * 17 + first_probe_doc)
           % 1000003)), 0) AS BIGINT)
   FROM ({ctb})
+UNION ALL
+SELECT 'bom_rollup_check',
+  CAST(count(*) + sum((root % 997 + 1)
+       * ((n_parts * 131 + total_cost_cents * 17 + max_depth)
+          % 1000003)) AS BIGINT)
+  FROM ({bom})
 """
 
 
@@ -6995,6 +7038,28 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                             )
                         ),
                         F.lit(0),
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    bom = QUERIES["rel_bom_rollup"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "bom_rollup_check",
+            bom.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (F.col("root") % 997 + 1)
+                        * (
+                            (
+                                F.col("n_parts") * 131
+                                + F.col("total_cost_cents") * 17
+                                + F.col("max_depth")
+                            )
+                            % 1000003
+                        )
                     )
                 ).alias("value")
             ),
