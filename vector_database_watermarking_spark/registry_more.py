@@ -4047,7 +4047,15 @@ def ext_graph_link_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     e = knn.knn_edges(emb, k=K).select("src", "dst")
     rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    mutual = e.join(rev, on=["src", "dst"], how="left_semi")
+    # materialize the mutual graph (n·k rows — tiny) before the wedge
+    # enumeration: link_prediction_ra reads its edge input from FOUR
+    # plan positions (degrees, both wedge sides, adjacency exclusion),
+    # and without the checkpoint each one can re-evaluate the kNN
+    # subtree — invisible at sf0.1 (~0.5 s a recompute), 4× a ~30 s
+    # kNN at sf1 (measured in the r07 sf1 pass)
+    mutual = e.join(rev, on=["src", "dst"], how="left_semi").localCheckpoint(
+        eager=True
+    )
     return graph.link_prediction_ra(mutual, min_common=2, top_k=100)
 
 
