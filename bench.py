@@ -79,6 +79,11 @@ HEADLINE = [
     # existing group-agg/window shapes already benched.
     "rel_nation_trade",
     "ext_kmeans_refine",
+    # round-7: the depth-bounded iterative hierarchy walk (a sequence
+    # of frontier joins + per-level localCheckpoint) — a control-flow
+    # shape no other row tracks (BFS rides the same idea but over the
+    # kNN graph; this one is pure relational parent-pointer chasing)
+    "rel_bom_rollup",
 ]
 # ext_contamination_bloom is deliberately NOT a headline: at fixture
 # scale both fingerprint sides are equally tiny, so the exact one-job

@@ -130,3 +130,39 @@ def test_readme_query_count_matches_registry():
         f"README claims {sorted(counts)} queries but the registry has "
         f"{len(QUERIES)} — update README.md"
     )
+
+
+@given(f32, st.integers(0, 1), st.integers(0, 10**12))
+@settings(max_examples=400, deadline=None)
+def test_bit_surgery_fast_tier_matches_string_tier(x, wm_bit, vid_num):
+    """The integer fast tier (O(1) per value) must be bit-identical to
+    the string-expansion reference tier on the whole float32 domain —
+    including the sub-2^-27 carriers where the fast tier falls back."""
+    vec = [x, 1.5, -0.25, 3.0, 0.0, -2.75, 0.5, 8.0]
+    skip = frozenset({1, 5})
+    vid = str(vid_num)
+    assert bits.embed_bit_fast(vec, wm_bit, vid, skip) == bits.embed_bit(
+        vec, wm_bit, vid, skip
+    )
+    assert bits.extract_bit_fast(vec, vid, skip) == bits.extract_bit(
+        vec, vid, skip
+    )
+
+
+@given(st.floats(min_value=1.401298464324817e-45, max_value=9.99999993922529e-09, allow_nan=False, width=32),
+       st.integers(0, 1), st.integers(0, 10**12))
+@settings(max_examples=200, deadline=None)
+def test_bit_surgery_fast_tier_tiny_carrier_domain(x, wm_bit, vid_num):
+    """Dense coverage of the denormal/tiny-carrier region where the
+    expansion exceeds the 53-bit significand and the fast tier must
+    defer to the string tier."""
+    vec = [0.0] * 8
+    vec[3] = x
+    skip = frozenset({0})
+    vid = str(vid_num)
+    assert bits.embed_bit_fast(vec, wm_bit, vid, skip) == bits.embed_bit(
+        vec, wm_bit, vid, skip
+    )
+    assert bits.extract_bit_fast(vec, vid, skip) == bits.extract_bit(
+        vec, vid, skip
+    )

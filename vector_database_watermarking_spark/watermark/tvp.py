@@ -58,7 +58,8 @@ def _make_classifier(dims: list[int], L: int):
             vid = bits.content_id_py(vec, dims)
             vids.append(vid)
             gids.append(compat_md5_mod(vid, L))
-            hbits.append(bits.extract_bit(vec, vid, skip))
+            # integer fast tier — bit-identical (functions.bits)
+            hbits.append(bits.extract_bit_fast(vec, vid, skip))
         return pd.DataFrame({"vid": vids, "group_id": gids, "hidden_bit": hbits})
 
     return _cls
@@ -74,7 +75,7 @@ def _make_embedder(dims: list[int]):
             if target is None or (isinstance(target, float) and math.isnan(target)):
                 out.append(vec)
             else:
-                out.append(bits.embed_bit(list(vec), int(target), vid, skip))
+                out.append(bits.embed_bit_fast(list(vec), int(target), vid, skip))
         return pd.Series(out)
 
     return _embed
