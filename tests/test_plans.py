@@ -438,11 +438,15 @@ def test_key_skew_window_over_histogram_only(spark, sf_dir):
 
     q = QUERIES["rel_key_skew"].fn(spark, sf_dir)
     plan = plan_of(q)
-    # Catalyst folds the constant partition key away; what must hold is
-    # that every window orders on the histogram's multiplicity column
-    # (_n), i.e. it runs over the value-bounded histogram relation
-    for m in re.finditer(r"windowspecdefinition\(([a-z_0-9]+)", plan):
-        assert m.group(1) == "_n", plan
+    # the partition key is the non-foldable constant (_w0 =
+    # pmod(xxhash64(_n), 1) — functions.windows.one_partition) and
+    # every window ORDERS on the histogram's multiplicity column (_n),
+    # i.e. it runs over the value-bounded histogram relation
+    specs = re.findall(
+        r"windowspecdefinition\((_w\d+#\d+L?|_n#\d+L?), (_n#\d+L?) ASC", plan
+    )
+    assert specs, plan
+    assert len(specs) == len(re.findall(r"windowspecdefinition\(", plan)), plan
     assert plan.count("HashAggregate") >= 6, plan
 
 
