@@ -126,8 +126,18 @@ def zorder_key(
     """
     cells = 2**bits
     tb = [F.col(tiebreak)] if tiebreak else []
-    wa = Window.orderBy(F.col(col_a), F.col(col_b), *tb)
-    wb = Window.orderBy(F.col(col_b), F.col(col_a), *tb)
+    # the global ntile is the point of the exact tier; pin its single
+    # partition with the non-foldable constant key (functions.windows)
+    # so the plan is identical but the WindowExec no-partition warning
+    # stays reserved for real bugs
+    from ..functions.windows import one_partition
+
+    wa = Window.partitionBy(one_partition(col_a)).orderBy(
+        F.col(col_a), F.col(col_b), *tb
+    )
+    wb = Window.partitionBy(one_partition(col_a)).orderBy(
+        F.col(col_b), F.col(col_a), *tb
+    )
     out = df.withColumn("_za", F.ntile(cells).over(wa) - 1).withColumn(
         "_zb", F.ntile(cells).over(wb) - 1
     )
