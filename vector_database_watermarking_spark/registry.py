@@ -1009,6 +1009,7 @@ _GRADE_ORDER = [
     "ext_mixture_execute",
     "ext_winsorize",
     "rel_bom_rollup",
+    "rel_events_session_window",
 ]
 
 

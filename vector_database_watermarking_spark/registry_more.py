@@ -4913,6 +4913,50 @@ def rel_division(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_events_session_window",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ordered
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id, sid
+""",
+)
+def rel_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-NATIVE gap sessionization: ``F.session_window`` (the
+    merging-interval session operator Catalyst plans without a window
+    function — also the streaming-native sibling of the
+    ``applyInPandasWithState`` tier graded by
+    ``stream_session_replay``). Each event opens ``[ts, ts+gap)`` and
+    overlapping windows merge per key, so a session breaks at
+    ``diff >= gap`` — a half-open boundary, unlike the lag-SQL's
+    strict ``>`` — and the oracle replays exactly that. The reported
+    ``session_end`` is the last event time (``window.end − gap``)."""
+    ev = load_table(spark, sf_dir, "events")
+    sw = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("w")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return sw.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        (F.col("w.end") - F.expr("INTERVAL 30 MINUTES")).alias("session_end"),
+        "n_events",
+    )
+
+
+@register(
     "rel_bom_rollup",
     oracle="""
 WITH RECURSIVE nodes AS (
@@ -5151,6 +5195,7 @@ def _pipeline_pack_oracle() -> str:
     orr = QUERIES["rel_orders_rollup"].oracle
     pvs = QUERIES["rel_pivot_status"].oracle
     bom = QUERIES["rel_bom_rollup"].oracle
+    swn = QUERIES["rel_events_session_window"].oracle
     sdd2 = QUERIES["ext_semantic_dedup"].oracle
     ctb = QUERIES["ext_contamination_bloom"].oracle
     h_rfls = oracle_hash60("l_returnflag || '|' || l_linestatus")
@@ -5574,6 +5619,12 @@ SELECT 'bom_rollup_check',
        * ((n_parts * 131 + total_cost_cents * 17 + max_depth)
           % 1000003)) AS BIGINT)
   FROM ({bom})
+UNION ALL
+SELECT 'session_window_check',
+  CAST(count(*) + sum((user_id % 997 + 1)
+       * ((n_events * 131 + epoch_us(session_start) % 86400
+           + epoch_us(session_end) % 86400) % 1000003)) AS BIGINT)
+  FROM ({swn})
 """
 
 
@@ -7046,6 +7097,34 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                             )
                         ),
                         F.lit(0),
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    swn = QUERIES["rel_events_session_window"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "session_window_check",
+            swn.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (F.col("user_id") % 997 + 1)
+                        * (
+                            (
+                                F.col("n_events") * 131
+                                + F.unix_micros(
+                                    F.col("session_start").cast("timestamp")
+                                )
+                                % 86400
+                                + F.unix_micros(
+                                    F.col("session_end").cast("timestamp")
+                                )
+                                % 86400
+                            )
+                            % 1000003
+                        )
                     )
                 ).alias("value")
             ),
