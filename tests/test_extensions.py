@@ -1518,3 +1518,64 @@ def test_pmi_collocations_brute_force(spark):
         rows.append((w1, w2, c, uni[w1], uni[w2], math.floor(pmi * 10000 + 0.5)))
     rows.sort(key=lambda x: (-x[5], x[0], x[1]))
     assert got == rows[:10]
+
+
+def test_stream_interval_join_left_outer_emits_unmatched(spark, tmp_path):
+    """LEFT OUTER stream-stream interval join: a view with no purchase
+    inside the horizon must surface null-padded once the watermark
+    passes its eviction point (advanced here by a sentinel row); the
+    converged output must equal the batch LEFT JOIN."""
+    import datetime as dt
+
+    from vector_database_watermarking_spark.streaming.joins import (
+        interval_join,
+        run_to_append_sink,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    # user 1: view at 0 matched by purchase at 30; view at 120 unmatched
+    # user 2: view at 10, no purchases at all
+    views = [(1, 1, ts(0), 0.0), (2, 1, ts(120), 0.0), (3, 2, ts(10), 0.0)]
+    purchases = [(10, 1, ts(30), 9.5)]
+    sent_v = [(-1, -1, ts(60 * 24 * 30), 0.0)]
+    sent_p = [(-1, -1, ts(60 * 24 * 30), 0.0)]
+    v_dir, p_dir = str(tmp_path / "v"), str(tmp_path / "p")
+    spark.createDataFrame(views + sent_v, schema).coalesce(1).write.parquet(v_dir)
+    spark.createDataFrame(purchases + sent_p, schema).coalesce(1).write.parquet(p_dir)
+
+    out = interval_join(
+        spark.readStream.schema(schema).parquet(v_dir),
+        spark.readStream.schema(schema).parquet(p_dir),
+        on="user_id",
+        horizon="1 hour",
+        watermark="1 minute",
+        left_prefix="v",
+        right_prefix="p",
+        how="left_outer",
+    )
+    run_to_append_sink(out, "left_attr")
+    got = {
+        (r["v_event_id"], r["p_event_id"])
+        for r in spark.sql(
+            "SELECT * FROM left_attr WHERE v_user_id >= 0"
+        ).collect()
+    }
+    assert got == {(1, 10), (2, None), (3, None)}
+
+    # batch tier agrees
+    batch = interval_join(
+        spark.read.schema(schema).parquet(v_dir),
+        spark.read.schema(schema).parquet(p_dir),
+        on="user_id",
+        horizon="1 hour",
+        left_prefix="v",
+        right_prefix="p",
+        how="left_outer",
+    ).filter(F.col("v_user_id") >= 0)
+    expected = {(r["v_event_id"], r["p_event_id"]) for r in batch.collect()}
+    assert got == expected

@@ -1010,6 +1010,7 @@ _GRADE_ORDER = [
     "ext_winsorize",
     "rel_bom_rollup",
     "rel_events_session_window",
+    "stream_interval_join_left_replay",
 ]
 
 

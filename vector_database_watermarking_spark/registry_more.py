@@ -2571,6 +2571,93 @@ def stream_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_interval_join_left_replay",
+    oracle="""
+WITH v AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT v.user_id AS user_id, v.event_id AS view_id, v.ts AS view_ts,
+       p.event_id AS purchase_id, p.ts AS purchase_ts,
+       p.value AS purchase_value
+FROM v LEFT JOIN p ON v.user_id = p.user_id
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+""",
+)
+def stream_interval_join_left_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join graded end-to-end — the
+    attribution join's other half: views with NO purchase inside the
+    horizon must surface null-padded, and in streaming Spark may only
+    emit such a row once the watermark proves no match can still
+    arrive (state-certified negation, the genuinely streaming-hard
+    part of outer joins).
+
+    Replay design: one file per side carrying the full slice PLUS a
+    far-future sentinel row (user_id −1, max_ts + 10 days) on both
+    sides. The single trigger joins everything (no late-arrival
+    hazard), the sentinel then advances both sides' watermarks
+    (delay 1 minute) past every real view's ``view_ts + horizon``, and
+    the follow-up no-data batch flushes every unmatched view as a
+    null-padded append row. Sentinels themselves stay in state (their
+    own eviction point is never passed) and are filtered here. The
+    converged output is trigger-slicing-independent, so the oracle is
+    the batch LEFT JOIN."""
+    from .streaming import joins as sjoins
+
+    ev = load_table(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts").alias("m")).head()["m"]
+
+    def side(event_type: str, cols: list[str]) -> DataFrame:
+        real = ev.filter(F.col("event_type") == event_type).select(*cols)
+        sentinel = spark.range(1).select(
+            F.lit(-1).cast("long").alias("event_id"),
+            F.lit(-1).cast("long").alias("user_id"),
+            (F.lit(max_ts) + F.expr("INTERVAL 10 DAYS")).alias("ts"),
+            F.lit(0.0).alias("value"),
+        ).select(*cols)
+        return real.unionByName(sentinel)
+
+    cols = ["event_id", "user_id", "ts", "value"]
+    scratch = _scratch_dir("sijl", sf_dir)
+    import shutil
+
+    shutil.rmtree(scratch, ignore_errors=True)
+    for name_, et in (("views", "view"), ("purchases", "purchase")):
+        side(et, cols).coalesce(1).write.mode("overwrite").parquet(
+            _os.path.join(scratch, name_)
+        )
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    vs = spark.readStream.schema(schema).parquet(_os.path.join(scratch, "views"))
+    ps = spark.readStream.schema(schema).parquet(
+        _os.path.join(scratch, "purchases")
+    )
+    joined = sjoins.interval_join(
+        vs,
+        ps,
+        on="user_id",
+        horizon="1 hour",
+        watermark="1 minute",
+        left_prefix="v",
+        right_prefix="p",
+        how="left_outer",
+    )
+    out = joined.select(
+        F.col("v_user_id").alias("user_id"),
+        F.col("v_event_id").alias("view_id"),
+        F.col("v_ts").alias("view_ts"),
+        F.col("p_event_id").alias("purchase_id"),
+        F.col("p_ts").alias("purchase_ts"),
+        F.col("p_value").alias("purchase_value"),
+    )
+    name = _sink_name("sijl", sf_dir)
+    spark.catalog.dropTempView(name)
+    _drain_to_memory(out, name, "append")
+    return spark.table(name).filter(F.col("user_id") >= 0)
+
+
+@register(
     "stream_detection_replay",
     oracle=QUERIES["a1_group_classify"].oracle,
 )
@@ -5196,6 +5283,7 @@ def _pipeline_pack_oracle() -> str:
     pvs = QUERIES["rel_pivot_status"].oracle
     bom = QUERIES["rel_bom_rollup"].oracle
     swn = QUERIES["rel_events_session_window"].oracle
+    sijl = QUERIES["stream_interval_join_left_replay"].oracle
     sdd2 = QUERIES["ext_semantic_dedup"].oracle
     ctb = QUERIES["ext_contamination_bloom"].oracle
     h_rfls = oracle_hash60("l_returnflag || '|' || l_linestatus")
@@ -5625,6 +5713,15 @@ SELECT 'session_window_check',
        * ((n_events * 131 + epoch_us(session_start) % 86400
            + epoch_us(session_end) % 86400) % 1000003)) AS BIGINT)
   FROM ({swn})
+UNION ALL
+SELECT 'interval_left_check',
+  CAST(count(*) + sum((view_id % 997 + 1)
+       * ((user_id + coalesce(purchase_id, -3) * 131
+           + epoch_us(view_ts) % 86400
+           + coalesce(epoch_us(purchase_ts), -5) % 86400
+           + coalesce(CAST(floor(purchase_value * 100 + 0.5) AS BIGINT), -7))
+          % 1000003)) AS BIGINT)
+  FROM ({sijl})
 """
 
 
@@ -7097,6 +7194,44 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                             )
                         ),
                         F.lit(0),
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    sijl = QUERIES["stream_interval_join_left_replay"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "interval_left_check",
+            sijl.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (F.col("view_id") % 997 + 1)
+                        * (
+                            (
+                                F.col("user_id")
+                                + F.coalesce(F.col("purchase_id"), F.lit(-3)) * 131
+                                + F.unix_micros(
+                                    F.col("view_ts").cast("timestamp")
+                                )
+                                % 86400
+                                + F.coalesce(
+                                    F.unix_micros(
+                                        F.col("purchase_ts").cast("timestamp")
+                                    ),
+                                    F.lit(-5),
+                                )
+                                % 86400
+                                + F.coalesce(
+                                    F.floor(
+                                        F.col("purchase_value") * 100 + F.lit(0.5)
+                                    ).cast("long"),
+                                    F.lit(-7),
+                                )
+                            )
+                            % 1000003
+                        )
                     )
                 ).alias("value")
             ),

@@ -41,15 +41,26 @@ def interval_join(
     watermark: str = "2 hours",
     left_prefix: str = "l",
     right_prefix: str = "r",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner interval join: pairs ``left`` and ``right`` rows sharing
-    ``on`` with ``right_ts ∈ [left_ts, left_ts + horizon]``.
+    """Interval join: pairs ``left`` and ``right`` rows sharing ``on``
+    with ``right_ts ∈ [left_ts, left_ts + horizon]``.
 
     Works identically on batch and streaming inputs; on streams both
     sides are watermarked so join state is evictable. Output columns
     are prefixed (``l_ts``, ``r_ts``, ...) so the two sides stay
     distinguishable without ambiguous references.
+
+    ``how="left_outer"`` emits unmatched left rows null-padded — in
+    streaming, only once the watermark passes ``left_ts + horizon``
+    (no earlier emission is possible: a match could still arrive), so
+    outer results trail the inner ones by the watermark delay. The
+    range condition plus both-sided watermarks is exactly the shape
+    Spark requires for outer stream-stream joins to certify state
+    eviction; without them the query is rejected at analysis time.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"interval_join: unsupported how={how!r}")
 
     def _prefixed(df: DataFrame, prefix: str, ts: str) -> DataFrame:
         renamed = df.select(
@@ -68,7 +79,7 @@ def interval_join(
         & (rts >= lts)
         & (rts <= lts + F.expr(f"INTERVAL {horizon}"))
     )
-    return lf.join(rf, cond, "inner")
+    return lf.join(rf, cond, how)
 
 
 def attribution_join_streams(
