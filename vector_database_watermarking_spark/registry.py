@@ -1011,6 +1011,7 @@ _GRADE_ORDER = [
     "rel_bom_rollup",
     "rel_events_session_window",
     "stream_interval_join_left_replay",
+    "rel_waiting_suppliers",
 ]
 
 

@@ -1560,10 +1560,9 @@ def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     dup = docs.withColumn("doc_id", F.col("doc_id") + 10_000_000)
-    scratch = _o.path.join(
-        "/root/repo/_scratch",
-        f"stream_dedup_{_o.path.basename(sf_dir.rstrip('/'))}",
-    )
+    from .registry_more import _scratch_dir
+
+    scratch = _scratch_dir("stream_dedup", sf_dir)
     shutil.rmtree(scratch, ignore_errors=True)
     for b in range(3):
         (

@@ -687,10 +687,7 @@ def stream_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming import cdc
 
     base, ch = _merge_inputs(spark, sf_dir)
-    scratch = _os.path.join(
-        "/root/repo/_scratch",
-        f"cdc_replay_{_os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    scratch = _scratch_dir("cdc_replay", sf_dir)
     shutil.rmtree(scratch, ignore_errors=True)
     changes_dir = _os.path.join(scratch, "changes")
     table_dir = _os.path.join(scratch, "table")
@@ -848,9 +845,7 @@ def cov_operator_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts.append(scalar("s2_tail_count", tail.agg(F.count(F.lit(1)).alias("value"))))
     parts.append(scalar("s2_tail_idsum", tail.agg(F.sum("vec_id").alias("value"))))
 
-    sink = _os.path.join(
-        "/root/repo/_scratch", f"s4_sink_{_os.path.basename(sf_dir.rstrip('/'))}"
-    )
+    sink = _scratch_dir("s4_sink", sf_dir)
     tail.write.mode("overwrite").parquet(sink)
     rr = spark.read.parquet(sink)
     parts.append(scalar("s4_roundtrip_count", rr.agg(F.count(F.lit(1)).alias("value"))))
@@ -1075,10 +1070,7 @@ def cov_operator_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assigned, cents = similarity.ivf_build_fixed(emb, n_clusters=8)
     assigned = assigned.persist()
-    ivf_dir = _os.path.join(
-        "/root/repo/_scratch",
-        f"ivf_{_os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    ivf_dir = _scratch_dir("ivf", sf_dir)
     similarity.save_ivf_index(assigned, cents, ivf_dir)
     l_assigned, l_cents = similarity.load_ivf_index(spark, ivf_dir)
     q10 = emb.filter(F.col("vec_id") < 10)
@@ -2456,9 +2448,25 @@ from .registry_ext import (  # noqa: E402
 
 
 def _scratch_dir(tag: str, sf_dir: str) -> str:
-    return _os.path.join(
-        "/root/repo/_scratch", f"{tag}_{_os.path.basename(sf_dir.rstrip('/'))}"
-    )
+    """Per-PROCESS scratch: two concurrent check runs against the same
+    scale factor must not clobber each other's replay state (observed:
+    a vacuum in one process deleting the snapshot another was
+    reading). The pid suffix isolates them; a best-effort sweep of
+    same-tag dirs from dead processes keeps _scratch bounded."""
+    base = "/root/repo/_scratch"
+    prefix = f"{tag}_{_os.path.basename(sf_dir.rstrip('/'))}"
+    try:
+        for name in _os.listdir(base):
+            if not name.startswith(prefix + "_pid"):
+                continue
+            pid = name.rsplit("_pid", 1)[-1]
+            if pid.isdigit() and not _os.path.exists(f"/proc/{pid}"):
+                import shutil
+
+                shutil.rmtree(_os.path.join(base, name), ignore_errors=True)
+    except FileNotFoundError:
+        pass
+    return _os.path.join(base, f"{prefix}_pid{_os.getpid()}")
 
 
 def _sink_name(tag: str, sf_dir: str) -> str:
@@ -4502,7 +4510,34 @@ def rel_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .operators.maintenance import bucketed_table
 
-    tag = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    # pid-scoped names: two concurrent check runs against the same sf
+    # must not overwrite each other's catalog tables mid-read (same
+    # isolation rule as _scratch_dir); sweep dead pids' leftovers
+    tag = (
+        _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+        + f"_pid{_os.getpid()}"
+    )
+    try:
+        from urllib.parse import urlparse as _urlparse
+
+        wh = _urlparse(
+            spark.catalog.getDatabase(
+                spark.catalog.currentDatabase()
+            ).locationUri
+        )
+        if wh.scheme in ("", "file"):
+            import shutil as _shutil
+
+            for name in _os.listdir(wh.path):
+                if not name.startswith("bj_") or "_pid" not in name:
+                    continue
+                pid = name.rsplit("_pid", 1)[-1]
+                if pid.isdigit() and not _os.path.exists(f"/proc/{pid}"):
+                    _shutil.rmtree(
+                        _os.path.join(wh.path, name), ignore_errors=True
+                    )
+    except FileNotFoundError:
+        pass
     o = bucketed_table(
         spark,
         load_table(spark, sf_dir, "orders").withColumnRenamed(
@@ -5000,6 +5035,77 @@ def rel_division(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_waiting_suppliers",
+    oracle="""
+WITH l1 AS (
+  SELECT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+)
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM l1
+JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM l1 l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s.s_name
+""",
+)
+def rel_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — the EXISTS + NOT-EXISTS double-correlation:
+    per supplier, the late lineitems (ship > order date + 60 days —
+    the fixture has no receiptdate, so lateness is synthesized from
+    the dates it has) in multi-supplier orders where that supplier was
+    the ONLY late one. Expressed as one semi-join (another supplier
+    exists in the order) plus one anti-join (no OTHER late supplier) —
+    both hash equi-joins on ``l_orderkey`` with the supplier
+    inequality riding as a residual condition, then a broadcast dim
+    join for the name. Catalyst plans the same shape it decorrelates
+    the EXISTS pair into; at 100 TB all three fact legs shuffle once
+    on the shared order key and AQE splits hot orders."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    l1 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = l1.select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    qualified = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("k2"))
+            & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("k3"))
+            & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    return (
+        qualified.join(F.broadcast(s), qualified.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
     "rel_events_session_window",
     oracle="""
 WITH ordered AS (
@@ -5284,6 +5390,8 @@ def _pipeline_pack_oracle() -> str:
     bom = QUERIES["rel_bom_rollup"].oracle
     swn = QUERIES["rel_events_session_window"].oracle
     sijl = QUERIES["stream_interval_join_left_replay"].oracle
+    ws = QUERIES["rel_waiting_suppliers"].oracle
+    h_sn = oracle_hash60("s_name")
     sdd2 = QUERIES["ext_semantic_dedup"].oracle
     ctb = QUERIES["ext_contamination_bloom"].oracle
     h_rfls = oracle_hash60("l_returnflag || '|' || l_linestatus")
@@ -5722,6 +5830,11 @@ SELECT 'interval_left_check',
            + coalesce(CAST(floor(purchase_value * 100 + 0.5) AS BIGINT), -7))
           % 1000003)) AS BIGINT)
   FROM ({sijl})
+UNION ALL
+SELECT 'waiting_suppliers_check',
+  CAST(count(*) + coalesce(sum(({h_sn} % 997 + 1) * (numwait % 1000003)), 0)
+       AS BIGINT)
+  FROM ({ws})
 """
 
 
@@ -7192,6 +7305,24 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 )
                                 % 1000003
                             )
+                        ),
+                        F.lit(0),
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    ws = QUERIES["rel_waiting_suppliers"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "waiting_suppliers_check",
+            ws.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.coalesce(
+                        F.sum(
+                            (hash60(F.col("s_name")) % 997 + 1)
+                            * (F.col("numwait") % 1000003)
                         ),
                         F.lit(0),
                     )
