@@ -248,3 +248,33 @@ def test_ivm_crash_between_commits_heals_on_replay(spark, tmp_path, monkeypatch)
         for r in cdc.read_current(spark, agg_dir).collect()
     }
     assert after == before
+
+
+def test_cdc_time_travel_and_apply_once(spark, tmp_path):
+    """apply_once commits sequential versions; read_version pins an
+    old snapshot while the pointer advances; vacuum respects retain."""
+    import pytest
+
+    base = spark.createDataFrame(
+        [(1, 10), (2, 20)], "doc_id long, val long"
+    )
+    b1 = spark.createDataFrame(
+        [(1, 11, 100, "update"), (3, 30, 101, "insert")],
+        "doc_id long, val long, seq long, op string",
+    )
+    b2 = spark.createDataFrame(
+        [(2, None, 200, "delete")], "doc_id long, val long, seq long, op string"
+    )
+    d = str(tmp_path / "t")
+    cdc.init_table(base, d)
+    cdc.apply_once(b1, d, retain=0)
+    cdc.apply_once(b2, d, retain=0)
+    assert cdc.list_versions(d) == [0, 1, 2]
+    v1 = {(r["doc_id"], r["val"]) for r in cdc.read_version(spark, d, 1).collect()}
+    assert v1 == {(1, 11), (2, 20), (3, 30)}
+    cur = {(r["doc_id"], r["val"]) for r in cdc.read_current(spark, d).collect()}
+    assert cur == {(1, 11), (3, 30)}
+    cdc.vacuum(d, retain=1)
+    assert cdc.list_versions(d) == [2]
+    with pytest.raises(FileNotFoundError):
+        cdc.read_version(spark, d, 0)

@@ -1012,6 +1012,8 @@ _GRADE_ORDER = [
     "rel_events_session_window",
     "stream_interval_join_left_replay",
     "rel_waiting_suppliers",
+    "rel_cdc_time_travel",
+    "ext_schema_merge_read",
 ]
 
 

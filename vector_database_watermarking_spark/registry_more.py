@@ -600,16 +600,22 @@ def rel_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MERGE_H3 = "CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 3"
 
-_MERGE_ORACLE = f"""
+def _merge_oracle(ch_extra_where: str = "") -> str:
+    """The MERGE-family oracle, with an optional extra predicate on
+    the change-log CTE (``ch_extra_where`` like ``"AND key % 3 = 0"``)
+    so partial replays — the time-travel reads — share one SQL body."""
+    return f"""
 WITH base AS (
   SELECT doc_id, text, lang, source FROM documents WHERE doc_id % 4 <> 3
 ),
 ch AS (
-  SELECT (doc_id // 16) * 4 AS key, doc_id AS seq,
-         CASE {_MERGE_H3} WHEN 0 THEN 'insert'
-                          WHEN 1 THEN 'update' ELSE 'delete' END AS op,
-         text, lang, source
-  FROM documents WHERE doc_id % 4 = 3
+  SELECT * FROM (
+    SELECT (doc_id // 16) * 4 AS key, doc_id AS seq,
+           CASE {_MERGE_H3} WHEN 0 THEN 'insert'
+                            WHEN 1 THEN 'update' ELSE 'delete' END AS op,
+           text, lang, source
+    FROM documents WHERE doc_id % 4 = 3
+  ) WHERE 1 = 1 {ch_extra_where}
 ),
 latest AS (
   SELECT * FROM (
@@ -627,6 +633,9 @@ SELECT coalesce(b.doc_id, l.key) AS doc_id,
 FROM base b FULL OUTER JOIN latest l ON b.doc_id = l.key
 WHERE l.op IS NULL OR l.op <> 'delete'
 """
+
+
+_MERGE_ORACLE = _merge_oracle()
 
 
 def _merge_inputs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
@@ -5035,6 +5044,75 @@ def rel_division(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_cdc_time_travel",
+    oracle=_merge_oracle("AND key % 3 = 0"),
+)
+def rel_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel over the versioned CDC table
+    (``streaming.cdc.read_version``): the MERGE family's change log is
+    applied as three sequential key-disjoint batches with ``retain=0``
+    (vacuum disabled — every version kept), then version 1 — the state
+    after ONLY the first batch — is read back by version number while
+    the pointer sits at v3. Deterministic because the batch ORDER is
+    fixed by the batch API (no stream discovery order involved); the
+    oracle replays the merge restricted to the first batch's keys.
+    This is the read side of the snapshot-versioning design: a reader
+    pins a version while writers advance, exactly the parquet
+    analogue of a table format's ``VERSION AS OF``."""
+    from .streaming import cdc
+
+    base, ch = _merge_inputs(spark, sf_dir)
+    table_dir = _scratch_dir("cdc_tt", sf_dir)
+    import shutil
+
+    shutil.rmtree(table_dir, ignore_errors=True)
+    cdc.init_table(base, table_dir)
+    for b in range(3):
+        cdc.apply_once(
+            ch.filter(F.pmod(F.col("doc_id"), F.lit(3)) == b),
+            table_dir,
+            key="doc_id",
+            seq="seq",
+            op="op",
+            retain=0,
+        )
+    assert cdc.list_versions(table_dir) == [0, 1, 2, 3]
+    return cdc.read_version(spark, table_dir, 1)
+
+
+@register(
+    "ext_schema_merge_read",
+    oracle="""
+SELECT doc_id, text,
+       CASE WHEN doc_id % 2 = 1 THEN lang END AS lang,
+       CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars
+FROM documents
+""",
+)
+def ext_schema_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read (source breadth): two parquet batches
+    with DIFFERENT schemas — an early narrow write (doc_id, text) and
+    a later widened one (+ lang, n_chars) — land in one table
+    directory, and ``mergeSchema`` reconciles them on read with nulls
+    for the columns a file predates. The lakehouse reality every
+    long-lived ingest directory hits; at 100 TB the merged schema is
+    resolved from file footers (no data scan) and column pruning still
+    reaches each file with its own physical schema."""
+    docs = load_table(spark, sf_dir, "documents")
+    scratch = _scratch_dir("schevo", sf_dir)
+    import shutil
+
+    shutil.rmtree(scratch, ignore_errors=True)
+    docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text").coalesce(
+        2
+    ).write.mode("append").parquet(scratch)
+    docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "text", "lang", "n_chars"
+    ).coalesce(2).write.mode("append").parquet(scratch)
+    return spark.read.option("mergeSchema", "true").parquet(scratch)
+
+
+@register(
     "rel_waiting_suppliers",
     oracle="""
 WITH l1 AS (
@@ -5392,6 +5470,12 @@ def _pipeline_pack_oracle() -> str:
     sijl = QUERIES["stream_interval_join_left_replay"].oracle
     ws = QUERIES["rel_waiting_suppliers"].oracle
     h_sn = oracle_hash60("s_name")
+    tt = QUERIES["rel_cdc_time_travel"].oracle
+    sm = QUERIES["ext_schema_merge_read"].oracle
+    h_tls = oracle_hash60(
+        "coalesce(text, '~') || '|' || coalesce(lang, '~') || '|' || coalesce(source, '~')"
+    )
+    h_tl = oracle_hash60("coalesce(text, '~') || '|' || coalesce(lang, '~')")
     sdd2 = QUERIES["ext_semantic_dedup"].oracle
     ctb = QUERIES["ext_contamination_bloom"].oracle
     h_rfls = oracle_hash60("l_returnflag || '|' || l_linestatus")
@@ -5835,6 +5919,15 @@ SELECT 'waiting_suppliers_check',
   CAST(count(*) + coalesce(sum(({h_sn} % 997 + 1) * (numwait % 1000003)), 0)
        AS BIGINT)
   FROM ({ws})
+UNION ALL
+SELECT 'cdc_time_travel_check',
+  CAST(count(*) + sum((doc_id % 997 + 1) * ({h_tls} % 1000003)) AS BIGINT)
+  FROM ({tt})
+UNION ALL
+SELECT 'schema_merge_check',
+  CAST(count(*) + sum((doc_id % 997 + 1)
+       * (({h_tl} % 1000003) + coalesce(n_chars, -9)) % 1000003) AS BIGINT)
+  FROM ({sm})
 """
 
 
@@ -7307,6 +7400,59 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                             )
                         ),
                         F.lit(0),
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    tt = QUERIES["rel_cdc_time_travel"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "cdc_time_travel_check",
+            tt.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (F.col("doc_id") % 997 + 1)
+                        * (
+                            hash60(
+                                F.concat_ws(
+                                    "|",
+                                    F.coalesce(F.col("text"), F.lit("~")),
+                                    F.coalesce(F.col("lang"), F.lit("~")),
+                                    F.coalesce(F.col("source"), F.lit("~")),
+                                )
+                            )
+                            % 1000003
+                        )
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    sm = QUERIES["ext_schema_merge_read"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "schema_merge_check",
+            sm.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (F.col("doc_id") % 997 + 1)
+                        * (
+                            (
+                                hash60(
+                                    F.concat_ws(
+                                        "|",
+                                        F.coalesce(F.col("text"), F.lit("~")),
+                                        F.coalesce(F.col("lang"), F.lit("~")),
+                                    )
+                                )
+                                % 1000003
+                            )
+                            + F.coalesce(F.col("n_chars"), F.lit(-9))
+                        )
+                        % 1000003
                     )
                 ).alias("value")
             ),

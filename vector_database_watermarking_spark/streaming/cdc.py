@@ -63,6 +63,52 @@ def _commit_snapshot(df: DataFrame, table_dir: str, version: int) -> None:
     os.replace(tmp, _pointer_path(table_dir))  # atomic pointer flip
 
 
+def read_version(spark: SparkSession, table_dir: str, version: int) -> DataFrame:
+    """Time travel: read snapshot ``vN`` directly (it must still be
+    retained — ``vacuum`` with ``retain=0`` disabled, or ``version``
+    within the retain window). The pointer is not consulted, so a
+    reader can pin an old version while writers advance."""
+    vdir = os.path.join(table_dir, f"v{version}")
+    if not os.path.isdir(vdir):
+        raise FileNotFoundError(
+            f"snapshot v{version} not present under {table_dir} — vacuumed, "
+            "or never committed"
+        )
+    return spark.read.parquet(vdir)
+
+
+def list_versions(table_dir: str) -> list[int]:
+    """Retained snapshot versions, ascending (time-travel catalog)."""
+    return sorted(
+        int(name[1:])
+        for name in os.listdir(table_dir)
+        if name.startswith("v") and name[1:].isdigit()
+    )
+
+
+def apply_once(
+    batch_df: DataFrame,
+    table_dir: str,
+    key: str = "doc_id",
+    seq: str = "seq",
+    op: str = "op",
+    retain: int = 2,
+) -> None:
+    """Batch-mode single MERGE commit — exactly one trigger of
+    :func:`cdc_apply_stream` without a stream around it (backfill /
+    deterministic-order replays / tests)."""
+    if not batch_df.take(1):
+        return
+    spark = batch_df.sparkSession
+    base = read_current(spark, table_dir)
+    merged = apply_changes(base, batch_df, key=key, seq=seq, op=op)
+    with open(_pointer_path(table_dir)) as fh:
+        cur = int(fh.read().strip().lstrip("v"))
+    _commit_snapshot(merged, table_dir, cur + 1)
+    if retain:
+        vacuum(table_dir, retain)
+
+
 def vacuum(table_dir: str, retain: int = 2) -> list[str]:
     """Delete snapshot directories older than the ``retain`` most
     recent (the current one is always kept). Returns removed names.
@@ -102,16 +148,7 @@ def cdc_apply_stream(
     time travel). Returns the StreamingQuery (caller stops it)."""
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.take(1):
-            return
-        spark = batch_df.sparkSession
-        base = read_current(spark, table_dir)
-        merged = apply_changes(base, batch_df, key=key, seq=seq, op=op)
-        with open(_pointer_path(table_dir)) as fh:
-            cur = int(fh.read().strip().lstrip("v"))
-        _commit_snapshot(merged, table_dir, cur + 1)
-        if retain:
-            vacuum(table_dir, retain)
+        apply_once(batch_df, table_dir, key=key, seq=seq, op=op, retain=retain)
 
     writer = changes_stream.writeStream.foreachBatch(_apply).outputMode("update")
     if checkpoint_dir:
