@@ -5972,6 +5972,19 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     bitmap distinct-actives tier, the interval-union coverage
     islands, the relational division, and the dedup-aware cluster
     split.
+
+    Round-7 rows: one full-oracle checksum per TPC-H-ish breadth
+    query (pricing summary, top-revenue nations, order rank window,
+    shipping priority, small-qty revenue, customers-without-orders,
+    parts semi-join, orders rollup, pivot status) so no registered
+    query rests on judge-side re-runs alone; the two rotation
+    demotions (semantic dedup clusters, bloom contamination); the BOM
+    hierarchy rollup; the native merging session windows; the LEFT
+    OUTER stream-stream interval join (null-padded rows included in
+    the hash); the Q21 waiting-suppliers double-correlation; the CDC
+    time-travel read (version-1 snapshot vs the first-batch merge
+    replay); and the schema-evolution mergeSchema read (null-padded
+    widen).
     Each oracle side embeds the corresponding full-value oracle
     verbatim as a subquery, so a pass here certifies the same
     computation the standalone query would."""
