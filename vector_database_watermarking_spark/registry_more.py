@@ -2465,6 +2465,8 @@ def _scratch_dir(tag: str, sf_dir: str) -> str:
     base = "/root/repo/_scratch"
     prefix = f"{tag}_{_os.path.basename(sf_dir.rstrip('/'))}"
     try:
+        if not _os.path.isdir("/proc"):  # no liveness oracle: never sweep
+            raise FileNotFoundError
         for name in _os.listdir(base):
             if not name.startswith(prefix + "_pid"):
                 continue
@@ -4534,7 +4536,7 @@ def rel_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.catalog.currentDatabase()
             ).locationUri
         )
-        if wh.scheme in ("", "file"):
+        if wh.scheme in ("", "file") and _os.path.isdir("/proc"):
             import shutil as _shutil
 
             for name in _os.listdir(wh.path):
