@@ -201,3 +201,57 @@ def test_random_projection_matches_numpy(spark):
         for r in random_projection(emb.repartition(5), out_dim, d).collect()
     }
     assert all(again[0][f"p{j}"] == got[0][f"p{j}"] for j in range(out_dim))
+
+
+def test_ivf_append_search_parity(spark, sf_dir, tmp_path):
+    """Append-then-search must equal a from-scratch index with the
+    same centroids, and the append must not rewrite existing files."""
+    import os
+
+    from vector_database_watermarking_spark.operators import similarity
+    from vector_database_watermarking_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
+    assigned, cents = similarity.ivf_build_fixed(old, n_clusters=4)
+    path = str(tmp_path / "idx")
+    similarity.save_ivf_index(assigned, cents, path)
+
+    before = {
+        p: os.path.getmtime(os.path.join(r, p))
+        for r, _, files in os.walk(f"{path}/assigned")
+        for p in files
+        if p.endswith(".parquet")
+    }
+    similarity.ivf_append(spark, path, new)
+    after = {
+        p: os.path.getmtime(os.path.join(r, p))
+        for r, _, files in os.walk(f"{path}/assigned")
+        for p in files
+        if p.endswith(".parquet")
+    }
+    # existing files untouched, new files added
+    for name, mt in before.items():
+        assert after.get(name) == mt
+    assert len(after) > len(before)
+
+    l_assigned, l_cents = similarity.load_ivf_index(spark, path)
+    q = emb.filter(F.col("vec_id") < 20)
+    got = {
+        tuple(r)
+        for r in similarity.ivf_search_fixed(
+            q, l_assigned, l_cents, k=3, nprobe=2
+        ).collect()
+    }
+    # from-scratch: assign the WHOLE corpus against the same centroids
+    full = emb.select(
+        "vec_id",
+        "embedding",
+        similarity._argmin_cluster("embedding", cents).alias("cluster"),
+    )
+    want = {
+        tuple(r)
+        for r in similarity.ivf_search_fixed(q, full, cents, k=3, nprobe=2).collect()
+    }
+    assert got == want and len(got) > 0

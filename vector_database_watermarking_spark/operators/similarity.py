@@ -1146,6 +1146,30 @@ def save_ivf_index(assigned: DataFrame, centroids: np.ndarray, path: str) -> Non
     cent.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
 
 
+def ivf_append(spark, path: str, new_vectors: DataFrame) -> None:
+    """Incremental index maintenance: route NEW vectors through the
+    EXISTING centroids and append them into the cluster partitions —
+    the arrival path of a live corpus (the reference rebuilds its
+    whole faiss index on any change; SURVEY §3.3).
+
+    No existing file is touched: ``mode("append")`` under
+    ``partitionBy(cluster)`` adds files inside the affected cluster
+    directories only, so readers keep partition pruning and a search
+    after the append is plan-identical to one over a from-scratch
+    index with the same centroids. Centroids are NOT moved — the
+    standard IVF trade (periodic re-train compacts drift; that is
+    :func:`ivf_build_fixed` + ``save_ivf_index`` again)."""
+    _, centroids = load_ivf_index(spark, path)
+    assigned = new_vectors.select(
+        "vec_id",
+        "embedding",
+        _argmin_cluster("embedding", centroids).alias("cluster"),
+    )
+    assigned.write.partitionBy("cluster").mode("append").parquet(
+        f"{path}/assigned"
+    )
+
+
 def load_ivf_index(spark, path: str) -> tuple[DataFrame, np.ndarray]:
     """Load a persisted IVF index: (assigned DataFrame, centroids).
     The assignment scan stays partition-pruned: only the clusters a

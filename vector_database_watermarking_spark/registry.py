@@ -1014,6 +1014,7 @@ _GRADE_ORDER = [
     "rel_waiting_suppliers",
     "rel_cdc_time_travel",
     "ext_schema_merge_read",
+    "ext_ivf_append_topk",
 ]
 
 

@@ -887,6 +887,77 @@ def ext_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("cos_sim", F.round("cos_sim", 6))
 
 
+@register(
+    "ext_ivf_append_topk",
+    oracle=f"""
+WITH cent AS (
+  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cluster, embedding
+  FROM (SELECT vec_id, embedding,
+               CAST('0x' || substr(md5(concat('ivf_', CAST(vec_id AS VARCHAR))), 1, 15) AS BIGINT) AS h
+        FROM embeddings WHERE vec_id % 2 = 0)
+  ORDER BY h, vec_id LIMIT {_IVF_N}
+),
+dists AS (
+  SELECT e.vec_id, c.cluster, {_SQDIST_CENT} AS d6
+  FROM embeddings e CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY d6, cluster) AS rn
+    FROM dists) WHERE rn = 1
+),
+routed AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY d6, cluster) AS rn
+    FROM dists WHERE vec_id < 50) WHERE rn <= {_IVF_PROBE}
+),
+scored AS (
+  SELECT r.vec_id AS src, s.vec_id AS dst, {_COS_EXPR.replace('a.embedding', 'qa.embedding').replace('b.embedding', 'qb.embedding')} AS cos
+  FROM routed r
+  JOIN assigned s ON r.cluster = s.cluster AND r.vec_id <> s.vec_id
+  JOIN embeddings qa ON r.vec_id = qa.vec_id
+  JOIN embeddings qb ON s.vec_id = qb.vec_id
+)
+SELECT src, dst, round(cos, 6) AS cos_sim, CAST(rank AS INTEGER) AS rank
+FROM (SELECT src, dst, cos,
+             row_number() OVER (PARTITION BY src ORDER BY round(cos, 6) DESC, dst) AS rank
+      FROM scored)
+WHERE rank <= {_IVF_K}
+""",
+)
+def ext_ivf_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index maintenance (``similarity.ivf_append``)
+    graded end-to-end: the index is built and PERSISTED over the even
+    half of the corpus, the odd half then arrives and is routed
+    through the EXISTING centroids and appended into the on-disk
+    cluster partitions (no rebuild, no rewrite of existing files), and
+    the search runs over the re-loaded appended index. The oracle
+    derives the centroids from the even half only and searches the
+    full corpus — exactly the appended index's content — so the check
+    proves append-then-search equals a from-scratch assignment under
+    the same centroids."""
+    import os as _o2
+
+    from .registry_more import _scratch_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    assigned, cents = similarity.ivf_build_fixed(old, n_clusters=_IVF_N)
+    idx_dir = _scratch_dir("ivf_append", sf_dir)
+    import shutil
+
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    similarity.save_ivf_index(assigned, cents, idx_dir)
+    similarity.ivf_append(spark, idx_dir, new.select("vec_id", "embedding"))
+    l_assigned, l_cents = similarity.load_ivf_index(spark, idx_dir)
+    q = emb.filter(F.col("vec_id") < 50)
+    out = similarity.ivf_search_fixed(
+        q, l_assigned, l_cents, k=_IVF_K, nprobe=_IVF_PROBE
+    )
+    return out.withColumn("cos_sim", F.round("cos_sim", 6))
+
+
 # ---------------------------------------------------------------- multimodal
 
 

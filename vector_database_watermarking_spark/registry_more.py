@@ -5473,6 +5473,7 @@ def _pipeline_pack_oracle() -> str:
     ws = QUERIES["rel_waiting_suppliers"].oracle
     h_sn = oracle_hash60("s_name")
     tt = QUERIES["rel_cdc_time_travel"].oracle
+    iva = QUERIES["ext_ivf_append_topk"].oracle
     sm = QUERIES["ext_schema_merge_read"].oracle
     h_tls = oracle_hash60(
         "coalesce(text, '~') || '|' || coalesce(lang, '~') || '|' || coalesce(source, '~')"
@@ -5930,6 +5931,11 @@ SELECT 'schema_merge_check',
   CAST(count(*) + sum((doc_id % 997 + 1)
        * (({h_tl} % 1000003) + coalesce(n_chars, -9)) % 1000003) AS BIGINT)
   FROM ({sm})
+UNION ALL
+SELECT 'ivf_append_check',
+  CAST(count(*) + sum((src % 997 + 1)
+       * ((dst % 1000003 + rank * 131)) % 1000003) AS BIGINT)
+  FROM ({iva})
 """
 
 
@@ -7415,6 +7421,22 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                             )
                         ),
                         F.lit(0),
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    iva = QUERIES["ext_ivf_append_topk"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "ivf_append_check",
+            iva.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (F.col("src") % 997 + 1)
+                        * (F.col("dst") % 1000003 + F.col("rank") * 131)
+                        % 1000003
                     )
                 ).alias("value")
             ),
