@@ -458,3 +458,25 @@ def test_wau_fanout_bounded_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "Generate explode" in plan, plan
+
+
+def test_waiting_suppliers_semi_anti_hash_joins(spark, sf_dir):
+    """Q21 shape: the EXISTS/NOT-EXISTS pair must plan as hash
+    semi/anti equi-joins on the order key — never a nested-loop or
+    cartesian product (the residual supplier inequality rides the
+    equi-join, it doesn't replace it)."""
+    q = QUERIES["rel_waiting_suppliers"].fn(spark, sf_dir)
+    plan = plan_of(q)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_session_window_native_operator(spark, sf_dir):
+    """The native session tier must plan Spark's merging-session
+    aggregate (no row_number/lag window functions at all)."""
+    q = QUERIES["rel_events_session_window"].fn(spark, sf_dir)
+    plan = plan_of(q)
+    assert "session_window" in plan, plan
+    assert "windowspecdefinition" not in plan, plan
