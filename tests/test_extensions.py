@@ -1579,3 +1579,59 @@ def test_stream_interval_join_left_outer_emits_unmatched(spark, tmp_path):
     ).filter(F.col("v_user_id") >= 0)
     expected = {(r["v_event_id"], r["p_event_id"]) for r in batch.collect()}
     assert got == expected
+
+
+def test_drop_duplicates_within_watermark_readmits(spark, tmp_path):
+    """The TTL semantics that distinguish dropDuplicatesWithinWatermark
+    from unbounded dropDuplicates: a key seen again AFTER the
+    watermark passed its state is re-admitted (eviction is the point —
+    exact-forever state does not exist at 100 TB)."""
+    import datetime as dt
+    import time as _time
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    d = str(tmp_path / "in")
+    schema = "k long, ts timestamp"
+    # trigger 1: key 7 at t0. trigger 2: watermark-advancer at t0+3h
+    # (the watermark only moves BETWEEN triggers, so the eviction of
+    # key 7's state lands after this batch). trigger 3: key 7 again —
+    # now past its evicted TTL, so it must re-admit.
+    spark.createDataFrame([(7, t0)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    _time.sleep(1.1)  # distinct mtimes -> deterministic trigger order
+    spark.createDataFrame(
+        [(99, t0 + dt.timedelta(hours=3))], schema
+    ).coalesce(1).write.mode("append").parquet(d)
+    _time.sleep(1.1)
+    # the watermark computed from trigger N's data is APPLIED during
+    # trigger N+1, and state eviction runs at batch end — so one more
+    # advancer trigger lands the eviction before key 7 returns
+    spark.createDataFrame(
+        [(98, t0 + dt.timedelta(hours=3, minutes=5))], schema
+    ).coalesce(1).write.mode("append").parquet(d)
+    _time.sleep(1.1)
+    spark.createDataFrame(
+        [(7, t0 + dt.timedelta(hours=3, minutes=10))], schema
+    ).coalesce(1).write.mode("append").parquet(d)
+
+    out = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark(["k"])
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ttl_dedup")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    ks = [r["k"] for r in spark.sql("SELECT k FROM ttl_dedup").collect()]
+    assert ks.count(7) == 2, ks  # re-admitted after TTL
+    assert ks.count(99) == 1 and ks.count(98) == 1, ks

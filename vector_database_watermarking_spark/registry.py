@@ -1015,6 +1015,8 @@ _GRADE_ORDER = [
     "rel_cdc_time_travel",
     "ext_schema_merge_read",
     "ext_ivf_append_topk",
+    "rel_events_variant_agg",
+    "stream_dedup_ttl_replay",
 ]
 
 

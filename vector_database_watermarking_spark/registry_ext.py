@@ -888,6 +888,72 @@ def ext_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_dedup_ttl_replay",
+    oracle=f"""
+SELECT DISTINCT {_hash60_sql(_NORM)} AS content_key FROM documents
+""",
+)
+def stream_dedup_ttl_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-NATIVE streaming dedup tier:
+    ``dropDuplicatesWithinWatermark`` — Spark's TTL-bounded stateful
+    dedup, the operator built for the 100 TB reality that exact-
+    forever key state does not fit (state is evicted once the
+    watermark passes, and a key may legitimately re-admit after its
+    TTL — the at-least-once dedup contract). Sibling of the
+    unbounded-state ``dropDuplicates`` tier graded by
+    ``stream_dedup_replay``. For the convergence gate the event-time
+    column is pinned constant so the watermark never passes (TTL = ∞
+    within the replay) and the surviving key set equals the batch
+    DISTINCT oracle; the TTL re-admission semantics themselves are
+    pinned by ``test_drop_duplicates_within_watermark_readmits``."""
+    import os as _o
+    import shutil
+
+    from .functions.hashing import hash60
+    from .registry_more import _scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.withColumn("doc_id", F.col("doc_id") + 10_000_000)
+    scratch = _scratch_dir("stream_dedup_ttl", sf_dir)
+    shutil.rmtree(scratch, ignore_errors=True)
+    for b in range(3):
+        (
+            docs.unionByName(dup)
+            .filter(F.pmod(F.col("doc_id"), F.lit(3)) == b)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(scratch)
+        )
+    name = f"sdttl_sink_{_o.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
+    spark.catalog.dropTempView(name)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(scratch)
+    )
+    keyed = (
+        stream.select(
+            hash60(dedup.normalize_text("text")).alias("content_key"),
+            F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+        )
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["content_key"])
+        .select("content_key")
+    )
+    q = (
+        keyed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+@register(
     "ext_ivf_append_topk",
     oracle=f"""
 WITH cent AS (
