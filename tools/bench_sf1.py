@@ -40,6 +40,16 @@ QUERY_NAMES = [
     "ext_kmeans_refine_arrow",  # bench-extra arrow tier (production path)
 ]
 
+# round-7 additions (pass --queries to select)
+ROUND7_NAMES = [
+    "rel_bom_rollup",
+    "rel_waiting_suppliers",
+    "rel_events_session_window",
+    "rel_cdc_time_travel",
+    "ext_ivf_append_topk",
+    "rel_events_variant_agg",
+]
+
 
 def build_sf1(spark) -> None:
     from pyspark.sql import functions as F
@@ -50,6 +60,57 @@ def build_sf1(spark) -> None:
 
     docs = spark.read.parquet(os.path.join(SRC_SF, "documents.parquet"))
     emb = spark.read.parquet(os.path.join(SRC_SF, "embeddings.parquet"))
+
+    # relational/event tables: replicate with CONSISTENT key offsets so
+    # every foreign-key relationship survives (lineitem.orderkey ->
+    # orders, .suppkey -> supplier, .partkey -> part; events keep their
+    # user population per replica with a time shift)
+    from pyspark.sql import functions as F2
+
+    def replicate(name, offsets, ts_col=None):
+        df = spark.read.parquet(os.path.join(SRC_SF, f"{name}.parquet"))
+        parts = []
+        for r in range(REPLICAS):
+            p = df
+            for col in offsets:
+                p = p.withColumn(col, F2.col(col) + F2.lit(r * DOC_OFFSET))
+            if ts_col is not None and r:
+                p = p.withColumn(
+                    ts_col, F2.col(ts_col) + F2.expr(f"INTERVAL {r} SECONDS")
+                )
+            parts.append(p)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.repartition(32).write.mode("overwrite").parquet(
+            os.path.join(SF1_DIR, f"{name}.parquet")
+        )
+
+    replicate("orders", ["o_orderkey", "o_custkey"])
+    replicate(
+        "lineitem", ["l_orderkey", "l_partkey", "l_suppkey"]
+    )
+    # part gets DENSE offsets (replica r spans [r*n, (r+1)*n)) so the
+    # derived BOM forest (parent = key // 8) stays fully connected —
+    # every parent key exists and the walk covers all 10 replicas.
+    # (No FK in the round-7 set reads l_partkey, so the mismatch with
+    # lineitem's wide offsets is harmless here.)
+    n_part = spark.read.parquet(os.path.join(SRC_SF, "part.parquet")).count()
+    pdf = spark.read.parquet(os.path.join(SRC_SF, "part.parquet"))
+    pparts = []
+    for r in range(REPLICAS):
+        pparts.append(
+            pdf.withColumn("p_partkey", F2.col("p_partkey") + F2.lit(r * n_part))
+        )
+    pout = pparts[0]
+    for p in pparts[1:]:
+        pout = pout.unionByName(p)
+    pout.repartition(8).write.mode("overwrite").parquet(
+        os.path.join(SF1_DIR, "part.parquet")
+    )
+    replicate("supplier", ["s_suppkey", "s_nationkey"])
+    replicate("customer", ["c_custkey"])
+    replicate("events", ["event_id", "user_id"], ts_col="ts")
 
     doc_parts = []
     for r in range(REPLICAS):
@@ -109,7 +170,17 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--rebuild", action="store_true")
+    ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma list, or 'round7' for the round-7 set",
+    )
     args = ap.parse_args()
+    global QUERY_NAMES
+    if args.queries == "round7":
+        QUERY_NAMES = ROUND7_NAMES
+    elif args.queries:
+        QUERY_NAMES = args.queries.split(",")
 
     from vector_database_watermarking_spark.session import get_spark
 
