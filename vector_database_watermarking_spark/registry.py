@@ -1017,6 +1017,7 @@ _GRADE_ORDER = [
     "ext_ivf_append_topk",
     "rel_events_variant_agg",
     "stream_dedup_ttl_replay",
+    "ext_doc_chunks_udtf",
 ]
 
 

@@ -4198,6 +4198,52 @@ def ext_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_doc_chunks_udtf",
+    oracle=QUERIES["ext_doc_chunks"].oracle,
+)
+def ext_doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF tier of the RAG chunker — the Spark 4 user-defined
+    TABLE function surface: one ``LATERAL`` call per document emits
+    its chunk rows from an Arrow-batched Python generator. Same
+    oracle, same values as the native explode tier (``ext_doc_chunks``
+    — which remains the production path: the UDTF exists to grade the
+    API surface and as the escape hatch for chunkers whose logic
+    outgrows expressions, e.g. sentence-aware or token-budget
+    splitters). Scale shape: the UDTF runs inside the scan stage's
+    Python worker per partition — no shuffle, rows fan out locally,
+    exactly like the explode plan."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType=(
+            "chunk_idx int, chunk_start bigint, chunk_len int, chunk_text string"
+        )
+    )
+    class ChunkDoc:
+        def eval(self, text: str):
+            if not text:
+                return
+            size, stride = 200, 150
+            n = len(text)
+            n_chunks = 1 if n <= size else (n - size + stride - 1) // stride + 1
+            for i in range(n_chunks):
+                piece = text[i * stride : i * stride + size]
+                yield i, i * stride, len(piece), piece
+
+    spark.udtf.register("chunk_doc_udtf", ChunkDoc)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.filter(F.length("text") > 0).createOrReplaceTempView(
+        "_chunk_udtf_docs"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk_start, c.chunk_len, c.chunk_text
+        FROM _chunk_udtf_docs d, LATERAL chunk_doc_udtf(d.text) c
+        """
+    )
+
+
+@register(
     "ext_heavy_hitters",
     oracle=f"""
 WITH u AS (
@@ -5508,6 +5554,7 @@ def _pipeline_pack_oracle() -> str:
     tt = QUERIES["rel_cdc_time_travel"].oracle
     iva = QUERIES["ext_ivf_append_topk"].oracle
     va = QUERIES["rel_events_variant_agg"].oracle
+    cu = QUERIES["ext_doc_chunks_udtf"].oracle
     sdt = QUERIES["stream_dedup_ttl_replay"].oracle
     h_et2 = oracle_hash60("event_type")
     sm = QUERIES["ext_schema_merge_read"].oracle
@@ -5981,6 +6028,12 @@ UNION ALL
 SELECT 'dedup_ttl_check',
   CAST(count(*) + sum(content_key % 1000003) AS BIGINT)
   FROM ({sdt})
+UNION ALL
+SELECT 'chunks_udtf_check',
+  CAST(count(*) + sum((doc_id % 997 + 1)
+       * ((chunk_idx * 131 + chunk_start * 17 + chunk_len + {h_chunk})
+          % 1000003)) AS BIGINT)
+  FROM ({cu})
 """
 
 
@@ -7466,6 +7519,29 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                             )
                         ),
                         F.lit(0),
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    cu = QUERIES["ext_doc_chunks_udtf"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "chunks_udtf_check",
+            cu.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (F.col("doc_id") % 997 + 1)
+                        * (
+                            (
+                                F.col("chunk_idx") * 131
+                                + F.col("chunk_start") * 17
+                                + F.col("chunk_len")
+                                + hash60(F.col("chunk_text"))
+                            )
+                            % 1000003
+                        )
                     )
                 ).alias("value")
             ),
