@@ -186,3 +186,58 @@ def test_blas_tier_matches_fold_tier(spark, sf_dir):
         for r in knn.knn_join(emb, emb, k=5, fold_parity=False).collect()
     }
     assert a == b
+
+
+def test_lsh_duplicate_collapse_matches_exact(spark):
+    """Exact-duplicate cliques (the regime that blew the LSH verify
+    stage past 8 minutes at sf1): identical embeddings collapse to one
+    representative before banding, and the fanned-out result must EQUAL
+    the exact tier — a duplicate member's top-k is its own group's
+    other members (distance 0, ascending-id tiebreak), which the
+    collapse must reproduce, not approximate."""
+    rng = np.random.RandomState(7)
+    rows = []
+    vid = 0
+    for g in range(40):
+        vec = (rng.randn(16) * 5.0).astype("float32").tolist()
+        for _ in range(10):  # 10-way exact-duplicate cliques
+            rows.append((vid, vec))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    approx = sorted(
+        (r["src"], r["rank"], r["dst"], round(r["dist"], 6))
+        for r in knn.knn_join(df, df, k=3, exact=False).collect()
+    )
+    exact = sorted(
+        (r["src"], r["rank"], r["dst"], round(r["dist"], 6))
+        for r in knn.knn_join(df, df, k=3, exact=True).collect()
+    )
+    assert approx == exact
+
+
+def test_lsh_duplicate_collapse_small_groups_and_disjoint_queries(spark):
+    """Collapse edge cases: groups smaller than k+1, a query set
+    disjoint from the base, and exclude_self=False all keep the
+    member fan-out correct."""
+    base_rows = [(i, [float(i // 3), 0.0]) for i in range(9)]  # 3-dup groups
+    base = spark.createDataFrame(base_rows, "vec_id long, embedding array<float>")
+    # disjoint query: nearest group is x=1.0 (ids 3,4,5)
+    q = spark.createDataFrame(
+        [(100, [1.2, 0.0])], "vec_id long, embedding array<float>"
+    )
+    got = {
+        r["rank"]: r["dst"]
+        for r in knn.knn_join(
+            q, base, k=3, exact=False, num_hash_tables=16
+        ).collect()
+    }
+    assert got == {1: 3, 2: 4, 3: 5}
+    # exclude_self=False: a base member's rank-1 hit is itself's group
+    # smallest id at distance 0
+    out = knn.knn_join(
+        base, base, k=2, exact=False, exclude_self=False, num_hash_tables=16
+    )
+    got5 = sorted(
+        (r["rank"], r["dst"]) for r in out.filter("src = 5").collect()
+    )
+    assert got5 == [(1, 3), (2, 4)]

@@ -65,22 +65,85 @@ def knn_join(
     20k base (80 s → 22 s), rank-for-rank identical on the fixtures.
     Still EXACT nearest neighbors; only the last-ulp float identity
     with the SQL oracle is given up, so graded paths keep the default.
+
+    LSH tier duplicate hardening: real corpora contain exact-duplicate
+    embeddings at scale (reposts, boilerplate), and a 10-way duplicate
+    clique lands its full clique in EVERY band's bucket — the verify
+    stage then pays n_queries × n_bands × bucket_cap even though the
+    clique holds one distinct vector. Both sides are therefore
+    collapsed to one representative per DISTINCT embedding (exact
+    bit-equality groups — no hash collision risk) BEFORE banding; the
+    band join, hot-bucket cap, and distance verify all run on
+    representatives; results fan back out to duplicate members through
+    two id-only equi-joins. Within a duplicate group every member is
+    equidistant from every query and the ranking tiebreak is ascending
+    ``dst``, so only a group's ``k+1`` smallest member ids can ever
+    appear in a top-k (the +1 absorbs one self-exclusion) — the member
+    map is capped there, bounding fan-out at (k+1)² per query. The
+    representative shortlist keeps ``rank() <= k+1`` ordered by the
+    ROUNDED distance alone so distance-tied groups at the boundary are
+    all retained (members of tied groups interleave by id in the final
+    ranking); with duplicates already collapsed, rounded-distance ties
+    between DISTINCT embeddings are the rare accident, so the tie
+    plateau stays small.
     """
     if exact:
         return exact_knn(queries, base, k, exclude_self, fold_parity=fold_parity)
 
     q = queries.select(F.col("vec_id").alias("src"), F.col("embedding").alias("q_emb"))
     b = base.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("b_emb"))
-    pairs = _lsh_candidates(q, b, bucket_length, num_hash_tables)
-    if exclude_self:
-        pairs = pairs.filter(F.col("src") != F.col("dst"))
 
+    # collapse exact-duplicate embeddings (content key = the embedding
+    # itself): representatives carry min id; the member map keeps the
+    # keep smallest ids per group (all a top-k can ever surface).
+    keep = k + 1 if exclude_self else k
+    b2 = b.withColumn(
+        "_rep", F.min("dst").over(Window.partitionBy("b_emb"))
+    ).withColumn(
+        "_rn", F.row_number().over(Window.partitionBy("b_emb").orderBy("dst"))
+    )
+    breps = b2.filter(F.col("_rn") == 1).select("dst", "b_emb")
+    bmembers = b2.filter(F.col("_rn") <= keep).select(
+        F.col("_rep").alias("_bm_rep"), F.col("dst").alias("_bm_dst")
+    )
+    q2 = q.withColumn("_rep", F.min("src").over(Window.partitionBy("q_emb")))
+    qreps = q2.filter(F.col("src") == F.col("_rep")).select("src", "q_emb")
+    qmembers = q2.select(
+        F.col("_rep").alias("_qm_rep"), F.col("src").alias("_qm_src")
+    )
+
+    pairs = _lsh_candidates(qreps, breps, bucket_length, num_hash_tables)
     pairs = pairs.withColumn("dist_sq", squared_euclidean("q_emb", "b_emb"))
+    # representative shortlist — rank() over the rounded distance alone
+    # keeps whole tied groups at the cut (see docstring)
+    w_rep = Window.partitionBy("src").orderBy(
+        F.round(F.col("dist_sq"), _RANK_DECIMALS).asc()
+    )
+    short = (
+        pairs.withColumn("_rk", F.rank().over(w_rep))
+        .filter(F.col("_rk") <= keep)
+        .select(
+            F.col("src").alias("_rep_src"),
+            F.col("dst").alias("_rep_dst"),
+            "dist_sq",
+        )
+    )
+    fanned = (
+        short.join(bmembers, F.col("_rep_dst") == F.col("_bm_rep"))
+        .join(qmembers, F.col("_rep_src") == F.col("_qm_rep"))
+        .select(
+            F.col("_qm_src").alias("src"),
+            F.col("_bm_dst").alias("dst"),
+            "dist_sq",
+        )
+    )
+    if exclude_self:
+        fanned = fanned.filter(F.col("src") != F.col("dst"))
     w = Window.partitionBy("src").orderBy(
         F.round(F.col("dist_sq"), _RANK_DECIMALS).asc(), F.col("dst").asc()
     )
     return (
-        pairs.withColumn("rank", F.row_number().over(w))
+        fanned.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
             "src",

@@ -835,11 +835,16 @@ _GRADE_ORDER = [
     "ext_corpus_clean",
     "ext_source_mix",
     "ext_emb_near_dups_lsh",
-    "ext_ivf_topk",
     "ext_doc_embeddings",
-    "ext_events_sessions",
-    "rel_asof_purchase_view",
-    "rel_range_activity",
+    # Round-8 demotions from this block (VERDICT r07 #1): ext_ivf_topk
+    # (full-oracle pack row ivf_topk_check; its assign+route+rerank
+    # search math is also replayed by the in-window promoted
+    # ext_ivf_append_topk), ext_events_sessions (full-oracle pack row
+    # events_sessions_check; sessionization semantics also graded
+    # in-window by the promoted native rel_events_session_window AND
+    # the pack's session_check replay of applyInPandasWithState),
+    # rel_asof_purchase_view / rel_range_activity (full-oracle pack
+    # rows asof_check / range_check after three green rounds).
     # promoted round 5: merge/CDC, skew, graph, retrieval, curation,
     # drift — the never-driver-graded unique operators from VERDICT
     # r04. Round-6 demotions from this block: rel_merge_upsert
@@ -863,21 +868,36 @@ _GRADE_ORDER = [
     # promoted round 6: the streaming replay gates (VERDICT r05 #3)
     # and full-output rows for three round-5 operators that rode pack
     # checksums (VERDICT r05 #6).
-    "stream_interval_join_replay",
+    # Round-8 demotions from this block (VERDICT r07 #1):
+    # stream_interval_join_replay (inner) — full-oracle pack row
+    # interval_inner_check, and the promoted left-outer gate replays
+    # the identical watermarked join operator whose matched rows ARE
+    # the inner output; stream_session_replay / stream_agg_ivm_replay
+    # (graded green in the r07 window; full-oracle pack rows
+    # session_check / agg_ivm_check stay); ext_dup_spans /
+    # ext_unigram_nll / ext_hard_negatives (returned to the
+    # full-oracle pack rows they rode before the round-6 promotion:
+    # dup_spans_check / unigram_check / hard_neg_check).
     "stream_detection_replay",
     "stream_ingest_replay",
     "stream_ingest_candidates_replay",
     "stream_curation_replay",
-    # promoted round 7 (VERDICT r06 #3): the two newest streaming
-    # gates — sessionization via applyInPandasWithState and the IVM
-    # base+view maintenance loop (this round's crash-consistency fix)
-    # — get full-output driver rows; their pack checksum rows
-    # (session_check / agg_ivm_check) remain as belt-and-braces.
-    "stream_session_replay",
-    "stream_agg_ivm_replay",
-    "ext_dup_spans",
-    "ext_unigram_nll",
-    "ext_hard_negatives",
+    # promoted round 8 (VERDICT r07 #1): the ten round-7 operators get
+    # full-output driver rows; each keeps its belt-and-braces pack
+    # checksum row (bom_rollup_check, session_window_check,
+    # interval_left_check, waiting_suppliers_check,
+    # cdc_time_travel_check, schema_merge_check, ivf_append_check,
+    # variant_agg_check, dedup_ttl_check, chunks_udtf_check).
+    "rel_bom_rollup",
+    "rel_events_session_window",
+    "stream_interval_join_left_replay",
+    "rel_waiting_suppliers",
+    "rel_cdc_time_travel",
+    "ext_schema_merge_read",
+    "ext_ivf_append_topk",
+    "rel_events_variant_agg",
+    "stream_dedup_ttl_replay",
+    "ext_doc_chunks_udtf",
     # watermark pipelines: the oracle-checked native selection, the
     # invariant-oracled round-trips (TVP, RS, SCPW, TabularMark) and
     # the robustness grid
@@ -891,8 +911,18 @@ _GRADE_ORDER = [
     # --- past the graded window: sub-computations of graded queries,
     # relational breadth, alternate views, further extensions. All
     # locally hash-checked via tools/check_oracles.py; rows demoted in
-    # the round-6 rotation sit first so the next rotation can cycle
+    # the latest rotation sit first so the next rotation can cycle
     # them back in if desired.
+    "stream_session_replay",
+    "stream_agg_ivm_replay",
+    "stream_interval_join_replay",
+    "ext_dup_spans",
+    "ext_unigram_nll",
+    "ext_hard_negatives",
+    "ext_ivf_topk",
+    "ext_events_sessions",
+    "rel_asof_purchase_view",
+    "rel_range_activity",
     "rel_merge_upsert",
     "ext_zorder_cells",
     "ext_bm25_search",
@@ -1008,16 +1038,6 @@ _GRADE_ORDER = [
     "ext_cluster_split",
     "ext_mixture_execute",
     "ext_winsorize",
-    "rel_bom_rollup",
-    "rel_events_session_window",
-    "stream_interval_join_left_replay",
-    "rel_waiting_suppliers",
-    "rel_cdc_time_travel",
-    "ext_schema_merge_read",
-    "ext_ivf_append_topk",
-    "rel_events_variant_agg",
-    "stream_dedup_ttl_replay",
-    "ext_doc_chunks_udtf",
 ]
 
 

@@ -5236,6 +5236,12 @@ def rel_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
         )
         .select("l_orderkey", "l_suppkey")
+        # l1 is consumed from TWO join positions (semi-join probe side
+        # AND anti-join build side); ReuseExchange is not guaranteed, so
+        # without materialization the lineitem⋈orders late-filter join
+        # re-evaluates once per consumer — the plan defect class that
+        # bit ext_graph_link_pred at sf1. Materialize once.
+        .localCheckpoint(eager=True)
     )
     l2 = li.select(
         F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
@@ -5558,6 +5564,13 @@ def _pipeline_pack_oracle() -> str:
     sdt = QUERIES["stream_dedup_ttl_replay"].oracle
     h_et2 = oracle_hash60("event_type")
     sm = QUERIES["ext_schema_merge_read"].oracle
+    # round-8 demotions (VERDICT r07 #1): full oracles of the five rows
+    # rotated out of the graded window that had no pack row yet
+    esn = QUERIES["ext_events_sessions"].oracle
+    asf = QUERIES["rel_asof_purchase_view"].oracle
+    rng = QUERIES["rel_range_activity"].oracle
+    sij = QUERIES["stream_interval_join_replay"].oracle
+    ivt = QUERIES["ext_ivf_topk"].oracle
     h_tls = oracle_hash60(
         "coalesce(text, '~') || '|' || coalesce(lang, '~') || '|' || coalesce(source, '~')"
     )
@@ -6034,6 +6047,43 @@ SELECT 'chunks_udtf_check',
        * ((chunk_idx * 131 + chunk_start * 17 + chunk_len + {h_chunk})
           % 1000003)) AS BIGINT)
   FROM ({cu})
+UNION ALL
+SELECT 'events_sessions_check',
+  CAST(count(*) + sum((user_id % 997 + 1)
+       * ((session_id * 131 + n_events * 17 + duration_sec
+           + CAST(floor(total_value * 100 + 0.5) AS BIGINT)) % 1000003))
+       AS BIGINT)
+  FROM ({esn})
+UNION ALL
+SELECT 'asof_check',
+  CAST(count(*) + sum((event_id % 997 + 1)
+       * ((user_id * 131
+           + CAST(floor(purchase_value * 1000000 + 0.5) AS BIGINT)
+           + coalesce(CAST(floor(view_value * 1000000 + 0.5) AS BIGINT), -7)
+           + coalesce(gap_us, -13)) % 1000003)) AS BIGINT)
+  FROM ({asf})
+UNION ALL
+SELECT 'range_check',
+  CAST(count(*) + sum((event_id % 997 + 1)
+       * ((user_id * 131 + n_prior_clicks + epoch_us(ts) % 86400)
+          % 1000003)) AS BIGINT)
+  FROM ({rng})
+UNION ALL
+SELECT 'interval_inner_check',
+  CAST(count(*) + sum((view_id % 997 + 1)
+       * ((user_id + purchase_id * 131
+           + epoch_us(view_ts) % 86400
+           + epoch_us(purchase_ts) % 86400
+           + CAST(floor(purchase_value * 100 + 0.5) AS BIGINT))
+          % 1000003)) AS BIGINT)
+  FROM ({sij})
+UNION ALL
+SELECT 'ivf_topk_check',
+  CAST(count(*) + sum((src % 997 + 1)
+       * ((dst * 131 + rank * 17
+           + CAST(floor(cos_sim * 1000000 + 0.5) AS BIGINT)) % 1000003))
+       AS BIGINT)
+  FROM ({ivt})
 """
 
 
@@ -7743,6 +7793,140 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 F.col("n_parts") * 131
                                 + F.col("total_cost_cents") * 17
                                 + F.col("max_depth")
+                            )
+                            % 1000003
+                        )
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    # round-8 demotions (VERDICT r07 #1): the five rows rotated out of
+    # the graded window this round keep a full-oracle checksum here.
+    esn = QUERIES["ext_events_sessions"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "events_sessions_check",
+            esn.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (F.col("user_id") % 997 + 1)
+                        * (
+                            (
+                                F.col("session_id") * 131
+                                + F.col("n_events") * 17
+                                + F.col("duration_sec")
+                                + F.floor(
+                                    F.col("total_value") * 100 + F.lit(0.5)
+                                ).cast("long")
+                            )
+                            % 1000003
+                        )
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    asf = QUERIES["rel_asof_purchase_view"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "asof_check",
+            asf.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (F.col("event_id") % 997 + 1)
+                        * (
+                            (
+                                F.col("user_id") * 131
+                                + F.floor(
+                                    F.col("purchase_value") * 1000000 + F.lit(0.5)
+                                ).cast("long")
+                                + F.coalesce(
+                                    F.floor(
+                                        F.col("view_value") * 1000000 + F.lit(0.5)
+                                    ).cast("long"),
+                                    F.lit(-7),
+                                )
+                                + F.coalesce(F.col("gap_us"), F.lit(-13))
+                            )
+                            % 1000003
+                        )
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    rng = QUERIES["rel_range_activity"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "range_check",
+            rng.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (F.col("event_id") % 997 + 1)
+                        * (
+                            (
+                                F.col("user_id") * 131
+                                + F.col("n_prior_clicks")
+                                + F.unix_micros(F.col("ts").cast("timestamp"))
+                                % 86400
+                            )
+                            % 1000003
+                        )
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    sij = QUERIES["stream_interval_join_replay"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "interval_inner_check",
+            sij.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (F.col("view_id") % 997 + 1)
+                        * (
+                            (
+                                F.col("user_id")
+                                + F.col("purchase_id") * 131
+                                + F.unix_micros(F.col("view_ts").cast("timestamp"))
+                                % 86400
+                                + F.unix_micros(
+                                    F.col("purchase_ts").cast("timestamp")
+                                )
+                                % 86400
+                                + F.floor(
+                                    F.col("purchase_value") * 100 + F.lit(0.5)
+                                ).cast("long")
+                            )
+                            % 1000003
+                        )
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    ivt = QUERIES["ext_ivf_topk"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "ivf_topk_check",
+            ivt.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (F.col("src") % 997 + 1)
+                        * (
+                            (
+                                F.col("dst") * 131
+                                + F.col("rank") * 17
+                                + F.floor(
+                                    F.col("cos_sim") * 1000000 + F.lit(0.5)
+                                ).cast("long")
                             )
                             % 1000003
                         )
