@@ -66,53 +66,89 @@ def knn_join(
     Still EXACT nearest neighbors; only the last-ulp float identity
     with the SQL oracle is given up, so graded paths keep the default.
 
-    LSH tier duplicate hardening: real corpora contain exact-duplicate
-    embeddings at scale (reposts, boilerplate), and a 10-way duplicate
-    clique lands its full clique in EVERY band's bucket — the verify
-    stage then pays n_queries × n_bands × bucket_cap even though the
-    clique holds one distinct vector. Both sides are therefore
-    collapsed to one representative per DISTINCT embedding (exact
-    bit-equality groups — no hash collision risk) BEFORE banding; the
-    band join, hot-bucket cap, and distance verify all run on
-    representatives; results fan back out to duplicate members through
-    two id-only equi-joins. Within a duplicate group every member is
-    equidistant from every query and the ranking tiebreak is ascending
-    ``dst``, so only a group's ``k+1`` smallest member ids can ever
-    appear in a top-k (the +1 absorbs one self-exclusion) — the member
-    map is capped there, bounding fan-out at (k+1)² per query. The
-    representative shortlist keeps ``rank() <= k+1`` ordered by the
-    ROUNDED distance alone so distance-tied groups at the boundary are
-    all retained (members of tied groups interleave by id in the final
-    ranking); with duplicates already collapsed, rounded-distance ties
-    between DISTINCT embeddings are the rare accident, so the tie
-    plateau stays small.
+    LSH tier duplicate hardening: real corpora contain duplicate and
+    near-duplicate embeddings at scale (reposts, boilerplate, jittered
+    re-encodes), and a 10-way duplicate clique lands its full clique in
+    EVERY band's bucket — the verify stage then pays
+    n_queries × n_bands × bucket_occupancy even though the clique holds
+    one effective vector (measured: 10-way near-dup replicas at a 20k
+    base pushed the un-collapsed plan past 9 minutes). Both sides are
+    therefore collapsed to one representative per LSH SIGNATURE — the
+    concatenation of ALL band keys — BEFORE banding. Vectors sharing
+    every band key are indistinguishable to the banding (identical
+    candidate sets by construction), so searching one representative
+    per signature is lossless at the candidate level; exact duplicates
+    share signatures trivially. The band join, hot-bucket cap, and
+    first distance verify all run on representatives; the per-query
+    shortlist keeps ``rank() <= k+1`` representative groups ordered by
+    the ROUNDED representative distance alone (ties keep whole groups;
+    the +1 absorbs one self-exclusion); results fan back out to group
+    members through two equi-joins and TRUE distances are then
+    recomputed on the fanned pairs — so reported distances are always
+    exact, and for bit-identical duplicates the output equals the
+    exact tier's (members are interchangeable and the ascending-``dst``
+    tiebreak picks the same ids). The approximation added on top of
+    LSH's own: a member's neighbor is found only if its group's
+    REPRESENTATIVE ranks in the query group's top-(k+1) — an error
+    bounded by the intra-signature diameter, which the bucket geometry
+    keeps at the bucket-length scale. Base-side groups are capped at
+    ``max(k+1, 32)`` ascending-id members (provably sufficient for
+    exact duplicates, a documented recall/cost cap for near ones), so
+    fan-out is bounded at (k+1)·max(k+1, 32) pairs per query — the
+    degenerate all-near-identical corpus stays linear.
     """
     if exact:
         return exact_knn(queries, base, k, exclude_self, fold_parity=fold_parity)
 
+    from pyspark.ml.functions import vector_to_array
+
     q = queries.select(F.col("vec_id").alias("src"), F.col("embedding").alias("q_emb"))
     b = base.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("b_emb"))
-
-    # collapse exact-duplicate embeddings (content key = the embedding
-    # itself): representatives carry min id; the member map keeps the
-    # keep smallest ids per group (all a top-k can ever surface).
     keep = k + 1 if exclude_self else k
-    b2 = b.withColumn(
-        "_rep", F.min("dst").over(Window.partitionBy("b_emb"))
+
+    rows_per_band = 2  # AND-amplification width within a band
+    n_proj = num_hash_tables * rows_per_band
+    qv = _with_features(q, "q_emb")
+    bv = _with_features(b, "b_emb")
+    model = _fit_lsh(bv, bucket_length, n_proj)
+
+    def hashed(df: DataFrame) -> DataFrame:
+        buckets = [
+            vector_to_array(F.element_at("hashes", i + 1))[0]
+            .cast("long")
+            .cast("string")
+            for i in range(n_proj)
+        ]
+        return model.transform(df).withColumn("_sig", F.concat_ws("|", *buckets))
+
+    # signature collapse (see docstring): rep = min id per signature;
+    # member maps carry embeddings so true distances can be recomputed
+    # after fan-out. The query-side map is NEVER capped (every query
+    # must produce output); the base side caps at max(keep, 32).
+    bt = hashed(bv).withColumn(
+        "_rep", F.min("dst").over(Window.partitionBy("_sig"))
     ).withColumn(
-        "_rn", F.row_number().over(Window.partitionBy("b_emb").orderBy("dst"))
+        "_rn", F.row_number().over(Window.partitionBy("_sig").orderBy("dst"))
     )
-    breps = b2.filter(F.col("_rn") == 1).select("dst", "b_emb")
-    bmembers = b2.filter(F.col("_rn") <= keep).select(
-        F.col("_rep").alias("_bm_rep"), F.col("dst").alias("_bm_dst")
+    breps = bt.filter(F.col("_rn") == 1).select("dst", "b_emb", "hashes")
+    bmembers = bt.filter(F.col("_rn") <= max(keep, MAX_SIGNATURE_MEMBERS)).select(
+        F.col("_rep").alias("_bm_rep"),
+        F.col("dst").alias("_bm_dst"),
+        F.col("b_emb").alias("_bm_emb"),
     )
-    q2 = q.withColumn("_rep", F.min("src").over(Window.partitionBy("q_emb")))
-    qreps = q2.filter(F.col("src") == F.col("_rep")).select("src", "q_emb")
-    qmembers = q2.select(
-        F.col("_rep").alias("_qm_rep"), F.col("src").alias("_qm_src")
+    qt = hashed(qv).withColumn(
+        "_rep", F.min("src").over(Window.partitionBy("_sig"))
+    )
+    qreps = qt.filter(F.col("src") == F.col("_rep")).select(
+        "src", "q_emb", "hashes"
+    )
+    qmembers = qt.select(
+        F.col("_rep").alias("_qm_rep"),
+        F.col("src").alias("_qm_src"),
+        F.col("q_emb").alias("_qm_emb"),
     )
 
-    pairs = _lsh_candidates(qreps, breps, bucket_length, num_hash_tables)
+    pairs = _lsh_candidates(qreps, breps, num_hash_tables, rows_per_band)
     pairs = pairs.withColumn("dist_sq", squared_euclidean("q_emb", "b_emb"))
     # representative shortlist — rank() over the rounded distance alone
     # keeps whole tied groups at the cut (see docstring)
@@ -122,11 +158,7 @@ def knn_join(
     short = (
         pairs.withColumn("_rk", F.rank().over(w_rep))
         .filter(F.col("_rk") <= keep)
-        .select(
-            F.col("src").alias("_rep_src"),
-            F.col("dst").alias("_rep_dst"),
-            "dist_sq",
-        )
+        .select(F.col("src").alias("_rep_src"), F.col("dst").alias("_rep_dst"))
     )
     fanned = (
         short.join(bmembers, F.col("_rep_dst") == F.col("_bm_rep"))
@@ -134,7 +166,7 @@ def knn_join(
         .select(
             F.col("_qm_src").alias("src"),
             F.col("_bm_dst").alias("dst"),
-            "dist_sq",
+            squared_euclidean("_qm_emb", "_bm_emb").alias("dist_sq"),
         )
     )
     if exclude_self:
@@ -152,6 +184,13 @@ def knn_join(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+#: base-side signature groups fan out at most this many ascending-id
+#: members (≥ k+1 is provably sufficient for bit-identical duplicates;
+#: for near-duplicate groups it is a recall/cost cap, mirroring the
+#: hot-bucket cap's philosophy of down-sampling, never blinding).
+MAX_SIGNATURE_MEMBERS = 32
 
 
 #: above this many base rows the exact tier switches to blocked mode
@@ -382,14 +421,18 @@ def _exact_knn_broadcast(
     )
 
 
-def _lsh_candidates(
-    q: DataFrame,
-    b: DataFrame,
-    bucket_length: float | None,
-    num_hash_tables: int,
-) -> DataFrame:
-    """Candidate pairs via random-hyperplane bucketing (public MLlib
-    ``BucketedRandomProjectionLSH``). Returns (src, q_emb, dst, b_emb).
+def _with_features(df: DataFrame, emb_col: str) -> DataFrame:
+    from pyspark.ml.functions import array_to_vector
+
+    return df.withColumn(
+        "features", array_to_vector(F.col(emb_col).cast("array<double>"))
+    )
+
+
+def _fit_lsh(bv: DataFrame, bucket_length: float | None, n_proj: int):
+    """Fit the random-hyperplane model (public MLlib
+    ``BucketedRandomProjectionLSH``) over a base with a ``features``
+    vector column.
 
     ``bucket_length=None`` sizes buckets from the data:
     ``2 · median_norm / √d`` ≈ two standard deviations of a single
@@ -398,24 +441,17 @@ def _lsh_candidates(
     true neighbors apart — note that since bands AND two projections
     together, a fixed ``bucket_length`` tuned for a single-hash OR
     scheme must be retuned (per-band collision is p² here, not p).
-
-    Band count sets the recall/cost point: measured k=5 recall vs the
-    exact tier on the sf0.01 fixture is 0.64 at 3 bands, 0.88 at 6,
-    0.97 at 10 (the default); candidate volume grows linearly in
-    bands and stays bounded by the hot-bucket cap below.
     """
     from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector, vector_to_array
 
     from ..functions.distance import norm
 
-    rows_per_band = 2  # AND-amplification width within a band
     if bucket_length is None:
         # a single random projection of x has std ≈ |x|/√d; size the
         # bucket to a couple of projection-stds so buckets discriminate
         # (a fixed large length collapses everything into bucket 0 →
         # O(n²) candidates; measured at 50k rows)
-        row0 = b.select(
+        row0 = bv.select(
             F.percentile_approx(norm("b_emb"), 0.5).alias("m"),
             F.max(F.size("b_emb")).alias("d"),
         ).head()
@@ -425,17 +461,32 @@ def _lsh_candidates(
             bucket_length = max(
                 2.0 * float(row0["m"]) / (float(row0["d"]) ** 0.5), 1e-6
             )
-
-    qv = q.withColumn("features", array_to_vector(F.col("q_emb").cast("array<double>")))
-    bv = b.withColumn("features", array_to_vector(F.col("b_emb").cast("array<double>")))
     lsh = BucketedRandomProjectionLSH(
         inputCol="features",
         outputCol="hashes",
         bucketLength=bucket_length,
-        numHashTables=num_hash_tables * rows_per_band,
+        numHashTables=n_proj,
         seed=42,
     )
-    model = lsh.fit(bv)
+    return lsh.fit(bv)
+
+
+def _lsh_candidates(
+    q: DataFrame,
+    b: DataFrame,
+    num_hash_tables: int,
+    rows_per_band: int,
+) -> DataFrame:
+    """Candidate pairs from pre-hashed (signature-collapsed) sides —
+    inputs carry ``hashes`` from the fitted model. Returns
+    (src, q_emb, dst, b_emb).
+
+    Band count sets the recall/cost point: measured k=5 recall vs the
+    exact tier on the sf0.01 fixture is 0.64 at 3 bands, 0.88 at 6,
+    0.97 at 10 (the default); candidate volume grows linearly in
+    bands and stays bounded by the hot-bucket cap below.
+    """
+    from pyspark.ml.functions import vector_to_array
 
     def banded(df: DataFrame, id_col: str, emb_col: str) -> DataFrame:
         # compound key per band: concat of rows_per_band bucket ids
@@ -455,12 +506,12 @@ def _lsh_candidates(
                 for t in range(num_hash_tables)
             ]
         )
-        return model.transform(df).select(
+        return df.select(
             id_col, emb_col, F.explode(bands).alias("bb")
         ).select(id_col, emb_col, "bb.band", "bb.key")
 
-    qh = banded(qv, "src", "q_emb")
-    bh = banded(bv, "dst", "b_emb").persist()  # consumed twice below
+    qh = banded(q, "src", "q_emb")
+    bh = banded(b, "dst", "b_emb").persist()  # consumed twice below
 
     # hot-bucket capping: a (band, key) shared by more than
     # max_bucket_size base rows is non-discriminative (skewed data,
