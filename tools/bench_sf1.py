@@ -90,6 +90,13 @@ def build_sf1(spark) -> None:
     replicate(
         "lineitem", ["l_orderkey", "l_partkey", "l_suppkey"]
     )
+    # nation/region are fixed-size dimension tables: copy them verbatim
+    # (25/5 rows) and leave every *_nationkey UN-offset so the FK into
+    # them stays valid in all replicas.
+    for dim in ("nation", "region"):
+        spark.read.parquet(os.path.join(SRC_SF, f"{dim}.parquet")).coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(SF1_DIR, f"{dim}.parquet"))
     # part gets DENSE offsets (replica r spans [r*n, (r+1)*n)) so the
     # derived BOM forest (parent = key // 8) stays fully connected —
     # every parent key exists and the walk covers all 10 replicas.
@@ -108,7 +115,7 @@ def build_sf1(spark) -> None:
     pout.repartition(8).write.mode("overwrite").parquet(
         os.path.join(SF1_DIR, "part.parquet")
     )
-    replicate("supplier", ["s_suppkey", "s_nationkey"])
+    replicate("supplier", ["s_suppkey"])
     replicate("customer", ["c_custkey"])
     replicate("events", ["event_id", "user_id"], ts_col="ts")
 
@@ -179,6 +186,12 @@ def main() -> None:
     global QUERY_NAMES
     if args.queries == "round7":
         QUERY_NAMES = ROUND7_NAMES
+    elif args.queries == "all":
+        # the full headline suite (VERDICT r07 #3): every bench.py
+        # headline query plus the bench-extra tiers, measured at 10x
+        import bench as _b
+
+        QUERY_NAMES = list(_b.HEADLINE) + list(_b.BENCH_EXTRA)
     elif args.queries:
         QUERY_NAMES = args.queries.split(",")
 

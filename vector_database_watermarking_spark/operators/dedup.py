@@ -411,10 +411,14 @@ def incremental_dedup(
     all-pairs join and nothing driver-side anywhere.
     """
     ckey = hash60(normalize_text(text_col))
+    # consumed by BOTH the exact-match join and the survivors anti-join
+    # — materialize the skinny (key, id) relation once instead of
+    # re-hashing and re-aggregating the whole corpus per consumer
     corpus_keys = (
         corpus.withColumn("content_key", ckey)
         .groupBy("content_key")
         .agg(F.min("doc_id").alias("match_doc_id"))
+        .localCheckpoint(eager=True)
     )
     batch_keyed = batch.withColumn("content_key", ckey)
     exact = batch_keyed.join(corpus_keys, on="content_key").select(
@@ -568,12 +572,16 @@ def near_dup_clusters(
     cand = lsh_candidate_pairs(bands)
     pairs = jaccard_verify(cand, sh, threshold=threshold)
     comp_active = _pair_components(pairs, sh)
+    # comp feeds the size aggregate AND the final join — materialize
+    # the narrow (doc_id, cluster_id) map once so neither consumer
+    # re-scans docs or replays the components closure
     comp = (
         docs.select("doc_id")
         .join(comp_active, on="doc_id", how="left")
         .select(
             "doc_id", F.coalesce(F.col("_cid"), F.col("doc_id")).alias("cluster_id")
         )
+        .localCheckpoint(eager=True)
     )
     sizes = comp.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size")
@@ -809,12 +817,16 @@ def spelling_variants(
     """
     from .text import materialized_tokens
 
+    # vocab is consumed three times (variant explode + both df
+    # lookups) — materialize the skinny (tok, df) relation once rather
+    # than re-tokenizing the corpus per consumer
     vocab = (
         materialized_tokens(docs, text_col)
         .select("doc_id", F.explode("_toks").alias("tok"))
         .filter(F.length("tok") >= min_len)
         .groupBy("tok")
         .agg(F.countDistinct("doc_id").alias("df"))
+        .localCheckpoint(eager=True)
     )
     variants = vocab.select(
         "tok",

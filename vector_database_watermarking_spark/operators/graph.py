@@ -580,11 +580,17 @@ def triangle_counts(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     """
     e = edges.select("src", "dst")
     rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # und is consumed by the degree aggregate AND the keyed wedge path
+    # (and the caller's edge table is often itself an expensive kNN
+    # build) — materialize the undirected edge list once. deg is then
+    # consumed twice (da/db), but each recompute is one aggregate over
+    # this checkpoint, cheaper than a second narrow disk write.
     und = (
         e.join(rev, on=["src", "dst"], how="left_semi")
         .filter(F.col("src") < F.col("dst"))
         .select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         und.select(F.explode(F.array("a", "b")).alias("n"))
@@ -803,11 +809,15 @@ def link_prediction_ra(
     """
     e = edges.select("src", "dst")
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # nbr feeds BOTH wedge sides — materialize the narrow term-scored
+    # edge list once so the degree aggregate + join don't replay per
+    # side (the caller's mutual-kNN input is already checkpointed; this
+    # keeps the rule local too)
     nbr = e.join(deg, on="src").select(
         F.col("src").alias("z"),
         F.col("dst").alias("n"),
         F.floor(F.lit(1000000) / F.col("deg")).cast("long").alias("term_e6"),
-    )
+    ).localCheckpoint(eager=True)
     a = nbr.select("z", F.col("n").alias("u"), "term_e6")
     b = nbr.select("z", F.col("n").alias("v"))
     wedges = a.join(b, on="z").filter(F.col("u") < F.col("v"))

@@ -1092,12 +1092,16 @@ def semantic_dedup(
     comp_active = _pair_components(pairs).select(
         F.col("doc_id").alias("vec_id"), "_cid"
     )
+    # comp feeds the size aggregate AND the final join — materialize
+    # the narrow (vec_id, cluster_id) map once (mirrors
+    # dedup.near_dup_clusters)
     comp = (
         emb.select("vec_id")
         .join(comp_active, on="vec_id", how="left")
         .select(
             "vec_id", F.coalesce(F.col("_cid"), F.col("vec_id")).alias("cluster_id")
         )
+        .localCheckpoint(eager=True)
     )
     sizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
     out = comp.join(sizes, on="cluster_id")
@@ -1168,6 +1172,138 @@ def ivf_append(spark, path: str, new_vectors: DataFrame) -> None:
     assigned.write.partitionBy("cluster").mode("append").parquet(
         f"{path}/assigned"
     )
+
+
+def ivf_compact(spark, path: str, target_rows_per_file: int = 1_000_000) -> dict:
+    """Compact the small files repeated :func:`ivf_append` accumulates
+    inside cluster partitions (each append lays down ≥1 new file per
+    touched cluster, so after A appends a hot cluster holds O(A) files
+    and every probe pays the open/footer overhead per file).
+
+    One hash shuffle on ``cluster`` rewrites each partition into
+    ~``target_rows_per_file``-row files while PRESERVING the
+    ``PARTITIONED BY cluster`` layout, so probe-time partition pruning
+    is untouched. The swap is a driver-side directory rename here
+    (single-filesystem scratch); at cluster scale the identical rewrite
+    runs through the table format's transactional partition-overwrite.
+    Search results are bit-identical before/after — the
+    ``ivf_compact_parity`` pack gate asserts it every round.
+
+    Returns ``{"rows", "before": stats, "after": stats}`` with
+    file-count/byte audits from the metadata walk.
+    """
+    import os
+    import shutil
+
+    from .maintenance import parquet_file_stats
+
+    src = f"{path}/assigned"
+    tmp = f"{path}/assigned__compact_tmp"
+    before = parquet_file_stats(src)
+    df = spark.read.parquet(src).select(
+        "vec_id", "embedding", F.col("cluster").cast("int").alias("cluster")
+    )
+    n = df.count()
+    (
+        df.repartition("cluster")  # one partition (≥1 file) per cluster
+        .write.option("maxRecordsPerFile", target_rows_per_file)
+        .partitionBy("cluster")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    old = f"{path}/assigned__old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(src, old)
+    os.rename(tmp, src)
+    shutil.rmtree(old)
+    after = parquet_file_stats(src)
+    return {"rows": n, "before": before, "after": after}
+
+
+def ivf_maintenance_report(
+    spark,
+    path: str,
+    occupancy_skew: float = 4.0,
+    files_per_cluster: int = 8,
+    mse_skew: float = 4.0,
+) -> dict:
+    """Occupancy/drift probe for a persisted IVF index — the signal
+    that tells an operator WHEN the two maintenance actions are due:
+
+    - **compact** when any cluster partition holds more than
+      ``files_per_cluster`` parquet files (append fragmentation —
+      :func:`ivf_compact` fixes it without touching results);
+    - **retrain** when per-cluster occupancy skews past
+      ``occupancy_skew`` × the mean (a hot cell degrades its probes
+      toward brute force) or when a cluster's mean squared distance to
+      its own centroid exceeds ``mse_skew`` × the median cluster MSE
+      (appended vectors the frozen centroids never assimilated —
+      quantization drift). Retrain = ``ivf_build_fixed`` +
+      ``save_ivf_index`` again; it moves centroids, so unlike
+      compaction it legitimately changes results.
+
+    Driver cost: one metadata walk plus one aggregate over the
+    assignment table (per-cluster count + MSE — a single shuffle on
+    the partition key). Returns a plain dict so callers can log it or
+    gate a maintenance job on the two booleans.
+    """
+    import os
+
+    from ..functions.distance import squared_euclidean
+
+    assigned, cents = load_ivf_index(spark, path)
+    cent_df = spark.createDataFrame(
+        [(i, [float(v) for v in c]) for i, c in enumerate(cents)],
+        "cluster int, centroid array<double>",
+    )
+    per = (
+        assigned.join(F.broadcast(cent_df), on="cluster")
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(
+                squared_euclidean(
+                    F.col("embedding").cast("array<double>"), F.col("centroid")
+                )
+            ).alias("mse"),
+        )
+        .orderBy("cluster")
+        .collect()
+    )
+    files = {}
+    base = f"{path}/assigned"
+    for entry in os.listdir(base):
+        if entry.startswith("cluster="):
+            cdir = os.path.join(base, entry)
+            files[entry] = sum(
+                1 for f in os.listdir(cdir) if f.endswith(".parquet")
+            )
+    counts = [r["n"] for r in per]
+    mses = sorted(r["mse"] for r in per)
+    med_mse = mses[len(mses) // 2] if mses else 0.0
+    mean_n = (sum(counts) / len(counts)) if counts else 0.0
+    max_files = max(files.values(), default=0)
+    reasons = []
+    if max_files > files_per_cluster:
+        reasons.append(f"fragmentation: {max_files} files in one cluster")
+    if counts and mean_n > 0 and max(counts) / mean_n > occupancy_skew:
+        reasons.append(
+            f"occupancy skew: max {max(counts)} vs mean {mean_n:.1f}"
+        )
+    if med_mse > 0 and mses[-1] / med_mse > mse_skew:
+        reasons.append(
+            f"quantization drift: max cluster MSE {mses[-1]:.4f} vs "
+            f"median {med_mse:.4f}"
+        )
+    return {
+        "clusters": len(per),
+        "rows": sum(counts),
+        "max_files_per_cluster": max_files,
+        "occupancy": {r["cluster"]: r["n"] for r in per},
+        "recommend_compact": max_files > files_per_cluster,
+        "recommend_retrain": any("skew" in r or "drift" in r for r in reasons),
+        "reasons": reasons,
+    }
 
 
 def load_ivf_index(spark, path: str) -> tuple[DataFrame, np.ndarray]:

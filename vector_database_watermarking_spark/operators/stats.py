@@ -194,7 +194,17 @@ def distribution_drift(
     binned = df.crossJoin(F.broadcast(lo_hi)).select(
         F.col(group_col).alias("grp"), bin_.alias("bin")
     )
-    per = binned.groupBy("grp", "bin").agg(F.count(F.lit(1)).alias("n"))
+    # per is the only full-data aggregate here and every downstream
+    # relation (grid, full, both marginals, the joined PSI terms)
+    # branches off it — materialize the tiny (groups × bins) histogram
+    # once instead of re-aggregating the corpus per consumer. The
+    # derived `full` is consumed three times but is a constant-size
+    # join over this checkpoint, so its recompute is trivial.
+    per = (
+        binned.groupBy("grp", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
     spark = df.sparkSession
     grid = (
         per.select("grp")
@@ -385,9 +395,16 @@ def robust_outliers(
     """
     pct = "percentile_approx" if not exact else "percentile"
     v, g = F.col(value_col), F.col(group_col)
+    # med's full-data percentile aggregate sits under BOTH dev
+    # consumers — materialize the tiny per-group relation once.
+    # dev itself is also consumed twice (MAD aggregate + final join)
+    # but is left UNmaterialized on purpose: its recompute is one
+    # pruned columnar scan plus a broadcast hash join (no shuffle),
+    # while checkpointing it would write the full corpus width to
+    # executor disk — recompute is the cheaper side at 100 TB.
     med = df.groupBy(group_col).agg(
         F.expr(f"{pct}({value_col}, 0.5)").alias("med")
-    )
+    ).localCheckpoint(eager=True)
     dev = df.join(F.broadcast(med), group_col).withColumn(
         "_dev", F.abs(v.cast("double") - F.col("med"))
     )

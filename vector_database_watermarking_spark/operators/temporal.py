@@ -507,6 +507,9 @@ def rolling_active_users_bitmap(
     """
     day = F.to_date(ts_col)
     one = F.lit(1).cast("long")
+    # daily feeds the window fan-out AND the observed-days semi-join
+    # side — materialize the compressed (day, block, bits) relation
+    # once instead of re-aggregating the raw event feed per consumer
     daily = (
         events.select(
             day.alias("_d"),
@@ -517,6 +520,7 @@ def rolling_active_users_bitmap(
         )
         .groupBy("_d", "_blk")
         .agg(F.bit_or("_m").alias("bits"))
+        .localCheckpoint(eager=True)
     )
     g = daily.select(
         "_d",

@@ -1277,6 +1277,10 @@ def g6_cluster_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to the oracle after the single final /1e6 (no rounding, which is
     # half-tie fragile across Spark's BigDecimal vs DuckDB's multiply
     # rounding).
+    # lens is consumed twice (population head() + per-cluster join) but
+    # stays unmaterialized on purpose: edges is persist()ed above, so
+    # each recompute is one aggregate over the cache — cheaper than
+    # another disk write of the same width
     lens = edges.groupBy("src").agg(
         F.sum(F.round(F.col("dist") * 1e6).cast("long")).alias("micro_sum"),
         F.count(F.lit(1)).alias("k"),

@@ -790,6 +790,7 @@ UNION ALL SELECT 'zorder_zkey_sum',
            + (((za >> 2) & 1) * 2 + ((zb >> 2) & 1)) * 16) AS BIGINT) FROM zcell
 UNION ALL SELECT 'bloom_equals_exact', CAST(1 AS BIGINT)
 UNION ALL SELECT 'ivf_disk_parity', CAST(1 AS BIGINT)
+UNION ALL SELECT 'ivf_compact_parity', CAST(1 AS BIGINT)
 UNION ALL
 SELECT concat('g7_edges_', CAST(bidir_edges AS VARCHAR)), CAST(count(*) AS BIGINT)
 FROM bidir GROUP BY bidir_edges
@@ -1084,10 +1085,31 @@ def cov_operator_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_assigned, l_cents = similarity.load_ivf_index(spark, ivf_dir)
     q10 = emb.filter(F.col("vec_id") < 10)
     direct = similarity.ivf_search_fixed(q10, assigned, cents, k=5, nprobe=3)
+    # materialized: the lifecycle gate below MUTATES the on-disk index
+    # (append + compact) before this pack is collected, and a lazy scan
+    # here would read the post-append files instead of the saved ones
     via_disk = similarity.ivf_search_fixed(
         q10, l_assigned, l_cents, k=5, nprobe=3
-    )
+    ).localCheckpoint(eager=True)
     parts.append(_parity_gate("ivf_disk_parity", direct, via_disk))
+
+    # round-8 (VERDICT r07 #6) IVF lifecycle gate: append a batch into
+    # the persisted index, search, compact the fragmented cluster
+    # partitions, search again — compaction must be invisible to
+    # results (multiset equality). The pre-compaction result is
+    # materialized BEFORE the compact swaps the files under the scan.
+    new_vecs = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 30)).select(
+        (F.col("vec_id") + F.lit(5_000_000)).alias("vec_id"), "embedding"
+    )
+    similarity.ivf_append(spark, ivf_dir, new_vecs)
+    a_app, c_app = similarity.load_ivf_index(spark, ivf_dir)
+    pre_compact = similarity.ivf_search_fixed(
+        q10, a_app, c_app, k=5, nprobe=3
+    ).localCheckpoint(eager=True)
+    similarity.ivf_compact(spark, ivf_dir, target_rows_per_file=1_000_000)
+    a_cmp, c_cmp = similarity.load_ivf_index(spark, ivf_dir)
+    post_compact = similarity.ivf_search_fixed(q10, a_cmp, c_cmp, k=5, nprobe=3)
+    parts.append(_parity_gate("ivf_compact_parity", pre_compact, post_compact))
 
     # the persist existed to back the eager save_ivf_index write;
     # release it now so repeated pack invocations don't leak storage
@@ -3407,7 +3429,12 @@ def ext_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     nll = _text.unigram_nll_scores(docs)
-    j = nll.join(docs.select("doc_id", "source"), on="doc_id")
+    # j is consumed twice (median aggregate + final filter join) and
+    # its subtree tokenizes the whole corpus — materialize the skinny
+    # scored relation once rather than re-scoring per consumer
+    j = nll.join(docs.select("doc_id", "source"), on="doc_id").localCheckpoint(
+        eager=True
+    )
     med = j.groupBy("source").agg(
         F.percentile("avg_nll", F.lit(0.5)).alias("med")
     )
@@ -3525,10 +3552,16 @@ def rel_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_type"
     )
+    # v and c each feed TWO consumers (the next funnel stage and the
+    # final left-join chain); without materialization each consumer
+    # re-scans and re-aggregates the events table — the stage tables
+    # are narrow per-user rows, so checkpointing them is far cheaper
+    # than the extra corpus scans
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("view_ts"))
+        .localCheckpoint(eager=True)
     )
     c = (
         ev.filter(F.col("event_type") == "click")
@@ -3536,6 +3569,7 @@ def rel_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") >= F.col("view_ts"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("click_ts"))
+        .localCheckpoint(eager=True)
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")

@@ -323,9 +323,13 @@ def tvp_carrier_invariants(
     )
     edges = knn_edges(emb.select("vec_id", "embedding"), k=knn_k)
     ai = accessibility_index(edges, emb).select("vec_id", "ai")
+    # carriers feeds the per-group count AND the embedding pass, and
+    # its subtree contains the kNN build + accessibility index —
+    # materialize the tiny selected set once instead of re-running the
+    # graph pipeline per consumer
     carriers = _select_by_ai(avail.join(ai, on="vec_id"), th).select(
         "vec_id", "group_id", "wm_bit", "vid"
-    )
+    ).localCheckpoint(eager=True)
     n_car = carriers.groupBy("group_id").agg(F.count(F.lit(1)).alias("n_carriers"))
 
     # embed for real, then re-classify the watermarked vectors — the
