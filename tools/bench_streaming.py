@@ -1,0 +1,272 @@
+"""Streaming throughput at sf1 scale (VERDICT r07 #5): measured
+events/sec and state-store rows for the four stateful gate families —
+TTL dedup, sessionization, stream-stream interval join, and IVM —
+so the "unbounded feed" claims in streaming/*.py docstrings cite a
+measured rate instead of an argument.
+
+Inputs come from the sf1 replica set built by tools/bench_sf1.py
+(events: 1M rows; documents: 50k rows). Each family is driven through
+the same file-source replay shape its correctness gate uses, over
+multiple triggers so the stateful operator actually carries state
+across micro-batches. Wall-clock covers start() .. processAllAvailable()
+(steady ingestion, not Spark session startup). State rows come from the
+query's own progress metrics (stateOperators.numRowsTotal).
+
+Usage: python tools/bench_streaming.py  (prints one JSON line per family)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF1 = "/root/repo/_scratch/sf1"
+SCRATCH = "/root/repo/_scratch/stream_bench"
+
+
+def state_rows(q) -> int:
+    for p in reversed(q.recentProgress):
+        ops = p.get("stateOperators") or []
+        if ops:
+            return sum(int(o.get("numRowsTotal", 0)) for o in ops)
+    return 0
+
+
+def write_batches(df, key_col, out_dir, n):
+    from pyspark.sql import functions as F
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    for b in range(n):
+        (
+            df.filter(F.pmod(F.col(key_col), F.lit(n)) == b)
+            .coalesce(4)
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+
+def bench_ttl_dedup(spark) -> dict:
+    """2M-row at-least-once feed (every event delivered twice) through
+    dropDuplicatesWithinWatermark, 4 triggers."""
+    from pyspark.sql import functions as F
+
+    from vector_database_watermarking_spark.streaming.dedup import dedup_stream
+
+    ev = spark.read.parquet(f"{SF1}/events.parquet").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    feed = ev.unionByName(ev)  # duplicate every delivery
+    src = os.path.join(SCRATCH, "ttl_feed")
+    write_batches(feed, "event_id", src, 4)
+    n_in = feed.count()
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 4)
+        .parquet(src)
+    )
+    out = dedup_stream(stream, key_cols=("event_id",), watermark="365 days")
+    t0 = time.monotonic()
+    q = (
+        out.writeStream.format("noop")
+        .option("checkpointLocation", os.path.join(SCRATCH, "ttl_ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        wall = time.monotonic() - t0
+        st = state_rows(q)
+    finally:
+        q.stop()
+    return {
+        "family": "ttl_dedup",
+        "input_rows": n_in,
+        "wall_sec": round(wall, 2),
+        "events_per_sec": int(n_in / wall),
+        "state_rows": st,
+    }
+
+
+def bench_sessionize(spark) -> dict:
+    """1M events through applyInPandasWithState sessionization."""
+    from vector_database_watermarking_spark.streaming.sessions import (
+        sessionize_stream,
+    )
+
+    ev = spark.read.parquet(f"{SF1}/events.parquet").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    src = os.path.join(SCRATCH, "sess_feed")
+    write_batches(ev, "event_id", src, 4)
+    n_in = ev.count()
+    stream = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, event_id long, value double"
+        )
+        .option("maxFilesPerTrigger", 4)
+        .parquet(src)
+    )
+    out = sessionize_stream(stream, watermark="365 days")
+    t0 = time.monotonic()
+    q = (
+        out.writeStream.format("noop")
+        .option("checkpointLocation", os.path.join(SCRATCH, "sess_ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        wall = time.monotonic() - t0
+        st = state_rows(q)
+    finally:
+        q.stop()
+    return {
+        "family": "sessionization",
+        "input_rows": n_in,
+        "wall_sec": round(wall, 2),
+        "events_per_sec": int(n_in / wall),
+        "state_rows": st,
+    }
+
+
+def bench_interval_join(spark) -> dict:
+    """view/purchase slices of the 1M-event table through the
+    watermarked stream-stream interval join."""
+    from pyspark.sql import functions as F
+
+    from vector_database_watermarking_spark.streaming.joins import (
+        attribution_join_streams,
+    )
+
+    ev = spark.read.parquet(f"{SF1}/events.parquet")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    vsrc = os.path.join(SCRATCH, "ij_views")
+    psrc = os.path.join(SCRATCH, "ij_purch")
+    write_batches(views, "event_id", vsrc, 3)
+    write_batches(purchases, "event_id", psrc, 3)
+    n_in = views.count() + purchases.count()
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    vs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(vsrc)
+    )
+    ps = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(psrc)
+    )
+    out = attribution_join_streams(vs, ps, horizon="1 hour", watermark="365 days")
+    t0 = time.monotonic()
+    q = (
+        out.writeStream.format("noop")
+        .option("checkpointLocation", os.path.join(SCRATCH, "ij_ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        wall = time.monotonic() - t0
+        st = state_rows(q)
+    finally:
+        q.stop()
+    return {
+        "family": "interval_join",
+        "input_rows": n_in,
+        "wall_sec": round(wall, 2),
+        "events_per_sec": int(n_in / wall),
+        "state_rows": st,
+    }
+
+
+def bench_ivm(spark) -> dict:
+    """50k-doc base, 25k-change CDC feed (upserts + deletes) through
+    the delta-only MERGE + view maintenance loop, 4 batches."""
+    from pyspark.sql import functions as F
+
+    from vector_database_watermarking_spark.streaming import cdc, ivm
+
+    docs = spark.read.parquet(f"{SF1}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    base = docs
+    n_docs = docs.count()
+    changes = (
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(4)) < 2)
+        .select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" v2")).alias("text"),
+            "source",
+            F.lit(1).alias("seq"),
+            F.when(F.pmod(F.col("doc_id"), F.lit(10)) == 0, "delete")
+            .otherwise("upsert")
+            .alias("op"),
+        )
+    )
+    n_changes = changes.count()
+    scratch = os.path.join(SCRATCH, "ivm")
+    shutil.rmtree(scratch, ignore_errors=True)
+    changes_dir = os.path.join(scratch, "changes")
+    table_dir = os.path.join(scratch, "table")
+    agg_dir = os.path.join(scratch, "view")
+    cdc.init_table(base, table_dir)
+    ivm.init_view(base, agg_dir, group_col="source", value_expr="length(text)")
+    write_batches(changes, "doc_id", changes_dir, 4)
+    stream = (
+        spark.readStream.schema(changes.schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(changes_dir)
+    )
+    t0 = time.monotonic()
+    q = ivm.ivm_agg_stream(
+        stream,
+        table_dir,
+        agg_dir,
+        group_col="source",
+        value_expr="length(text)",
+        checkpoint_dir=os.path.join(scratch, "ckpt"),
+        retain=1,
+    )
+    try:
+        q.processAllAvailable()
+        wall = time.monotonic() - t0
+    finally:
+        q.stop()
+    view_rows = cdc.read_current(spark, agg_dir).count()
+    return {
+        "family": "ivm",
+        "base_rows": n_docs,
+        "input_rows": n_changes,
+        "wall_sec": round(wall, 2),
+        "events_per_sec": int(n_changes / wall),
+        "view_rows": view_rows,
+    }
+
+
+def main() -> None:
+    from vector_database_watermarking_spark.session import get_spark
+
+    os.makedirs(SCRATCH, exist_ok=True)
+    spark = get_spark(
+        "bench-streaming", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    )
+    for fn in (bench_ttl_dedup, bench_sessionize, bench_interval_join, bench_ivm):
+        shutil.rmtree(SCRATCH, ignore_errors=True)
+        os.makedirs(SCRATCH, exist_ok=True)
+        print(json.dumps(fn(spark)), flush=True)
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -7,6 +7,11 @@ watermark window) instead of O(all keys ever seen) — the property that
 makes streaming dedup viable on an unbounded 100 TB/day feed. Exact
 dedup keys on the delivery id (``event_id``); content-level dedup keys
 on the payload columns, mirroring the batch ``operators.dedup`` tiers.
+
+Measured (``tools/bench_streaming.py``, SCALING.md): 463k events/sec on
+one local[32] host over a 2M-row at-least-once feed. 100 TB/day is
+~12M 100-byte events/sec — ~25 such hosts at the measured rate, with
+the key-sharded state store scaling horizontally alongside.
 """
 
 from __future__ import annotations
