@@ -101,3 +101,73 @@ def test_ivf_maintenance_report_flags_occupancy_skew(spark, ivf_dir):
     rep = similarity.ivf_maintenance_report(spark, path, occupancy_skew=3.0)
     assert rep["recommend_retrain"] is True
     assert any("skew" in r or "drift" in r for r in rep["reasons"])
+
+
+def test_time_weighted_avg_hand_computed(spark):
+    from vector_database_watermarking_spark.operators.temporal import (
+        time_weighted_avg,
+    )
+
+    rows = [
+        # user 1: value 2.0 held 10s, value 4.0 held 5s -> twap 8/3
+        (1, 1, "2024-01-01 00:00:00", 2.0),
+        (2, 1, "2024-01-01 00:00:10", 4.0),
+        (3, 1, "2024-01-01 00:00:15", 99.0),  # last: no duration
+        # user 2: single observation -> null twap, zero sums
+        (4, 2, "2024-01-01 00:00:00", 7.0),
+        # user 3: duplicate ts tie -> event_id order pins the holder
+        (5, 3, "2024-01-01 00:00:00", 1.0),
+        (6, 3, "2024-01-01 00:00:00", 3.0),
+        (7, 3, "2024-01-01 00:00:02", 5.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r["user_id"]: r for r in time_weighted_avg(ev).collect()}
+    u1 = got[1]
+    assert u1["n_holds"] == 2
+    assert u1["dur_us"] == 15_000_000
+    assert u1["num_scaled_us"] == 200 * 10_000_000 + 400 * 5_000_000
+    assert u1["twap_scaled"] == u1["num_scaled_us"] // u1["dur_us"]  # ~267
+    assert abs(u1["twap_scaled"] / 100 - 8 / 3) < 0.01
+    u2 = got[2]
+    assert (u2["n_holds"], u2["dur_us"], u2["twap_scaled"]) == (0, 0, None)
+    u3 = got[3]
+    # event 5 (value 1.0) holds 0s to event 6; event 6 (3.0) holds 2s
+    assert u3["dur_us"] == 2_000_000
+    assert u3["twap_scaled"] == 300
+
+
+def test_dominant_suppliers_hand_computed(spark, tmp_path):
+    import os
+
+    li = spark.createDataFrame(
+        [
+            # part 100: supplier 1 ships 30 of 100 (>20%), supplier 2
+            # ships 15 (not >20%... 15% no), supplier 3 ships 55 (yes)
+            (1, 100, 1, 30.0), (2, 100, 2, 15.0), (3, 100, 3, 55.0),
+            # part 200: exact fifth (20 of 100) -> NOT dominant (strict >)
+            (4, 200, 1, 20.0), (5, 200, 2, 80.0),
+            # part 300: supplier 2 ships all of it -> dominant
+            (6, 300, 2, 10.0),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double",
+    ).withColumn("l_shipdate", F.lit("2024-01-01").cast("timestamp"))
+    s = spark.createDataFrame(
+        [(1, "Supp#1"), (2, "Supp#2"), (3, "Supp#3")],
+        "s_suppkey long, s_name string",
+    )
+    d = str(tmp_path)
+    li.write.parquet(os.path.join(d, "lineitem.parquet"))
+    s.write.parquet(os.path.join(d, "supplier.parquet"))
+    from vector_database_watermarking_spark.registry import QUERIES
+
+    got = {
+        r["s_name"]: (r["n_parts_dominated"], r["dominated_qty"])
+        for r in QUERIES["rel_dominant_suppliers"].fn(spark, d).collect()
+    }
+    assert got == {
+        "Supp#1": (1, 30),   # part 100 at 30%
+        "Supp#2": (2, 90),   # part 200 at 80% + part 300 at 100%
+        "Supp#3": (1, 55),   # part 100 at 55%
+    }

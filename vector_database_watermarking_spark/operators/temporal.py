@@ -580,3 +580,76 @@ def interval_union(
             F.count(F.lit(1)).alias("n_intervals"),
         )
     )
+
+
+def time_weighted_avg(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    value_scale: int = 100,
+) -> DataFrame:
+    """Per-key time-weighted average (TWAP): each observation's value
+    holds until the NEXT observation, so the mean weights every value
+    by its holding duration — the metric that makes irregularly-sampled
+    feeds (sensor readings, price ticks, utilization gauges)
+    comparable, where a plain ``avg`` over-counts bursts.
+
+    Exact integer formulation (SURVEY §4.2 cross-engine bar): values
+    bucket to ``value_scale`` units once (``floor(v·scale + 0.5)`` —
+    deterministic on the shared parquet doubles; pick the scale that
+    makes the data integral, e.g. 100 for cent-valued feeds),
+    durations are exact microsecond deltas from ``lead()``, and the
+    output carries the two BIGINT sums (``num_scaled_us = Σ
+    value_scaled · dt_us``, ``dur_us = Σ dt_us``) plus their integer
+    quotient ``twap_scaled`` (``div`` truncation; values are
+    non-negative so truncation == floor on both engines). Overflow
+    envelope: ``value_scale · max(value) · key_time_span_us`` must fit
+    int64 — at scale 100 that is a ~$10M-valued signal held for ~250
+    years; ANSI mode surfaces a violation as an explicit error, never
+    a silent wrap. The last observation per key has no successor and
+    contributes no duration — the standard left-closed TWAP
+    convention. Keys with a single observation (zero total duration)
+    are emitted with ``twap_scaled`` null rather than dividing by
+    zero.
+
+    Scale shape: ONE shuffle on the key for the lead window; the
+    aggregate is map-side partial on the same partitioning. With
+    duplicate timestamps the ``tiebreak_col`` ordering pins which
+    value absorbs the tie-to-next duration deterministically (the tied
+    rows themselves span zero time).
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    dt = F.lead(us).over(w) - us
+    v_scaled = F.floor(
+        F.col(value_col) * F.lit(int(value_scale)) + F.lit(0.5)
+    ).cast("long")
+    per = events.select(
+        F.col(key_col), dt.alias("_dt"), v_scaled.alias("_v")
+    ).filter(F.col("_dt").isNotNull())
+    out = (
+        events.select(key_col)
+        .distinct()
+        .join(
+            per.groupBy(key_col).agg(
+                F.sum(F.col("_v") * F.col("_dt")).alias("num_scaled_us"),
+                F.sum("_dt").alias("dur_us"),
+                F.count(F.lit(1)).alias("n_holds"),
+            ),
+            on=key_col,
+            how="left",
+        )
+    )
+    return out.select(
+        key_col,
+        F.coalesce(F.col("n_holds"), F.lit(0)).cast("long").alias("n_holds"),
+        F.coalesce(F.col("num_scaled_us"), F.lit(0))
+        .cast("long")
+        .alias("num_scaled_us"),
+        F.coalesce(F.col("dur_us"), F.lit(0)).cast("long").alias("dur_us"),
+        F.when(
+            F.col("dur_us") > 0, F.expr("num_scaled_us div dur_us")
+        ).alias("twap_scaled"),
+    )

@@ -1038,6 +1038,10 @@ _GRADE_ORDER = [
     "ext_cluster_split",
     "ext_mixture_execute",
     "ext_winsorize",
+    # round-8 registrations (rotation pool for round 9; full-oracle
+    # pack rows dominant_suppliers_check / twap_check)
+    "rel_dominant_suppliers",
+    "rel_events_twap",
 ]
 
 

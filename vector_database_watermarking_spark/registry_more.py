@@ -5499,6 +5499,102 @@ def ext_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rel_dominant_suppliers",
+    oracle="""
+WITH sp AS (
+  SELECT l_suppkey, l_partkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem GROUP BY l_suppkey, l_partkey
+),
+pt AS (
+  SELECT l_partkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT s.s_name,
+       CAST(count(*) AS BIGINT) AS n_parts_dominated,
+       CAST(sum(sp.qty) AS BIGINT) AS dominated_qty
+FROM sp JOIN pt ON sp.l_partkey = pt.l_partkey
+JOIN supplier s ON sp.l_suppkey = s.s_suppkey
+WHERE 5 * sp.qty > pt.total
+GROUP BY s.s_name
+""",
+)
+def rel_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape — the correlated-aggregate-in-predicate
+    decorrelation: suppliers whose share of a part's
+    total shipped quantity exceeds 20 % (the fixture has no partsupp
+    table and spreads parts across many suppliers, so Q20's
+    "availqty > ½·demand" becomes "supplier share > ⅕·part total" over
+    lineitem — the identical nested ``> frac * (SELECT sum(..))``
+    correlation class, at a threshold the fixture's part fan-out
+    actually exercises). Decorrelated the way Catalyst rewrites it: the
+    inner correlated sum becomes a grouped aggregate joined back on the
+    correlation key, the share comparison stays in exact integer space
+    (``5·qty > total`` — quantities are integral), and the supplier
+    name arrives by broadcast dim join. One shuffle on
+    (suppkey, partkey), one on partkey, both partial-aggregated
+    map-side; at 100 TB AQE splits hot parts."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey", F.col("l_quantity").cast("long").alias("qty")
+    )
+    sp = li.groupBy("l_suppkey", "l_partkey").agg(F.sum("qty").alias("qty"))
+    pt = li.groupBy("l_partkey").agg(F.sum("qty").alias("total"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sp.join(pt, on="l_partkey")
+        .filter(5 * F.col("qty") > F.col("total"))
+        .join(F.broadcast(s), sp.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts_dominated"),
+            F.sum("qty").alias("dominated_qty"),
+        )
+    )
+
+
+@register(
+    "rel_events_twap",
+    oracle="""
+WITH seq AS (
+  SELECT user_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_s,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - epoch_us(ts) AS dt
+  FROM events
+),
+agg AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_holds,
+         CAST(sum(v_s * dt) AS BIGINT) AS num_scaled_us,
+         CAST(sum(dt) AS BIGINT) AS dur_us
+  FROM seq WHERE dt IS NOT NULL GROUP BY user_id
+)
+SELECT u.user_id,
+       CAST(coalesce(a.n_holds, 0) AS BIGINT) AS n_holds,
+       CAST(coalesce(a.num_scaled_us, 0) AS BIGINT) AS num_scaled_us,
+       CAST(coalesce(a.dur_us, 0) AS BIGINT) AS dur_us,
+       CASE WHEN a.dur_us > 0
+            THEN CAST(a.num_scaled_us // a.dur_us AS BIGINT) END AS twap_scaled
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN agg a ON u.user_id = a.user_id
+""",
+)
+def rel_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average value
+    (``operators.temporal.time_weighted_avg``) — each observation
+    weighted by its holding duration until the next one, the metric
+    that makes irregularly-sampled feeds comparable. All-integer
+    (cent value buckets × microsecond durations — the e6 bucket the
+    other queries use would overflow int64 at month-long holding
+    spans, see the operator's overflow envelope; non-negative
+    quotient, so truncating and flooring division agree across
+    engines)."""
+    from .operators.temporal import time_weighted_avg
+
+    ev = load_table(spark, sf_dir, "events")
+    return time_weighted_avg(ev)
+
+
 # ------------------------------------------------- pipeline coverage pack
 #
 # Registered LAST in this module so it can embed the oracles of the
@@ -5598,6 +5694,9 @@ def _pipeline_pack_oracle() -> str:
     sdt = QUERIES["stream_dedup_ttl_replay"].oracle
     h_et2 = oracle_hash60("event_type")
     sm = QUERIES["ext_schema_merge_read"].oracle
+    # round-8 new registrations (rotation pool for round 9)
+    dom = QUERIES["rel_dominant_suppliers"].oracle
+    twp = QUERIES["rel_events_twap"].oracle
     # round-8 demotions (VERDICT r07 #1): full oracles of the five rows
     # rotated out of the graded window that had no pack row yet
     esn = QUERIES["ext_events_sessions"].oracle
@@ -6118,6 +6217,17 @@ SELECT 'ivf_topk_check',
            + CAST(floor(cos_sim * 1000000 + 0.5) AS BIGINT)) % 1000003))
        AS BIGINT)
   FROM ({ivt})
+UNION ALL
+SELECT 'dominant_suppliers_check',
+  CAST(count(*) + coalesce(sum(({h_sn} % 997 + 1)
+       * ((n_parts_dominated * 131 + dominated_qty) % 1000003)), 0) AS BIGINT)
+  FROM ({dom})
+UNION ALL
+SELECT 'twap_check',
+  CAST(count(*) + sum((user_id % 997 + 1)
+       * ((n_holds * 131 + num_scaled_us + dur_us + coalesce(twap_scaled, -11))
+          % 1000003)) AS BIGINT)
+  FROM ({twp})
 """
 
 
@@ -7961,6 +8071,53 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 + F.floor(
                                     F.col("cos_sim") * 1000000 + F.lit(0.5)
                                 ).cast("long")
+                            )
+                            % 1000003
+                        )
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    dom = QUERIES["rel_dominant_suppliers"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "dominant_suppliers_check",
+            dom.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.coalesce(
+                        F.sum(
+                            (hash60(F.col("s_name")) % 997 + 1)
+                            * (
+                                (
+                                    F.col("n_parts_dominated") * 131
+                                    + F.col("dominated_qty")
+                                )
+                                % 1000003
+                            )
+                        ),
+                        F.lit(0),
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    twp = QUERIES["rel_events_twap"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "twap_check",
+            twp.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (F.col("user_id") % 997 + 1)
+                        * (
+                            (
+                                F.col("n_holds") * 131
+                                + F.col("num_scaled_us")
+                                + F.col("dur_us")
+                                + F.coalesce(F.col("twap_scaled"), F.lit(-11))
                             )
                             % 1000003
                         )
