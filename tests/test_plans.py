@@ -480,3 +480,27 @@ def test_session_window_native_operator(spark, sf_dir):
     plan = plan_of(q)
     assert "session_window" in plan, plan
     assert "windowspecdefinition" not in plan, plan
+
+
+def test_multi_consumer_subtrees_materialized(spark, sf_dir):
+    """Round-8 rule (the ext_graph_link_pred sf1 lesson): a join/agg-
+    bearing subtree consumed from 2+ plan positions must be
+    materialized — ReuseExchange is not guaranteed, and without the
+    checkpoint each consumer re-evaluates the subtree. The checkpoint
+    shows up as a truncated lineage: the FINAL plan scans the source
+    table strictly fewer times than it has logical consumers."""
+    # Q21: l1 (lineitem JOIN orders) feeds the semi probe AND the anti
+    # build; with l1 checkpointed only the l2 leg still scans lineitem,
+    # and orders is not scanned at all in the returned plan.
+    plan = plan_of(QUERIES["rel_waiting_suppliers"].fn(spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "orders.parquet" not in plan, plan
+    # funnel: v and c are checkpointed stage tables; only the purchase
+    # stage still scans events in the final plan.
+    plan = plan_of(QUERIES["rel_events_funnel"].fn(spark, sf_dir))
+    assert plan.count("events.parquet") == 1, plan
+    # perplexity filter: the LM-scored relation is checkpointed; the
+    # median aggregate and final join both read the checkpoint, so the
+    # documents table is not re-tokenized per consumer.
+    plan = plan_of(QUERIES["ext_perplexity_filter"].fn(spark, sf_dir))
+    assert "documents.parquet" not in plan, plan
