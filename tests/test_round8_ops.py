@@ -171,3 +171,65 @@ def test_dominant_suppliers_hand_computed(spark, tmp_path):
         "Supp#2": (2, 90),   # part 200 at 80% + part 300 at 100%
         "Supp#3": (1, 55),   # part 100 at 55%
     }
+
+
+def test_time_weighted_avg_hypothesis_vs_bruteforce(spark):
+    """Hypothesis differential: the distributed TWAP must equal a
+    pure-Python reference on arbitrary small feeds (duplicate
+    timestamps, single-event keys, many keys)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vector_database_watermarking_spark.operators.temporal import (
+        time_weighted_avg,
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(0, 3),          # user
+                st.integers(0, 50),         # seconds offset
+                st.integers(1, 50_000),     # value in cents
+            ),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    def check(raw):
+        rows = [
+            (
+                i,
+                u,
+                f"2024-01-01 00:00:{'%02d' % (sec % 60)}.{'%03d' % (sec * 17 % 1000)}",
+                cents / 100.0,
+            )
+            for i, (u, sec, cents) in enumerate(raw)
+        ]
+        ev = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts string, value double"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        got = {
+            r["user_id"]: (r["n_holds"], r["num_scaled_us"], r["dur_us"], r["twap_scaled"])
+            for r in time_weighted_avg(ev).collect()
+        }
+        # brute force
+        import datetime
+
+        per = {}
+        for i, (u, sec, cents) in enumerate(raw):
+            us = (sec % 60) * 1_000_000 + (sec * 17 % 1000) * 1000
+            per.setdefault(u, []).append((us, i, cents))
+        expect = {}
+        for u, obs in per.items():
+            obs.sort()
+            num = dur = holds = 0
+            for (us, _i, cents), (us2, _i2, _c2) in zip(obs, obs[1:]):
+                dt = us2 - us
+                num += cents * dt
+                dur += dt
+                holds += 1
+            expect[u] = (holds, num, dur, num // dur if dur > 0 else None)
+        assert got == expect, (got, expect)
+
+    check()
