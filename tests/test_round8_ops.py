@@ -233,3 +233,60 @@ def test_time_weighted_avg_hypothesis_vs_bruteforce(spark):
         assert got == expect, (got, expect)
 
     check()
+
+
+def test_prefix_jaccard_lossless_vs_bruteforce(spark):
+    """The prefix filter is LOSSLESS blocking: the prefix-filtered join
+    must return exactly the all-pairs word-set Jaccard >= 4/5 answer on
+    random corpora (including duplicate docs and empty-prefix edges)."""
+    import itertools
+    import random
+
+    from vector_database_watermarking_spark.operators.dedup import (
+        prefix_jaccard_pairs,
+    )
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = []
+    for d in range(60):
+        k = rng.randint(3, 12)
+        toks = rng.sample(vocab, k)
+        docs.append((d, " ".join(toks)))
+    # plant exact duplicates and supersets
+    docs.append((60, docs[0][1]))
+    docs.append((61, docs[1][1] + " " + vocab[39]))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc1"], r["doc2"]): (r["inter_size"], r["union_size"], r["jac_e6"])
+        for r in prefix_jaccard_pairs(df, t_num=4, t_den=5).collect()
+    }
+    sets = {d: set(t.split()) for d, t in docs}
+    expect = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if 5 * inter >= 4 * union:
+            expect[(a, b)] = (inter, union, 1_000_000 * inter // union)
+    assert got == expect
+
+
+def test_prefix_jaccard_hand_case(spark):
+    from vector_database_watermarking_spark.operators.dedup import (
+        prefix_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta zeta"),     # jac 4/6 = 0.667 < 0.8
+            (3, "alpha beta gamma delta epsilon"),  # exact dup of 1
+            (4, "totally different words here now"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc1"], r["doc2"]): r["jac_e6"]
+        for r in prefix_jaccard_pairs(df, t_num=4, t_den=5).collect()
+    }
+    assert got == {(1, 3): 1_000_000}

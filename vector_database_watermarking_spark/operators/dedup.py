@@ -855,3 +855,104 @@ def spelling_variants(
     return pairs.join(d1, on="t1").join(d2, on="t2").select(
         "t1", "t2", "df1", "df2"
     )
+
+
+def prefix_jaccard_pairs(
+    docs: DataFrame,
+    t_num: int = 4,
+    t_den: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT set-similarity self-join with prefix filtering (the
+    SSJoin/PPJoin family, Chaudhuri et al. ICDE'06 / Xiao et al.
+    WWW'08): every document pair whose word-set Jaccard is ≥ the
+    rational threshold ``t_num/t_den`` — same answer as the all-pairs
+    scan, at candidate volume bounded by the prefix lemma instead of
+    n².
+
+    Ordering every doc's distinct tokens by GLOBAL rarity (ties by
+    token), a pair with ``|a∩b| ≥ ceil(t·|s|)`` must collide inside
+    each side's ``|s| − ceil(t·|s|) + 1`` prefix — so the equi-join on
+    prefix tokens is a LOSSLESS blocking step (unlike MinHash banding,
+    which trades recall), and rare-token prefixes keep the join's key
+    distribution flat. A symmetric size filter (``t·|a| ≤ |b|``)
+    prunes candidates before the exact intersection count verifies.
+
+    Everything stays in integer space: ``ceil(t·sz)`` is
+    ``(t_num·sz + t_den − 1) div t_den``, the acceptance test is
+    ``t_den·|∩| ≥ t_num·|∪|``, and the reported similarity is the
+    integer quotient ``jac_e6 = 1e6·|∩| div |∪|`` — cross-engine
+    reproducible with no float thresholds.
+
+    Output: (doc1, doc2, inter_size, union_size, jac_e6) with
+    ``doc1 < doc2``.
+
+    Scale shape: tokenization + the frequency join shuffle on token;
+    the candidate join keys on prefix tokens only (rarest-first makes
+    hot keys structurally impossible — a token in many prefixes is by
+    definition not rare); the verify join touches candidate pairs
+    only. At 100 TB the verify is output-bound the same way the
+    banded tiers are, but with an exactness guarantee they lack.
+    """
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.split(normalize_text(text_col), " "))
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+    sized = (
+        toks.join(freq, on="tok")
+        .withColumn(
+            "pos",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("f", "tok")),
+        )
+        .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    )
+    prefix_len = (
+        F.col("sz")
+        - F.expr(f"({t_num} * sz + {t_den - 1}) div {t_den}")
+        + F.lit(1)
+    )
+    prefix = sized.filter(F.col("pos") <= prefix_len).select("doc_id", "tok", "sz")
+    a = prefix.select(
+        F.col("doc_id").alias("doc1"), "tok", F.col("sz").alias("_sza")
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc2"), "tok", F.col("sz").alias("_szb")
+    )
+    cand = (
+        a.join(b, on="tok")
+        .filter(
+            (F.col("doc1") < F.col("doc2"))
+            & (t_den * F.col("_sza") >= t_num * F.col("_szb"))
+            & (t_den * F.col("_szb") >= t_num * F.col("_sza"))
+        )
+        .select("doc1", "doc2")
+        .distinct()
+    )
+    ta = toks.select(F.col("doc_id").alias("doc1"), "tok")
+    tb = toks.select(F.col("doc_id").alias("doc2"), "tok")
+    inter = (
+        cand.join(ta, on="doc1")
+        .join(tb, on=["doc2", "tok"])
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("inter_size"))
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("sz", "_sza"), on="doc1")
+        .join(sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed("sz", "_szb"), on="doc2")
+        .withColumn("union_size", F.col("_sza") + F.col("_szb") - F.col("inter_size"))
+        .filter(t_den * F.col("inter_size") >= t_num * F.col("union_size"))
+        .select(
+            "doc1",
+            "doc2",
+            F.col("inter_size").cast("long").alias("inter_size"),
+            F.col("union_size").cast("long").alias("union_size"),
+            F.expr("(1000000 * inter_size) div union_size").alias("jac_e6"),
+        )
+    )

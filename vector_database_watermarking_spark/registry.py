@@ -1039,9 +1039,11 @@ _GRADE_ORDER = [
     "ext_mixture_execute",
     "ext_winsorize",
     # round-8 registrations (rotation pool for round 9; full-oracle
-    # pack rows dominant_suppliers_check / twap_check)
+    # pack rows dominant_suppliers_check / twap_check /
+    # prefix_jaccard_check)
     "rel_dominant_suppliers",
     "rel_events_twap",
+    "ext_prefix_jaccard_dups",
 ]
 
 

@@ -5552,6 +5552,100 @@ def rel_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PJ_TOKS = """
+toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+    FROM documents) t WHERE tok <> ''
+),
+freq AS (SELECT tok, count(*) AS f FROM toks GROUP BY tok),
+psized AS (
+  SELECT t.doc_id, t.tok, f,
+         row_number() OVER (PARTITION BY t.doc_id ORDER BY f, t.tok) AS pos,
+         count(*) OVER (PARTITION BY t.doc_id) AS sz
+  FROM toks t JOIN freq USING (tok)
+),
+prefix AS (SELECT doc_id, tok, sz FROM psized WHERE pos <= sz - ((4*sz + 4) // 5) + 1),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM prefix a JOIN prefix b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  WHERE 5 * a.sz >= 4 * b.sz AND 5 * b.sz >= 4 * a.sz
+),
+pinter AS (
+  SELECT c.doc1, c.doc2, count(*) AS i
+  FROM cand c JOIN toks ta ON ta.doc_id = c.doc1
+  JOIN toks tb ON tb.doc_id = c.doc2 AND tb.tok = ta.tok
+  GROUP BY c.doc1, c.doc2
+),
+dsizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+pj_pairs AS (
+  SELECT i.doc1, i.doc2,
+         CAST((1000000 * i.i) // (sa.sz + sb.sz - i.i) AS BIGINT) AS jac_e6
+  FROM pinter i JOIN dsizes sa ON sa.doc_id = i.doc1
+  JOIN dsizes sb ON sb.doc_id = i.doc2
+  WHERE 5 * i.i >= 4 * (sa.sz + sb.sz - i.i)
+)
+"""
+
+
+@register(
+    "ext_prefix_jaccard_dups",
+    oracle="WITH "
+    + _PJ_TOKS
+    + """
+, sym AS (
+  SELECT doc1 AS doc_id, doc2 AS partner, jac_e6 FROM pj_pairs
+  UNION ALL
+  SELECT doc2, doc1, jac_e6 FROM pj_pairs
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_partners,
+       CAST(max(jac_e6) AS BIGINT) AS best_jac_e6,
+       CAST(min(partner) FILTER (jac_e6 = max_j) AS BIGINT) AS best_partner
+FROM (SELECT doc_id, partner, jac_e6,
+             max(jac_e6) OVER (PARTITION BY doc_id) AS max_j FROM sym) s
+GROUP BY doc_id
+""",
+)
+def ext_prefix_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT word-set near-dup profile at Jaccard ≥ 4/5 via the
+    prefix-filtered set-similarity self-join
+    (``operators.dedup.prefix_jaccard_pairs`` — SSJoin/PPJoin family):
+    lossless blocking, so unlike the MinHash/SimHash tiers this result
+    is provably the all-pairs answer, at candidate volume the prefix
+    lemma bounds. Reported per doc (partner count, best similarity,
+    smallest best partner) so the graded output stays |docs|-bounded
+    while the oracle replays the whole pipeline (rarity ordering,
+    integer prefix lengths, symmetric size filter, exact intersection
+    verify, e6 integer quotient)."""
+    from .operators.dedup import prefix_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = prefix_jaccard_pairs(docs, t_num=4, t_den=5).localCheckpoint(
+        eager=True
+    )  # consumed twice below (both symmetrization legs)
+    sym = pairs.select(
+        F.col("doc1").alias("doc_id"), F.col("doc2").alias("partner"), "jac_e6"
+    ).unionByName(
+        pairs.select(
+            F.col("doc2").alias("doc_id"), F.col("doc1").alias("partner"), "jac_e6"
+        )
+    )
+    w = Window.partitionBy("doc_id")
+    return (
+        sym.withColumn("max_j", F.max("jac_e6").over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_partners"),
+            F.max("jac_e6").alias("best_jac_e6"),
+            F.min(F.when(F.col("jac_e6") == F.col("max_j"), F.col("partner"))).alias(
+                "best_partner"
+            ),
+        )
+    )
+
+
 @register(
     "rel_events_twap",
     oracle="""
@@ -5697,6 +5791,7 @@ def _pipeline_pack_oracle() -> str:
     # round-8 new registrations (rotation pool for round 9)
     dom = QUERIES["rel_dominant_suppliers"].oracle
     twp = QUERIES["rel_events_twap"].oracle
+    pjd = QUERIES["ext_prefix_jaccard_dups"].oracle
     # round-8 demotions (VERDICT r07 #1): full oracles of the five rows
     # rotated out of the graded window that had no pack row yet
     esn = QUERIES["ext_events_sessions"].oracle
@@ -6228,6 +6323,12 @@ SELECT 'twap_check',
        * ((n_holds * 131 + num_scaled_us + dur_us + coalesce(twap_scaled, -11))
           % 1000003)) AS BIGINT)
   FROM ({twp})
+UNION ALL
+SELECT 'prefix_jaccard_check',
+  CAST(count(*) + coalesce(sum((doc_id % 997 + 1)
+       * ((n_partners * 131 + best_jac_e6 + best_partner) % 1000003)), 0)
+       AS BIGINT)
+  FROM ({pjd})
 """
 
 
@@ -8093,6 +8194,31 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (
                                     F.col("n_parts_dominated") * 131
                                     + F.col("dominated_qty")
+                                )
+                                % 1000003
+                            )
+                        ),
+                        F.lit(0),
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    pjd = QUERIES["ext_prefix_jaccard_dups"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "prefix_jaccard_check",
+            pjd.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.coalesce(
+                        F.sum(
+                            (F.col("doc_id") % 997 + 1)
+                            * (
+                                (
+                                    F.col("n_partners") * 131
+                                    + F.col("best_jac_e6")
+                                    + F.col("best_partner")
                                 )
                                 % 1000003
                             )
