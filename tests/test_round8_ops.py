@@ -290,3 +290,145 @@ def test_prefix_jaccard_hand_case(spark):
         for r in prefix_jaccard_pairs(df, t_num=4, t_den=5).collect()
     }
     assert got == {(1, 3): 1_000_000}
+
+
+def test_tws_sessionizer_matches_v1_tier(spark, sf_dir, tmp_path):
+    """transformWithState (state-v2) sessionizer must emit the same
+    closed sessions as the applyInPandasWithState tier over the same
+    sentinel-flushed replay (structure only — total_value is a float
+    sum with loop-order ambiguity, same carve-out as the replay gate).
+    Environment-gated like the Pillow multimodal test: PySpark's
+    transformWithState protocol needs the protobuf package."""
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql.functions import expr, lit
+    from vector_database_watermarking_spark.sources.tables import load_table
+    from vector_database_watermarking_spark.streaming.sessions import (
+        sessionize_stream,
+        sessionize_stream_tws,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    max_ts = ev.agg(F.max("ts").alias("m")).head()["m"]
+    sentinel = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            (lit(max_ts) + expr("INTERVAL 10 DAYS")).alias("ts"),
+            lit(0.0).alias("value"),
+        )
+    )
+    src = str(tmp_path / "tws_events")
+    ev.unionByName(sentinel).orderBy("user_id", "ts").coalesce(1).write.parquet(src)
+
+    def run(factory, name, extra_conf=None):
+        prev = {}
+        if extra_conf:
+            for k, v in extra_conf.items():
+                prev[k] = spark.conf.get(k, None)
+                spark.conf.set(k, v)
+        try:
+            stream = (
+                spark.readStream.schema("user_id long, ts timestamp, value double")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            out = factory(stream, watermark="1 hour")
+            q = (
+                out.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+            return sorted(
+                (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+                for r in spark.sql(
+                    f"SELECT user_id, session_start, session_end, n_events FROM {name}"
+                ).collect()
+            )
+        finally:
+            for k, v in prev.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
+    v1 = run(sessionize_stream, "tws_par_v1")
+    v2 = run(
+        sessionize_stream_tws,
+        "tws_par_v2",
+        extra_conf={
+            "spark.sql.streaming.stateStore.providerClass":
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        },
+    )
+    assert v1 == v2
+    assert len(v1) > 0
+
+
+def test_synth_datasource_batch_matches_formula(spark):
+    """The custom Python DataSource's batch reader must produce exactly
+    the formula rows, across partition boundaries."""
+    import hashlib
+
+    from vector_database_watermarking_spark.sources.synthetic import (
+        EVENT_TYPES,
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    df = (
+        spark.read.format("synthevents")
+        .option("rows", 503)  # prime: uneven partition boundaries
+        .option("users", 11)
+        .option("partitions", 7)
+        .load()
+    )
+    rows = {r["event_id"]: r for r in df.collect()}
+    assert len(rows) == 503
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    for i in (0, 1, 250, 502):
+        r = rows[i]
+        assert r["user_id"] == h60(f"sev_u_{i}") % 11
+        assert r["event_type"] == EVENT_TYPES[h60(f"sev_t_{i}") % 4]
+        assert abs(r["value"] - (h60(f"sev_v_{i}") % 100000) / 100.0) < 1e-9
+
+
+def test_synth_datasource_stream_delivers_all_rows_once(spark):
+    """The streaming reader's offset bookkeeping must deliver every row
+    exactly once across micro-batches."""
+    from vector_database_watermarking_spark.sources.synthetic import (
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    stream = (
+        spark.readStream.format("synthevents")
+        .option("rows", 1000)
+        .option("rows_per_batch", 170)  # 6 triggers, last one short
+        .option("users", 13)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("synth_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [r["event_id"] for r in spark.sql("SELECT event_id FROM synth_stream").collect()]
+    assert sorted(got) == list(range(1000))
+    n_batches = spark.sql(
+        "SELECT count(DISTINCT event_id div 170) FROM synth_stream"
+    ).head()[0]
+    assert n_batches >= 6  # really arrived across micro-batches

@@ -1044,6 +1044,7 @@ _GRADE_ORDER = [
     "rel_dominant_suppliers",
     "rel_events_twap",
     "ext_prefix_jaccard_dups",
+    "ext_synth_source_scan",
 ]
 
 

@@ -5647,6 +5647,63 @@ def ext_prefix_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_synth_source_scan",
+    oracle="""
+WITH g AS (SELECT i FROM generate_series(0, 19999) t(i)),
+rows_ AS (
+  SELECT i AS event_id,
+         CAST('0x' || substr(md5('sev_u_' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT) % 97 AS user_id,
+         1704067200 + 37 * i AS ts_s,
+         CASE (CAST('0x' || substr(md5('sev_t_' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT) % 4)
+           WHEN 0 THEN 'view' WHEN 1 THEN 'click'
+           WHEN 2 THEN 'purchase' ELSE 'error' END AS event_type,
+         CAST('0x' || substr(md5('sev_v_' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT) % 100000 AS cents
+  FROM g
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(user_id) AS BIGINT) AS sum_user,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       CAST(sum(ts_s) AS BIGINT) AS sum_ts_s,
+       CAST(min(event_id) AS BIGINT) AS min_id,
+       CAST(max(event_id) AS BIGINT) AS max_id
+FROM rows_ GROUP BY event_type
+""",
+)
+def ext_synth_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector through the Spark 4 Python Data Source API
+    (``sources.synthetic`` — ``spark.read.format("synthevents")``):
+    20k generated events scanned through the real DataSourceReader
+    partition planning (8 generator tasks, nothing driver-side), then
+    a per-type rollup. Every generated cell is md5-arithmetic the
+    DuckDB oracle regenerates from ``generate_series``, so the graded
+    row checks the CONNECTOR's content end to end — partition
+    boundaries, tuple → Arrow conversion, type mapping (timestamp via
+    exact epoch seconds, cents via exact integers). ``sf_dir`` is
+    unused: the source IS the data."""
+    from .sources.synthetic import register_synthetic_source
+
+    register_synthetic_source(spark)
+    df = (
+        spark.read.format("synthevents")
+        .option("rows", 20000)
+        .option("users", 97)
+        .option("partitions", 8)
+        .load()
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("user_id").alias("sum_user"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+            "sum_cents"
+        ),
+        F.sum(F.unix_seconds(F.col("ts").cast("timestamp"))).alias("sum_ts_s"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
+@register(
     "rel_events_twap",
     oracle="""
 WITH seq AS (
@@ -5792,6 +5849,7 @@ def _pipeline_pack_oracle() -> str:
     dom = QUERIES["rel_dominant_suppliers"].oracle
     twp = QUERIES["rel_events_twap"].oracle
     pjd = QUERIES["ext_prefix_jaccard_dups"].oracle
+    sss = QUERIES["ext_synth_source_scan"].oracle
     # round-8 demotions (VERDICT r07 #1): full oracles of the five rows
     # rotated out of the graded window that had no pack row yet
     esn = QUERIES["ext_events_sessions"].oracle
@@ -6329,6 +6387,12 @@ SELECT 'prefix_jaccard_check',
        * ((n_partners * 131 + best_jac_e6 + best_partner) % 1000003)), 0)
        AS BIGINT)
   FROM ({pjd})
+UNION ALL
+SELECT 'synth_source_check',
+  CAST(count(*) + sum(({oracle_hash60('event_type')} % 997 + 1)
+       * ((n * 131 + sum_user + sum_cents + sum_ts_s + min_id + max_id)
+          % 1000003)) AS BIGINT)
+  FROM ({sss})
 """
 
 
@@ -8199,6 +8263,31 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                             )
                         ),
                         F.lit(0),
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    sss = QUERIES["ext_synth_source_scan"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "synth_source_check",
+            sss.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (hash60(F.col("event_type")) % 997 + 1)
+                        * (
+                            (
+                                F.col("n") * 131
+                                + F.col("sum_user")
+                                + F.col("sum_cents")
+                                + F.col("sum_ts_s")
+                                + F.col("min_id")
+                                + F.col("max_id")
+                            )
+                            % 1000003
+                        )
                     )
                 ).alias("value")
             ),

@@ -1,0 +1,148 @@
+"""Custom connector via the Spark 4 Python Data Source API
+(`pyspark.sql.datasource`): a deterministic synthetic event feed with
+a BATCH reader (partition planning — each task generates its own row
+range, nothing is shuffled or collected) and a STREAMING reader
+(resumable dict offsets + micro-batch partition planning + commit).
+
+The north-star use: load generators and smoke feeds for a 100 TB
+pipeline should be *sources*, not driver-side createDataFrame loops —
+a generator source scales out with the cluster (one task per range)
+and replays identically after restarts. Every row is a pure function
+of its global index through the engine's keyed md5 arithmetic
+(``functions.hashing`` convention: first 15 hex chars of md5 → 60-bit
+int), so ANY engine can replay the exact content — the driver-graded
+query's DuckDB oracle regenerates the rows from ``generate_series``
+and the same md5 formulas.
+
+Row formula for index i (all integers / exact cents):
+
+- ``event_id`` = i
+- ``user_id``  = h60("sev_u_" + i) % users
+- ``ts``       = 2024-01-01T00:00:00Z + 37·i seconds
+- ``event_type`` = ("view","click","purchase","error")[h60("sev_t_" + i) % 4]
+- ``value``    = (h60("sev_v_" + i) % 100000) / 100  — exact cents
+"""
+
+from __future__ import annotations
+
+import hashlib
+from datetime import datetime, timedelta
+from typing import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+EVENT_TYPES = ("view", "click", "purchase", "error")
+EPOCH0 = datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _row(i: int, users: int) -> tuple:
+    return (
+        i,
+        _h60(f"sev_u_{i}") % users,
+        EPOCH0 + timedelta(seconds=37 * i),
+        EVENT_TYPES[_h60(f"sev_t_{i}") % 4],
+        (_h60(f"sev_v_{i}") % 100000) / 100.0,
+    )
+
+
+class _Range(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start, self.end = start, end
+
+
+class SyntheticEventsReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.rows = int(options.get("rows", 1000))
+        self.users = int(options.get("users", 97))
+        self.n_parts = int(options.get("partitions", 8))
+
+    def partitions(self) -> Sequence[InputPartition]:
+        per = -(-self.rows // self.n_parts)
+        return [
+            _Range(lo, min(lo + per, self.rows))
+            for lo in range(0, self.rows, per)
+        ]
+
+    def read(self, partition: _Range) -> Iterator[tuple]:
+        for i in range(partition.start, partition.end):
+            yield _row(i, self.users)
+
+
+class SyntheticEventsStreamReader(DataSourceStreamReader):
+    """Micro-batch reader: the offset dict carries the next unread row
+    index; each trigger advances by ``rows_per_batch`` until ``rows``
+    is exhausted (a bounded feed — convenient for replay tests; an
+    unbounded feed just drops the cap). Offsets are durable dicts, so
+    a restarted query resumes exactly where the checkpoint says."""
+
+    def __init__(self, options: dict):
+        self.rows = int(options.get("rows", 1000))
+        self.users = int(options.get("users", 97))
+        self.per_batch = int(options.get("rows_per_batch", 200))
+        self.n_parts = int(options.get("partitions", 4))
+        self._latest = 0
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def latestOffset(self) -> dict:
+        # bounded feed arriving per_batch rows per trigger; the offset
+        # the engine checkpoints is exactly what partitions() will
+        # read, so a restart resumes with no gap or overlap
+        self._latest = min(self._latest + self.per_batch, self.rows)
+        return {"index": self._latest}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        lo, hi = int(start["index"]), int(end["index"])
+        if hi <= lo:
+            return [_Range(lo, lo)]
+        per = -(-(hi - lo) // self.n_parts)
+        return [
+            _Range(a, min(a + per, hi)) for a in range(lo, hi, per)
+        ]
+
+    def read(self, partition: _Range) -> Iterator[tuple]:
+        for i in range(partition.start, partition.end):
+            yield _row(i, self.users)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    def stop(self) -> None:
+        pass
+
+
+class SyntheticEventsDataSource(DataSource):
+    """``spark.read.format("synthevents")`` /
+    ``spark.readStream.format("synthevents")`` after
+    ``spark.dataSource.register(SyntheticEventsDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthevents"
+
+    def schema(self) -> str:
+        return (
+            "event_id bigint, user_id bigint, ts timestamp, "
+            "event_type string, value double"
+        )
+
+    def reader(self, schema) -> SyntheticEventsReader:
+        return SyntheticEventsReader(self.options)
+
+    def streamReader(self, schema) -> SyntheticEventsStreamReader:
+        return SyntheticEventsStreamReader(self.options)
+
+
+def register_synthetic_source(spark) -> None:
+    """Idempotent registration of the ``synthevents`` format."""
+    spark.dataSource.register(SyntheticEventsDataSource)
