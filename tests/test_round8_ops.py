@@ -432,3 +432,54 @@ def test_synth_datasource_stream_delivers_all_rows_once(spark):
         "SELECT count(DISTINCT event_id div 170) FROM synth_stream"
     ).head()[0]
     assert n_batches >= 6  # really arrived across micro-batches
+
+
+def test_manifest_jsonl_sink_two_phase_commit(spark, tmp_path):
+    """Custom Python DataSource SINK: staged files become visible only
+    through the committed manifest; the round-trip preserves content."""
+    import json
+    import os
+
+    from vector_database_watermarking_spark.sources.synthetic import (
+        read_manifest_jsonl,
+        register_manifest_sink,
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    register_manifest_sink(spark)
+    src = (
+        spark.read.format("synthevents")
+        .option("rows", 600)
+        .option("users", 7)
+        .option("partitions", 5)
+        .load()
+        .select("event_id", "user_id", "event_type")
+    )
+    out = str(tmp_path / "sink")
+    src.write.format("manifest_jsonl").option("path", out).mode("append").save()
+
+    assert os.path.exists(os.path.join(out, "_MANIFEST"))
+    with open(os.path.join(out, "_MANIFEST")) as f:
+        manifest = json.load(f)
+    assert manifest["total_rows"] == 600
+    assert len(manifest["files"]) >= 1
+
+    back, total = read_manifest_jsonl(spark, out)
+    assert total == 600
+    got = sorted(
+        (int(r["event_id"]), int(r["user_id"]), r["event_type"])
+        for r in back.collect()
+    )
+    expect = sorted(
+        (r["event_id"], r["user_id"], r["event_type"]) for r in src.collect()
+    )
+    assert got == expect
+
+    # a staged-but-unlisted orphan (an aborted attempt's leftovers)
+    # must be invisible to the manifest reader
+    with open(os.path.join(out, "part-99999-deadbeef.jsonl"), "w") as f:
+        f.write('{"event_id": 123456, "user_id": 0, "event_type": "view"}\n')
+    back2, total2 = read_manifest_jsonl(spark, out)
+    assert total2 == 600
+    assert back2.count() == 600

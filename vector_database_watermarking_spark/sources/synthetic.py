@@ -33,7 +33,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 EVENT_TYPES = ("view", "click", "purchase", "error")
@@ -146,3 +148,102 @@ class SyntheticEventsDataSource(DataSource):
 def register_synthetic_source(spark) -> None:
     """Idempotent registration of the ``synthevents`` format."""
     spark.dataSource.register(SyntheticEventsDataSource)
+
+
+# ------------------------------------------------------------------ sink
+# The WRITE side of the Python Data Source API: a manifest-committed
+# JSONL sink demonstrating the two-phase commit protocol real sinks
+# ride — tasks stage files and return commit messages; only the
+# driver-side commit() publishes the manifest, so readers never see a
+# partial write (an aborted job leaves staged orphans but NO manifest,
+# and the reader helper reads only manifest-listed files).
+
+
+class _JsonlCommit(WriterCommitMessage):
+    def __init__(self, filename: str, n_rows: int):
+        self.filename = filename
+        self.n_rows = n_rows
+
+
+class ManifestJsonlWriter(DataSourceWriter):
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options["path"]
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> "_JsonlCommit":
+        import json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        part = ctx.partitionId() if ctx is not None else 0
+        os.makedirs(self.path, exist_ok=True)
+        # stage under a unique name: concurrent/zombie attempts of the
+        # same partition can never collide, and nothing is visible
+        # until the manifest lists it
+        fname = f"part-{part:05d}-{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(self.path, fname), "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _JsonlCommit(fname, n)
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        manifest = {
+            "files": [
+                {"file": m.filename, "rows": m.n_rows}
+                for m in sorted(
+                    (m for m in messages if m), key=lambda m: m.filename
+                )
+            ],
+        }
+        manifest["total_rows"] = sum(f["rows"] for f in manifest["files"])
+        tmp = os.path.join(self.path, "_MANIFEST.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(self.path, "_MANIFEST"))  # atomic publish
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self.path, m.filename))
+                except FileNotFoundError:
+                    pass
+
+
+class ManifestJsonlDataSource(DataSource):
+    """``df.write.format("manifest_jsonl").option("path", dir).save()``
+    after ``spark.dataSource.register(ManifestJsonlDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "manifest_jsonl"
+
+    def writer(self, schema, overwrite: bool) -> ManifestJsonlWriter:
+        return ManifestJsonlWriter(self.options, overwrite)
+
+
+def read_manifest_jsonl(spark, path: str):
+    """Read ONLY the manifest-listed files of a manifest_jsonl dataset
+    (staged-but-uncommitted files are invisible — the reader half of
+    the sink's atomicity contract). Returns (DataFrame, total_rows)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_MANIFEST")) as f:
+        manifest = json.load(f)
+    files = [os.path.join(path, e["file"]) for e in manifest["files"]]
+    return spark.read.json(files), int(manifest["total_rows"])
+
+
+def register_manifest_sink(spark) -> None:
+    spark.dataSource.register(ManifestJsonlDataSource)
