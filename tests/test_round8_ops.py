@@ -483,3 +483,23 @@ def test_manifest_jsonl_sink_two_phase_commit(spark, tmp_path):
     back2, total2 = read_manifest_jsonl(spark, out)
     assert total2 == 600
     assert back2.count() == 600
+
+
+def test_prefix_jaccard_budget_guard_fails_fast_on_degenerate_corpus(spark):
+    """A tiny-vocabulary corpus (every doc's rarest tokens shared by
+    most docs) must be refused with the measured candidate bound, not
+    silently launched as a near-all-pairs join."""
+    from vector_database_watermarking_spark.operators.dedup import (
+        prefix_jaccard_pairs,
+    )
+
+    # 300 docs over a 6-word vocabulary: prefix df ~ O(n_docs)
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 2} w{(i + 1) % 3} w{(i + 2) % 6}") for i in range(300)],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="candidate bound"):
+        prefix_jaccard_pairs(docs, candidate_budget=1000)
+    # and the explicit override still runs (losslessness over budget)
+    out = prefix_jaccard_pairs(docs, candidate_budget=None)
+    assert out.count() > 0

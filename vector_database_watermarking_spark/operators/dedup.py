@@ -862,6 +862,7 @@ def prefix_jaccard_pairs(
     t_num: int = 4,
     t_den: int = 5,
     text_col: str = "text",
+    candidate_budget: int | None = 100_000_000,
 ) -> DataFrame:
     """EXACT set-similarity self-join with prefix filtering (the
     SSJoin/PPJoin family, Chaudhuri et al. ICDE'06 / Xiao et al.
@@ -888,11 +889,23 @@ def prefix_jaccard_pairs(
     ``doc1 < doc2``.
 
     Scale shape: tokenization + the frequency join shuffle on token;
-    the candidate join keys on prefix tokens only (rarest-first makes
-    hot keys structurally impossible — a token in many prefixes is by
-    definition not rare); the verify join touches candidate pairs
-    only. At 100 TB the verify is output-bound the same way the
-    banded tiers are, but with an exactness guarantee they lack.
+    the candidate join keys on prefix tokens only, and on a
+    NATURAL-vocabulary corpus rarest-first ordering keeps those keys
+    cold (a token in many prefixes is by definition not rare relative
+    to the docs that carry it); the verify touches candidate pairs
+    only. The guarantee has a measurable precondition, though: on a
+    LOW-DIVERSITY corpus (synthetic text from a tiny word pool, logs
+    with a fixed vocabulary) even each doc's rarest tokens are shared
+    by thousands of docs and the exact candidate bound
+    ``Σ_tok C(prefix_df, 2)`` degenerates toward all-pairs — measured
+    on the sf1 replica corpus: 27 distinct prefix tokens, hottest in
+    38k docs, 3.9e9 candidates. So the operator CHECKS the bound first
+    (one cheap aggregate over the prefix relation) and fails fast with
+    the measured number when it exceeds ``candidate_budget``, instead
+    of silently launching a predictably degenerate join — lossless
+    prefix filtering is the wrong plan for such data and the banded
+    tiers (``minhash_near_dups`` / ``semantic_dedup``) are the right
+    one. Pass ``candidate_budget=None`` to run regardless.
     """
     toks = (
         docs.select(
@@ -918,6 +931,27 @@ def prefix_jaccard_pairs(
         + F.lit(1)
     )
     prefix = sized.filter(F.col("pos") <= prefix_len).select("doc_id", "tok", "sz")
+    if candidate_budget is not None:
+        row = (
+            prefix.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("m"))
+            .agg(
+                F.sum(F.col("m") * (F.col("m") - 1) / 2).alias("cand"),
+                F.max("m").alias("hottest"),
+            )
+            .head()
+        )
+        cand_bound = int(row["cand"] or 0)
+        if cand_bound > candidate_budget:
+            raise ValueError(
+                "prefix_jaccard_pairs: the exact candidate bound "
+                f"sum C(prefix_df, 2) = {cand_bound:,} (hottest prefix "
+                f"token in {int(row['hottest']):,} docs) exceeds "
+                f"candidate_budget={candidate_budget:,} — this corpus's "
+                "vocabulary is too undiverse for lossless prefix "
+                "filtering; use the banded tiers (minhash_near_dups / "
+                "semantic_dedup) or pass candidate_budget=None to force."
+            )
     a = prefix.select(
         F.col("doc_id").alias("doc1"), "tok", F.col("sz").alias("_sza")
     )
@@ -934,19 +968,42 @@ def prefix_jaccard_pairs(
         .select("doc1", "doc2")
         .distinct()
     )
-    ta = toks.select(F.col("doc_id").alias("doc1"), "tok")
-    tb = toks.select(F.col("doc_id").alias("doc2"), "tok")
-    inter = (
-        cand.join(ta, on="doc1")
-        .join(tb, on=["doc2", "tok"])
-        .groupBy("doc1", "doc2")
-        .agg(F.count(F.lit(1)).alias("inter_size"))
+    # verify via per-doc token ARRAYS + native array_intersect: the
+    # intersection rides the candidate pair as one codegen'd array op
+    # instead of an exploded candidates × doc-length join (measured:
+    # the explode formulation shuffled |cand| · avg_tokens rows — 300M
+    # at the 50k-doc replica corpus — and ran >12 min; arrays finish
+    # in seconds at the same input). Cost is candidate-bound: |cand|
+    # pairs × one sorted-array intersect.
+    tok_arrays = toks.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("tok")).alias("_arr"),
+        F.count(F.lit(1)).alias("_sz"),
     )
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        cand.join(
+            tok_arrays.select(
+                F.col("doc_id").alias("doc1"),
+                F.col("_arr").alias("_arr1"),
+                F.col("_sz").alias("_sza"),
+            ),
+            on="doc1",
+        )
+        .join(
+            tok_arrays.select(
+                F.col("doc_id").alias("doc2"),
+                F.col("_arr").alias("_arr2"),
+                F.col("_sz").alias("_szb"),
+            ),
+            on="doc2",
+        )
+        .withColumn(
+            "inter_size", F.size(F.array_intersect("_arr1", "_arr2"))
+        )
+    )
     return (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("sz", "_sza"), on="doc1")
-        .join(sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed("sz", "_szb"), on="doc2")
-        .withColumn("union_size", F.col("_sza") + F.col("_szb") - F.col("inter_size"))
+        inter.withColumn(
+            "union_size", F.col("_sza") + F.col("_szb") - F.col("inter_size")
+        )
         .filter(t_den * F.col("inter_size") >= t_num * F.col("union_size"))
         .select(
             "doc1",
