@@ -117,10 +117,12 @@ class SyntheticEventsStreamReader(DataSourceStreamReader):
             yield _row(i, self.users)
 
     def commit(self, end: dict) -> None:
+        # protocol no-op: a pure generator has no upstream to ack and
+        # no consumed data to clean up
         pass
 
     def stop(self) -> None:
-        pass
+        pass  # no sockets/handles to release
 
 
 class SyntheticEventsDataSource(DataSource):

@@ -151,7 +151,7 @@ class SessionProcessor(StatefulProcessor):
         self._open = handle.getValueState("open_session", STATE_SCHEMA)
 
     def close(self) -> None:
-        pass
+        pass  # protocol no-op: state handles are engine-managed
 
     def _emit(self, user_id, closed):
         return pd.DataFrame(
@@ -210,7 +210,7 @@ class SessionProcessor(StatefulProcessor):
         yield self._emit(user_id, [(start_us, last_us, n, total)])
 
     def handleInitialState(self, key, initialState, timerValues) -> None:
-        pass
+        pass  # protocol no-op: sessions start empty, no warm state feed
 
 
 def sessionize_stream_tws(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
