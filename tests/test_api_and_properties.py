@@ -166,3 +166,20 @@ def test_bit_surgery_fast_tier_tiny_carrier_domain(x, wm_bit, vid_num):
     assert bits.extract_bit_fast(vec, vid, skip) == bits.extract_bit(
         vec, vid, skip
     )
+
+
+def test_grade_window_and_oracle_invariants():
+    """The rotation ledger's structural contract (validated by hand
+    every rotation until now): 50 graded slots ending at the robustness
+    grid, no duplicate or unregistered names, and README's
+    zero-no-oracle claim — every registered query carries an oracle."""
+    from vector_database_watermarking_spark.registry import _GRADE_ORDER, QUERIES
+
+    assert len(_GRADE_ORDER) == len(set(_GRADE_ORDER)), "duplicate names"
+    assert len(_GRADE_ORDER) == len(QUERIES), "ledger out of sync"
+    assert _GRADE_ORDER.index("a14_robustness_mini") + 1 == 50, (
+        "graded window must stay exactly 50 slots ending at the grid"
+    )
+    assert set(_GRADE_ORDER) == set(QUERIES), "unregistered ledger entry"
+    missing = [n for n, q in QUERIES.items() if not q.oracle]
+    assert missing == [], f"queries without oracles: {missing}"
