@@ -503,3 +503,31 @@ def test_prefix_jaccard_budget_guard_fails_fast_on_degenerate_corpus(spark):
     # and the explicit override still runs (losslessness over budget)
     out = prefix_jaccard_pairs(docs, candidate_budget=None)
     assert out.count() > 0
+
+
+def test_source_top_tokens_hand_computed(spark, tmp_path):
+    import os
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha alpha beta xx", "news"),
+            (2, "alpha gamma gamma gamma", "news"),
+            (3, "delta delta epsilon", "web"),
+        ],
+        "doc_id long, text string, source string",
+    ).withColumn("lang", F.lit("en")).withColumn("n_chars", F.length("text"))
+    docs.write.parquet(os.path.join(str(tmp_path), "documents.parquet"))
+    from vector_database_watermarking_spark.registry import QUERIES
+
+    got = sorted(
+        (r["source"], r["rank"], r["tok"], r["n"])
+        for r in QUERIES["ext_source_top_tokens"].fn(spark, str(tmp_path)).collect()
+    )
+    # "xx" dropped (length < 3); ties (alpha=3 vs gamma=3) break by token
+    assert got == [
+        ("news", 1, "alpha", 3),
+        ("news", 2, "gamma", 3),
+        ("news", 3, "beta", 1),
+        ("web", 1, "delta", 2),
+        ("web", 2, "epsilon", 1),
+    ]

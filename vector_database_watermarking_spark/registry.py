@@ -1045,6 +1045,7 @@ _GRADE_ORDER = [
     "rel_events_twap",
     "ext_prefix_jaccard_dups",
     "ext_synth_source_scan",
+    "ext_source_top_tokens",
 ]
 
 

@@ -5704,6 +5704,57 @@ def ext_synth_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_source_top_tokens",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+  FROM documents
+),
+joined AS (
+  SELECT d.source, t.tok FROM toks t
+  JOIN documents d ON d.doc_id = t.doc_id
+  WHERE length(t.tok) >= 3
+),
+counts AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS n
+  FROM joined GROUP BY source, tok
+)
+SELECT source, tok, n, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT source, tok, n,
+         row_number() OVER (PARTITION BY source ORDER BY n DESC, tok) AS rank
+  FROM counts)
+WHERE rank <= 5
+""",
+)
+def ext_source_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary profile: each source's top-5 tokens by
+    exact occurrence count (length ≥ 3, ties by token) — the grouped
+    sibling of the global ``ext_vocab_topk`` and the signal behind
+    per-domain vocabulary drift dashboards. One tokenize pass, one
+    (source, token) aggregate with map-side partials, and a per-source
+    rank window whose limit pushes map-side (WindowGroupLimit), so the
+    shuffle after the aggregate carries candidate top rows, never the
+    full per-source vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    from .operators.text import materialized_tokens
+
+    toks = (
+        materialized_tokens(docs, "text")
+        .join(docs.select("doc_id", "source"), on="doc_id")
+        .select("source", F.explode("_toks").alias("tok"))
+        .filter(F.length("tok") >= 3)
+    )
+    counts = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("source").orderBy(F.col("n").desc(), "tok")
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("source", "tok", "n", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+@register(
     "rel_events_twap",
     oracle="""
 WITH seq AS (
@@ -5850,6 +5901,7 @@ def _pipeline_pack_oracle() -> str:
     twp = QUERIES["rel_events_twap"].oracle
     pjd = QUERIES["ext_prefix_jaccard_dups"].oracle
     sss = QUERIES["ext_synth_source_scan"].oracle
+    stt = QUERIES["ext_source_top_tokens"].oracle
     # round-8 demotions (VERDICT r07 #1): full oracles of the five rows
     # rotated out of the graded window that had no pack row yet
     esn = QUERIES["ext_events_sessions"].oracle
@@ -6393,6 +6445,11 @@ SELECT 'synth_source_check',
        * ((n * 131 + sum_user + sum_cents + sum_ts_s + min_id + max_id)
           % 1000003)) AS BIGINT)
   FROM ({sss})
+UNION ALL
+SELECT 'source_top_tokens_check',
+  CAST(count(*) + sum(({oracle_hash60("source || '|' || tok")} % 997 + 1)
+       * ((n * 131 + rank) % 1000003)) AS BIGINT)
+  FROM ({stt})
 """
 
 
@@ -8263,6 +8320,25 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                             )
                         ),
                         F.lit(0),
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    stt = QUERIES["ext_source_top_tokens"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "source_top_tokens_check",
+            stt.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (
+                            hash60(F.concat_ws("|", F.col("source"), F.col("tok")))
+                            % 997
+                            + 1
+                        )
+                        * ((F.col("n") * 131 + F.col("rank")) % 1000003)
                     )
                 ).alias("value")
             ),
