@@ -882,22 +882,37 @@ _GRADE_ORDER = [
     "stream_ingest_replay",
     "stream_ingest_candidates_replay",
     "stream_curation_replay",
-    # promoted round 8 (VERDICT r07 #1): the ten round-7 operators get
+    # promoted round 8 (VERDICT r07 #1): the ten round-7 operators got
     # full-output driver rows; each keeps its belt-and-braces pack
     # checksum row (bom_rollup_check, session_window_check,
     # interval_left_check, waiting_suppliers_check,
     # cdc_time_travel_check, schema_merge_check, ivf_append_check,
     # variant_agg_check, dedup_ttl_check, chunks_udtf_check).
-    "rel_bom_rollup",
+    # Round-9 demotions from this block (VERDICT r08 #1): after a
+    # green r08 grading, rel_bom_rollup / rel_waiting_suppliers /
+    # rel_cdc_time_travel / ext_schema_merge_read /
+    # rel_events_variant_agg rotate out on their full-oracle pack rows
+    # (each pack checksum embeds the complete demoted oracle SQL, so
+    # the computation stays driver-graded every round); the five
+    # streaming/IVF/UDTF rows stay in-window to keep one full-output
+    # representative per gate family visible.
     "rel_events_session_window",
     "stream_interval_join_left_replay",
-    "rel_waiting_suppliers",
-    "rel_cdc_time_travel",
-    "ext_schema_merge_read",
     "ext_ivf_append_topk",
-    "rel_events_variant_agg",
     "stream_dedup_ttl_replay",
     "ext_doc_chunks_udtf",
+    # promoted round 9 (VERDICT r08 #1): the five round-8 operators —
+    # TPC-H Q20-shape dominant suppliers, exact TWAP, the lossless
+    # prefix-filtered set-similarity join, the Spark 4 Python Data
+    # Source connector scan, and the per-source vocabulary profile —
+    # get full-output driver rows; each keeps its full-oracle pack row
+    # (dominant_suppliers_check, twap_check, prefix_jaccard_check,
+    # synth_source_check, source_top_tokens_check).
+    "rel_dominant_suppliers",
+    "rel_events_twap",
+    "ext_prefix_jaccard_dups",
+    "ext_synth_source_scan",
+    "ext_source_top_tokens",
     # watermark pipelines: the oracle-checked native selection, the
     # invariant-oracled round-trips (TVP, RS, SCPW, TabularMark) and
     # the robustness grid
@@ -913,6 +928,11 @@ _GRADE_ORDER = [
     # locally hash-checked via tools/check_oracles.py; rows demoted in
     # the latest rotation sit first so the next rotation can cycle
     # them back in if desired.
+    "rel_bom_rollup",
+    "rel_waiting_suppliers",
+    "rel_cdc_time_travel",
+    "ext_schema_merge_read",
+    "rel_events_variant_agg",
     "stream_session_replay",
     "stream_agg_ivm_replay",
     "stream_interval_join_replay",
@@ -1038,14 +1058,8 @@ _GRADE_ORDER = [
     "ext_cluster_split",
     "ext_mixture_execute",
     "ext_winsorize",
-    # round-8 registrations (rotation pool for round 9; full-oracle
-    # pack rows dominant_suppliers_check / twap_check /
-    # prefix_jaccard_check)
-    "rel_dominant_suppliers",
-    "rel_events_twap",
-    "ext_prefix_jaccard_dups",
-    "ext_synth_source_scan",
-    "ext_source_top_tokens",
+    # (the five round-8 registrations were promoted into the graded
+    # window in round 9; their full-oracle pack rows remain)
 ]
 
 
