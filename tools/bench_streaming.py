@@ -253,14 +253,222 @@ def bench_ivm(spark) -> dict:
     }
 
 
+# ------------------------------------------------------- bounded watermark
+# The replay benches above deliberately pin the watermark past the
+# fixture horizon (watermark="365 days") so NOTHING is evicted and the
+# measured state size is the worst case. The *_bounded variants below
+# (VERDICT r08 #4) measure the production configuration instead: a
+# 2-hour watermark over the same sf1 feed delivered in EVENT-TIME order
+# (8 time slices, one per trigger), plus a held-back 0.1% late slice
+# (drawn from the first half of the timeline, delivered last) so the
+# run also demonstrates late-row dropping. Evidence recorded from the
+# query's own progress metrics: state peaks at ~one trigger's ingest
+# and collapses to the ≤ watermark(+horizon) frontier at the end —
+# state_rows_final << distinct input keys — and the late rows land in
+# numRowsDroppedByWatermark instead of the output.
+
+
+def _state_metrics(q) -> dict:
+    peak = final = dropped = 0
+    for p in q.recentProgress:
+        ops = p.get("stateOperators") or []
+        if not ops:
+            continue
+        total = sum(int(o.get("numRowsTotal", 0)) for o in ops)
+        peak = max(peak, total)
+        final = total
+        dropped += sum(int(o.get("numRowsDroppedByWatermark", 0)) for o in ops)
+    return {
+        "state_rows_peak": peak,
+        "state_rows_final": final,
+        "rows_dropped_late": dropped,
+    }
+
+
+def write_time_batches(df, ts_col, key_col, out_dir, n, late_mod=1000):
+    """n batches sliced by EVENT TIME (batch i = i-th slice of the
+    [min ts, max ts] range) so a file-source replay advances the
+    watermark once per trigger, plus one final LATE batch: rows with
+    pmod(key, late_mod)==0 from the first half of the timeline are
+    held back and delivered after everything else — far behind the
+    bounded watermark by construction. Sequential writes give the file
+    source monotonically increasing mod-times, so triggers consume the
+    slices in time order. Returns (on_time_rows, late_rows)."""
+    from pyspark.sql import functions as F
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ts_s = F.unix_seconds(F.col(ts_col).cast("timestamp"))
+    lo, hi = df.agg(F.min(ts_s), F.max(ts_s)).first()
+    span = (hi - lo) + 1
+    slice_id = F.least(
+        F.lit(n - 1), F.floor((ts_s - F.lit(lo)) * n / F.lit(span))
+    )
+    is_late = (
+        (F.pmod(F.col(key_col), F.lit(late_mod)) == 0) & (slice_id < n // 2)
+    )
+    on_time = df.filter(~is_late)
+    late = df.filter(is_late)
+    for b in range(n):
+        (
+            on_time.filter(slice_id == b)
+            .coalesce(4)
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+    late.coalesce(4).write.mode("append").parquet(out_dir)
+    return on_time.count(), late.count()
+
+
+def _run_noop(out, ckpt: str):
+    t0 = time.monotonic()
+    q = (
+        out.writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        wall = time.monotonic() - t0
+        metrics = _state_metrics(q)
+    finally:
+        q.stop()
+    return wall, metrics
+
+
+def bench_ttl_dedup_bounded(spark) -> dict:
+    """Same 2M-row at-least-once feed as bench_ttl_dedup, 2-hour
+    watermark, event-time-ordered delivery: dedup state holds only the
+    keys inside the late horizon instead of all 1M."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from vector_database_watermarking_spark.streaming.dedup import dedup_stream
+
+    ev = spark.read.parquet(f"{SF1}/events.parquet").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    feed = ev.unionByName(ev)
+    src = os.path.join(SCRATCH, "ttlb_feed")
+    n_on_time, n_late = write_time_batches(feed, "ts", "event_id", src, 8)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, value double"
+        )
+        .option("maxFilesPerTrigger", 4)
+        .parquet(src)
+    )
+    out = dedup_stream(stream, key_cols=("event_id",), watermark="2 hours")
+    wall, metrics = _run_noop(out, os.path.join(SCRATCH, "ttlb_ckpt"))
+    n_in = n_on_time + n_late
+    return {
+        "family": "ttl_dedup_bounded",
+        "watermark": "2 hours",
+        "input_rows": n_in,
+        "distinct_keys": n_in // 2,
+        "late_rows_fed": n_late,
+        "wall_sec": round(wall, 2),
+        "events_per_sec": int(n_in / wall),
+        **metrics,
+    }
+
+
+def bench_sessionize_bounded(spark) -> dict:
+    """1M events, applyInPandasWithState sessionization, 2-hour
+    watermark: state carries only sessions still open near the
+    frontier; closed sessions are emitted and their state dropped."""
+    from vector_database_watermarking_spark.streaming.sessions import (
+        sessionize_stream,
+    )
+
+    ev = spark.read.parquet(f"{SF1}/events.parquet").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    src = os.path.join(SCRATCH, "sessb_feed")
+    n_on_time, n_late = write_time_batches(ev, "ts", "event_id", src, 8)
+    stream = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, event_id long, value double"
+        )
+        .option("maxFilesPerTrigger", 4)
+        .parquet(src)
+    )
+    out = sessionize_stream(stream, watermark="2 hours")
+    wall, metrics = _run_noop(out, os.path.join(SCRATCH, "sessb_ckpt"))
+    n_in = n_on_time + n_late
+    n_users = ev.select("user_id").distinct().count()
+    return {
+        "family": "sessionization_bounded",
+        "watermark": "2 hours",
+        "input_rows": n_in,
+        "distinct_keys": n_users,
+        "late_rows_fed": n_late,
+        "wall_sec": round(wall, 2),
+        "events_per_sec": int(n_in / wall),
+        **metrics,
+    }
+
+
+def bench_interval_join_bounded(spark) -> dict:
+    """view/purchase interval join, 2-hour watermark + 1-hour horizon:
+    each side buffers only rows within watermark+horizon of the
+    frontier instead of the whole fixture."""
+    from pyspark.sql import functions as F
+
+    from vector_database_watermarking_spark.streaming.joins import (
+        attribution_join_streams,
+    )
+
+    ev = spark.read.parquet(f"{SF1}/events.parquet")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    vsrc = os.path.join(SCRATCH, "ijb_views")
+    psrc = os.path.join(SCRATCH, "ijb_purch")
+    v_on, v_late = write_time_batches(views, "ts", "event_id", vsrc, 8)
+    p_on, p_late = write_time_batches(purchases, "ts", "event_id", psrc, 8)
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    vs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(vsrc)
+    )
+    ps = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(psrc)
+    )
+    out = attribution_join_streams(vs, ps, horizon="1 hour", watermark="2 hours")
+    wall, metrics = _run_noop(out, os.path.join(SCRATCH, "ijb_ckpt"))
+    n_in = v_on + v_late + p_on + p_late
+    return {
+        "family": "interval_join_bounded",
+        "watermark": "2 hours",
+        "horizon": "1 hour",
+        "input_rows": n_in,
+        "late_rows_fed": v_late + p_late,
+        "wall_sec": round(wall, 2),
+        "events_per_sec": int(n_in / wall),
+        **metrics,
+    }
+
+
+BOUNDED = (bench_ttl_dedup_bounded, bench_sessionize_bounded, bench_interval_join_bounded)
+REPLAY = (bench_ttl_dedup, bench_sessionize, bench_interval_join, bench_ivm)
+
+
 def main() -> None:
     from vector_database_watermarking_spark.session import get_spark
 
+    mode = sys.argv[1] if len(sys.argv) > 1 else "replay"
+    fns = {"replay": REPLAY, "bounded": BOUNDED, "all": REPLAY + BOUNDED}[mode]
     os.makedirs(SCRATCH, exist_ok=True)
     spark = get_spark(
         "bench-streaming", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     )
-    for fn in (bench_ttl_dedup, bench_sessionize, bench_interval_join, bench_ivm):
+    for fn in fns:
         shutil.rmtree(SCRATCH, ignore_errors=True)
         os.makedirs(SCRATCH, exist_ok=True)
         print(json.dumps(fn(spark)), flush=True)
