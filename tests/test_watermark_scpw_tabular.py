@@ -66,3 +66,35 @@ def test_tabularmark_rejects_clean_data(spark, sf_dir):
     _, keys = tabularmark_embed(emb, nw=100, p=4.0, k=3, position=10)
     res = tabularmark_detect(emb, emb, keys, p=4.0, k=3, position=10)
     assert res["z"] <= 1.96 * 1.5, res
+
+
+def test_tabularmark_match_count_tracks_deletion(spark, sf_dir):
+    """Matching_vector semantics (tabularMark.py:129-154) as a count:
+    every key row is re-findable pre-attack (match-loss 0); deleting
+    rows removes key rows at the corpus rate, so the count drops by
+    roughly the deletion fraction — the compare grid's match-loss ≈ p
+    line. position=45 sits outside the first-40 id dims so the green
+    perturbation cannot corrupt the ids it must later match."""
+    from pyspark.sql import functions as F
+
+    from vector_database_watermarking_spark.operators import attacks
+    from vector_database_watermarking_spark.sources.tables import load_table
+    from vector_database_watermarking_spark.watermark.tabularmark import (
+        tabularmark_embed,
+        tabularmark_match_count,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    nw = 20
+    wm, keys = tabularmark_embed(emb, nw, 4.0, 40, 45)
+    wm = wm.localCheckpoint(eager=True)
+    assert tabularmark_match_count(wm, keys, 40) == nw
+
+    deleted = attacks.random_delete(wm, 0.5, seed=20)
+    m = tabularmark_match_count(deleted, keys, 40)
+    assert 0 < m < nw  # some keys gone, not all
+    # exact check: the surviving-key count IS the match count
+    survivors = deleted.join(
+        keys.select("vec_id"), on="vec_id", how="leftsemi"
+    ).count()
+    assert m == survivors

@@ -1,0 +1,157 @@
+"""Reference-config robustness rows for SCPW and TabularMark
+(VERDICT r08 #5): the compare grid at the reference's own scale —
+n = 10,000 vectors, L = 21 (``compare/roubust.py:158-213``) — for the
+two schemes ROBUSTNESS.md's round-8 grid didn't cover.
+
+Fixture: five sf1 replicas of the sf0.1 embeddings, densely re-keyed
+to vec_id ∈ [0, 10000) (replica r spans [r*2000, (r+1)*2000)) — the
+same 10k construction as the round-8 TVP/RS grid.
+
+Anchors from the reference's pickled grid (``BASELINE.md``):
+- SCPW random deletion BER at p=0.8: 0.167 (top_k=20, strength=0.54,
+  Standard_e=1.8 — ``compare/roubust.py:166-171,200-205``)
+- TabularMark match proportion lost: 0.099 at p=0.1 rising to 0.78 at
+  p=0.8 (nw=100, p=4, dim=40 — ``compare/roubust.py:172-174,207-213``)
+
+Usage: python tools/run_refconfig_grid.py [n] (prints one JSON line
+per scheme; default n=10000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from vector_database_watermarking_spark.experiments import (
+    robustness_grid,
+    tabularmark_match_grid,
+)
+from vector_database_watermarking_spark.session import get_spark
+
+SF1_EMB = "/root/repo/_scratch/sf1/embeddings.parquet"
+VEC_OFFSET = 1 << 24  # tools/bench_sf1.py replica key stride
+REPLICA_N = 2000  # sf0.1 embeddings per replica
+WATERMARK = "001010010101001010010"  # L=21, compare/roubust.py:162
+PS = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8)
+
+
+def load_dense_emb(spark, n: int):
+    """First ``n // REPLICA_N`` sf1 replicas, densely re-keyed to
+    vec_id ∈ [0, n) so head-slice schemes (TabularMark's first-nw key
+    rows) and group sizing see a contiguous id space."""
+    reps = n // REPLICA_N
+    emb = spark.read.parquet(SF1_EMB).filter(
+        F.col("vec_id") < reps * VEC_OFFSET
+    )
+    return emb.select(
+        (
+            F.floor(F.col("vec_id") / VEC_OFFSET) * REPLICA_N
+            + F.col("vec_id") % VEC_OFFSET
+        ).alias("vec_id"),
+        "embedding",
+    )
+
+
+def load_perm_emb(spark, n: int, d: int = 64):
+    """n-vector fixture with UNIQUE content ids: replicas of the sf0.1
+    embeddings under per-replica DIMENSION PERMUTATIONS (the
+    tools/bench_sf10.py construction). The sf1 one-dim nudge keeps the
+    first-40-dim content id identical across replicas, which breaks
+    TabularMark's row-level id matching (every key cell matches one
+    row PER REPLICA and the match count exceeds nw); a permutation
+    preserves each replica's internal distance structure exactly while
+    making cross-replica content ids distinct — the reference corpus'
+    unique-row property."""
+    import random
+
+    base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    reps = n // REPLICA_N
+    parts = []
+    for r in range(reps):
+        perm = list(range(d))
+        if r:
+            random.Random(1000 + r).shuffle(perm)
+        permuted = F.array(*[F.element_at("embedding", perm[i] + 1) for i in range(d)])
+        parts.append(
+            base.select(
+                (F.col("vec_id") + F.lit(r * REPLICA_N)).alias("vec_id"),
+                (F.col("embedding") if r == 0 else permuted).alias("embedding"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10000
+    spark = get_spark(
+        "refconfig-grid", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    )
+    seeds = (20, 21, 22, 23, 24)  # reference averages times=10 trials
+    emb = load_dense_emb(spark, n).localCheckpoint(eager=True)
+
+    acc: dict[float, float] = {p: 0.0 for p in PS}
+    for seed in seeds:
+        res = robustness_grid(
+            emb,
+            WATERMARK,
+            attack="random_delete",
+            scheme="scpw",
+            strengths=(0.54,),  # compare/roubust.py:168
+            ths=(1.0,),
+            ps=PS,
+            seed=seed,
+        )
+        for r in res:
+            acc[r.p] += r.ber
+    print(
+        json.dumps(
+            {
+                "scheme": "scpw",
+                "attack": "random_delete",
+                "n": n,
+                "L": len(WATERMARK),
+                "trials": len(seeds),
+                "ber_by_p": {str(p): round(acc[p] / len(seeds), 4) for p in PS},
+            }
+        ),
+        flush=True,
+    )
+
+    emb_u = load_perm_emb(spark, n).localCheckpoint(eager=True)
+    accm: dict[float, float] = {p: 0.0 for p in PS}
+    for seed in seeds:
+        tm = tabularmark_match_grid(
+            emb_u, nw=100, p_green=4.0, k=40, position=45, ps=PS, seed=seed
+        )
+        for r in tm:
+            accm[r["p"]] += r["match_loss"]
+    print(
+        json.dumps(
+            {
+                "scheme": "tabularmark",
+                "attack": "random_delete",
+                "n": n,
+                "nw": 100,
+                "trials": len(seeds),
+                "match_loss_by_p": {
+                    str(p): round(accm[p] / len(seeds), 4) for p in PS
+                },
+            }
+        ),
+        flush=True,
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -202,3 +202,24 @@ def tabularmark_detect(
     nw = key_cells.count()
     z = 2.0 * (ng - 0.5 * nw) / math.sqrt(nw) if nw else 0.0
     return {"detected": z > ALPHA, "z": z, "ng": ng, "nw": nw}
+
+
+def tabularmark_match_count(wm_data: DataFrame, key_cells: DataFrame, k: int) -> int:
+    """Reference ``Matching_vector`` (``tabularMark.py:129-154``) as a
+    count: the number of (attacked) data rows whose content id matches
+    some key cell's id — the reference appends one ``match_index``
+    entry per data row that finds a key (first match, then ``break``),
+    so the count is rows-with-a-key-match, not keys-found. The
+    compare-grid's "match proportion lost" is ``1 − count/nw``
+    (``compare/roubust.py:207-213``). Distributed shape: broadcast the
+    nw key ids, hash-join on the content id — no per-row driver loop."""
+
+    @F.pandas_udf(T.StringType())
+    def _vid(embs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [content_id_py(list(v), list(range(k)) + [0]) for v in embs]
+        )
+
+    ids = wm_data.select(_vid(F.col("embedding")).alias("vid"))
+    keys = key_cells.select("vid").distinct()
+    return ids.join(F.broadcast(keys), on="vid", how="leftsemi").count()
