@@ -241,3 +241,22 @@ def test_lsh_duplicate_collapse_small_groups_and_disjoint_queries(spark):
         (r["rank"], r["dst"]) for r in out.filter("src = 5").collect()
     )
     assert got5 == [(1, 3), (2, 4)]
+
+
+def test_lsh_candidate_budget_guard(spark):
+    """The LSH tier's measured-precondition guard (the
+    prefix_jaccard_pairs house pattern): candidate volume is counted
+    exactly BEFORE the embedding-carrying join, and a corpus whose
+    buckets are non-discriminative is refused with the measured number
+    instead of spilling (measured 100 GB at a 20k iid corpus).
+    candidate_budget=None overrides."""
+    import pytest
+
+    base = spark.createDataFrame(
+        [(i, [float(i % 7) / 7.0] * 8) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="candidate volume"):
+        knn.knn_join(base, base, k=2, exact=False, candidate_budget=10)
+    out = knn.knn_join(base, base, k=2, exact=False, candidate_budget=None)
+    assert out.count() > 0

@@ -44,6 +44,7 @@ def knn_join(
     bucket_length: float | None = None,
     num_hash_tables: int = 10,
     fold_parity: bool = True,
+    candidate_budget: int | None = 100_000_000,
 ) -> DataFrame:
     """Top-k nearest base vectors for every query vector.
 
@@ -96,6 +97,20 @@ def knn_join(
     exact duplicates, a documented recall/cost cap for near ones), so
     fan-out is bounded at (k+1)·max(k+1, 32) pairs per query — the
     degenerate all-near-identical corpus stays linear.
+
+    ``candidate_budget`` (measured-precondition guard, the
+    ``prefix_jaccard_pairs`` house pattern): before materializing the
+    candidate join, its exact size Σ_{(band,key)} |Q_bucket|·|B_bucket|
+    is computed with one counts-join aggregate. An UNCLUSTERED
+    (iid-ish) corpus saturates the auto-sized buckets — measured at a
+    20k rotated-replica corpus: every bucket at the 1024 cap, 2×10⁸
+    candidate pairs each carrying both embeddings ≈ a 100 GB shuffle
+    that exhausted a 250 GB disk — so the tier now fails fast with the
+    measured number and points at the exact tiers (right through 10⁶
+    rows) and IVF routing (the iid-regime ANN path) instead of
+    spilling for minutes first. Near-dup-clustered corpora — the
+    regime this tier exists for — collapse to few representatives and
+    pass the same budget easily.
     """
     if exact:
         return exact_knn(queries, base, k, exclude_self, fold_parity=fold_parity)
@@ -148,7 +163,9 @@ def knn_join(
         F.col("q_emb").alias("_qm_emb"),
     )
 
-    pairs = _lsh_candidates(qreps, breps, num_hash_tables, rows_per_band)
+    pairs = _lsh_candidates(
+        qreps, breps, num_hash_tables, rows_per_band, candidate_budget
+    )
     pairs = pairs.withColumn("dist_sq", squared_euclidean("q_emb", "b_emb"))
     # representative shortlist — rank() over the rounded distance alone
     # keeps whole tied groups at the cut (see docstring)
@@ -476,6 +493,7 @@ def _lsh_candidates(
     b: DataFrame,
     num_hash_tables: int,
     rows_per_band: int,
+    candidate_budget: int | None = None,
 ) -> DataFrame:
     """Candidate pairs from pre-hashed (signature-collapsed) sides —
     inputs carry ``hashes`` from the fitted model. Returns
@@ -531,6 +549,29 @@ def _lsh_candidates(
         .filter(F.col("_rn") <= max_bucket_size)
         .drop("_rn")
     )
+    if candidate_budget is not None:
+        # exact candidate count from per-bucket tallies — one cheap
+        # counts-join aggregate BEFORE the embedding-carrying join
+        # (see knn_join docstring: measured 100 GB spill when an
+        # iid-ish corpus saturates every bucket at the cap)
+        qc = qh.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_qn"))
+        bc = bh.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_bn"))
+        bound = (
+            qc.join(bc, on=["band", "key"])
+            .agg(F.sum(F.col("_qn") * F.col("_bn")))
+            .first()[0]
+            or 0
+        )
+        if bound > candidate_budget:
+            raise ValueError(
+                f"LSH kNN candidate volume {bound:,} exceeds the budget "
+                f"{candidate_budget:,}: the banded buckets are "
+                "non-discriminative for this corpus (unclustered/iid "
+                "embeddings saturate the bucket cap). Use the exact "
+                "tiers (knn_join(exact=True) — right through ~10^6 "
+                "rows) or IVF routing (operators.similarity.ivf_*) "
+                "for this regime; candidate_budget=None overrides."
+            )
     return (
         qh.join(bh, on=["band", "key"], how="inner")
         .select("src", "q_emb", "dst", "b_emb")

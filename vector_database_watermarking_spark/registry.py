@@ -1060,6 +1060,14 @@ _GRADE_ORDER = [
     "ext_winsorize",
     # (the five round-8 registrations were promoted into the graded
     # window in round 9; their full-oracle pack rows remain)
+    # round-9 TPC-H breadth (rotation pool for round 10; full-oracle
+    # pack rows returned_revenue_check / market_share_check /
+    # nation_profit_check / cheapest_supplier_check / idle_rich_check)
+    "rel_returned_revenue",
+    "rel_market_share",
+    "rel_nation_profit",
+    "rel_cheapest_supplier",
+    "rel_idle_rich_customers",
 ]
 
 

@@ -5801,6 +5801,319 @@ def rel_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return time_weighted_avg(ev)
 
 
+# --------------------------------------------- round-9 TPC-H breadth
+# Five more classic decorrelation/star-join shapes over the available
+# tables (the fixture has no partsupp/phone columns; adaptations are
+# noted per query). House determinism: money in exact cent/1e-4
+# integers, ratios of exact integers ship unrounded (bit-identical
+# across engines), every top-N has an id tie-break.
+
+_REV_E4_SQL = (
+    "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+    " * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))"
+)
+
+
+def _rev_e4_col():
+    return F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long") * (
+        F.lit(100) - F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    )
+
+
+@register(
+    "rel_returned_revenue",
+    oracle=f"""
+WITH rev AS (
+  SELECT c.c_custkey, c.c_name, n.n_name,
+         CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents,
+         CAST(sum({_REV_E4_SQL}) AS BIGINT) AS lost_rev_e4,
+         CAST(count(*) AS BIGINT) AS n_items
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= TIMESTAMP '1995-10-01'
+    AND o.o_orderdate < TIMESTAMP '1996-01-01'
+  GROUP BY 1, 2, 3, 4
+)
+SELECT * FROM rev
+ORDER BY lost_rev_e4 DESC, c_custkey
+LIMIT 20
+""",
+)
+def rel_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returned
+    items in one quarter. Fact-side filters (returnflag, date window)
+    reach the scans; nation broadcasts; the one shuffle is the
+    group-by on the customer key. Exact 1e-4 revenue integers; top-20
+    tie-broken by custkey."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-10-01") & (F.col("o_orderdate") < "1996-01-01")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("acctbal_cents"),
+        )
+        .agg(
+            F.sum(_rev_e4_col()).alias("lost_rev_e4"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("lost_rev_e4").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "rel_market_share",
+    oracle=f"""
+WITH sales AS (
+  SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+         sn.n_name AS supp_nation,
+         {_REV_E4_SQL} AS rev_e4
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+  JOIN region r ON cn.n_regionkey = r.r_regionkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+  WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+)
+SELECT o_year,
+       CAST(sum(rev_e4) AS BIGINT) AS total_rev_e4,
+       CAST(coalesce(sum(rev_e4) FILTER (supp_nation = 'NATION_7'), 0)
+            AS BIGINT) AS nation_rev_e4,
+       coalesce(sum(rev_e4) FILTER (supp_nation = 'NATION_7'), 0)
+         / sum(rev_e4) AS mkt_share
+FROM sales GROUP BY o_year
+""",
+)
+def rel_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_7's share of ECONOMY-part revenue sold
+    to ASIA customers, by order year. Two nation roles (customer side
+    and supplier side) join the same broadcast dim twice; the share is
+    a ratio of exact integers (unrounded — bit-identical across
+    engines per the registry determinism policy)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = load_table(spark, sf_dir, "supplier")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    sales = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == r.r_regionkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            F.col("supp_nation"),
+            _rev_e4_col().alias("rev_e4"),
+        )
+    )
+    is_n7 = F.when(F.col("supp_nation") == "NATION_7", F.col("rev_e4")).otherwise(
+        F.lit(0)
+    )
+    return sales.groupBy("o_year").agg(
+        F.sum("rev_e4").alias("total_rev_e4"),
+        F.sum(is_n7).alias("nation_rev_e4"),
+        (F.sum(is_n7) / F.sum("rev_e4")).alias("mkt_share"),
+    )
+
+
+@register(
+    "rel_nation_profit",
+    oracle=f"""
+SELECT sn.n_name AS n_name,
+       CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+       CAST(sum({_REV_E4_SQL}
+                - CAST(l.l_quantity AS BIGINT)
+                  * CAST(floor(p.p_retailprice * 100 + 0.5) AS BIGINT) * 50)
+            AS BIGINT) AS profit_e4,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+WHERE p.p_type = 'PROMO'
+GROUP BY 1, 2
+""",
+)
+def rel_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on PROMO parts by supplier nation and
+    order year. The fixture has no partsupp, so unit cost is proxied
+    at half the part's retail price (retail_cents × 50 per unit in
+    1e-4 scale) — the join tree (fact × part × supplier × nation ×
+    orders) and the grouped profit aggregation are the exercised
+    shape. All-integer amounts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cost_e4 = (
+        F.col("l_quantity").cast("long")
+        * F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).cast("long")
+        * F.lit(50)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("n_name"), F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(_rev_e4_col() - cost_e4).alias("profit_e4"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "rel_cheapest_supplier",
+    oracle="""
+WITH supply AS (
+  SELECT l.l_partkey AS p_key, l.l_suppkey AS s_key,
+         CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS total_cents
+  FROM lineitem l GROUP BY 1, 2
+),
+ranked AS (
+  SELECT p.p_partkey, p.p_brand, su.s_key, su.total_cents,
+         row_number() OVER (PARTITION BY p.p_partkey
+                            ORDER BY su.total_cents, su.s_key) AS rn
+  FROM part p JOIN supply su ON p.p_partkey = su.p_key
+  WHERE p.p_size <= 10
+)
+SELECT r.p_partkey, r.p_brand, s.s_name, n.n_name,
+       CAST(r.total_cents AS BIGINT) AS total_cents
+FROM ranked r
+JOIN supplier s ON r.s_key = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE r.rn = 1
+ORDER BY r.p_partkey
+LIMIT 100
+""",
+)
+def rel_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each small part, the supplier with the
+    minimum observed supply cost, with supplier/nation detail joined
+    back to the per-part winner. No partsupp in the fixture, so
+    "cost" is the supplier's total extended price for the part from
+    lineitem (exact cents; Q2's correlated MIN + first-match becomes
+    a per-part window rank with a suppkey tie-break — the standard
+    decorrelation). Top-100 by part key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    supply = li.groupBy(
+        F.col("l_partkey").alias("p_key"), F.col("l_suppkey").alias("s_key")
+    ).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")).alias(
+            "total_cents"
+        )
+    )
+    w = Window.partitionBy("p_partkey").orderBy("total_cents", "s_key")
+    ranked = (
+        F.broadcast(p)
+        .join(supply, p.p_partkey == supply.p_key)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        ranked.join(F.broadcast(s), ranked.s_key == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("p_partkey", "p_brand", "s_name", "n_name", "total_cents")
+        .orderBy("p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "rel_idle_rich_customers",
+    oracle="""
+WITH pool AS (
+  SELECT c_custkey, CAST(c_nationkey % 5 AS INTEGER) AS cntrycode,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+  FROM customer WHERE c_nationkey % 5 IN (0, 1, 2)
+),
+avg_pos AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pos, CAST(sum(cents) AS BIGINT) AS sum_cents
+  FROM pool WHERE cents > 0
+)
+SELECT p.cntrycode,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(p.cents) AS BIGINT) AS total_acctbal_cents
+FROM pool p, avg_pos a
+WHERE p.cents * a.n_pos > a.sum_cents
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = p.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY 1
+""",
+)
+def rel_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers in selected country codes with an
+    account balance above the positive-balance average and no RECENT
+    order (none since 2000-01-01 — Q22's "no orders in 7 years"
+    recency predicate; every fixture customer has SOME order, so the
+    literal never-ordered variant is empty at all scale factors). The
+    fixture has no phone column, so the country code is
+    ``c_nationkey % 5``; the scalar AVG subquery decorrelates to one
+    broadcast single-row aggregate, and the above-average predicate is
+    exact integer cross-multiplication (``cents · n_pos >
+    sum_cents`` — no float average to diverge on); NOT EXISTS is a
+    left-anti join on the date-filtered orders key."""
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    pool = c.filter((F.col("c_nationkey") % 5).isin(0, 1, 2)).select(
+        "c_custkey",
+        (F.col("c_nationkey") % 5).cast("int").alias("cntrycode"),
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    avg_pos = pool.filter(F.col("cents") > 0).agg(
+        F.count(F.lit(1)).alias("n_pos"), F.sum("cents").alias("sum_cents")
+    )
+    return (
+        pool.crossJoin(F.broadcast(avg_pos))
+        .filter(F.col("cents") * F.col("n_pos") > F.col("sum_cents"))
+        .join(o, pool.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("cents").alias("total_acctbal_cents"),
+        )
+    )
+
+
 # ------------------------------------------------- pipeline coverage pack
 #
 # Registered LAST in this module so it can embed the oracles of the
@@ -5906,6 +6219,15 @@ def _pipeline_pack_oracle() -> str:
     pjd = QUERIES["ext_prefix_jaccard_dups"].oracle
     sss = QUERIES["ext_synth_source_scan"].oracle
     stt = QUERIES["ext_source_top_tokens"].oracle
+    # round-9 TPC-H breadth (rotation pool for round 10)
+    rrev = QUERIES["rel_returned_revenue"].oracle
+    mks = QUERIES["rel_market_share"].oracle
+    npf = QUERIES["rel_nation_profit"].oracle
+    chs = QUERIES["rel_cheapest_supplier"].oracle
+    irc = QUERIES["rel_idle_rich_customers"].oracle
+    h_nc = oracle_hash60("n_name || '|' || c_name")
+    h_snb = oracle_hash60("s_name || '|' || n_name || '|' || p_brand")
+    h_nn9 = oracle_hash60("n_name")
     # round-8 demotions (VERDICT r07 #1): full oracles of the five rows
     # rotated out of the graded window that had no pack row yet
     esn = QUERIES["ext_events_sessions"].oracle
@@ -6454,6 +6776,32 @@ SELECT 'source_top_tokens_check',
   CAST(count(*) + sum(({oracle_hash60("source || '|' || tok")} % 997 + 1)
        * ((n * 131 + rank) % 1000003)) AS BIGINT)
   FROM ({stt})
+UNION ALL
+SELECT 'returned_revenue_check',
+  CAST(count(*) + sum((c_custkey % 997 + 1)
+       * ((lost_rev_e4 + n_items * 131 + acctbal_cents
+           + {h_nc} % 100003) % 1000003)) AS BIGINT)
+  FROM ({rrev})
+UNION ALL
+SELECT 'market_share_check',
+  CAST(count(*) + sum((o_year % 997 + 1)
+       * ((total_rev_e4 + nation_rev_e4 * 131) % 1000003)) AS BIGINT)
+  FROM ({mks})
+UNION ALL
+SELECT 'nation_profit_check',
+  CAST(count(*) + sum(({h_nn9} % 997 + 1)
+       * ((profit_e4 + n_lineitems * 131 + o_year) % 1000003)) AS BIGINT)
+  FROM ({npf})
+UNION ALL
+SELECT 'cheapest_supplier_check',
+  CAST(count(*) + sum((p_partkey % 997 + 1)
+       * ((total_cents + {h_snb} % 100003) % 1000003)) AS BIGINT)
+  FROM ({chs})
+UNION ALL
+SELECT 'idle_rich_check',
+  CAST(count(*) + coalesce(sum((cntrycode + 1)
+       * ((n_customers * 131 + total_acctbal_cents) % 1000003)), 0) AS BIGINT)
+  FROM ({irc})
 UNION ALL
 SELECT 'manifest_jsonl_check',
   CAST(count(*) + count(*) * 31 + sum((event_id % 997 + 1)
@@ -8428,6 +8776,118 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                             )
                             % 1000003
                         )
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    rrev = QUERIES["rel_returned_revenue"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "returned_revenue_check",
+            rrev.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (F.col("c_custkey") % 997 + 1)
+                        * (
+                            (
+                                F.col("lost_rev_e4")
+                                + F.col("n_items") * 131
+                                + F.col("acctbal_cents")
+                                + hash60(F.concat_ws("|", "n_name", "c_name"))
+                                % 100003
+                            )
+                            % 1000003
+                        )
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    mks = QUERIES["rel_market_share"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "market_share_check",
+            mks.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (F.col("o_year") % 997 + 1)
+                        * (
+                            (F.col("total_rev_e4") + F.col("nation_rev_e4") * 131)
+                            % 1000003
+                        )
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    npf = QUERIES["rel_nation_profit"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "nation_profit_check",
+            npf.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (hash60(F.col("n_name")) % 997 + 1)
+                        * (
+                            (
+                                F.col("profit_e4")
+                                + F.col("n_lineitems") * 131
+                                + F.col("o_year")
+                            )
+                            % 1000003
+                        )
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    chs = QUERIES["rel_cheapest_supplier"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "cheapest_supplier_check",
+            chs.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (F.col("p_partkey") % 997 + 1)
+                        * (
+                            (
+                                F.col("total_cents")
+                                + hash60(
+                                    F.concat_ws("|", "s_name", "n_name", "p_brand")
+                                )
+                                % 100003
+                            )
+                            % 1000003
+                        )
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    irc = QUERIES["rel_idle_rich_customers"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "idle_rich_check",
+            irc.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.coalesce(
+                        F.sum(
+                            (F.col("cntrycode") + 1)
+                            * (
+                                (
+                                    F.col("n_customers") * 131
+                                    + F.col("total_acctbal_cents")
+                                )
+                                % 1000003
+                            )
+                        ),
+                        F.lit(0),
                     )
                 ).alias("value")
             ),
