@@ -504,3 +504,41 @@ def test_multi_consumer_subtrees_materialized(spark, sf_dir):
     # documents table is not re-tokenized per consumer.
     plan = plan_of(QUERIES["ext_perplexity_filter"].fn(spark, sf_dir))
     assert "documents.parquet" not in plan, plan
+
+
+def test_market_share_pushes_filters_and_broadcasts_dims(spark, sf_dir):
+    """Q8 shape: the p_type/r_name filters must reach their parquet
+    scans and every dimension join (nation x2 roles, region, part,
+    supplier) must broadcast — the only shuffles left are the fact-side
+    joins and the year group-by."""
+    q = QUERIES["rel_market_share"].fn(spark, sf_dir)
+    plan = plan_of(q)
+    assert "EqualTo(p_type,ECONOMY)" in plan, plan
+    assert "EqualTo(r_name,ASIA)" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_cheapest_supplier_window_limit_pushdown(spark, sf_dir):
+    """Q2 shape: the per-part rn=1 winner must ride WindowGroupLimit
+    (rank-limit pushed map-side), the p_size filter must reach the
+    part scan, and the grouped supply aggregation must be partial."""
+    q = QUERIES["rel_cheapest_supplier"].fn(spark, sf_dir)
+    plan = plan_of(q)
+    assert "WindowGroupLimit" in plan, plan
+    assert "LessThanOrEqual(p_size,10)" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_idle_rich_uses_anti_join_and_single_row_broadcast(spark, sf_dir):
+    """Q22 shape: NOT EXISTS must compile to a broadcast/shuffled
+    LeftAnti hash join (never a nested loop over orders), the recency
+    filter must reach the orders scan, and the scalar-average subquery
+    must ride a broadcast of the one-row aggregate."""
+    q = QUERIES["rel_idle_rich_customers"].fn(spark, sf_dir)
+    plan = plan_of(q)
+    # NOT EXISTS = hash LeftAnti (never a nested loop over orders)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    # the one legitimate nested loop is the 1-row average broadcast
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan, plan
