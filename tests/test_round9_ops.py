@@ -195,3 +195,61 @@ def test_market_share_and_nation_profit_hand_computed(spark, tmp_path):
         ("NATION_7", 1995): (240000, 1),
         ("NATION_1", 1996): (40000, 1),
     }
+
+
+def test_order_count_histogram_hand_computed(spark, tmp_path):
+    """Q13 shape: the priority filter lives in the JOIN condition, so
+    customer 3 (urgent-only orders) lands in the 0 bucket alongside
+    order-less customer 2 — a WHERE would have dropped them both."""
+    c = spark.createDataFrame(
+        [(1,), (2,), (3,)], "c_custkey long"
+    )
+    o = spark.createDataFrame(
+        [
+            (10, 1, "3-MEDIUM"),
+            (11, 1, "5-LOW"),
+            (12, 3, "1-URGENT"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderpriority string",
+    )
+    d = str(tmp_path)
+    _write(c, d, "customer")
+    _write(o, d, "orders")
+    got = {
+        r["c_count"]: r["custdist"]
+        for r in QUERIES["rel_order_count_histogram"].fn(spark, d).collect()
+    }
+    assert got == {2: 1, 0: 2}
+
+
+def test_priority_late_orders_hand_computed(spark, tmp_path):
+    """Q4 shape: order 1 has a >30-day-late item (counted once despite
+    two qualifying lineitems — EXISTS, not a count), order 2's items
+    ship on time, order 3 is outside the date window."""
+    o = spark.createDataFrame(
+        [
+            (1, "1-URGENT", "1996-02-01"),
+            (2, "2-HIGH", "1996-03-01"),
+            (3, "1-URGENT", "1997-01-01"),
+        ],
+        "o_orderkey long, o_orderpriority string, d string",
+    ).select(
+        "o_orderkey", "o_orderpriority", F.col("d").cast("timestamp").alias("o_orderdate")
+    )
+    li = spark.createDataFrame(
+        [
+            (1, "1996-03-15"),
+            (1, "1996-04-15"),
+            (2, "1996-03-10"),
+            (3, "1997-06-01"),
+        ],
+        "l_orderkey long, s string",
+    ).select("l_orderkey", F.col("s").cast("timestamp").alias("l_shipdate"))
+    d = str(tmp_path)
+    _write(o, d, "orders")
+    _write(li, d, "lineitem")
+    got = {
+        r["o_orderpriority"]: r["order_count"]
+        for r in QUERIES["rel_priority_late_orders"].fn(spark, d).collect()
+    }
+    assert got == {"1-URGENT": 1}

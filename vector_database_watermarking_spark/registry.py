@@ -1068,6 +1068,8 @@ _GRADE_ORDER = [
     "rel_nation_profit",
     "rel_cheapest_supplier",
     "rel_idle_rich_customers",
+    "rel_order_count_histogram",
+    "rel_priority_late_orders",
 ]
 
 

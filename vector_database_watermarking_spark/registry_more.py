@@ -6114,6 +6114,84 @@ def rel_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rel_order_count_histogram",
+    oracle="""
+WITH per_cust AS (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY c_count
+""",
+)
+def rel_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of per-customer order counts,
+    counting only non-urgent orders — the LEFT JOIN with a compound
+    ON-condition (the filter must live in the join, not a WHERE, so
+    order-less customers survive into the c_count=0 bucket) feeding a
+    double aggregation. One shuffle per group-by; the second group-by
+    is over ≤ a few dozen distinct counts."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "rel_priority_late_orders",
+    oracle="""
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY 1
+""",
+)
+def rel_priority_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders in a half-year window with at least one
+    lineitem shipped more than 30 days after ordering, counted by
+    priority. The correlated EXISTS (its predicate references BOTH
+    sides) decorrelates to a LEFT SEMI join whose condition carries
+    the cross-side comparison; the date filter is pushed to the orders
+    scan before the join."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
 # ------------------------------------------------- pipeline coverage pack
 #
 # Registered LAST in this module so it can embed the oracles of the
@@ -6228,6 +6306,9 @@ def _pipeline_pack_oracle() -> str:
     h_nc = oracle_hash60("n_name || '|' || c_name")
     h_snb = oracle_hash60("s_name || '|' || n_name || '|' || p_brand")
     h_nn9 = oracle_hash60("n_name")
+    och = QUERIES["rel_order_count_histogram"].oracle
+    plo = QUERIES["rel_priority_late_orders"].oracle
+    h_op9 = oracle_hash60("o_orderpriority")
     # round-8 demotions (VERDICT r07 #1): full oracles of the five rows
     # rotated out of the graded window that had no pack row yet
     esn = QUERIES["ext_events_sessions"].oracle
@@ -6802,6 +6883,14 @@ SELECT 'idle_rich_check',
   CAST(count(*) + coalesce(sum((cntrycode + 1)
        * ((n_customers * 131 + total_acctbal_cents) % 1000003)), 0) AS BIGINT)
   FROM ({irc})
+UNION ALL
+SELECT 'order_count_hist_check',
+  CAST(count(*) + sum((c_count % 997 + 1) * (custdist % 1000003)) AS BIGINT)
+  FROM ({och})
+UNION ALL
+SELECT 'priority_late_check',
+  CAST(count(*) + sum(({h_op9} % 997 + 1) * (order_count % 1000003)) AS BIGINT)
+  FROM ({plo})
 UNION ALL
 SELECT 'manifest_jsonl_check',
   CAST(count(*) + count(*) * 31 + sum((event_id % 997 + 1)
@@ -8888,6 +8977,35 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                             )
                         ),
                         F.lit(0),
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    och = QUERIES["rel_order_count_histogram"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "order_count_hist_check",
+            och.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (F.col("c_count") % 997 + 1) * (F.col("custdist") % 1000003)
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    plo = QUERIES["rel_priority_late_orders"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "priority_late_check",
+            plo.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (hash60(F.col("o_orderpriority")) % 997 + 1)
+                        * (F.col("order_count") % 1000003)
                     )
                 ).alias("value")
             ),
