@@ -69,7 +69,7 @@ def main() -> None:
     similarity.save_ivf_index(assigned, cents, path)
     report_before = similarity.ivf_maintenance_report(spark, path)
 
-    # three drifted appends: same ids re-keyed, every dim shifted +0.5
+    # three drifted appends: same ids re-keyed, every dim shifted by SHIFT
     shifted = F.transform("embedding", lambda x: (x + F.lit(SHIFT)).cast("float"))
     for b in range(3):
         batch = (
