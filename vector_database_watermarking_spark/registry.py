@@ -1070,6 +1070,7 @@ _GRADE_ORDER = [
     "rel_idle_rich_customers",
     "rel_order_count_histogram",
     "rel_priority_late_orders",
+    "ext_emb_near_dups_scaled",
 ]
 
 

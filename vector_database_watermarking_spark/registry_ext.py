@@ -727,9 +727,13 @@ def ext_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RP_BITS, _RP_BAND_BITS = 32, 4
 
 
-def _emb_lsh_ctes() -> str:
+def _emb_lsh_ctes(bits: int = _RP_BITS, band_bits: int = _RP_BAND_BITS) -> str:
     """WITH-chain through ``scored(src, dst, cos)`` — the shared head
-    of the embedding-LSH pair oracle and the semantic-dedup oracle."""
+    of the embedding-LSH pair oracle and the semantic-dedup oracle.
+    Parameterized by signature width and band width so the SCALED band
+    configuration (the log2(n)-tracking knob measured in SCALING.md)
+    grades through the identical replay; ``bits`` must stay < 63 so the
+    signature integer fits signed int64 on both engines."""
 
     def dot(b: int) -> str:
         return (
@@ -741,17 +745,17 @@ def _emb_lsh_ctes() -> str:
 
     sig = " + ".join(
         f"(CASE WHEN {dot(b)} >= 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END)"
-        for b in range(_RP_BITS)
+        for b in range(bits)
     )
-    n_bands = _RP_BITS // _RP_BAND_BITS
-    mask = 2**_RP_BAND_BITS - 1
+    n_bands = bits // band_bits
+    mask = 2**band_bits - 1
     cos = _COS_EXPR.replace("a.embedding", "qa.embedding").replace(
         "b.embedding", "qb.embedding"
     )
     return f"""
 WITH sigs AS (SELECT vec_id, {sig} AS sig FROM embeddings),
 blocks AS (
-  SELECT vec_id, b.band, (sig >> (b.band * {_RP_BAND_BITS})) & {mask} AS key
+  SELECT vec_id, b.band, (sig >> (b.band * {band_bits})) & {mask} AS key
   FROM sigs, LATERAL (SELECT unnest(range(0, {n_bands})) AS band) b
 ),
 cand AS (
@@ -786,6 +790,32 @@ def ext_emb_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = similarity.emb_near_dups_lsh(
         emb, threshold=0.45, bits=_RP_BITS, band_bits=_RP_BAND_BITS, d=D
+    )
+    return out.select("src", "dst", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+@register(
+    "ext_emb_near_dups_scaled",
+    oracle=_emb_lsh_ctes(bits=32, band_bits=8)
+    + """
+SELECT src, dst, round(cos, 6) AS cos_sim FROM scored WHERE cos >= 0.45
+""",
+)
+def ext_emb_near_dups_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALED band configuration of the hyperplane near-dup
+    (4 × 8-bit bands over the same 32-bit signatures): band width is
+    the knob that must track log2(n) — bucket collision rate is
+    2^-band_bits per random pair, so a 100× corpus needs wider bands
+    to keep bucket sizes O(1) (measured in SCALING.md: the pinned
+    4-bit config ends its regime at ~20k rows; 8-bit carries 200k).
+    Grading this configuration pins the shift/mask banding math at a
+    second width, not just the fixture default. Because an 8-bit band
+    is the concatenation of two 4-bit bands, its candidates (and so
+    its verified pairs) are provably a SUBSET of the pinned config's —
+    the containment is pytest-checked."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.emb_near_dups_lsh(
+        emb, threshold=0.45, bits=_RP_BITS, band_bits=8, d=D
     )
     return out.select("src", "dst", F.round("cos_sim", 6).alias("cos_sim"))
 
