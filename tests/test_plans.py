@@ -542,3 +542,92 @@ def test_idle_rich_uses_anti_join_and_single_row_broadcast(spark, sf_dir):
     # the one legitimate nested loop is the 1-row average broadcast
     assert plan.count("BroadcastNestedLoopJoin") == 1, plan
     assert "GreaterThanOrEqual(o_orderdate" in plan, plan
+
+
+def test_forecast_revenue_all_predicates_pushed(spark, sf_dir):
+    """Q6 shape: a pure scan-agg — the date window and quantity cap
+    must reach the parquet scan as pushed filters, no join may appear,
+    and the global aggregate must be partial (two HashAggregates
+    around a single exchange)."""
+    q = QUERIES["rel_forecast_revenue"].fn(spark, sf_dir)
+    plan = plan_of(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan, plan
+    # (the PushedFilters list is truncated in toString; the quantity
+    # cap is visible in the scan-adjacent Filter's data filters)
+    assert "< 24.0)" in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("HashAggregate") == 2, plan
+
+
+def test_local_supplier_volume_local_predicate_rides_join(spark, sf_dir):
+    """Q5 shape: the c_nationkey = s_nationkey condition must be part
+    of the supplier join's keys (no post-join filter materializing
+    non-local pairs), nation/region must broadcast, and the orders
+    date window must reach the scan."""
+    q = QUERIES["rel_local_supplier_volume"].fn(spark, sf_dir)
+    plan = plan_of(q)
+    assert "GreaterThanOrEqual(o_orderdate" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+    # the local condition is an equi-key: c_nationkey appears INSIDE a
+    # join's key list (composite with l_suppkey), not in a Filter
+    import re
+
+    assert re.search(
+        r"BroadcastHashJoin \[l_suppkey#\d+L?, c_nationkey#\d+", plan
+    ) or re.search(
+        r"SortMergeJoin \[l_suppkey#\d+L?, c_nationkey#\d+", plan
+    ), plan
+    assert not re.search(r"Filter \([^\n]*c_nationkey#\d+\w* = s_nationkey", plan), plan
+
+
+def test_important_parts_single_lineitem_scan(spark, sf_dir):
+    """Q11 shape: the per-part aggregate feeds two consumers (its own
+    1-row reduction and the share filter), so it is checkpointed per
+    the multi-consumer-subtree rule — the final plan reads the
+    materialized view, never re-scanning lineitem per consumer, and
+    the only nested loop is the 1-row total broadcast."""
+    q = QUERIES["rel_important_parts"].fn(spark, sf_dir)
+    plan = plan_of(q)
+    assert "lineitem.parquet" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+
+
+def test_top_supplier_single_scan_max_broadcast(spark, sf_dir):
+    """Q15 shape: the revenue view is aggregated once and
+    checkpointed (multi-consumer-subtree rule: the max reduction and
+    the equality probe both read it); its max comes back as a 1-row
+    broadcast (no second lineitem scan, no global window)."""
+    q = QUERIES["rel_top_supplier"].fn(spark, sf_dir)
+    plan = plan_of(q)
+    assert "lineitem.parquet" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_large_volume_customers_aggregates_before_joins(spark, sf_dir):
+    """Q18 shape: the quantity HAVING runs on lineitem BEFORE any
+    dimension join — the qualifying-order aggregate must sit below
+    both joins in the plan, and the orders/customer joins must not
+    see raw lineitems."""
+    q = QUERIES["rel_large_volume_customers"].fn(spark, sf_dir)
+    plan = plan_of(q)
+    agg_pos = plan.find("HashAggregate")
+    join_pos = plan.find("Join")
+    assert agg_pos != -1 and join_pos != -1
+    # executedPlan prints top-down: joins appear before (above) the
+    # fact-side aggregate they consume
+    assert join_pos < agg_pos, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_disjunct_revenue_envelopes_pushed(spark, sf_dir):
+    """Q19 shape: the three-branch disjunction itself can't be pushed
+    whole, but its single-column envelopes must be — the Or over
+    p_type/p_size reaches the part scan as a pushed filter, and the
+    join stays a broadcast hash join (never a nested loop)."""
+    q = QUERIES["rel_disjunct_revenue"].fn(spark, sf_dir)
+    plan = plan_of(q)
+    assert "Or(" in plan and "PushedFilters" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -253,3 +253,241 @@ def test_priority_late_orders_hand_computed(spark, tmp_path):
         for r in QUERIES["rel_priority_late_orders"].fn(spark, d).collect()
     }
     assert got == {"1-URGENT": 1}
+
+
+def test_scaled_band_candidates_subset(spark):
+    """The containment the ext_emb_near_dups_scaled docstring promises:
+    an 8-bit band is the concatenation of two 4-bit bands over the SAME
+    32-bit signatures, so every pair that collides in some 8-bit band
+    also collides in both constituent 4-bit bands — the scaled config's
+    candidate set is a subset of the pinned config's. Compared at
+    threshold -1.0 (keep every candidate) so the assertion covers the
+    banding math, not the score filter."""
+    from vector_database_watermarking_spark.operators import similarity
+    from vector_database_watermarking_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    pairs = {}
+    for bb in (4, 8):
+        out = similarity.emb_near_dups_lsh(
+            emb, threshold=-1.0, bits=32, band_bits=bb, d=64
+        )
+        pairs[bb] = {(r["src"], r["dst"]) for r in out.collect()}
+    assert pairs[8], "8-bit config found no candidates at all"
+    assert pairs[8] <= pairs[4], (
+        f"{len(pairs[8] - pairs[4])} scaled candidates missing from the "
+        "pinned config"
+    )
+    assert len(pairs[4]) > len(pairs[8]), (
+        "wider bands must prune candidates on this fixture"
+    )
+
+
+def test_local_supplier_volume_hand_computed(spark, tmp_path):
+    """Q5 shape: only lineitems whose customer and supplier share a
+    nation count, only 1996 orders, only the EUROPE region. Nation 7
+    gets the single local item (100.00 at 0%); nation 1 gets two
+    (200.00 at 10% + 50.00 at 5%); the cross-nation pair and the 1995
+    order drop."""
+    n = _nation(spark)
+    r = spark.createDataFrame(
+        [(0, "EUROPE"), (1, "ASIA")], "r_regionkey long, r_name string"
+    )
+    c = spark.createDataFrame(
+        [(1, 0), (2, 1)], "c_custkey long, c_nationkey long"
+    )
+    s = spark.createDataFrame(
+        [(10, 0), (20, 1), (30, 1)], "s_suppkey long, s_nationkey long"
+    )
+    o = spark.createDataFrame(
+        [(100, 1, "1996-05-01"), (200, 2, "1996-06-01"), (300, 1, "1995-01-01")],
+        "o_orderkey long, o_custkey long, d string",
+    ).select("o_orderkey", "o_custkey", F.col("d").cast("timestamp").alias("o_orderdate"))
+    li = spark.createDataFrame(
+        [
+            (100, 10, 100.0, 0.0),   # local: c1(n0) x s10(n0)
+            (100, 20, 999.0, 0.0),   # cross-nation: dropped
+            (200, 20, 200.0, 0.1),   # local: c2(n1) x s20(n1)
+            (200, 30, 50.0, 0.05),   # local: c2(n1) x s30(n1)
+            (300, 10, 777.0, 0.0),   # 1995 order: dropped
+        ],
+        "l_orderkey long, l_suppkey long, l_extendedprice double, l_discount double",
+    )
+    d = str(tmp_path)
+    for df, name in [(n, "nation"), (r, "region"), (c, "customer"), (s, "supplier"), (o, "orders"), (li, "lineitem")]:
+        _write(df, d, name)
+    got = {
+        row["n_name"]: (row["revenue_e4"], row["n_items"])
+        for row in QUERIES["rel_local_supplier_volume"].fn(spark, d).collect()
+    }
+    assert got == {
+        "NATION_7": (100_00 * 100, 1),
+        "NATION_1": (200_00 * 90 + 50_00 * 95, 2),
+    }
+
+
+def test_forecast_revenue_hand_computed(spark, tmp_path):
+    """Q6 shape: discount band is integer-percent 5..7, quantity < 24,
+    1996 shipdates. Row 1 contributes 10000*6, row 5 contributes
+    5000*7; the off-band, over-quantity, and 1997 rows drop."""
+    li = spark.createDataFrame(
+        [
+            ("1996-02-01", 0.06, 10.0, 100.0),
+            ("1996-02-01", 0.04, 10.0, 100.0),
+            ("1996-02-01", 0.06, 30.0, 100.0),
+            ("1997-02-01", 0.06, 10.0, 100.0),
+            ("1996-11-30", 0.07, 23.0, 50.0),
+        ],
+        "d string, l_discount double, l_quantity double, l_extendedprice double",
+    ).select(F.col("d").cast("timestamp").alias("l_shipdate"), "l_discount", "l_quantity", "l_extendedprice")
+    d = str(tmp_path)
+    _write(li, d, "lineitem")
+    row = QUERIES["rel_forecast_revenue"].fn(spark, d).collect()[0]
+    assert (row["forecast_rev_e4"], row["n_items"]) == (10000 * 6 + 5000 * 7, 2)
+
+
+def test_important_parts_hand_computed(spark, tmp_path):
+    """Q11 shape (mean-relative): values 100/10/10/10 give a mean of
+    32.5; only the 100 clears 1.4x the mean (100*4*10=4000 >
+    130*14=1820)."""
+    li = spark.createDataFrame(
+        [(1, 100.0), (2, 10.0), (3, 10.0), (4, 10.0)],
+        "l_partkey long, l_extendedprice double",
+    )
+    p = spark.createDataFrame(
+        [(1, "P1"), (2, "P2"), (3, "P3"), (4, "P4")],
+        "p_partkey long, p_name string",
+    )
+    d = str(tmp_path)
+    _write(li, d, "lineitem")
+    _write(p, d, "part")
+    rows = QUERIES["rel_important_parts"].fn(spark, d).collect()
+    assert [(r["p_partkey"], r["p_name"], r["value_cents"]) for r in rows] == [
+        (1, "P1", 100_00)
+    ]
+
+
+def test_late_shipment_modes_hand_computed(spark, tmp_path):
+    """Q12 shape: only shipments >90 days after ordering inside the
+    1996 window count; the urgent order lands in high_line_count under
+    flag A, the 5-LOW order under flag N's low_line_count."""
+    o = spark.createDataFrame(
+        [(1, "1-URGENT", "1996-01-01"), (2, "5-LOW", "1996-01-15")],
+        "o_orderkey long, o_orderpriority string, d string",
+    ).select("o_orderkey", "o_orderpriority", F.col("d").cast("timestamp").alias("o_orderdate"))
+    li = spark.createDataFrame(
+        [
+            (1, "A", "1996-06-01"),  # late, urgent -> high under A
+            (1, "A", "1996-02-01"),  # only 31 days: dropped
+            (2, "N", "1996-06-01"),  # late, low -> low under N
+            (2, "N", "1995-06-01"),  # outside window: dropped
+        ],
+        "l_orderkey long, l_returnflag string, d string",
+    ).select("l_orderkey", "l_returnflag", F.col("d").cast("timestamp").alias("l_shipdate"))
+    d = str(tmp_path)
+    _write(o, d, "orders")
+    _write(li, d, "lineitem")
+    got = {
+        r["l_returnflag"]: (r["high_line_count"], r["low_line_count"])
+        for r in QUERIES["rel_late_shipment_modes"].fn(spark, d).collect()
+    }
+    assert got == {"A": (1, 0), "N": (0, 1)}
+
+
+def test_promo_revenue_hand_computed(spark, tmp_path):
+    """Q14 shape: March 1996 revenue is 1.0M e4 promo + 2.0M e4
+    standard; the April row drops; share = 1/3 rounded to 1e-6."""
+    p = spark.createDataFrame(
+        [(1, "PROMO"), (2, "SMALL")], "p_partkey long, p_type string"
+    )
+    li = spark.createDataFrame(
+        [
+            (1, "1996-03-05", 100.0, 0.0),
+            (2, "1996-03-20", 200.0, 0.0),
+            (1, "1996-04-01", 999.0, 0.0),
+        ],
+        "l_partkey long, d string, l_extendedprice double, l_discount double",
+    ).select("l_partkey", F.col("d").cast("timestamp").alias("l_shipdate"), "l_extendedprice", "l_discount")
+    d = str(tmp_path)
+    _write(p, d, "part")
+    _write(li, d, "lineitem")
+    row = QUERIES["rel_promo_revenue"].fn(spark, d).collect()[0]
+    assert (row["promo_rev_e4"], row["total_rev_e4"]) == (1_000_000, 3_000_000)
+    assert row["promo_share"] == 0.333333
+
+
+def test_top_supplier_hand_computed(spark, tmp_path):
+    """Q15 shape: suppliers 10 and 20 tie at the Q1-1996 maximum and
+    BOTH surface (the view formulation's tie semantics); supplier 30
+    trails; the out-of-quarter row doesn't rescue it."""
+    s = spark.createDataFrame(
+        [(10, "S10"), (20, "S20"), (30, "S30")],
+        "s_suppkey long, s_name string",
+    )
+    li = spark.createDataFrame(
+        [
+            (10, "1996-01-05", 100.0, 0.0),
+            (20, "1996-02-05", 50.0, 0.0),
+            (20, "1996-03-05", 50.0, 0.0),
+            (30, "1996-01-05", 99.0, 0.0),
+            (30, "1996-06-05", 999.0, 0.0),  # outside Q1: dropped
+        ],
+        "l_suppkey long, d string, l_extendedprice double, l_discount double",
+    ).select("l_suppkey", F.col("d").cast("timestamp").alias("l_shipdate"), "l_extendedprice", "l_discount")
+    d = str(tmp_path)
+    _write(s, d, "supplier")
+    _write(li, d, "lineitem")
+    got = {
+        (r["s_suppkey"], r["s_name"], r["total_rev_e4"])
+        for r in QUERIES["rel_top_supplier"].fn(spark, d).collect()
+    }
+    assert got == {(10, "S10", 1_000_000), (20, "S20", 1_000_000)}
+
+
+def test_large_volume_customers_hand_computed(spark, tmp_path):
+    """Q18 shape: order 1 totals 260 units (> 250) and surfaces with
+    its customer; order 2's 100 units miss the bar."""
+    c = spark.createDataFrame([(1, "C1")], "c_custkey long, c_name string")
+    o = spark.createDataFrame(
+        [(1, 1, 1234.56), (2, 1, 99.99)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    li = spark.createDataFrame(
+        [(1, 200.0), (1, 60.0), (2, 100.0)],
+        "l_orderkey long, l_quantity double",
+    )
+    d = str(tmp_path)
+    _write(c, d, "customer")
+    _write(o, d, "orders")
+    _write(li, d, "lineitem")
+    rows = QUERIES["rel_large_volume_customers"].fn(spark, d).collect()
+    assert [
+        (r["c_custkey"], r["o_orderkey"], r["totalprice_cents"], r["qty_sum"])
+        for r in rows
+    ] == [(1, 1, 123456, 260)]
+
+
+def test_disjunct_revenue_hand_computed(spark, tmp_path):
+    """Q19 shape: one qualifying lineitem per branch (SMALL/size 5/qty
+    10, MEDIUM/size 20/qty 20, LARGE/size 30/qty 30); the over-quantity
+    SMALL row and the no-branch part drop."""
+    p = spark.createDataFrame(
+        [(1, "SMALL", 5), (2, "MEDIUM", 20), (3, "LARGE", 30), (4, "SMALL", 20)],
+        "p_partkey long, p_type string, p_size int",
+    )
+    li = spark.createDataFrame(
+        [
+            (1, 10.0, 100.0, 0.0),
+            (1, 25.0, 100.0, 0.0),  # qty > 20 for SMALL: dropped
+            (2, 20.0, 100.0, 0.0),
+            (3, 30.0, 100.0, 0.0),
+            (3, 10.0, 100.0, 0.0),  # qty < 20 for LARGE: dropped
+            (4, 10.0, 100.0, 0.0),  # size 20 SMALL matches no branch
+        ],
+        "l_partkey long, l_quantity double, l_extendedprice double, l_discount double",
+    )
+    d = str(tmp_path)
+    _write(p, d, "part")
+    _write(li, d, "lineitem")
+    row = QUERIES["rel_disjunct_revenue"].fn(spark, d).collect()[0]
+    assert (row["rev_e4"], row["n_items"]) == (3_000_000, 3)

@@ -50,6 +50,60 @@ ROUND7_NAMES = [
     "rel_events_variant_agg",
 ]
 
+# round-9 TPC-H completion set. Three of these join part ON l_partkey,
+# but the shared sf1 fixture builds part with DENSE replica offsets
+# (the BOM forest needs them) while lineitem.l_partkey gets WIDE
+# offsets — so for round9 runs a symlink view of the fixture is
+# assembled whose part.parquet is rebuilt with the wide offsets,
+# keeping the FK live without touching the shared fixture.
+ROUND9_NAMES = [
+    "rel_returned_revenue",
+    "rel_market_share",
+    "rel_nation_profit",
+    "rel_cheapest_supplier",
+    "rel_idle_rich_customers",
+    "rel_order_count_histogram",
+    "rel_priority_late_orders",
+    "ext_emb_near_dups_scaled",
+    "rel_local_supplier_volume",
+    "rel_forecast_revenue",
+    "rel_important_parts",
+    "rel_late_shipment_modes",
+    "rel_promo_revenue",
+    "rel_top_supplier",
+    "rel_large_volume_customers",
+    "rel_disjunct_revenue",
+]
+WIDEPART_DIR = "/root/repo/_scratch/sf1_widepart"
+
+
+def build_widepart_view(spark) -> str:
+    """Symlink every sf1 table into a second fixture dir, except part,
+    which is rebuilt with lineitem-matching WIDE replica offsets."""
+    from pyspark.sql import functions as F2
+
+    if os.path.isdir(os.path.join(WIDEPART_DIR, "part.parquet")):
+        return WIDEPART_DIR
+    os.makedirs(WIDEPART_DIR, exist_ok=True)
+    for name in os.listdir(SF1_DIR):
+        if name == "part.parquet":
+            continue
+        dst = os.path.join(WIDEPART_DIR, name)
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(SF1_DIR, name), dst)
+    pdf = spark.read.parquet(os.path.join(SRC_SF, "part.parquet"))
+    parts = [
+        pdf.withColumn("p_partkey", F2.col("p_partkey") + F2.lit(r * DOC_OFFSET))
+        for r in range(REPLICAS)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(8).write.mode("overwrite").parquet(
+        os.path.join(WIDEPART_DIR, "part.parquet")
+    )
+    return WIDEPART_DIR
+
 
 def build_sf1(spark) -> None:
     from pyspark.sql import functions as F
@@ -186,6 +240,8 @@ def main() -> None:
     global QUERY_NAMES
     if args.queries == "round7":
         QUERY_NAMES = ROUND7_NAMES
+    elif args.queries == "round9":
+        QUERY_NAMES = ROUND9_NAMES
     elif args.queries == "all":
         # the full headline suite (VERDICT r07 #3): every bench.py
         # headline query plus the bench-extra tiers, measured at 10x
@@ -222,12 +278,18 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             print(json.dumps({"query": name, "warmup_error": str(e)[:200]}), flush=True)
 
+    # part-FK queries read the wide-offset part view (see ROUND9_NAMES)
+    _PART_FK = {"rel_important_parts", "rel_promo_revenue", "rel_disjunct_revenue"}
+    if _PART_FK & set(fns):
+        widepart = build_widepart_view(spark)
+
     for name, fn in fns.items():
+        run_dir = widepart if name in _PART_FK else SF1_DIR
         reps = []
         for _ in range(args.reps):
             t0 = time.monotonic()
             try:
-                consume(fn(spark, SF1_DIR))
+                consume(fn(spark, run_dir))
                 reps.append(round(time.monotonic() - t0, 2))
             except Exception as e:  # noqa: BLE001
                 print(

@@ -830,11 +830,17 @@ _GRADE_ORDER = [
     # ext_contamination_bloom (exact-scan oracle now checksummed by
     # the pipeline pack's contamination_check row, alongside the
     # operator pack's Spark-side bloom_equals_exact parity gate) out.
+    # Round-9 demotions from this block: ext_source_mix (full-oracle
+    # pack row source_mix_check; the keyed-hash exact-n stratified
+    # selection stays graded in-window via w6/w2) and
+    # ext_emb_near_dups_lsh (the hyperplane pair stage is replayed
+    # verbatim as the head of the pack's semantic_dedup_check full
+    # oracle, and the SAME operator code path now grades in-window at
+    # a second band configuration via the promoted
+    # ext_emb_near_dups_scaled).
     "ext_seq_packing",
     "ext_pii_scrub",
     "ext_corpus_clean",
-    "ext_source_mix",
-    "ext_emb_near_dups_lsh",
     "ext_doc_embeddings",
     # Round-8 demotions from this block (VERDICT r07 #1): ext_ivf_topk
     # (full-oracle pack row ivf_topk_check; its assign+route+rerank
@@ -857,12 +863,15 @@ _GRADE_ORDER = [
     # ext_stratified_sample / ext_weighted_sample (keyed-hash exact-n
     # selection family stays graded via in-window w6/w2 and
     # ext_corpus_split keeps the splits op's row).
+    # Round-9 demotions from this block: ext_corpus_split and
+    # ext_corpus_drift rotate out on NEW full-oracle pack rows
+    # (corpus_split_check / corpus_drift_check — each embeds the
+    # complete demoted oracle SQL, so the content-keyed split and the
+    # PSI drift monitor stay driver-graded every round).
     "stream_cdc_replay",
     "rel_salted_join",
     "ext_graph_pagerank",
     "ext_hybrid_search",
-    "ext_corpus_split",
-    "ext_corpus_drift",
     "cov_operator_pack",
     "cov_pipeline_pack",
     # promoted round 6: the streaming replay gates (VERDICT r05 #3)
@@ -893,14 +902,18 @@ _GRADE_ORDER = [
     # rel_cdc_time_travel / ext_schema_merge_read /
     # rel_events_variant_agg rotate out on their full-oracle pack rows
     # (each pack checksum embeds the complete demoted oracle SQL, so
-    # the computation stays driver-graded every round); the five
-    # streaming/IVF/UDTF rows stay in-window to keep one full-output
-    # representative per gate family visible.
-    "rel_events_session_window",
+    # the computation stays driver-graded every round). Late-round-9
+    # demotions making room for the round-9 registrations:
+    # rel_events_session_window (pack session_window_check),
+    # ext_ivf_append_topk (pack ivf_append_check),
+    # stream_dedup_ttl_replay (pack dedup_ttl_check), and
+    # ext_doc_chunks_udtf (pack chunks_udtf_check) — all four were
+    # graded green as full rows in BOTH r07 and r08 and keep their
+    # full-oracle pack checksums; the left-outer interval join stays
+    # in-window as the stream-stream join family's full-output
+    # representative (six stream gates remain in-window: cdc,
+    # detection, ingest ×2, curation, interval-left).
     "stream_interval_join_left_replay",
-    "ext_ivf_append_topk",
-    "stream_dedup_ttl_replay",
-    "ext_doc_chunks_udtf",
     # promoted round 9 (VERDICT r08 #1): the five round-8 operators —
     # TPC-H Q20-shape dominant suppliers, exact TWAP, the lossless
     # prefix-filtered set-similarity join, the Spark 4 Python Data
@@ -913,6 +926,23 @@ _GRADE_ORDER = [
     "ext_prefix_jaccard_dups",
     "ext_synth_source_scan",
     "ext_source_top_tokens",
+    # promoted late round 9: the eight round-9 registrations get
+    # full-output driver rows — the TPC-H breadth shapes Q10/Q8/Q9/
+    # Q2/Q22/Q13/Q4 (each keeps its full-oracle pack row:
+    # returned_revenue_check / market_share_check / nation_profit_check
+    # / cheapest_supplier_check / idle_rich_check /
+    # order_count_hist_check / priority_late_check) and the scaled
+    # band configuration of the hyperplane near-dup join (the
+    # log2(n)-tracking knob measured in SCALING.md; its candidates are
+    # pytest-pinned as a subset of the 4-bit config's).
+    "rel_returned_revenue",
+    "rel_market_share",
+    "rel_nation_profit",
+    "rel_cheapest_supplier",
+    "rel_idle_rich_customers",
+    "rel_order_count_histogram",
+    "rel_priority_late_orders",
+    "ext_emb_near_dups_scaled",
     # watermark pipelines: the oracle-checked native selection, the
     # invariant-oracled round-trips (TVP, RS, SCPW, TabularMark) and
     # the robustness grid
@@ -928,6 +958,14 @@ _GRADE_ORDER = [
     # locally hash-checked via tools/check_oracles.py; rows demoted in
     # the latest rotation sit first so the next rotation can cycle
     # them back in if desired.
+    "rel_events_session_window",
+    "ext_ivf_append_topk",
+    "stream_dedup_ttl_replay",
+    "ext_doc_chunks_udtf",
+    "ext_source_mix",
+    "ext_emb_near_dups_lsh",
+    "ext_corpus_split",
+    "ext_corpus_drift",
     "rel_bom_rollup",
     "rel_waiting_suppliers",
     "rel_cdc_time_travel",
@@ -1059,18 +1097,23 @@ _GRADE_ORDER = [
     "ext_mixture_execute",
     "ext_winsorize",
     # (the five round-8 registrations were promoted into the graded
-    # window in round 9; their full-oracle pack rows remain)
-    # round-9 TPC-H breadth (rotation pool for round 10; full-oracle
-    # pack rows returned_revenue_check / market_share_check /
-    # nation_profit_check / cheapest_supplier_check / idle_rich_check)
-    "rel_returned_revenue",
-    "rel_market_share",
-    "rel_nation_profit",
-    "rel_cheapest_supplier",
-    "rel_idle_rich_customers",
-    "rel_order_count_histogram",
-    "rel_priority_late_orders",
-    "ext_emb_near_dups_scaled",
+    # window in round 9, and the eight round-9 registrations followed
+    # later the same round; their full-oracle pack rows remain)
+    # late-round-9 TPC-H completion (rotation pool for round 10; with
+    # these, every one of the 22 TPC-H query shapes has an analogue —
+    # Q2/Q11/Q12/Q16/Q19/Q20 adapted to the fixture's reduced schema,
+    # noted per docstring; full-oracle pack rows
+    # local_supplier_check / forecast_revenue_check /
+    # important_parts_check / late_modes_check / promo_revenue_check /
+    # top_supplier_check / large_volume_check / disjunct_revenue_check)
+    "rel_local_supplier_volume",
+    "rel_forecast_revenue",
+    "rel_important_parts",
+    "rel_late_shipment_modes",
+    "rel_promo_revenue",
+    "rel_top_supplier",
+    "rel_large_volume_customers",
+    "rel_disjunct_revenue",
 ]
 
 

@@ -798,7 +798,7 @@ def ext_emb_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_emb_near_dups_scaled",
     oracle=_emb_lsh_ctes(bits=32, band_bits=8)
     + """
-SELECT src, dst, round(cos, 6) AS cos_sim FROM scored WHERE cos >= 0.45
+SELECT src, dst, round(cos, 6) AS cos_sim FROM scored WHERE cos >= 0.30
 """,
 )
 def ext_emb_near_dups_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -809,13 +809,19 @@ def ext_emb_near_dups_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     to keep bucket sizes O(1) (measured in SCALING.md: the pinned
     4-bit config ends its regime at ~20k rows; 8-bit carries 200k).
     Grading this configuration pins the shift/mask banding math at a
-    second width, not just the fixture default. Because an 8-bit band
-    is the concatenation of two 4-bit bands, its candidates (and so
-    its verified pairs) are provably a SUBSET of the pinned config's —
-    the containment is pytest-checked."""
+    second width, not just the fixture default. The threshold sits at
+    0.30 (vs the pinned config's 0.45) because 8-bit bands only
+    surface high-agreement pairs — at the fixture's similarity
+    profile the 0.45 slice of the 8-bit candidates is empty at every
+    sf, and an empty graded row would certify nothing; 0.30 keeps
+    ~70 verified pairs flowing through the full shift/mask/score
+    path at both graded scales. Because an 8-bit band is the
+    concatenation of two 4-bit bands, its CANDIDATES are provably a
+    subset of the pinned config's — the containment is pytest-checked
+    (tests/test_round9_ops.py::test_scaled_band_candidates_subset)."""
     emb = load_table(spark, sf_dir, "embeddings")
     out = similarity.emb_near_dups_lsh(
-        emb, threshold=0.45, bits=_RP_BITS, band_bits=8, d=D
+        emb, threshold=0.30, bits=_RP_BITS, band_bits=8, d=D
     )
     return out.select("src", "dst", F.round("cos_sim", 6).alias("cos_sim"))
 

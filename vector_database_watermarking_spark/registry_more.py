@@ -6192,6 +6192,384 @@ def rel_priority_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rel_local_supplier_volume",
+    oracle=f"""
+SELECT n.n_name,
+       CAST(sum({_REV_E4_SQL}) AS BIGINT) AS revenue_e4,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'EUROPE'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+""",
+)
+def rel_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue by nation where the customer and the
+    supplier share a nation ("local" supply), one region, one order
+    year. The distinguishing plan feature is the join condition that
+    spans two dimension paths (c_nationkey = s_nationkey) — it rides
+    the supplier join, so no post-join filter materializes the
+    non-local pairs. nation/region broadcast; the date filter is
+    pushed to the orders scan; one shuffle (the n_name agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(_rev_e4_col()).alias("revenue_e4"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "rel_forecast_revenue",
+    oracle="""
+SELECT CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS forecast_rev_e4,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND CAST(floor(l_discount * 100 + 0.5) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24
+""",
+)
+def rel_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure scan-filter-aggregate query — revenue
+    increase if mid-band discounts had not been granted. No join at
+    all; every predicate (date window, discount band, quantity cap)
+    must reach the parquet scan, and the single global aggregate is
+    one map-side partial + a 1-row exchange. The discount band is
+    compared on the exact integer percent (floor(d*100+0.5)) so the
+    float32-parquet discount column can't straddle the bound
+    differently across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_pct = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & disc_pct.between(5, 7)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+                * disc_pct
+            ).alias("forecast_rev_e4"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "rel_important_parts",
+    oracle="""
+WITH pv AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS value_cents
+  FROM lineitem GROUP BY 1
+),
+tot AS (SELECT sum(value_cents) AS total_cents,
+               count(*) AS n_parts FROM pv)
+SELECT p.p_partkey, p.p_name, pv.value_cents
+FROM pv JOIN part p ON pv.l_partkey = p.p_partkey, tot
+WHERE pv.value_cents * tot.n_parts * 10 > tot.total_cents * 14
+""",
+)
+def rel_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted: lineitem value stands in for the
+    absent partsupp supplycost): parts whose total traded value
+    exceeds 1.4x the average part's — a grouped aggregate filtered
+    against a GLOBAL aggregate of itself. The spec's fixed 0.0001
+    fraction is deliberately scale-dependent (TPC-H divides it by SF);
+    a mean-relative cut is the scale-invariant equivalent, nonzero at
+    every fixture sf. The global total is derived FROM the per-part
+    aggregate (a 1-row reduction of the grouped result, broadcast
+    back); the per-part aggregate is consumed from two plan positions
+    (the filter probe and its own reduction), so it is materialized
+    per the multi-consumer-subtree rule — lineitem is scanned once,
+    not once per consumer; the share test multiplies instead of
+    divides to stay in exact integers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    pv = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("value_cents")
+        )
+        .localCheckpoint(eager=True)
+    )
+    # single lineitem scan: total is a 1-row reduction of pv itself
+    tot = pv.agg(
+        F.sum("value_cents").alias("total_cents"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        pv.join(F.broadcast(tot))
+        .filter(
+            F.col("value_cents") * F.col("n_parts") * 10
+            > F.col("total_cents") * 14
+        )
+        .join(F.broadcast(p), pv.l_partkey == p.p_partkey)
+        .select("p_partkey", "p_name", "value_cents")
+    )
+
+
+@register(
+    "rel_late_shipment_modes",
+    oracle="""
+SELECT l.l_returnflag,
+       CAST(count(*) FILTER (o.o_orderpriority IN ('1-URGENT', '2-HIGH'))
+            AS BIGINT) AS high_line_count,
+       CAST(count(*) FILTER (o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+            AS BIGINT) AS low_line_count
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+""",
+)
+def rel_late_shipment_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: returnflag stands in for the absent
+    l_shipmode): lineitems shipped more than 90 days after ordering,
+    counted per class with the priority split as conditional
+    aggregates. The late predicate compares columns from BOTH join
+    sides, so it rides the join condition (no post-join filter
+    stage); the shipdate window is pushed to the lineitem scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            o,
+            (li.l_orderkey == o.o_orderkey)
+            & (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+            ),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "rel_promo_revenue",
+    oracle=f"""
+SELECT CAST(coalesce(sum({_REV_E4_SQL}) FILTER (p.p_type = 'PROMO'), 0)
+            AS BIGINT) AS promo_rev_e4,
+       CAST(sum({_REV_E4_SQL}) AS BIGINT) AS total_rev_e4,
+       round(coalesce(sum({_REV_E4_SQL}) FILTER (p.p_type = 'PROMO'), 0)
+             / CAST(sum({_REV_E4_SQL}) AS DOUBLE), 6) AS promo_share
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l.l_shipdate < TIMESTAMP '1996-04-01'
+""",
+)
+def rel_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: the share of one month's revenue carried by
+    promotional parts — a conditional aggregate over a fact-dim join
+    reduced to a single row. The month filter prunes the lineitem
+    scan; part broadcasts; the share is computed from the two exact
+    integer sums (same division both engines, rounded to 1e-6)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    promo = F.when(F.col("p_type") == "PROMO", _rev_e4_col()).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(promo).alias("promo_rev_e4"),
+            F.sum(_rev_e4_col()).alias("total_rev_e4"),
+        )
+        .select(
+            "promo_rev_e4",
+            "total_rev_e4",
+            F.round(
+                F.col("promo_rev_e4") / F.col("total_rev_e4").cast("double"), 6
+            ).alias("promo_share"),
+        )
+    )
+
+
+@register(
+    "rel_top_supplier",
+    oracle=f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum({_REV_E4_SQL}) AS BIGINT) AS total_rev_e4
+  FROM lineitem l
+  WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l.l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, rev.total_rev_e4
+FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+WHERE rev.total_rev_e4 = (SELECT max(total_rev_e4) FROM rev)
+""",
+)
+def rel_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the revenue view + "suppliers achieving the
+    maximum" join-back — the scalar subquery over the SAME derived
+    view the outer query reads. The per-supplier aggregate is
+    materialized (multi-consumer-subtree rule: the max reduction and
+    the equality probe both read it), so lineitem is scanned once;
+    the 1-row max broadcasts back onto the view (no window-over-
+    everything); ties (multiple top suppliers) all surface, exactly
+    as the spec's view formulation does."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(_rev_e4_col()).alias("total_rev_e4"))
+        .localCheckpoint(eager=True)
+    )
+    mx = rev.agg(F.max("total_rev_e4").alias("max_rev_e4"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_rev_e4") == F.col("max_rev_e4"))
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev_e4")
+    )
+
+
+@register(
+    "rel_large_volume_customers",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS qty_sum
+  FROM lineitem GROUP BY 1
+  HAVING sum(l_quantity) > 250
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS totalprice_cents,
+       big.qty_sum
+FROM big
+JOIN orders o ON big.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY totalprice_cents DESC, o.o_orderkey
+LIMIT 100
+""",
+)
+def rel_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity across lineitems
+    clears a threshold (a HAVING on the fact-side group), joined back
+    to orders and customer for the top-100 report. The quantity
+    aggregate runs BEFORE any dimension join, so the join fan-in is
+    the few hundred qualifying orderkeys, not 60k lineitems; top-100
+    tie-broken by orderkey."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty_raw"))
+        .filter(F.col("qty_raw") > 250)
+        .select("l_orderkey", F.col("qty_raw").cast("long").alias("qty_sum"))
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("totalprice_cents"),
+            "qty_sum",
+        )
+        .orderBy(F.col("totalprice_cents").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "rel_disjunct_revenue",
+    oracle=f"""
+SELECT CAST(sum({_REV_E4_SQL}) AS BIGINT) AS rev_e4,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_type = 'SMALL' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_type = 'MEDIUM' AND p.p_size BETWEEN 11 AND 25
+       AND l.l_quantity BETWEEN 10 AND 30)
+   OR (p.p_type = 'LARGE' AND p.p_size BETWEEN 26 AND 50
+       AND l.l_quantity BETWEEN 20 AND 40)
+""",
+)
+def rel_disjunct_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (adapted: type/size classes stand in for the
+    absent brand/container pairs): revenue from a DISJUNCTION of three
+    conjunctive range branches that each mix part attributes with a
+    lineitem quantity band. The disjunction can't be pushed to either
+    scan whole, but its single-side envelopes can: Catalyst extracts
+    size BETWEEN 1 AND 50 / quantity BETWEEN 1 AND 40 toward the
+    scans, and the full predicate rides the broadcast-join filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type", "p_size")
+    q, sz, ty = F.col("l_quantity"), F.col("p_size"), F.col("p_type")
+    branch = (
+        ((ty == "SMALL") & sz.between(1, 10) & q.between(1, 20))
+        | ((ty == "MEDIUM") & sz.between(11, 25) & q.between(10, 30))
+        | ((ty == "LARGE") & sz.between(26, 50) & q.between(20, 40))
+    )
+    return (
+        li.join(F.broadcast(p), (li.l_partkey == p.p_partkey) & branch)
+        .agg(
+            F.sum(_rev_e4_col()).alias("rev_e4"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 # ------------------------------------------------- pipeline coverage pack
 #
 # Registered LAST in this module so it can embed the oracles of the
@@ -6309,6 +6687,28 @@ def _pipeline_pack_oracle() -> str:
     och = QUERIES["rel_order_count_histogram"].oracle
     plo = QUERIES["rel_priority_late_orders"].oracle
     h_op9 = oracle_hash60("o_orderpriority")
+    # late-round-9 TPC-H completion (rotation pool for round 10)
+    lsv = QUERIES["rel_local_supplier_volume"].oracle
+    fcr = QUERIES["rel_forecast_revenue"].oracle
+    imp = QUERIES["rel_important_parts"].oracle
+    lsm = QUERIES["rel_late_shipment_modes"].oracle
+    prv = QUERIES["rel_promo_revenue"].oracle
+    tps = QUERIES["rel_top_supplier"].oracle
+    lvc = QUERIES["rel_large_volume_customers"].oracle
+    djr = QUERIES["rel_disjunct_revenue"].oracle
+    h_nn10 = oracle_hash60("n_name")
+    h_pn10 = oracle_hash60("p_name")
+    h_rf10 = oracle_hash60("l_returnflag")
+    h_sn10 = oracle_hash60("s_name")
+    h_cn10 = oracle_hash60("c_name")
+    # round-9 demotions: full oracles of the three curation rows
+    # rotated out of the graded window that had no pack row yet
+    smx = QUERIES["ext_source_mix"].oracle
+    csp = QUERIES["ext_corpus_split"].oracle
+    cdr = QUERIES["ext_corpus_drift"].oracle
+    h_ls = oracle_hash60("lang || '|' || source")
+    h_spl9 = oracle_hash60("split")
+    h_src9 = oracle_hash60("source")
     # round-8 demotions (VERDICT r07 #1): full oracles of the five rows
     # rotated out of the graded window that had no pack row yet
     esn = QUERIES["ext_events_sessions"].oracle
@@ -6892,6 +7292,59 @@ SELECT 'priority_late_check',
   CAST(count(*) + sum(({h_op9} % 997 + 1) * (order_count % 1000003)) AS BIGINT)
   FROM ({plo})
 UNION ALL
+SELECT 'local_supplier_check',
+  CAST(count(*) + sum(({h_nn10} % 997 + 1)
+       * ((revenue_e4 + n_items * 131) % 1000003)) AS BIGINT)
+  FROM ({lsv})
+UNION ALL
+SELECT 'forecast_revenue_check',
+  CAST(count(*) + sum(forecast_rev_e4 % 1000003 + n_items * 131) AS BIGINT)
+  FROM ({fcr})
+UNION ALL
+SELECT 'important_parts_check',
+  CAST(count(*) + sum((p_partkey % 997 + 1)
+       * ((value_cents + {h_pn10} % 100003) % 1000003)) AS BIGINT)
+  FROM ({imp})
+UNION ALL
+SELECT 'late_modes_check',
+  CAST(count(*) + sum(({h_rf10} % 997 + 1)
+       * ((high_line_count * 131 + low_line_count) % 1000003)) AS BIGINT)
+  FROM ({lsm})
+UNION ALL
+SELECT 'promo_revenue_check',
+  CAST(count(*) + sum(promo_rev_e4 % 1000003 + total_rev_e4 % 1000003
+       + CAST(floor(promo_share * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+  FROM ({prv})
+UNION ALL
+SELECT 'top_supplier_check',
+  CAST(count(*) + sum((s_suppkey % 997 + 1)
+       * ((total_rev_e4 + {h_sn10} % 100003) % 1000003)) AS BIGINT)
+  FROM ({tps})
+UNION ALL
+SELECT 'large_volume_check',
+  CAST(count(*) + sum((o_orderkey % 997 + 1)
+       * ((totalprice_cents + qty_sum * 131 + c_custkey
+           + {h_cn10} % 100003) % 1000003)) AS BIGINT)
+  FROM ({lvc})
+UNION ALL
+SELECT 'disjunct_revenue_check',
+  CAST(count(*) + sum(rev_e4 % 1000003 + n_items * 131) AS BIGINT)
+  FROM ({djr})
+UNION ALL
+SELECT 'source_mix_check',
+  CAST(count(*) + sum((doc_id % 997 + 1) * ({h_ls} % 1000003)) AS BIGINT)
+  FROM ({smx})
+UNION ALL
+SELECT 'corpus_split_check',
+  CAST(count(*) + sum((doc_id % 997 + 1) * ({h_spl9} % 1000003)) AS BIGINT)
+  FROM ({csp})
+UNION ALL
+SELECT 'corpus_drift_check',
+  CAST(count(*) + sum(({h_src9} % 997 + 1)
+       * ((CAST(floor(psi * 1000000 + 0.5) AS BIGINT) + n_rows * 131)
+          % 1000003)) AS BIGINT)
+  FROM ({cdr})
+UNION ALL
 SELECT 'manifest_jsonl_check',
   CAST(count(*) + count(*) * 31 + sum((event_id % 997 + 1)
        * ((user_id * 131 + {oracle_hash60('event_type')} % 100003
@@ -6956,9 +7409,12 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     time-travel read (version-1 snapshot vs the first-batch merge
     replay); and the schema-evolution mergeSchema read (null-padded
     widen).
-    Round-9 row: manifest_jsonl_check — the write-then-read round-trip
+    Round-9 rows: manifest_jsonl_check — the write-then-read round-trip
     through the custom manifest-committed JSONL sink, checksummed
-    against the parquet source (the sink's first driver-graded row).
+    against the parquet source (the sink's first driver-graded row) —
+    and the three rotation demotions (source_mix_check,
+    corpus_split_check, corpus_drift_check), each embedding that
+    query's full oracle so the demoted rows stay driver-graded.
 
     Each oracle side embeds the corresponding full-value oracle
     verbatim as a subquery, so a pass here certifies the same
@@ -9006,6 +9462,204 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.sum(
                         (hash60(F.col("o_orderpriority")) % 997 + 1)
                         * (F.col("order_count") % 1000003)
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    # Late-round-9 TPC-H completion rows (rotation pool for round 10).
+    lsv = QUERIES["rel_local_supplier_volume"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "local_supplier_check",
+            lsv.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (hash60(F.col("n_name")) % 997 + 1)
+                        * ((F.col("revenue_e4") + F.col("n_items") * 131) % 1000003)
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    fcr = QUERIES["rel_forecast_revenue"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "forecast_revenue_check",
+            fcr.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        F.col("forecast_rev_e4") % 1000003 + F.col("n_items") * 131
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    imp = QUERIES["rel_important_parts"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "important_parts_check",
+            imp.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (F.col("p_partkey") % 997 + 1)
+                        * (
+                            (F.col("value_cents") + hash60(F.col("p_name")) % 100003)
+                            % 1000003
+                        )
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    lsm = QUERIES["rel_late_shipment_modes"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "late_modes_check",
+            lsm.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (hash60(F.col("l_returnflag")) % 997 + 1)
+                        * (
+                            (
+                                F.col("high_line_count") * 131
+                                + F.col("low_line_count")
+                            )
+                            % 1000003
+                        )
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    prv = QUERIES["rel_promo_revenue"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "promo_revenue_check",
+            prv.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        F.col("promo_rev_e4") % 1000003
+                        + F.col("total_rev_e4") % 1000003
+                        + F.floor(F.col("promo_share") * 1000000 + F.lit(0.5)).cast(
+                            "long"
+                        )
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    tps = QUERIES["rel_top_supplier"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "top_supplier_check",
+            tps.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (F.col("s_suppkey") % 997 + 1)
+                        * (
+                            (F.col("total_rev_e4") + hash60(F.col("s_name")) % 100003)
+                            % 1000003
+                        )
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    lvc = QUERIES["rel_large_volume_customers"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "large_volume_check",
+            lvc.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (F.col("o_orderkey") % 997 + 1)
+                        * (
+                            (
+                                F.col("totalprice_cents")
+                                + F.col("qty_sum") * 131
+                                + F.col("c_custkey")
+                                + hash60(F.col("c_name")) % 100003
+                            )
+                            % 1000003
+                        )
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    djr = QUERIES["rel_disjunct_revenue"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "disjunct_revenue_check",
+            djr.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(F.col("rev_e4") % 1000003 + F.col("n_items") * 131)
+                ).alias("value")
+            ),
+        )
+    )
+    # Round-9 demotion rows: full-oracle checksums for the three
+    # curation queries rotated out of the graded window this round.
+    smx = QUERIES["ext_source_mix"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "source_mix_check",
+            smx.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (F.col("doc_id") % 997 + 1)
+                        * (
+                            hash60(F.concat_ws("|", "lang", "source"))
+                            % 1000003
+                        )
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    csp = QUERIES["ext_corpus_split"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "corpus_split_check",
+            csp.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (F.col("doc_id") % 997 + 1)
+                        * (hash60(F.col("split")) % 1000003)
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    cdr = QUERIES["ext_corpus_drift"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "corpus_drift_check",
+            cdr.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (hash60(F.col("source")) % 997 + 1)
+                        * (
+                            (
+                                F.floor(F.col("psi") * 1000000 + F.lit(0.5)).cast(
+                                    "long"
+                                )
+                                + F.col("n_rows") * 131
+                            )
+                            % 1000003
+                        )
                     )
                 ).alias("value")
             ),
