@@ -85,6 +85,13 @@ HEADLINE = [
     # kNN graph; this one is pure relational parent-pointer chasing)
     "rel_bom_rollup",
 ]
+# The round-8/9 TPC-H breadth rows (Q2/Q4/Q5/Q6/Q8/Q9/Q10/Q11/Q12/Q13/
+# Q14/Q15/Q18/Q19/Q20/Q21/Q22 shapes) are deliberately NOT headlines:
+# each rides a cost shape an existing row already tracks (scan-agg ->
+# rel_pricing_summary; the widest join tree -> rel_nation_trade;
+# group-then-broadcast-join and window/limit shapes -> the relational
+# rows above). Their 10x-scale numbers live in SCALING.md via
+# tools/bench_sf1.py --queries round9 instead.
 # ext_contamination_bloom is deliberately NOT a headline: at fixture
 # scale both fingerprint sides are equally tiny, so the exact one-job
 # plan computes them in parallel while the bloom pays a serialized

@@ -631,3 +631,15 @@ def test_disjunct_revenue_envelopes_pushed(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_priority_late_semi_never_broadcasts_fact(spark, sf_dir):
+    """Q4 shape, round-9 sf1 lesson: the LEFT SEMI's build side is the
+    RIGHT relation — the lineitem fact projection — and broadcasting a
+    fact side is wrong at every scale (measured 2.4x slower at sf1,
+    impossible at 100 TB). The shuffle_hash hint must hold: the semi
+    join is a ShuffledHashJoin, never a broadcast."""
+    q = QUERIES["rel_priority_late_orders"].fn(spark, sf_dir)
+    plan = plan_of(q)
+    assert "ShuffledHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
