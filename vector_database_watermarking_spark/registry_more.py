@@ -1367,7 +1367,8 @@ def rel_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape (not in the reference; relational coverage): a
     fact-fact shuffle join (orders ⋈ lineitem on orderkey) under a
     filtered dimension semi-side, grouped top-k by revenue. The
-    customer filter broadcasts; the big join shuffles both sides on
+    customer filter is broadcast-eligible (threshold-chosen, never
+    forced — customer scales with sf); the big join shuffles both sides on
     the join key; ties break on l_orderkey so the limit is
     deterministic cross-engine."""
     c = load_table(spark, sf_dir, "customer").filter(
@@ -1381,7 +1382,7 @@ def rel_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_semi")
+        .join(c, o.o_custkey == c.c_custkey, "left_semi")
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             F.round(
@@ -5298,7 +5299,7 @@ def rel_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        qualified.join(F.broadcast(s), qualified.l_suppkey == s.s_suppkey)
+        qualified.join(s, qualified.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
@@ -5543,7 +5544,7 @@ def rel_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sp.join(pt, on="l_partkey")
         .filter(5 * F.col("qty") > F.col("total"))
-        .join(F.broadcast(s), sp.l_suppkey == s.s_suppkey)
+        .join(s, sp.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(
             F.count(F.lit(1)).alias("n_parts_dominated"),
@@ -5808,6 +5809,18 @@ def rel_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # integers, ratios of exact integers ship unrounded (bit-identical
 # across engines), every top-N has an id tie-break.
 
+# Forced-broadcast policy for the relational breadth queries: only the
+# FIXED-SIZE dimensions (nation: 25 rows, region: 5 rows) and provably
+# bounded derivations (1-row aggregates, top-k probes) carry an explicit
+# F.broadcast(). Relations that scale with sf (part, supplier, customer,
+# orders, lineitem, events, documents, embeddings) are never
+# broadcast-forced: at fixture scale the session's 64 MB threshold still
+# broadcasts the small ones (same plans, same speed), and when a
+# deployment outgrows it AQE degrades those joins to shuffled hash joins
+# instead of OOMing on a forced hint. (Round-9 sf1 audit: every
+# BroadcastExchange over an sf-scaled scan traced to either the
+# threshold -- auto-degrading -- or one of the forced sites removed in
+# that audit.)
 _REV_E4_SQL = (
     "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
     " * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))"
@@ -5925,8 +5938,8 @@ def rel_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
         .join(F.broadcast(r), F.col("cn_region") == r.r_regionkey)
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .select(
             F.year("o_orderdate").alias("o_year"),
@@ -5981,8 +5994,8 @@ def rel_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.lit(50)
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .groupBy(F.col("n_name"), F.year("o_orderdate").alias("o_year"))
@@ -6040,13 +6053,12 @@ def rel_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("p_partkey").orderBy("total_cents", "s_key")
     ranked = (
-        F.broadcast(p)
-        .join(supply, p.p_partkey == supply.p_key)
+        p.join(supply, p.p_partkey == supply.p_key)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
     )
     return (
-        ranked.join(F.broadcast(s), ranked.s_key == s.s_suppkey)
+        ranked.join(s, ranked.s_key == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .select("p_partkey", "p_brand", "s_name", "n_name", "total_cents")
         .orderBy("p_partkey")
@@ -6350,7 +6362,7 @@ def rel_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value_cents") * F.col("n_parts") * 10
             > F.col("total_cents") * 14
         )
-        .join(F.broadcast(p), pv.l_partkey == p.p_partkey)
+        .join(p, pv.l_partkey == p.p_partkey)
         .select("p_partkey", "p_name", "value_cents")
     )
 
@@ -6421,7 +6433,8 @@ def rel_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: the share of one month's revenue carried by
     promotional parts — a conditional aggregate over a fact-dim join
     reduced to a single row. The month filter prunes the lineitem
-    scan; part broadcasts; the share is computed from the two exact
+    scan; the part join is broadcast-eligible (threshold-chosen, not
+    forced — part scales with sf); the share is computed from the two exact
     integer sums (same division both engines, rounded to 1e-6)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-03-01")
@@ -6430,7 +6443,7 @@ def rel_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     promo = F.when(F.col("p_type") == "PROMO", _rev_e4_col()).otherwise(F.lit(0))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             F.sum(promo).alias("promo_rev_e4"),
             F.sum(_rev_e4_col()).alias("total_rev_e4"),
@@ -6484,7 +6497,7 @@ def rel_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.join(F.broadcast(mx))
         .filter(F.col("total_rev_e4") == F.col("max_rev_e4"))
-        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .join(s, rev.l_suppkey == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_rev_e4")
     )
 
@@ -6572,7 +6585,7 @@ def rel_disjunct_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((ty == "LARGE") & sz.between(26, 50) & q.between(20, 40))
     )
     return (
-        li.join(F.broadcast(p), (li.l_partkey == p.p_partkey) & branch)
+        li.join(p, (li.l_partkey == p.p_partkey) & branch)
         .agg(
             F.sum(_rev_e4_col()).alias("rev_e4"),
             F.count(F.lit(1)).alias("n_items"),
