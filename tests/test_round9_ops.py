@@ -491,3 +491,86 @@ def test_disjunct_revenue_hand_computed(spark, tmp_path):
     _write(li, d, "lineitem")
     row = QUERIES["rel_disjunct_revenue"].fn(spark, d).collect()[0]
     assert (row["rev_e4"], row["n_items"]) == (3_000_000, 3)
+
+
+def test_manifest_jsonl_stream_writer_end_to_end(spark, tmp_path):
+    """Custom Python DataSource streaming SINK: synthevents readStream
+    -> manifest_jsonl writeStream delivers every row exactly once
+    across micro-batches, each batch publishing its own atomic
+    manifest; the manifest reader unions them."""
+    import os
+
+    from vector_database_watermarking_spark.sources.synthetic import (
+        read_manifest_jsonl,
+        register_manifest_sink,
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    register_manifest_sink(spark)
+    out = str(tmp_path / "stream_sink")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.format("synthevents")
+        .option("rows", 500)
+        .option("rows_per_batch", 170)  # 3 full batches + 1 short
+        .option("users", 11)
+        .load()
+        .select("event_id", "user_id", "event_type")
+    )
+    q = (
+        stream.writeStream.format("manifest_jsonl")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    manifests = [n for n in os.listdir(out) if n.startswith("_MANIFEST-")]
+    assert len(manifests) >= 3, manifests  # really arrived per micro-batch
+    back, total = read_manifest_jsonl(spark, out)
+    assert total == 500
+    assert sorted(int(r["event_id"]) for r in back.collect()) == list(range(500))
+
+
+def test_manifest_jsonl_stream_replay_is_exactly_once(spark, tmp_path):
+    """The exactly-once contract under micro-batch REPLAY: committing
+    the same batchId twice (what Structured Streaming does after a
+    restart that lost the sink's ack) REPLACES the batch manifest, so
+    the replayed rows supersede the originals instead of duplicating
+    them, and the first attempt's staged files become invisible
+    orphans."""
+    import os
+
+    from pyspark.sql import Row
+
+    from vector_database_watermarking_spark.sources.synthetic import (
+        ManifestJsonlStreamWriter,
+        read_manifest_jsonl,
+    )
+
+    out = str(tmp_path / "replay_sink")
+    os.makedirs(out)
+    w = ManifestJsonlStreamWriter({"path": out})
+
+    def stage(rows):
+        return w.write(iter([Row(event_id=i, tag=t) for i, t in rows]))
+
+    # batch 0 commits once; batch 1's first attempt commits, then the
+    # whole batch is replayed (new staged file, same batchId)
+    w.commit([stage([(0, "b0"), (1, "b0")])], batchId=0)
+    w.commit([stage([(2, "attempt1"), (3, "attempt1")])], batchId=1)
+    w.commit([stage([(2, "replay"), (3, "replay")])], batchId=1)
+
+    back, total = read_manifest_jsonl(spark, out)
+    assert total == 4
+    rows = {(int(r["event_id"]), r["tag"]) for r in back.collect()}
+    assert rows == {(0, "b0"), (1, "b0"), (2, "replay"), (3, "replay")}
+    # the superseded attempt's file still exists on disk (an orphan)
+    # but no manifest lists it
+    staged = [n for n in os.listdir(out) if n.startswith("part-")]
+    assert len(staged) == 3

@@ -1,0 +1,138 @@
+"""Two-decade relational scaling: sf0.1 -> sf1 -> sf10 for the core
+TPC-H-shape plans (the round-9 forced-broadcast audit's follow-up —
+the plans now rely on the threshold/AQE to pick join strategies, so
+this run shows what those strategies do when the data is 100x the
+bench scale: 60M lineitem / 15M orders / 10M events on the fixed
+32-thread host).
+
+Fixture: sf0.1 replicated 100x with CONSISTENT wide key offsets
+(every FK relationship survives: lineitem -> orders/part/supplier,
+orders -> customer, events keep per-replica user populations with a
+1-second-per-replica time shift). nation/region stay verbatim (fixed
+25/5-row dimensions). ~2 GB parquet.
+
+Usage: python tools/bench_sf10_rel.py [--reps 2] [--queries a,b,...]
+Prints one JSON line per (query, scale-point).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC_SF = "/root/testdata/sf0.1"
+SF1_DIR = "/root/repo/_scratch/sf1"
+SF10_DIR = "/root/repo/_scratch/sf10_rel"
+REPLICAS = 100
+OFFSET = 1 << 24
+
+# One query per distinct relational plan shape, cheap enough to run
+# at 60M lineitem on one host:
+#   Q1  scan + hash agg (the pure-throughput floor)
+#   Q4  shuffled-hash LEFT SEMI with a cross-side inequality
+#   Q7  the 6-table join tree (biggest shuffle plan in the registry)
+#   Q13 LEFT OUTER fact join + double aggregate
+#   Q18 fact-side HAVING before any dimension join
+#   TWAP per-user interval weighting over events (window + one shuffle)
+QUERY_NAMES = [
+    "rel_pricing_summary",
+    "rel_priority_late_orders",
+    "rel_nation_trade",
+    "rel_order_count_histogram",
+    "rel_large_volume_customers",
+    "rel_events_twap",
+]
+
+
+def build_sf10(spark) -> None:
+    from pyspark.sql import functions as F
+
+    if os.path.isdir(os.path.join(SF10_DIR, "lineitem.parquet")):
+        return
+    os.makedirs(SF10_DIR, exist_ok=True)
+
+    def replicate(name, offsets, ts_col=None, parts_out=32):
+        df = spark.read.parquet(os.path.join(SRC_SF, f"{name}.parquet"))
+        reps = []
+        for r in range(REPLICAS):
+            p = df
+            for col in offsets:
+                p = p.withColumn(col, F.col(col) + F.lit(r * OFFSET))
+            if ts_col is not None and r:
+                p = p.withColumn(
+                    ts_col, F.col(ts_col) + F.expr(f"INTERVAL {r} SECONDS")
+                )
+            reps.append(p)
+        out = reps[0]
+        for p in reps[1:]:
+            out = out.unionByName(p)
+        out.repartition(parts_out).write.mode("overwrite").parquet(
+            os.path.join(SF10_DIR, f"{name}.parquet")
+        )
+
+    replicate("orders", ["o_orderkey", "o_custkey"])
+    replicate("lineitem", ["l_orderkey", "l_partkey", "l_suppkey"], parts_out=64)
+    replicate("customer", ["c_custkey"])
+    replicate("supplier", ["s_suppkey"])
+    replicate("part", ["p_partkey"])
+    replicate("events", ["event_id", "user_id"], ts_col="ts")
+    for dim in ("nation", "region"):
+        spark.read.parquet(os.path.join(SRC_SF, f"{dim}.parquet")).coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(SF10_DIR, f"{dim}.parquet"))
+
+
+def consume(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--queries", default=None)
+    ap.add_argument("--build-only", action="store_true")
+    args = ap.parse_args()
+    names = args.queries.split(",") if args.queries else QUERY_NAMES
+
+    from vector_database_watermarking_spark.registry import QUERIES
+    from vector_database_watermarking_spark.session import get_spark
+
+    spark = get_spark(
+        "bench-sf10-rel", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    )
+    t0 = time.monotonic()
+    build_sf10(spark)
+    print(
+        json.dumps({"stage": "build_sf10_rel", "sec": round(time.monotonic() - t0, 1)}),
+        flush=True,
+    )
+    if args.build_only:
+        spark.stop()
+        return
+
+    for name in names:
+        fn = QUERIES[name].fn
+        consume(fn(spark, "/root/testdata/sf0.01"))  # codegen warmup
+        for sf, d in [(0.1, SRC_SF), (1.0, SF1_DIR), (10.0, SF10_DIR)]:
+            reps = []
+            for _ in range(args.reps):
+                t0 = time.monotonic()
+                try:
+                    consume(fn(spark, d))
+                except Exception as e:  # noqa: BLE001
+                    print(json.dumps({"query": name, "sf": sf,
+                                      "error": str(e)[:300]}), flush=True)
+                    break
+                reps.append(round(time.monotonic() - t0, 2))
+            if reps:
+                print(json.dumps({"query": name, "sf": sf, "reps_sec": reps}),
+                      flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -33,6 +33,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -222,9 +223,62 @@ class ManifestJsonlWriter(DataSourceWriter):
                     pass
 
 
+class ManifestJsonlStreamWriter(DataSourceStreamWriter):
+    """Streaming half of the manifest sink: exactly-once across
+    micro-batch REPLAYS via idempotent per-batch manifest publish.
+
+    Tasks stage uniquely-named files exactly like the batch writer
+    (nothing visible until a manifest lists them). ``commit`` writes
+    ``_MANIFEST-{batchId}`` atomically — when Structured Streaming
+    replays a batch after a restart (the at-least-once half of its
+    contract), the replay's commit REPLACES that batch's manifest, so
+    the replayed rows supersede rather than duplicate the originals
+    and the dataset stays exactly-once at read time. The prior
+    attempt's staged files become manifest-orphans, invisible to
+    ``read_manifest_jsonl`` by construction."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def write(self, iterator) -> "_JsonlCommit":
+        return ManifestJsonlWriter({"path": self.path}, False).write(iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        import json
+        import os
+
+        manifest = {
+            "batch_id": int(batchId),
+            "files": [
+                {"file": m.filename, "rows": m.n_rows}
+                for m in sorted(
+                    (m for m in messages if m), key=lambda m: m.filename
+                )
+            ],
+        }
+        manifest["total_rows"] = sum(f["rows"] for f in manifest["files"])
+        tmp = os.path.join(self.path, f"_MANIFEST-{int(batchId):010d}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        # atomic publish; a batch REPLAY overwrites its own manifest
+        os.replace(tmp, os.path.join(self.path, f"_MANIFEST-{int(batchId):010d}"))
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self.path, m.filename))
+                except FileNotFoundError:
+                    pass
+
+
 class ManifestJsonlDataSource(DataSource):
     """``df.write.format("manifest_jsonl").option("path", dir).save()``
-    after ``spark.dataSource.register(ManifestJsonlDataSource)``."""
+    after ``spark.dataSource.register(ManifestJsonlDataSource)``; also
+    ``df.writeStream.format("manifest_jsonl")`` for the exactly-once
+    streaming path."""
 
     @classmethod
     def name(cls) -> str:
@@ -233,18 +287,37 @@ class ManifestJsonlDataSource(DataSource):
     def writer(self, schema, overwrite: bool) -> ManifestJsonlWriter:
         return ManifestJsonlWriter(self.options, overwrite)
 
+    def streamWriter(self, schema, overwrite: bool) -> ManifestJsonlStreamWriter:
+        return ManifestJsonlStreamWriter(self.options)
+
 
 def read_manifest_jsonl(spark, path: str):
     """Read ONLY the manifest-listed files of a manifest_jsonl dataset
     (staged-but-uncommitted files are invisible — the reader half of
-    the sink's atomicity contract). Returns (DataFrame, total_rows)."""
+    the sink's atomicity contract). Batch datasets carry one
+    ``_MANIFEST``; streaming datasets carry one ``_MANIFEST-{batch}``
+    per micro-batch (each the atomically-published LAST attempt of its
+    batch, so replays never double-count). Returns
+    (DataFrame, total_rows)."""
     import json
     import os
 
-    with open(os.path.join(path, "_MANIFEST")) as f:
-        manifest = json.load(f)
-    files = [os.path.join(path, e["file"]) for e in manifest["files"]]
-    return spark.read.json(files), int(manifest["total_rows"])
+    names = sorted(
+        n for n in os.listdir(path)
+        if n == "_MANIFEST"
+        or (n.startswith("_MANIFEST-") and not n.endswith(".tmp"))
+    )
+    if not names:
+        raise FileNotFoundError(f"no manifest published under {path}")
+    files, total = [], 0
+    for n in names:
+        with open(os.path.join(path, n)) as f:
+            manifest = json.load(f)
+        files += [os.path.join(path, e["file"]) for e in manifest["files"]]
+        total += int(manifest["total_rows"])
+    if not files:  # manifests published, but every batch was empty
+        raise ValueError(f"manifests under {path} list no data files")
+    return spark.read.json(files), total
 
 
 def register_manifest_sink(spark) -> None:
