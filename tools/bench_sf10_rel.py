@@ -120,6 +120,9 @@ def main() -> None:
         for sf, d in [(0.1, SRC_SF), (1.0, SF1_DIR), (10.0, SF10_DIR)]:
             reps = []
             for _ in range(args.reps):
+                # bench.py's isolation rule: accumulated persisted
+                # blocks from earlier queries distort later ones
+                spark.catalog.clearCache()
                 t0 = time.monotonic()
                 try:
                     consume(fn(spark, d))
