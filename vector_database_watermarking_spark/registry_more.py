@@ -7375,6 +7375,25 @@ SELECT 'manifest_jsonl_check',
            + CAST(floor(value * 100 + 0.5) AS BIGINT))
           % 1000003)) AS BIGINT)
   FROM events
+UNION ALL
+SELECT 'manifest_stream_check',
+  CAST(count(*) + count(*) * 31 + sum((event_id % 997 + 1)
+       * ((user_id * 131 + {oracle_hash60('event_type')} % 100003
+           + ((CAST(1704067200 AS BIGINT) + 37 * event_id) * 1000000)
+             % 1000003
+           + cents) % 1000003)) AS BIGINT)
+  FROM (
+    SELECT i AS event_id,
+           CAST('0x' || substr(md5('sev_u_' || CAST(i AS VARCHAR)), 1, 15)
+                AS BIGINT) % 97 AS user_id,
+           CASE (CAST('0x' || substr(md5('sev_t_' || CAST(i AS VARCHAR)), 1, 15)
+                      AS BIGINT) % 4)
+             WHEN 0 THEN 'view' WHEN 1 THEN 'click'
+             WHEN 2 THEN 'purchase' ELSE 'error' END AS event_type,
+           CAST('0x' || substr(md5('sev_v_' || CAST(i AS VARCHAR)), 1, 15)
+                AS BIGINT) % 100000 AS cents
+    FROM generate_series(0, 1999) t(i)
+  )
 """
 
 
@@ -7434,10 +7453,14 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     widen).
     Round-9 rows: manifest_jsonl_check — the write-then-read round-trip
     through the custom manifest-committed JSONL sink, checksummed
-    against the parquet source (the sink's first driver-graded row) —
-    and the three rotation demotions (source_mix_check,
-    corpus_split_check, corpus_drift_check), each embedding that
-    query's full oracle so the demoted rows stay driver-graded.
+    against the parquet source (the sink's first driver-graded row);
+    manifest_stream_check — a real Structured Streaming query through
+    the sink's streaming tier, its per-batch manifests' accounting
+    pinned to the row count (exactly-once) and its content replayed by
+    DuckDB from generate_series + md5 arithmetic; the three rotation
+    demotions (source_mix_check, corpus_split_check,
+    corpus_drift_check) and the eight TPC-H-completion rows, each
+    embedding that query's full oracle.
 
     Each oracle side embeds the corresponding full-value oracle
     verbatim as a subquery, so a pass here certifies the same
@@ -9722,6 +9745,70 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (
                     F.count(F.lit(1))
                     + F.lit(int(total_rows)) * 31
+                    + F.sum(
+                        (F.col("event_id") % 997 + 1)
+                        * (
+                            (
+                                F.col("user_id") * 131
+                                + hash60(F.col("event_type")) % 100003
+                                + F.col("ts_us") % 1000003
+                                + F.col("cents")
+                            )
+                            % 1000003
+                        )
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    # manifest_stream_check — the STREAMING half of the same sink: a
+    # real Structured Streaming query (synthevents readStream, 3
+    # micro-batches) writes through ManifestJsonlStreamWriter's
+    # per-batch atomic manifests; the read-back checksum (plus the
+    # manifests' total_rows ×31 — count(*)×31 oracle-side, so the
+    # accounting must equal the row count, i.e. exactly-once) is
+    # replayed by DuckDB from generate_series + the same md5
+    # arithmetic. A green row certifies offset planning, micro-batch
+    # staging, per-batch manifest publish, and the JSONL round-trip.
+    from .sources.synthetic import register_synthetic_source
+
+    register_synthetic_source(spark)
+    stream_dir = _scratch_dir("manifest_stream", sf_dir)
+    _shutil.rmtree(stream_dir, ignore_errors=True)
+    _shutil.rmtree(stream_dir + "_ckpt", ignore_errors=True)
+    sev = (
+        spark.readStream.format("synthevents")
+        .option("rows", 2000)
+        .option("rows_per_batch", 700)
+        .option("users", 97)
+        .load()
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+    )
+    sq = (
+        sev.writeStream.format("manifest_jsonl")
+        .option("path", stream_dir)
+        .option("checkpointLocation", stream_dir + "_ckpt")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        sq.processAllAvailable()
+    finally:
+        sq.stop()
+    srb, s_total = read_manifest_jsonl(spark, stream_dir)
+    parts.append(
+        scalar(
+            "manifest_stream_check",
+            srb.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.lit(int(s_total)) * 31
                     + F.sum(
                         (F.col("event_id") % 997 + 1)
                         * (
