@@ -574,3 +574,49 @@ def test_manifest_jsonl_stream_replay_is_exactly_once(spark, tmp_path):
     # but no manifest lists it
     staged = [n for n in os.listdir(out) if n.startswith("part-")]
     assert len(staged) == 3
+
+
+def test_manifest_batch_overwrite_retracts_stream_manifests(spark, tmp_path):
+    """A batch OVERWRITE into a previously-streamed directory must
+    retract the per-batch stream manifests — the reader unions every
+    published manifest, so leaving them in place would double-count."""
+    import os
+
+    from pyspark.sql import Row
+
+    from vector_database_watermarking_spark.sources.synthetic import (
+        ManifestJsonlStreamWriter,
+        read_manifest_jsonl,
+        register_manifest_sink,
+    )
+
+    out = str(tmp_path / "mixed")
+    os.makedirs(out)
+    w = ManifestJsonlStreamWriter({"path": out})
+    w.commit([w.write(iter([Row(event_id=1), Row(event_id=2)]))], batchId=0)
+
+    register_manifest_sink(spark)
+    spark.createDataFrame([(10,), (11,), (12,)], "event_id long").write.format(
+        "manifest_jsonl"
+    ).option("path", out).mode("overwrite").save()
+
+    back, total = read_manifest_jsonl(spark, out)
+    assert total == 3
+    assert sorted(int(r["event_id"]) for r in back.collect()) == [10, 11, 12]
+    assert not [n for n in os.listdir(out) if n.startswith("_MANIFEST-")]
+
+
+def test_manifest_stream_rejects_truncate_output_modes(spark):
+    """complete/update output modes pass overwrite=True to
+    streamWriter; the sink must refuse loudly instead of accumulating
+    one full snapshot per micro-batch."""
+    import pytest
+
+    from vector_database_watermarking_spark.sources.synthetic import (
+        ManifestJsonlDataSource,
+    )
+
+    ds = ManifestJsonlDataSource(options={"path": "/tmp/unused"})
+    with pytest.raises(ValueError, match="append output mode only"):
+        ds.streamWriter(None, True)
+    assert ds.streamWriter(None, False) is not None

@@ -50,13 +50,25 @@ def broadcast_tables(plan: str):
     return out
 
 
+# These two exceed the audit's per-query budget at sf1 (contamination's
+# bloom build and the exact k-means' two assignment passes each run
+# minutes of eager work before a plan exists); their broadcast sides
+# are triaged at the CODE level instead — a documented m/8-byte bitmap
+# and a k-row centroid table, both bounded. Pass --all to force them.
+SKIP_HEAVY = {"ext_contamination_bloom", "ext_kmeans_refine"}
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/_scratch/sf1"
+    args = [a for a in sys.argv[1:] if a != "--all"]
+    run_all = "--all" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/repo/_scratch/sf1"
     spark = get_spark("bcast-audit", cpus=8)
     names = [n for n in QUERIES if n.startswith("rel_")] + [
         n for n in QUERIES
         if n.startswith("ext_") and not n.startswith("ext_graph")
     ]
+    if not run_all:
+        names = [n for n in names if n not in SKIP_HEAVY]
     flagged = 0
     for n in names:
         try:

@@ -50,12 +50,14 @@ ROUND7_NAMES = [
     "rel_events_variant_agg",
 ]
 
-# round-9 TPC-H completion set. Three of these join part ON l_partkey,
-# but the shared sf1 fixture builds part with DENSE replica offsets
-# (the BOM forest needs them) while lineitem.l_partkey gets WIDE
-# offsets — so for round9 runs a symlink view of the fixture is
-# assembled whose part.parquet is rebuilt with the wide offsets,
-# keeping the FK live without touching the shared fixture.
+# round-9 TPC-H completion set. SIX of these join part ON l_partkey
+# (Q2/Q8/Q9/Q11/Q14/Q19), but the shared sf1 fixture builds part with
+# DENSE replica offsets (the BOM forest needs them) while
+# lineitem.l_partkey gets WIDE offsets — against the shared fixture
+# that FK is 90% dead (only replica 0 matches). So for round9 runs a
+# symlink view of the fixture is assembled whose part.parquet is
+# rebuilt with the wide offsets, keeping the FK fully live without
+# touching the shared fixture.
 ROUND9_NAMES = [
     "rel_returned_revenue",
     "rel_market_share",
@@ -79,8 +81,9 @@ WIDEPART_DIR = "/root/repo/_scratch/sf1_widepart"
 
 def build_widepart_view(spark) -> str:
     """Symlink every sf1 table into a second fixture dir, except part,
-    which is rebuilt with lineitem-matching WIDE replica offsets."""
-    from pyspark.sql import functions as F2
+    which is rebuilt with lineitem-matching WIDE replica offsets
+    (shared scheme: tools.replica_util.replicate)."""
+    from tools.replica_util import replicate
 
     if os.path.isdir(os.path.join(WIDEPART_DIR, "part.parquet")):
         return WIDEPART_DIR
@@ -91,16 +94,9 @@ def build_widepart_view(spark) -> str:
         dst = os.path.join(WIDEPART_DIR, name)
         if not os.path.exists(dst):
             os.symlink(os.path.join(SF1_DIR, name), dst)
-    pdf = spark.read.parquet(os.path.join(SRC_SF, "part.parquet"))
-    parts = [
-        pdf.withColumn("p_partkey", F2.col("p_partkey") + F2.lit(r * DOC_OFFSET))
-        for r in range(REPLICAS)
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    out.repartition(8).write.mode("overwrite").parquet(
-        os.path.join(WIDEPART_DIR, "part.parquet")
+    replicate(
+        spark, SRC_SF, WIDEPART_DIR, "part", ["p_partkey"],
+        replicas=REPLICAS, key_offset=DOC_OFFSET, parts_out=8,
     )
     return WIDEPART_DIR
 
@@ -279,7 +275,14 @@ def main() -> None:
             print(json.dumps({"query": name, "warmup_error": str(e)[:200]}), flush=True)
 
     # part-FK queries read the wide-offset part view (see ROUND9_NAMES)
-    _PART_FK = {"rel_important_parts", "rel_promo_revenue", "rel_disjunct_revenue"}
+    _PART_FK = {
+        "rel_important_parts",
+        "rel_promo_revenue",
+        "rel_disjunct_revenue",
+        "rel_market_share",
+        "rel_nation_profit",
+        "rel_cheapest_supplier",
+    }
     if _PART_FK & set(fns):
         widepart = build_widepart_view(spark)
 

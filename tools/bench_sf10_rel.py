@@ -49,45 +49,32 @@ QUERY_NAMES = [
 
 
 def build_sf10(spark) -> None:
-    from pyspark.sql import functions as F
+    from tools.replica_util import copy_verbatim, replicate
 
-    if os.path.isdir(os.path.join(SF10_DIR, "lineitem.parquet")):
+    # sentinel on region: it is written LAST, so an interrupted build
+    # is retried rather than treated as complete (the bench_sf1 rule)
+    if os.path.isdir(os.path.join(SF10_DIR, "region.parquet")):
         return
     os.makedirs(SF10_DIR, exist_ok=True)
 
-    def replicate(name, offsets, ts_col=None, parts_out=32):
-        df = spark.read.parquet(os.path.join(SRC_SF, f"{name}.parquet"))
-        reps = []
-        for r in range(REPLICAS):
-            p = df
-            for col in offsets:
-                p = p.withColumn(col, F.col(col) + F.lit(r * OFFSET))
-            if ts_col is not None and r:
-                p = p.withColumn(
-                    ts_col, F.col(ts_col) + F.expr(f"INTERVAL {r} SECONDS")
-                )
-            reps.append(p)
-        out = reps[0]
-        for p in reps[1:]:
-            out = out.unionByName(p)
-        out.repartition(parts_out).write.mode("overwrite").parquet(
-            os.path.join(SF10_DIR, f"{name}.parquet")
+    def rep(name, offsets, ts_col=None, parts_out=32):
+        replicate(
+            spark, SRC_SF, SF10_DIR, name, offsets,
+            replicas=REPLICAS, key_offset=OFFSET,
+            ts_col=ts_col, parts_out=parts_out,
         )
 
-    replicate("orders", ["o_orderkey", "o_custkey"])
-    replicate("lineitem", ["l_orderkey", "l_partkey", "l_suppkey"], parts_out=64)
-    replicate("customer", ["c_custkey"])
-    replicate("supplier", ["s_suppkey"])
-    replicate("part", ["p_partkey"])
-    replicate("events", ["event_id", "user_id"], ts_col="ts")
-    for dim in ("nation", "region"):
-        spark.read.parquet(os.path.join(SRC_SF, f"{dim}.parquet")).coalesce(
-            1
-        ).write.mode("overwrite").parquet(os.path.join(SF10_DIR, f"{dim}.parquet"))
+    rep("orders", ["o_orderkey", "o_custkey"])
+    rep("lineitem", ["l_orderkey", "l_partkey", "l_suppkey"], parts_out=64)
+    rep("customer", ["c_custkey"])
+    rep("supplier", ["s_suppkey"])
+    rep("part", ["p_partkey"])
+    rep("events", ["event_id", "user_id"], ts_col="ts")
+    copy_verbatim(spark, SRC_SF, SF10_DIR, "nation")
+    copy_verbatim(spark, SRC_SF, SF10_DIR, "region")
 
 
-def consume(df) -> None:
-    df.write.format("noop").mode("overwrite").save()
+from tools.replica_util import consume  # noqa: E402
 
 
 def main() -> None:

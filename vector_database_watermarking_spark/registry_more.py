@@ -6729,7 +6729,7 @@ def _pipeline_pack_oracle() -> str:
     smx = QUERIES["ext_source_mix"].oracle
     csp = QUERIES["ext_corpus_split"].oracle
     cdr = QUERIES["ext_corpus_drift"].oracle
-    h_ls = oracle_hash60("lang || '|' || source")
+    h_ls = oracle_hash60("coalesce(lang, '~') || '|' || coalesce(source, '~')")
     h_spl9 = oracle_hash60("split")
     h_src9 = oracle_hash60("source")
     # round-8 demotions (VERDICT r07 #1): full oracles of the five rows
@@ -9665,7 +9665,13 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.sum(
                         (F.col("doc_id") % 997 + 1)
                         * (
-                            hash60(F.concat_ws("|", "lang", "source"))
+                            hash60(
+                                F.concat_ws(
+                                    "|",
+                                    F.coalesce(F.col("lang"), F.lit("~")),
+                                    F.coalesce(F.col("source"), F.lit("~")),
+                                )
+                            )
                             % 1000003
                         )
                     )

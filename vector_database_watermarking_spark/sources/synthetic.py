@@ -210,6 +210,16 @@ class ManifestJsonlWriter(DataSourceWriter):
         tmp = os.path.join(self.path, "_MANIFEST.tmp")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
+        if self.overwrite:
+            # an overwrite REPLACES the whole dataset: retract any
+            # streaming batch manifests so the reader (which unions
+            # every published manifest) sees only this write. Removal
+            # happens before the atomic batch publish — a crash in
+            # between leaves a readable (smaller) dataset, never a
+            # double-counted one.
+            for n in os.listdir(self.path):
+                if n.startswith("_MANIFEST-") and not n.endswith(".tmp"):
+                    os.remove(os.path.join(self.path, n))
         os.replace(tmp, os.path.join(self.path, "_MANIFEST"))  # atomic publish
 
     def abort(self, messages) -> None:
@@ -288,6 +298,16 @@ class ManifestJsonlDataSource(DataSource):
         return ManifestJsonlWriter(self.options, overwrite)
 
     def streamWriter(self, schema, overwrite: bool) -> ManifestJsonlStreamWriter:
+        if overwrite:
+            # complete/update output modes would need each batch's
+            # manifest to TRUNCATE the earlier ones; the per-batch
+            # union reader would instead return every snapshot — wrong
+            # data. Refuse loudly rather than accumulate duplicates.
+            raise ValueError(
+                "manifest_jsonl streaming sink supports append output "
+                "mode only (complete/update would duplicate snapshots "
+                "across batch manifests)"
+            )
         return ManifestJsonlStreamWriter(self.options)
 
 
