@@ -643,3 +643,29 @@ def test_priority_late_semi_never_broadcasts_fact(spark, sf_dir):
     plan = plan_of(q)
     assert "ShuffledHashJoin" in plan and "LeftSemi" in plan, plan
     assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_late_shipment_modes_late_predicate_rides_join(spark, sf_dir):
+    """Q12 shape: the >90-day late predicate compares columns from
+    both join sides, so it must ride the join condition (no post-join
+    Filter re-materializing all pairs), and the shipdate window must
+    reach the lineitem scan."""
+    q = QUERIES["rel_late_shipment_modes"].fn(spark, sf_dir)
+    plan = plan_of(q)
+    assert "GreaterThanOrEqual(l_shipdate" in plan, plan
+    import re
+
+    assert not re.search(r"Filter [^\n]*o_orderdate[^\n]*l_shipdate", plan), plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_promo_revenue_single_row_two_aggregates(spark, sf_dir):
+    """Q14 shape: the month filter reaches the lineitem scan, part is
+    column-pruned to (p_partkey, p_type), and both conditional sums
+    ride ONE aggregate (no second scan or join for the promo side)."""
+    q = QUERIES["rel_promo_revenue"].fn(spark, sf_dir)
+    plan = plan_of(q)
+    assert "GreaterThanOrEqual(l_shipdate" in plan, plan
+    assert "ReadSchema: struct<p_partkey:bigint,p_type:string>" in plan, plan
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert plan.count("part.parquet") == 1, plan
