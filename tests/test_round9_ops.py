@@ -620,3 +620,40 @@ def test_manifest_stream_rejects_truncate_output_modes(spark):
     with pytest.raises(ValueError, match="append output mode only"):
         ds.streamWriter(None, True)
     assert ds.streamWriter(None, False) is not None
+
+
+def test_manifest_vacuum_removes_only_orphans(spark, tmp_path):
+    """The sink's maintenance op: vacuum removes exactly the staged
+    files no manifest lists (replay supersessions, aborted attempts)
+    and the dataset reads back identically before and after."""
+    import os
+
+    from pyspark.sql import Row
+
+    from vector_database_watermarking_spark.sources.synthetic import (
+        ManifestJsonlStreamWriter,
+        read_manifest_jsonl,
+        vacuum_manifest_jsonl,
+    )
+
+    out = str(tmp_path / "vac")
+    os.makedirs(out)
+    w = ManifestJsonlStreamWriter({"path": out})
+    w.commit([w.write(iter([Row(event_id=1), Row(event_id=2)]))], batchId=0)
+    w.commit([w.write(iter([Row(event_id=3)]))], batchId=1)
+    w.commit([w.write(iter([Row(event_id=30)]))], batchId=1)  # replay
+    # an aborted attempt's leftover
+    with open(os.path.join(out, "part-99999-orphan.jsonl"), "w") as f:
+        f.write('{"event_id": 999}\n')
+
+    before = sorted(
+        int(r["event_id"]) for r in read_manifest_jsonl(spark, out)[0].collect()
+    )
+    assert before == [1, 2, 30]
+    removed = vacuum_manifest_jsonl(out)
+    assert removed == 2  # superseded batch-1 attempt + the orphan
+    after = sorted(
+        int(r["event_id"]) for r in read_manifest_jsonl(spark, out)[0].collect()
+    )
+    assert after == before
+    assert vacuum_manifest_jsonl(out) == 0  # idempotent

@@ -340,5 +340,32 @@ def read_manifest_jsonl(spark, path: str):
     return spark.read.json(files), total
 
 
+def vacuum_manifest_jsonl(path: str) -> int:
+    """Remove staged data files no manifest lists (aborted attempts,
+    batch-replay supersessions, overwrite leftovers) — the maintenance
+    half of the sink's atomicity contract, mirroring the IVF index's
+    compaction lifecycle. Orphans are invisible to readers already, so
+    vacuuming changes no query result (the tests pin this); it only
+    reclaims space. Returns the number of files removed. Safe to run
+    concurrently with readers: only files absent from EVERY published
+    manifest are touched, and manifest publication is atomic."""
+    import json
+    import os
+
+    live = set()
+    for n in os.listdir(path):
+        if n == "_MANIFEST" or (
+            n.startswith("_MANIFEST-") and not n.endswith(".tmp")
+        ):
+            with open(os.path.join(path, n)) as f:
+                live.update(e["file"] for e in json.load(f)["files"])
+    removed = 0
+    for n in os.listdir(path):
+        if n.startswith("part-") and n.endswith(".jsonl") and n not in live:
+            os.remove(os.path.join(path, n))
+            removed += 1
+    return removed
+
+
 def register_manifest_sink(spark) -> None:
     spark.dataSource.register(ManifestJsonlDataSource)
