@@ -455,8 +455,66 @@ def bench_interval_join_bounded(spark) -> dict:
     }
 
 
+def bench_manifest_sink(spark) -> dict:
+    """1M-row stateless feed through the custom manifest_jsonl
+    STREAMING sink (per-batch atomic manifests), 4 triggers — the
+    write-path throughput number for the connector's streaming tier
+    (correctness is the pack's manifest_stream_check; this is rate).
+    JSONL is the deliberate trade: human-readable, engine-agnostic
+    landing data at single-host line-serialization speed."""
+    from pyspark.sql import functions as F
+
+    from vector_database_watermarking_spark.sources.synthetic import (
+        read_manifest_jsonl,
+        register_manifest_sink,
+    )
+
+    register_manifest_sink(spark)
+    ev = spark.read.parquet(f"{SF1}/events.parquet").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    src = os.path.join(SCRATCH, "sink_feed")
+    write_batches(ev, "event_id", src, 4)
+    n_in = ev.count()
+    out_dir = os.path.join(SCRATCH, "sink_out")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, "
+            "ts_us long, cents long"
+        )
+        .option("maxFilesPerTrigger", 4)
+        .parquet(src)
+    )
+    t0 = time.monotonic()
+    q = (
+        stream.writeStream.format("manifest_jsonl")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(SCRATCH, "sink_ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        wall = time.monotonic() - t0
+    finally:
+        q.stop()
+    _, total = read_manifest_jsonl(spark, out_dir)
+    assert total == n_in, (total, n_in)  # exactly-once accounting
+    return {
+        "family": "manifest_jsonl_sink",
+        "input_rows": n_in,
+        "wall_sec": round(wall, 2),
+        "events_per_sec": int(n_in / wall),
+        "state_rows": 0,
+    }
+
+
 BOUNDED = (bench_ttl_dedup_bounded, bench_sessionize_bounded, bench_interval_join_bounded)
-REPLAY = (bench_ttl_dedup, bench_sessionize, bench_interval_join, bench_ivm)
+REPLAY = (bench_ttl_dedup, bench_sessionize, bench_interval_join, bench_ivm, bench_manifest_sink)
 
 
 def main() -> None:
