@@ -650,10 +650,45 @@ def test_manifest_vacuum_removes_only_orphans(spark, tmp_path):
         int(r["event_id"]) for r in read_manifest_jsonl(spark, out)[0].collect()
     )
     assert before == [1, 2, 30]
-    removed = vacuum_manifest_jsonl(out)
+    # default grace window protects possibly-in-flight staging: these
+    # orphans are seconds old, so nothing may be removed yet
+    assert vacuum_manifest_jsonl(out) == 0
+    removed = vacuum_manifest_jsonl(out, grace_seconds=0)
     assert removed == 2  # superseded batch-1 attempt + the orphan
     after = sorted(
         int(r["event_id"]) for r in read_manifest_jsonl(spark, out)[0].collect()
     )
     assert after == before
-    assert vacuum_manifest_jsonl(out) == 0  # idempotent
+    assert vacuum_manifest_jsonl(out, grace_seconds=0) == 0  # idempotent
+
+
+def test_manifest_batch_append_unions_prior_appends(spark, tmp_path):
+    """mode('append') must UNION with previously appended batch data —
+    a wholesale manifest replace would orphan the first write's files
+    (and a later vacuum would delete them)."""
+    from vector_database_watermarking_spark.sources.synthetic import (
+        read_manifest_jsonl,
+        register_manifest_sink,
+        vacuum_manifest_jsonl,
+    )
+
+    register_manifest_sink(spark)
+    out = str(tmp_path / "appends")
+    for lo, hi in [(0, 3), (3, 5)]:
+        spark.createDataFrame(
+            [(i,) for i in range(lo, hi)], "event_id long"
+        ).write.format("manifest_jsonl").option("path", out).mode(
+            "append"
+        ).save()
+    back, total = read_manifest_jsonl(spark, out)
+    assert total == 5
+    assert sorted(int(r["event_id"]) for r in back.collect()) == [0, 1, 2, 3, 4]
+    # nothing is an orphan: vacuum removes zero even unquiesced
+    assert vacuum_manifest_jsonl(out, grace_seconds=0) == 0
+    # and an OVERWRITE then replaces the whole dataset
+    spark.createDataFrame([(99,)], "event_id long").write.format(
+        "manifest_jsonl"
+    ).option("path", out).mode("overwrite").save()
+    back2, total2 = read_manifest_jsonl(spark, out)
+    assert total2 == 1
+    assert [int(r["event_id"]) for r in back2.collect()] == [99]

@@ -85,7 +85,10 @@ def build_widepart_view(spark) -> str:
     (shared scheme: tools.replica_util.replicate)."""
     from tools.replica_util import replicate
 
-    if os.path.isdir(os.path.join(WIDEPART_DIR, "part.parquet")):
+    # sentinel on _SUCCESS, not the directory: an interrupted part
+    # write leaves a partial dir that would silently revive the exact
+    # dead-FK distortion this view exists to fix
+    if os.path.exists(os.path.join(WIDEPART_DIR, "part.parquet", "_SUCCESS")):
         return WIDEPART_DIR
     os.makedirs(WIDEPART_DIR, exist_ok=True)
     for name in os.listdir(SF1_DIR):
@@ -114,26 +117,18 @@ def build_sf1(spark) -> None:
     # relational/event tables: replicate with CONSISTENT key offsets so
     # every foreign-key relationship survives (lineitem.orderkey ->
     # orders, .suppkey -> supplier, .partkey -> part; events keep their
-    # user population per replica with a time shift)
+    # user population per replica with a time shift). Shared scheme:
+    # tools.replica_util (one implementation across the scale benches).
     from pyspark.sql import functions as F2
 
+    from tools.replica_util import copy_verbatim
+    from tools.replica_util import replicate as _rep
+
     def replicate(name, offsets, ts_col=None):
-        df = spark.read.parquet(os.path.join(SRC_SF, f"{name}.parquet"))
-        parts = []
-        for r in range(REPLICAS):
-            p = df
-            for col in offsets:
-                p = p.withColumn(col, F2.col(col) + F2.lit(r * DOC_OFFSET))
-            if ts_col is not None and r:
-                p = p.withColumn(
-                    ts_col, F2.col(ts_col) + F2.expr(f"INTERVAL {r} SECONDS")
-                )
-            parts.append(p)
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        out.repartition(32).write.mode("overwrite").parquet(
-            os.path.join(SF1_DIR, f"{name}.parquet")
+        _rep(
+            spark, SRC_SF, SF1_DIR, name, offsets,
+            replicas=REPLICAS, key_offset=DOC_OFFSET,
+            ts_col=ts_col, parts_out=32,
         )
 
     replicate("orders", ["o_orderkey", "o_custkey"])
@@ -144,9 +139,7 @@ def build_sf1(spark) -> None:
     # (25/5 rows) and leave every *_nationkey UN-offset so the FK into
     # them stays valid in all replicas.
     for dim in ("nation", "region"):
-        spark.read.parquet(os.path.join(SRC_SF, f"{dim}.parquet")).coalesce(
-            1
-        ).write.mode("overwrite").parquet(os.path.join(SF1_DIR, f"{dim}.parquet"))
+        copy_verbatim(spark, SRC_SF, SF1_DIR, dim)
     # part gets DENSE offsets (replica r spans [r*n, (r+1)*n)) so the
     # derived BOM forest (parent = key // 8) stays fully connected —
     # every parent key exists and the walk covers all 10 replicas.
@@ -217,9 +210,10 @@ def build_sf1(spark) -> None:
 
 
 def consume(df) -> int:
-    """Force full evaluation of every column (a bare count lets
-    Catalyst prune unused windows/projections, under-reporting)."""
-    df.write.format("noop").mode("overwrite").save()
+    """Force full evaluation (shared impl: tools.replica_util)."""
+    from tools.replica_util import consume as _consume
+
+    _consume(df)
     return -1
 
 

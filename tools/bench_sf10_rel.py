@@ -101,10 +101,27 @@ def main() -> None:
         spark.stop()
         return
 
+    # part-FK queries must read the sf1 point through the wide-offset
+    # part view (the shared SF1 fixture's part is dense-offset for the
+    # BOM forest — dead FK otherwise; same routing as bench_sf1).
+    _PART_FK = {
+        "rel_important_parts",
+        "rel_promo_revenue",
+        "rel_disjunct_revenue",
+        "rel_market_share",
+        "rel_nation_profit",
+        "rel_cheapest_supplier",
+    }
+    if _PART_FK & set(names):
+        from tools.bench_sf1 import build_widepart_view
+
+        widepart = build_widepart_view(spark)
+
     for name in names:
         fn = QUERIES[name].fn
         consume(fn(spark, "/root/testdata/sf0.01"))  # codegen warmup
-        for sf, d in [(0.1, SRC_SF), (1.0, SF1_DIR), (10.0, SF10_DIR)]:
+        sf1_dir = widepart if name in _PART_FK else SF1_DIR
+        for sf, d in [(0.1, SRC_SF), (1.0, sf1_dir), (10.0, SF10_DIR)]:
             reps = []
             for _ in range(args.reps):
                 # bench.py's isolation rule: accumulated persisted

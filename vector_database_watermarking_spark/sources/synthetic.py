@@ -198,18 +198,10 @@ class ManifestJsonlWriter(DataSourceWriter):
         import json
         import os
 
-        manifest = {
-            "files": [
-                {"file": m.filename, "rows": m.n_rows}
-                for m in sorted(
-                    (m for m in messages if m), key=lambda m: m.filename
-                )
-            ],
-        }
-        manifest["total_rows"] = sum(f["rows"] for f in manifest["files"])
-        tmp = os.path.join(self.path, "_MANIFEST.tmp")
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
+        files = [
+            {"file": m.filename, "rows": m.n_rows}
+            for m in sorted((m for m in messages if m), key=lambda m: m.filename)
+        ]
         if self.overwrite:
             # an overwrite REPLACES the whole dataset: retract any
             # streaming batch manifests so the reader (which unions
@@ -220,6 +212,21 @@ class ManifestJsonlWriter(DataSourceWriter):
             for n in os.listdir(self.path):
                 if n.startswith("_MANIFEST-") and not n.endswith(".tmp"):
                     os.remove(os.path.join(self.path, n))
+        else:
+            # true APPEND: merge the prior batch manifest's file list —
+            # replacing it wholesale would orphan (and, post-vacuum,
+            # delete) every previously appended batch's data.
+            prior = os.path.join(self.path, "_MANIFEST")
+            if os.path.exists(prior):
+                with open(prior) as f:
+                    files = json.load(f)["files"] + files
+        manifest = {
+            "files": files,
+            "total_rows": sum(f["rows"] for f in files),
+        }
+        tmp = os.path.join(self.path, "_MANIFEST.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
         os.replace(tmp, os.path.join(self.path, "_MANIFEST"))  # atomic publish
 
     def abort(self, messages) -> None:
@@ -340,7 +347,7 @@ def read_manifest_jsonl(spark, path: str):
     return spark.read.json(files), total
 
 
-def vacuum_manifest_jsonl(path: str) -> int:
+def vacuum_manifest_jsonl(path: str, grace_seconds: float = 600.0) -> int:
     """Remove staged data files no manifest lists (aborted attempts,
     batch-replay supersessions, overwrite leftovers) — the maintenance
     half of the sink's atomicity contract, mirroring the IVF index's
@@ -348,9 +355,17 @@ def vacuum_manifest_jsonl(path: str) -> int:
     vacuuming changes no query result (the tests pin this); it only
     reclaims space. Returns the number of files removed. Safe to run
     concurrently with readers: only files absent from EVERY published
-    manifest are touched, and manifest publication is atomic."""
+    manifest are touched, and manifest publication is atomic.
+
+    Concurrent WRITERS need the ``grace_seconds`` guard (same idea as
+    a table format's VACUUM retention): between a task's write() and
+    the driver's commit(), a micro-batch's staged files are listed in
+    no manifest yet — indistinguishable from orphans by state alone.
+    Files younger than the grace window are therefore kept; pass
+    ``grace_seconds=0`` only when no write can be in flight."""
     import json
     import os
+    import time as _time
 
     live = set()
     for n in os.listdir(path):
@@ -360,9 +375,16 @@ def vacuum_manifest_jsonl(path: str) -> int:
             with open(os.path.join(path, n)) as f:
                 live.update(e["file"] for e in json.load(f)["files"])
     removed = 0
+    cutoff = _time.time() - grace_seconds
     for n in os.listdir(path):
         if n.startswith("part-") and n.endswith(".jsonl") and n not in live:
-            os.remove(os.path.join(path, n))
+            full = os.path.join(path, n)
+            try:
+                if os.path.getmtime(full) > cutoff:
+                    continue  # possibly an in-flight batch's staging
+                os.remove(full)
+            except FileNotFoundError:
+                continue  # a concurrent vacuum/abort got there first
             removed += 1
     return removed
 
