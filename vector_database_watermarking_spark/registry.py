@@ -914,35 +914,50 @@ _GRADE_ORDER = [
     # representative (six stream gates remain in-window: cdc,
     # detection, ingest ×2, curation, interval-left).
     "stream_interval_join_left_replay",
-    # promoted round 9 (VERDICT r08 #1): the five round-8 operators —
-    # TPC-H Q20-shape dominant suppliers, exact TWAP, the lossless
-    # prefix-filtered set-similarity join, the Spark 4 Python Data
-    # Source connector scan, and the per-source vocabulary profile —
-    # get full-output driver rows; each keeps its full-oracle pack row
-    # (dominant_suppliers_check, twap_check, prefix_jaccard_check,
-    # synth_source_check, source_top_tokens_check).
-    "rel_dominant_suppliers",
-    "rel_events_twap",
-    "ext_prefix_jaccard_dups",
-    "ext_synth_source_scan",
-    "ext_source_top_tokens",
-    # promoted late round 9: the eight round-9 registrations get
-    # full-output driver rows — the TPC-H breadth shapes Q10/Q8/Q9/
-    # Q2/Q22/Q13/Q4 (each keeps its full-oracle pack row:
-    # returned_revenue_check / market_share_check / nation_profit_check
-    # / cheapest_supplier_check / idle_rich_check /
-    # order_count_hist_check / priority_late_check) and the scaled
-    # band configuration of the hyperplane near-dup join (the
-    # log2(n)-tracking knob measured in SCALING.md; its candidates are
-    # pytest-pinned as a subset of the 4-bit config's).
+    # Round-10 demotions (VERDICT r09 #1 rotation): the five round-8
+    # operators promoted in round 9 (rel_dominant_suppliers,
+    # rel_events_twap, ext_prefix_jaccard_dups, ext_synth_source_scan,
+    # ext_source_top_tokens) rotate out after their green r09 grading —
+    # each keeps its full-oracle pack checksum row
+    # (dominant_suppliers_check / twap_check / prefix_jaccard_check /
+    # synth_source_check / source_top_tokens_check), so the complete
+    # demoted oracle SQL stays driver-graded every round; the connector
+    # additionally keeps the in-window manifest_jsonl_check /
+    # manifest_stream_check pack rows exercising its sink end to end.
+    #
+    # promoted late round 9, retained round 10: four of the TPC-H
+    # breadth shapes (Q10/Q8/Q9/Q2) keep full-output rows alongside the
+    # round-10 completion set below so the relational family stays
+    # represented across both promotions; the scaled hyperplane
+    # near-dup config stays after a single green round. Round-10
+    # demotions from this block: rel_idle_rich_customers (3 rows at
+    # sf0.01 — the thinnest graded row, flagged by the r09 verdict;
+    # pack idle_rich_check embeds the full Q22-shape oracle),
+    # rel_order_count_histogram (pack order_count_hist_check) and
+    # rel_priority_late_orders (pack priority_late_check) — all three
+    # graded green in r09 and hand-computed-tested.
     "rel_returned_revenue",
     "rel_market_share",
     "rel_nation_profit",
     "rel_cheapest_supplier",
-    "rel_idle_rich_customers",
-    "rel_order_count_histogram",
-    "rel_priority_late_orders",
     "ext_emb_near_dups_scaled",
+    # promoted round 10 (VERDICT r09 #1): the eight TPC-H-completion
+    # queries — Q5 local-supplier volume, Q6 forecast revenue, Q11
+    # important parts, Q12 late shipment modes, Q14 promo revenue,
+    # Q15 top supplier, Q18 large-volume customers, Q19 disjunctive
+    # revenue — get full-output driver rows; each has carried its
+    # full-oracle pack row since registration (local_supplier_check /
+    # forecast_revenue_check / important_parts_check / late_modes_check
+    # / promo_revenue_check / top_supplier_check / large_volume_check /
+    # disjunct_revenue_check) plus a hand-computed pytest.
+    "rel_local_supplier_volume",
+    "rel_forecast_revenue",
+    "rel_important_parts",
+    "rel_late_shipment_modes",
+    "rel_promo_revenue",
+    "rel_top_supplier",
+    "rel_large_volume_customers",
+    "rel_disjunct_revenue",
     # watermark pipelines: the oracle-checked native selection, the
     # invariant-oracled round-trips (TVP, RS, SCPW, TabularMark) and
     # the robustness grid
@@ -958,6 +973,14 @@ _GRADE_ORDER = [
     # locally hash-checked via tools/check_oracles.py; rows demoted in
     # the latest rotation sit first so the next rotation can cycle
     # them back in if desired.
+    "rel_dominant_suppliers",
+    "rel_events_twap",
+    "ext_prefix_jaccard_dups",
+    "ext_synth_source_scan",
+    "ext_source_top_tokens",
+    "rel_idle_rich_customers",
+    "rel_order_count_histogram",
+    "rel_priority_late_orders",
     "rel_events_session_window",
     "ext_ivf_append_topk",
     "stream_dedup_ttl_replay",
@@ -1099,21 +1122,9 @@ _GRADE_ORDER = [
     # (the five round-8 registrations were promoted into the graded
     # window in round 9, and the eight round-9 registrations followed
     # later the same round; their full-oracle pack rows remain)
-    # late-round-9 TPC-H completion (rotation pool for round 10; with
-    # these, every one of the 22 TPC-H query shapes has an analogue —
-    # Q2/Q11/Q12/Q16/Q19/Q20 adapted to the fixture's reduced schema,
-    # noted per docstring; full-oracle pack rows
-    # local_supplier_check / forecast_revenue_check /
-    # important_parts_check / late_modes_check / promo_revenue_check /
-    # top_supplier_check / large_volume_check / disjunct_revenue_check)
-    "rel_local_supplier_volume",
-    "rel_forecast_revenue",
-    "rel_important_parts",
-    "rel_late_shipment_modes",
-    "rel_promo_revenue",
-    "rel_top_supplier",
-    "rel_large_volume_customers",
-    "rel_disjunct_revenue",
+    # (the late-round-9 TPC-H completion set — rel_local_supplier_volume
+    # … rel_disjunct_revenue — was promoted into the graded window in
+    # round 10 per VERDICT r09 #1; their full-oracle pack rows remain)
 ]
 
 
