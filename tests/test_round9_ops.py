@@ -692,3 +692,88 @@ def test_manifest_batch_append_unions_prior_appends(spark, tmp_path):
     back2, total2 = read_manifest_jsonl(spark, out)
     assert total2 == 1
     assert [int(r["event_id"]) for r in back2.collect()] == [99]
+
+
+def test_manifest_stream_one_query_lifetime_per_path(spark, tmp_path):
+    """ADVICE r09: a NEW streaming query (different checkpoint) on a
+    path holding another run's manifests restarts batch ids from 0 and
+    would silently supersede the prior run's committed batches — the
+    sink must fail loudly. Restarts of the SAME query (same
+    checkpoint) keep passing, and a batch overwrite releases the
+    claim."""
+    import os
+
+    import pytest
+    from pyspark.sql import Row
+
+    from vector_database_watermarking_spark.sources.synthetic import (
+        ManifestJsonlStreamWriter,
+        read_manifest_jsonl,
+        register_manifest_sink,
+    )
+
+    out = str(tmp_path / "owned")
+    os.makedirs(out)
+    w1 = ManifestJsonlStreamWriter(
+        {"path": out, "checkpointlocation": "/ckpt/run1"}
+    )
+    w1.commit([w1.write(iter([Row(event_id=1), Row(event_id=2)]))], batchId=0)
+    assert os.path.exists(os.path.join(out, "_STREAM_OWNER"))
+
+    # restart of the same query (same checkpoint): replay passes
+    w1b = ManifestJsonlStreamWriter(
+        {"path": out, "checkpointlocation": "/ckpt/run1"}
+    )
+    w1b.commit([w1b.write(iter([Row(event_id=1), Row(event_id=2)]))], batchId=0)
+
+    # a different query: refused before any manifest is replaced
+    w2 = ManifestJsonlStreamWriter(
+        {"path": out, "checkpointlocation": "/ckpt/run2"}
+    )
+    staged = w2.write(iter([Row(event_id=99)]))
+    with pytest.raises(ValueError, match="already belongs"):
+        w2.commit([staged], batchId=0)
+    # ...and so is a query with no visible checkpoint at batch 0
+    w3 = ManifestJsonlStreamWriter({"path": out})
+    with pytest.raises(ValueError, match="streaming run"):
+        w3.commit([w3.write(iter([Row(event_id=98)]))], batchId=0)
+    # prior run's data intact
+    back, total = read_manifest_jsonl(spark, out)
+    assert total == 2
+
+    # batch overwrite releases the claim; a fresh query may then own it
+    register_manifest_sink(spark)
+    spark.createDataFrame([(7,)], "event_id long").write.format(
+        "manifest_jsonl"
+    ).option("path", out).mode("overwrite").save()
+    assert not os.path.exists(os.path.join(out, "_STREAM_OWNER"))
+    w2.commit([w2.write(iter([Row(event_id=99)]))], batchId=0)
+    assert os.path.exists(os.path.join(out, "_STREAM_OWNER"))
+
+
+def test_manifest_stream_keyed_query_refuses_unclaimed_dirty_path(tmp_path):
+    """A checkpoint-keyed query starting at batch 0 on a path whose
+    stream manifests predate the ownership mark must refuse rather
+    than claim-and-supersede."""
+    import os
+
+    import pytest
+    from pyspark.sql import Row
+
+    from vector_database_watermarking_spark.sources.synthetic import (
+        ManifestJsonlStreamWriter,
+    )
+
+    out = str(tmp_path / "dirty")
+    os.makedirs(out)
+    legacy = ManifestJsonlStreamWriter({"path": out})
+    legacy.commit([legacy.write(iter([Row(event_id=1)]))], batchId=0)
+    os.remove(os.path.join(out, "_STREAM_OWNER")) if os.path.exists(
+        os.path.join(out, "_STREAM_OWNER")
+    ) else None
+
+    w = ManifestJsonlStreamWriter(
+        {"path": out, "checkpointlocation": "/ckpt/new"}
+    )
+    with pytest.raises(ValueError, match="unclaimed"):
+        w.commit([w.write(iter([Row(event_id=2)]))], batchId=0)

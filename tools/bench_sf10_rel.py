@@ -51,9 +51,11 @@ QUERY_NAMES = [
 def build_sf10(spark) -> None:
     from tools.replica_util import copy_verbatim, replicate
 
-    # sentinel on region: it is written LAST, so an interrupted build
-    # is retried rather than treated as complete (the bench_sf1 rule)
-    if os.path.isdir(os.path.join(SF10_DIR, "region.parquet")):
+    # sentinel on region's _SUCCESS, not the directory: region is
+    # written LAST, and Spark creates the output dir before the write
+    # commits, so an interrupted build must be retried rather than
+    # treated as complete (the bench_sf1 widepart rule)
+    if os.path.exists(os.path.join(SF10_DIR, "region.parquet", "_SUCCESS")):
         return
     os.makedirs(SF10_DIR, exist_ok=True)
 

@@ -204,18 +204,33 @@ class ManifestJsonlWriter(DataSourceWriter):
         ]
         if self.overwrite:
             # an overwrite REPLACES the whole dataset: retract any
-            # streaming batch manifests so the reader (which unions
-            # every published manifest) sees only this write. Removal
+            # streaming batch manifests (and a prior streaming query's
+            # ownership mark) so the reader (which unions every
+            # published manifest) sees only this write. Removal
             # happens before the atomic batch publish — a crash in
             # between leaves a readable (smaller) dataset, never a
             # double-counted one.
             for n in os.listdir(self.path):
-                if n.startswith("_MANIFEST-") and not n.endswith(".tmp"):
+                if (
+                    n.startswith("_MANIFEST-") and not n.endswith(".tmp")
+                ) or n == "_STREAM_OWNER":
                     os.remove(os.path.join(self.path, n))
         else:
             # true APPEND: merge the prior batch manifest's file list —
             # replacing it wholesale would orphan (and, post-vacuum,
             # delete) every previously appended batch's data.
+            #
+            # SINGLE-CONCURRENT-BATCH-WRITER assumption: this
+            # read-merge-write is not atomic across processes — two
+            # batch appends committing the same path at the same
+            # instant could each merge the same prior list and one
+            # winner's files would be orphaned (then reclaimed by
+            # vacuum). That matches the file-listing table formats this
+            # sink demonstrates (e.g. Hive-style dirs without a lock
+            # service); appends must be serialized by the caller.
+            # vacuum's "safe to run concurrently" note covers READERS
+            # and in-flight writers within the grace window, not two
+            # simultaneous append commits.
             prior = os.path.join(self.path, "_MANIFEST")
             if os.path.exists(prior):
                 with open(prior) as f:
@@ -252,10 +267,76 @@ class ManifestJsonlStreamWriter(DataSourceStreamWriter):
     the replayed rows supersede rather than duplicate the originals
     and the dataset stays exactly-once at read time. The prior
     attempt's staged files become manifest-orphans, invisible to
-    ``read_manifest_jsonl`` by construction."""
+    ``read_manifest_jsonl`` by construction.
+
+    ONE STREAMING QUERY LIFETIME PER PATH: batch manifests are keyed
+    by batch id, and a NEW query (fresh checkpoint) restarts ids from
+    0 — its commits would silently supersede a prior run's committed
+    batches (whose data vacuum would then reclaim). The sink therefore
+    claims the path with a ``_STREAM_OWNER`` mark holding the query's
+    checkpoint location: restarts of the same query (same checkpoint)
+    pass, a different query fails loudly. When no checkpointLocation
+    option is visible (Spark-managed temp checkpoint — such a query
+    can never legitimately replay), any pre-existing stream manifest
+    at batch 0 fails instead. A batch OVERWRITE releases the claim."""
 
     def __init__(self, options: dict):
         self.path = options["path"]
+        # writeStream options arrive case-insensitively; accept both
+        self.run_key = options.get(
+            "checkpointlocation", options.get("checkpointLocation")
+        )
+
+    def _claim_path(self, batchId: int) -> None:
+        import os
+
+        os.makedirs(self.path, exist_ok=True)  # zero-partition batch
+        owner = os.path.join(self.path, "_STREAM_OWNER")
+        if self.run_key is not None:
+            if os.path.exists(owner):
+                with open(owner) as f:
+                    prior = f.read()
+                if prior != self.run_key:
+                    raise ValueError(
+                        f"manifest_jsonl path {self.path} already belongs "
+                        f"to streaming query checkpoint={prior!r}; a new "
+                        "query restarts batch ids from 0 and would "
+                        "silently supersede its committed batches. Write "
+                        "to a fresh path, or batch-overwrite this one to "
+                        "release the claim."
+                    )
+                return
+            if batchId == 0 and any(
+                n.startswith("_MANIFEST-") and not n.endswith(".tmp")
+                for n in os.listdir(self.path)
+            ):
+                # fresh-keyed query, dirty unclaimed path: the existing
+                # manifests are another run's committed batches
+                raise ValueError(
+                    f"manifest_jsonl path {self.path} holds stream "
+                    "manifests from an earlier (unclaimed) run; a new "
+                    "query would supersede them from batch 0. Write to "
+                    "a fresh path or batch-overwrite this one."
+                )
+            tmp = owner + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(self.run_key)
+            os.replace(tmp, owner)
+        elif batchId == 0 and (
+            os.path.exists(owner)
+            or any(
+                n.startswith("_MANIFEST-") and not n.endswith(".tmp")
+                for n in os.listdir(self.path)
+            )
+        ):
+            # temp-checkpoint query (cannot replay): batch 0 on a path
+            # with any prior stream state is always a foreign run
+            raise ValueError(
+                f"manifest_jsonl path {self.path} already holds another "
+                "streaming run's manifests; this query (no visible "
+                "checkpointLocation) restarts batch ids from 0 and "
+                "would supersede them. Write to a fresh path."
+            )
 
     def write(self, iterator) -> "_JsonlCommit":
         return ManifestJsonlWriter({"path": self.path}, False).write(iterator)
@@ -264,6 +345,7 @@ class ManifestJsonlStreamWriter(DataSourceStreamWriter):
         import json
         import os
 
+        self._claim_path(int(batchId))
         manifest = {
             "batch_id": int(batchId),
             "files": [
