@@ -26,7 +26,33 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF1 = "/root/repo/_scratch/sf1"
+SF10_STREAM = "/root/repo/_scratch/sf10_stream"
 SCRATCH = "/root/repo/_scratch/stream_bench"
+
+# events source for the event-driven families — the `decade` mode
+# re-points this at the 10M-row sf10 replica so the same bench
+# functions produce the second-decade table rows (VERDICT r09 #4)
+EVENTS_SF = SF1
+SCALE_TAG = "sf1"
+
+
+def build_events_sf10(spark) -> None:
+    """10M-event replica (10 x sf1 events, keys offset by 1<<28 —
+    above sf1's max key of ~10*(1<<24) — timestamps shifted r seconds
+    so the event-time profile is preserved for the watermark slicing).
+    Sentinel on _SUCCESS so an interrupted build is retried."""
+    from tools.replica_util import replicate
+
+    if os.path.exists(
+        os.path.join(SF10_STREAM, "events.parquet", "_SUCCESS")
+    ):
+        return
+    os.makedirs(SF10_STREAM, exist_ok=True)
+    replicate(
+        spark, SF1, SF10_STREAM, "events",
+        ["event_id", "user_id"], replicas=10, key_offset=1 << 28,
+        ts_col="ts", parts_out=64,
+    )
 
 
 def state_rows(q) -> int:
@@ -57,7 +83,7 @@ def bench_ttl_dedup(spark) -> dict:
 
     from vector_database_watermarking_spark.streaming.dedup import dedup_stream
 
-    ev = spark.read.parquet(f"{SF1}/events.parquet").select(
+    ev = spark.read.parquet(f"{EVENTS_SF}/events.parquet").select(
         "event_id", "user_id", "ts", "value"
     )
     feed = ev.unionByName(ev)  # duplicate every delivery
@@ -98,7 +124,7 @@ def bench_sessionize(spark) -> dict:
         sessionize_stream,
     )
 
-    ev = spark.read.parquet(f"{SF1}/events.parquet").select(
+    ev = spark.read.parquet(f"{EVENTS_SF}/events.parquet").select(
         "user_id", "ts", "event_id", "value"
     )
     src = os.path.join(SCRATCH, "sess_feed")
@@ -143,7 +169,7 @@ def bench_interval_join(spark) -> dict:
         attribution_join_streams,
     )
 
-    ev = spark.read.parquet(f"{SF1}/events.parquet")
+    ev = spark.read.parquet(f"{EVENTS_SF}/events.parquet")
     views = ev.filter(F.col("event_type") == "view").select(
         "event_id", "user_id", "ts", "value"
     )
@@ -344,7 +370,7 @@ def bench_ttl_dedup_bounded(spark) -> dict:
 
     from vector_database_watermarking_spark.streaming.dedup import dedup_stream
 
-    ev = spark.read.parquet(f"{SF1}/events.parquet").select(
+    ev = spark.read.parquet(f"{EVENTS_SF}/events.parquet").select(
         "event_id", "user_id", "ts", "value"
     )
     feed = ev.unionByName(ev)
@@ -380,7 +406,7 @@ def bench_sessionize_bounded(spark) -> dict:
         sessionize_stream,
     )
 
-    ev = spark.read.parquet(f"{SF1}/events.parquet").select(
+    ev = spark.read.parquet(f"{EVENTS_SF}/events.parquet").select(
         "user_id", "ts", "event_id", "value"
     )
     src = os.path.join(SCRATCH, "sessb_feed")
@@ -418,7 +444,7 @@ def bench_interval_join_bounded(spark) -> dict:
         attribution_join_streams,
     )
 
-    ev = spark.read.parquet(f"{SF1}/events.parquet")
+    ev = spark.read.parquet(f"{EVENTS_SF}/events.parquet")
     views = ev.filter(F.col("event_type") == "view").select(
         "event_id", "user_id", "ts", "value"
     )
@@ -470,7 +496,7 @@ def bench_manifest_sink(spark) -> dict:
     )
 
     register_manifest_sink(spark)
-    ev = spark.read.parquet(f"{SF1}/events.parquet").select(
+    ev = spark.read.parquet(f"{EVENTS_SF}/events.parquet").select(
         "event_id",
         "user_id",
         "event_type",
@@ -504,32 +530,77 @@ def bench_manifest_sink(spark) -> dict:
         q.stop()
     _, total = read_manifest_jsonl(spark, out_dir)
     assert total == n_in, (total, n_in)  # exactly-once accounting
+
+    # maintenance path under REAL replay churn (VERDICT r09 #8): drive
+    # the sink's own replay mechanics — re-commit the final micro-batch
+    # with the SAME batch id and the same rows (what Structured
+    # Streaming does after a restart that lost the sink's ack) — so the
+    # first attempt's staged files become orphans; then vacuum and
+    # re-check the exactly-once invariant.
+    import glob as _glob
+
+    from vector_database_watermarking_spark.sources.synthetic import (
+        ManifestJsonlStreamWriter,
+        vacuum_manifest_jsonl,
+    )
+
+    last_manifest = sorted(_glob.glob(os.path.join(out_dir, "_MANIFEST-*")))[-1]
+    with open(last_manifest) as f:
+        last = json.load(f)
+    replay_rows = spark.read.json(
+        [os.path.join(out_dir, e["file"]) for e in last["files"]]
+    ).collect()
+    w = ManifestJsonlStreamWriter(
+        {"path": out_dir, "checkpointlocation": os.path.join(SCRATCH, "sink_ckpt")}
+    )
+    w.commit([w.write(iter(replay_rows))], batchId=last["batch_id"])
+    staged_before = len(_glob.glob(os.path.join(out_dir, "part-*.jsonl")))
+    reclaimed = vacuum_manifest_jsonl(out_dir, grace_seconds=0)
+    assert reclaimed == len(last["files"]), (reclaimed, len(last["files"]))
+    _, total_after = read_manifest_jsonl(spark, out_dir)
+    assert total_after == n_in, (total_after, n_in)  # invariant holds
     return {
         "family": "manifest_jsonl_sink",
         "input_rows": n_in,
         "wall_sec": round(wall, 2),
         "events_per_sec": int(n_in / wall),
         "state_rows": 0,
+        "vacuum_orphans_reclaimed": reclaimed,
+        "vacuum_staged_files_before": staged_before,
+        "vacuum_rows_invariant": bool(total_after == n_in),
     }
 
 
 BOUNDED = (bench_ttl_dedup_bounded, bench_sessionize_bounded, bench_interval_join_bounded)
 REPLAY = (bench_ttl_dedup, bench_sessionize, bench_interval_join, bench_ivm, bench_manifest_sink)
+# second decade (VERDICT r09 #4): the two heaviest stateful gates at
+# the 10M-event sf10 replica, production (bounded-watermark) config
+DECADE = (bench_ttl_dedup_bounded, bench_interval_join_bounded)
 
 
 def main() -> None:
     from vector_database_watermarking_spark.session import get_spark
 
+    global EVENTS_SF, SCALE_TAG
     mode = sys.argv[1] if len(sys.argv) > 1 else "replay"
-    fns = {"replay": REPLAY, "bounded": BOUNDED, "all": REPLAY + BOUNDED}[mode]
+    fns = {
+        "replay": REPLAY,
+        "bounded": BOUNDED,
+        "all": REPLAY + BOUNDED,
+        "decade": DECADE,
+    }[mode]
     os.makedirs(SCRATCH, exist_ok=True)
     spark = get_spark(
         "bench-streaming", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     )
+    if mode == "decade":
+        build_events_sf10(spark)
+        EVENTS_SF, SCALE_TAG = SF10_STREAM, "sf10"
     for fn in fns:
         shutil.rmtree(SCRATCH, ignore_errors=True)
         os.makedirs(SCRATCH, exist_ok=True)
-        print(json.dumps(fn(spark)), flush=True)
+        spark.catalog.clearCache()
+        print(json.dumps({**fn(spark), "scale": SCALE_TAG}), flush=True)
     shutil.rmtree(SCRATCH, ignore_errors=True)
     spark.stop()
 

@@ -91,25 +91,55 @@ def load_perm_emb(spark, n: int, d: int = 64):
     return out
 
 
+def pad_to_d128(emb):
+    """Reference-geometry fixture for the MODIFICATION grid
+    (``compare/roubust.py:233-306``): the reference corpus is
+    sift-128-euclidean (d=128), and the modification attack's match/BER
+    erosion is GEOMETRIC — a modified row is corrupted only when the
+    30-dim overwrite window overlaps the scheme's id/carrier dims, with
+    probability (k+29)/d. Reproducing the published curves therefore
+    requires d=128, not the graded fixture's 64. Widening appends the
+    reversed vector: value distribution preserved exactly (so
+    random_modify's [lo, hi] probe is faithful), the first-40-dim
+    content ids untouched, and the reference's own position=100 becomes
+    addressable."""
+    return emb.select(
+        "vec_id",
+        F.concat(F.col("embedding"), F.reverse(F.col("embedding"))).alias(
+            "embedding"
+        ),
+    )
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10000
+    attack = sys.argv[2] if len(sys.argv) > 2 else "random_delete"
     spark = get_spark(
         "refconfig-grid", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     )
-    seeds = (20, 21, 22, 23, 24)  # reference averages times=10 trials
-    emb = load_dense_emb(spark, n).localCheckpoint(eager=True)
+    seeds = (20, 21, 22, 23, 24)  # reference averages times=10/20 trials
+
+    # modification config (compare/roubust.py:242-249): strength=0.55,
+    # position=100 on the d=128 reference-geometry fixture; deletion
+    # keeps the round-9 graded config (0.54, fixture-default position)
+    modify = attack == "random_modify"
+    emb = load_dense_emb(spark, n)
+    if modify:
+        emb = pad_to_d128(emb)
+    emb = emb.localCheckpoint(eager=True)
 
     acc: dict[float, float] = {p: 0.0 for p in PS}
     for seed in seeds:
         res = robustness_grid(
             emb,
             WATERMARK,
-            attack="random_delete",
+            attack=attack,
             scheme="scpw",
-            strengths=(0.54,),  # compare/roubust.py:168
+            strengths=(0.55 if modify else 0.54,),
             ths=(1.0,),
             ps=PS,
             seed=seed,
+            scpw_position=100 if modify else None,
         )
         for r in res:
             acc[r.p] += r.ber
@@ -117,8 +147,9 @@ def main() -> None:
         json.dumps(
             {
                 "scheme": "scpw",
-                "attack": "random_delete",
+                "attack": attack,
                 "n": n,
+                "d": 128 if modify else 64,
                 "L": len(WATERMARK),
                 "trials": len(seeds),
                 "ber_by_p": {str(p): round(acc[p] / len(seeds), 4) for p in PS},
@@ -127,11 +158,21 @@ def main() -> None:
         flush=True,
     )
 
-    emb_u = load_perm_emb(spark, n).localCheckpoint(eager=True)
+    emb_u = load_perm_emb(spark, n)
+    if modify:
+        emb_u = pad_to_d128(emb_u)
+    emb_u = emb_u.localCheckpoint(eager=True)
     accm: dict[float, float] = {p: 0.0 for p in PS}
     for seed in seeds:
         tm = tabularmark_match_grid(
-            emb_u, nw=100, p_green=4.0, k=40, position=45, ps=PS, seed=seed
+            emb_u,
+            nw=100,
+            p_green=4.0,
+            k=40,
+            position=100 if modify else 45,
+            ps=PS,
+            seed=seed,
+            attack=attack,
         )
         for r in tm:
             accm[r["p"]] += r["match_loss"]
@@ -139,8 +180,9 @@ def main() -> None:
         json.dumps(
             {
                 "scheme": "tabularmark",
-                "attack": "random_delete",
+                "attack": attack,
                 "n": n,
+                "d": 128 if modify else 64,
                 "nw": 100,
                 "trials": len(seeds),
                 "match_loss_by_p": {

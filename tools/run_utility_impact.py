@@ -7,8 +7,9 @@ measurement at a comparable carrier count so the "exact-kNN ⇒
 near-zero impact" explanation is demonstrated at reference scale, not
 extrapolated from 36 carriers.
 
-Usage: python tools/run_utility_impact.py [n] [k] (defaults 10000 100;
-prints one JSON line per th)
+Usage: python tools/run_utility_impact.py [n] [k] [th ...] (defaults
+10000 100 and the reference's full 10-point th grid 0.1..1.0 —
+``impact/impact.py:132`` — prints one JSON line per th)
 """
 
 from __future__ import annotations
@@ -36,8 +37,13 @@ def main() -> None:
     spark = get_spark(
         "utility-impact", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     )
+    ths = (
+        tuple(float(a) for a in sys.argv[3:])
+        if len(sys.argv) > 3
+        else (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0)
+    )
     emb = load_dense_emb(spark, n).localCheckpoint(eager=True)
-    for th in (0.1, 1.0):
+    for th in ths:
         t0 = time.monotonic()
         wm, carriers = tvp_embed(emb, WATERMARK, 0.55, th, seed=20)
         wm = wm.localCheckpoint(eager=True)

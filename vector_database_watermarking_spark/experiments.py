@@ -68,12 +68,17 @@ def robustness_grid(
     ths: tuple[float, ...] = (1.0,),
     ps: tuple[float, ...] = (0.1, 0.3, 0.5, 0.8),
     seed: int = 20,
+    scpw_position: int | None = None,
 ) -> list[RobustnessResult]:
     """C10: embed once per (strength, th), attack per p, extract, BER.
 
     ``attack`` ∈ {random_delete, adaptive_delete, random_modify,
-    adaptive_modify, insertion}.
+    adaptive_modify, insertion}. ``scpw_position`` overrides the
+    fixture-default carrier dim (the d=64 default is 32; the 128-dim
+    reference-geometry fixture uses the reference's own 100 —
+    ``compare/roubust.py:247``).
     """
+    pos = SCPW_POSITION if scpw_position is None else scpw_position
     L = len(watermark)
     emb = emb.cache()
     results: list[RobustnessResult] = []
@@ -90,7 +95,7 @@ def robustness_grid(
                     watermark,
                     strength,
                     top_k=SCPW_TOP_K,
-                    position=SCPW_POSITION,
+                    position=pos,
                     std_e=SCPW_STD_E,
                     seed=seed,
                 )
@@ -106,7 +111,7 @@ def robustness_grid(
                 attacked = _apply_attack(wm_df, attack, p, ai, seed)
                 if scheme == "scpw":
                     extracted = scpw_extract(
-                        attacked, L, top_k=SCPW_TOP_K, position=SCPW_POSITION
+                        attacked, L, top_k=SCPW_TOP_K, position=pos
                     )
                 else:
                     extracted = tvp_extract(attacked, L, seed=seed)
@@ -160,29 +165,41 @@ def tabularmark_match_grid(
     position: int = 45,
     ps: tuple[float, ...] = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8),
     seed: int = 20,
+    attack: str = "random_delete",
 ) -> list[dict]:
     """TabularMark row of the compare grid (``compare/roubust.py:
-    207-213``): embed once (nw=100, p=4, dim=40 — the reference's
-    config), random-delete per p, and record the MATCH PROPORTION LOST
-    ``1 − matched/nw`` instead of BER (TabularMark's detection requires
-    re-finding key rows by content id; the reference grid measures how
-    deletion erodes that matching: 0.099 at p=0.1 up to 0.78 at
-    p=0.8 — i.e. loss ≈ p, since key rows are deleted at the corpus
-    rate). position adapted to d=64 like the SCPW row — it must lie
-    OUTSIDE the first-``k`` content-id dims (the reference's 100 > 40)
-    or the green perturbation corrupts the key rows' own ids."""
+    207-213`` deletion, ``:233-306`` modification): embed once (nw=100,
+    p=4, dim=40 — the reference's config), attack per p, and record the
+    MATCH PROPORTION LOST ``1 − matched/nw`` instead of BER
+    (TabularMark's detection requires re-finding key rows by content
+    id; the grid measures how the attack erodes that matching).
+    Deletion: loss ≈ p (key rows deleted at the corpus rate; reference
+    0.099 at p=0.1 up to 0.78 at p=0.8). Modification: loss ≈
+    p·(k+span−1)/d — a modified key row loses its match only when the
+    span-dim overwrite window overlaps its first-``k`` id dims
+    (reference 0.0555 at p=0.1 up to 0.4115 at p=0.8 on the d=128 SIFT
+    corpus, i.e. the 69/128 ≈ 0.54 geometric factor — reproducing it
+    requires a d=128 fixture). position adapted like the SCPW row — it
+    must lie OUTSIDE the first-``k`` content-id dims (the reference's
+    100 > 40) or the green perturbation corrupts the key rows' own
+    ids."""
     wm, keys = tabularmark_embed(emb, nw, p_green, k, position)
     # multi-consumer: the watermarked frame feeds every per-p attack
     wm = wm.localCheckpoint(eager=True)
     keys = keys.localCheckpoint(eager=True)
     out = []
     for p in ps:
-        attacked = attacks.random_delete(wm, p, seed=seed)
+        if attack == "random_modify":
+            attacked = attacks.random_modify(wm, p, seed=seed)
+        elif attack == "random_delete":
+            attacked = attacks.random_delete(wm, p, seed=seed)
+        else:
+            raise ValueError(f"unknown attack {attack}")
         matched = tabularmark_match_count(attacked, keys, k)
         out.append(
             {
                 "scheme": "tabularmark",
-                "attack": "random_delete",
+                "attack": attack,
                 "p": p,
                 "match_loss": round(1.0 - matched / nw, 4),
             }
