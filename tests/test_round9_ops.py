@@ -777,3 +777,42 @@ def test_manifest_stream_keyed_query_refuses_unclaimed_dirty_path(tmp_path):
     )
     with pytest.raises(ValueError, match="unclaimed"):
         w.commit([w.write(iter([Row(event_id=2)]))], batchId=0)
+
+
+def test_near_dups_auto_matches_pinned_config(spark, sf_dir):
+    """Round-10 registration: the default-argument near-dup query
+    (band_bits=None auto-resolution + budget guard) must produce
+    exactly the pinned 4-bit config's verified pairs at the graded
+    fixtures — auto_band_bits(500) = 4, so any divergence means the
+    resolution path (probe -> count -> knob -> guard) altered the
+    computation."""
+    from vector_database_watermarking_spark.registry import QUERIES
+
+    auto = {
+        tuple(r)
+        for r in QUERIES["ext_emb_near_dups_auto"].fn(spark, sf_dir).collect()
+    }
+    pinned = {
+        tuple(r)
+        for r in QUERIES["ext_emb_near_dups_lsh"].fn(spark, sf_dir).collect()
+    }
+    assert auto == pinned and len(auto) > 0
+
+
+def test_a14_modify_mini_invariants(spark, sf_dir):
+    """Round-10 registration: the modification column of the mini
+    robustness grid. p=0.0 modifies ceil(n*0)=0 rows (lossless
+    round-trip, BER 0); p=0.3 leaves the strength-0.7 majority margin
+    intact (agreeing share ~0.62 >> 0.5 after ~30% of votes turn to
+    noise/strays) and the keyed-hash draw is deterministic — both
+    cells must be exactly BER 0.0, matching the pinned oracle."""
+    from vector_database_watermarking_spark.registry import QUERIES
+
+    rows = sorted(
+        (r["p"], r["scheme"], r["attack"], r["ber"])
+        for r in QUERIES["a14_modify_mini"].fn(spark, sf_dir).collect()
+    )
+    assert rows == [
+        (0.0, "tvp", "random_modify", 0.0),
+        (0.3, "tvp", "random_modify", 0.0),
+    ]

@@ -1125,6 +1125,13 @@ _GRADE_ORDER = [
     # (the late-round-9 TPC-H completion set — rel_local_supplier_volume
     # … rel_disjunct_revenue — was promoted into the graded window in
     # round 10 per VERDICT r09 #1; their full-oracle pack rows remain)
+    # round-10 registrations (rotation pool for round 11; full-oracle
+    # pack rows near_dups_auto_check / a14_modify_check from day one):
+    # the default-argument (auto band width + budget guard) path of the
+    # hyperplane near-dup join, and the modification column of the
+    # robustness grid (C8 random_modify wired through the A14 harness).
+    "ext_emb_near_dups_auto",
+    "a14_modify_mini",
 ]
 
 

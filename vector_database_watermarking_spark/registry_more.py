@@ -1304,6 +1304,45 @@ def a14_robustness_mini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a14_modify_mini",
+    oracle="""
+SELECT 'tvp' AS scheme, 'random_modify' AS attack,
+       CAST(0.7 AS DOUBLE) AS strength, CAST(1.0 AS DOUBLE) AS th,
+       CAST(0.0 AS DOUBLE) AS p, CAST(0.0 AS DOUBLE) AS ber
+UNION ALL
+SELECT 'tvp' AS scheme, 'random_modify' AS attack,
+       CAST(0.7 AS DOUBLE) AS strength, CAST(1.0 AS DOUBLE) AS th,
+       CAST(0.3 AS DOUBLE) AS p, CAST(0.0 AS DOUBLE) AS ber
+""",
+)
+def a14_modify_mini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14/C10, the MODIFICATION column of the compare grid
+    (``compare/roubust.py:233-306``; round 10 — the deletion column is
+    ``a14_robustness_mini``): TVP at strength 0.7 under ``random_modify``
+    p ∈ {0.0, 0.3} — C8's 30-dim-window overwrite wired through the
+    grid harness end to end (attack selection, re-extraction, BER).
+
+    The oracle pins the robustness *invariants*: p = 0.0 modifies zero
+    rows (⌈n·0⌉ = 0), so BER must be 0.0 (the lossless round-trip);
+    at p = 0.3 the strength-0.7 majority margin must also hold —
+    ~30% of each group's votes turn to parity noise or stray to other
+    groups, leaving the agreeing share ≥ 0.7·0.7/(0.7+0.3) ≈ 0.62 ≫
+    0.5, and the keyed-hash attack draw is deterministic at the graded
+    fixtures (verified BER 0.0 at both sf0.001 and sf0.01 under
+    seed=20). The grid's full modification curves — where the share
+    crosses 0.5 and BER rises — are measured in ROBUSTNESS.md (round
+    10) and trend-asserted in pytest."""
+    from .experiments import robustness_grid, to_df
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = robustness_grid(
+        emb, "10101", attack="random_modify", strengths=(0.7,), ths=(1.0,),
+        ps=(0.0, 0.3), seed=SEED,
+    )
+    return to_df(spark, res)
+
+
+@register(
     "w5_largest_component",
     oracle=_components_oracle(
         """
@@ -6729,6 +6768,10 @@ def _pipeline_pack_oracle() -> str:
     smx = QUERIES["ext_source_mix"].oracle
     csp = QUERIES["ext_corpus_split"].oracle
     cdr = QUERIES["ext_corpus_drift"].oracle
+    # round-10 registrations (rotation pool for round 11): full-oracle
+    # pack rows from day one, per the established pattern
+    nda = QUERIES["ext_emb_near_dups_auto"].oracle
+    a14m = QUERIES["a14_modify_mini"].oracle
     h_ls = oracle_hash60("coalesce(lang, '~') || '|' || coalesce(source, '~')")
     h_spl9 = oracle_hash60("split")
     h_src9 = oracle_hash60("source")
@@ -7367,6 +7410,17 @@ SELECT 'corpus_drift_check',
        * ((CAST(floor(psi * 1000000 + 0.5) AS BIGINT) + n_rows * 131)
           % 1000003)) AS BIGINT)
   FROM ({cdr})
+UNION ALL
+SELECT 'near_dups_auto_check',
+  CAST(count(*) + coalesce(sum((src % 997 + 1)
+       * ((dst * 131 + CAST(floor(cos_sim * 1000000 + 0.5) AS BIGINT))
+          % 1000003)), 0) AS BIGINT)
+  FROM ({nda})
+UNION ALL
+SELECT 'a14_modify_check',
+  CAST(count(*) + sum(CAST(floor(p * 10 + 0.5) AS BIGINT) * 131
+       + CAST(floor(ber * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+  FROM ({a14m})
 UNION ALL
 SELECT 'manifest_jsonl_check',
   CAST(count(*) + count(*) * 31 + sum((event_id % 997 + 1)
@@ -9712,6 +9766,48 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                             )
                             % 1000003
                         )
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    # round-10 registrations (rotation pool for round 11)
+    nda = QUERIES["ext_emb_near_dups_auto"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "near_dups_auto_check",
+            nda.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.coalesce(
+                        F.sum(
+                            (F.col("src") % 997 + 1)
+                            * (
+                                (
+                                    F.col("dst") * 131
+                                    + F.floor(
+                                        F.col("cos_sim") * 1000000 + F.lit(0.5)
+                                    ).cast("long")
+                                )
+                                % 1000003
+                            )
+                        ),
+                        F.lit(0),
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    a14m = QUERIES["a14_modify_mini"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "a14_modify_check",
+            a14m.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        F.floor(F.col("p") * 10 + F.lit(0.5)).cast("long") * 131
+                        + F.floor(F.col("ber") * 1000000 + F.lit(0.5)).cast("long")
                     )
                 ).alias("value")
             ),
