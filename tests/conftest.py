@@ -13,11 +13,21 @@ def _enable_bundled_protobuf() -> None:
     PySpark's state-v2 protocol only needs it importable in the driver
     and its spawned Python workers. Runs at conftest import — BEFORE
     the session-scoped SparkSession starts its JVM — so the PYTHONPATH
-    export is inherited by the tws state-server worker processes. The
-    bundled runtime (6.32.0-dev) trails PySpark's gencode (6.33.0) by
-    one minor, so protobuf's own documented escape hatch
-    (TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK) is set alongside;
-    the wire format is unchanged across that step and the parity test
+    export is inherited by the tws state-server worker processes.
+
+    The export goes through a SHIM directory holding only a
+    ``google/protobuf`` symlink, never the SDK dir itself: ``google``
+    is a PEP-420 namespace package and the SDK bundle also carries
+    ``google.auth``/``google.oauth2``/``google.pyglib`` — putting the
+    whole bundle ahead of site-packages would silently shadow any
+    pip-installed versions of those in the workers while the driver
+    (appended path) kept the pip ones, a driver/executor skew. The
+    shim confines the fallback to exactly protobuf.
+
+    The bundled runtime (6.32.0-dev) trails PySpark's gencode (6.33.0)
+    by one minor, so protobuf's own documented escape hatch
+    (TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK) is set alongside; the
+    wire format is unchanged across that step and the parity test
     checks the full round-trip anyway. No-op when protobuf is already
     installed or the SDK bundle is absent (the test then skips as
     before)."""
@@ -27,17 +37,25 @@ def _enable_bundled_protobuf() -> None:
         return
     except ImportError:
         pass
-    bundle = "/usr/lib/google-cloud-sdk/platform/google_appengine"
-    if not os.path.isdir(os.path.join(bundle, "google", "protobuf")):
+    bundle_pb = (
+        "/usr/lib/google-cloud-sdk/platform/google_appengine/google/protobuf"
+    )
+    if not os.path.isdir(bundle_pb):
         return
-    sys.path.append(bundle)
+    shim = os.path.join(os.path.dirname(__file__), os.pardir, "_scratch", "pb_shim")
+    shim = os.path.abspath(shim)
+    os.makedirs(os.path.join(shim, "google"), exist_ok=True)
+    link = os.path.join(shim, "google", "protobuf")
+    if not os.path.exists(link):
+        os.symlink(bundle_pb, link)
+    sys.path.append(shim)
     try:
         import google.protobuf  # noqa: F401
     except ImportError:
-        sys.path.remove(bundle)
+        sys.path.remove(shim)
         return
     os.environ["PYTHONPATH"] = (
-        bundle + os.pathsep + os.environ.get("PYTHONPATH", "")
+        shim + os.pathsep + os.environ.get("PYTHONPATH", "")
     ).rstrip(os.pathsep)
     os.environ.setdefault("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true")
 

@@ -777,6 +777,16 @@ def test_manifest_stream_keyed_query_refuses_unclaimed_dirty_path(tmp_path):
     )
     with pytest.raises(ValueError, match="unclaimed"):
         w.commit([w.write(iter([Row(event_id=2)]))], batchId=0)
+    # ...at ANY batch id, not just 0 (review finding: a keyed query
+    # whose checkpoint already advanced — re-pointed path option —
+    # would otherwise silently replace the foreign _MANIFEST-{id});
+    # the refused claim must also be released so a legitimate later
+    # claim is not blocked by the half-claim
+    import os as _os
+
+    with pytest.raises(ValueError, match="unclaimed"):
+        w.commit([w.write(iter([Row(event_id=3)]))], batchId=7)
+    assert not _os.path.exists(_os.path.join(out, "_STREAM_OWNER"))
 
 
 def test_near_dups_auto_matches_pinned_config(spark, sf_dir):

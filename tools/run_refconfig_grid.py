@@ -13,8 +13,8 @@ Anchors from the reference's pickled grid (``BASELINE.md``):
 - TabularMark match proportion lost: 0.099 at p=0.1 rising to 0.78 at
   p=0.8 (nw=100, p=4, dim=40 — ``compare/roubust.py:172-174,207-213``)
 
-Usage: python tools/run_refconfig_grid.py [n] (prints one JSON line
-per scheme; default n=10000)
+Usage: python tools/run_refconfig_grid.py [n] [attack] [trials]
+(defaults 10000 random_delete 5; prints one JSON line per scheme)
 """
 
 from __future__ import annotations
@@ -114,10 +114,14 @@ def pad_to_d128(emb):
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10000
     attack = sys.argv[2] if len(sys.argv) > 2 else "random_delete"
+    trials = int(sys.argv[3]) if len(sys.argv) > 3 else 5
     spark = get_spark(
         "refconfig-grid", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     )
-    seeds = (20, 21, 22, 23, 24)  # reference averages times=10/20 trials
+    # reference averages times=10 (deletion) / 20 (modification) CPython
+    # draws; keyed-hash trials are seeds 20..20+trials-1 (the published
+    # round-10 SCPW modification row used trials=10)
+    seeds = tuple(range(20, 20 + trials))
 
     # modification config (compare/roubust.py:242-249): strength=0.55,
     # position=100 on the d=128 reference-geometry fixture; deletion

@@ -254,16 +254,18 @@ DEFAULT_PAIR_BUDGET = 100_000_000
 
 def auto_band_bits(n: int, bits: int = 32) -> int:
     """Scale-aware default band width: ``band_bits ≈ log2(n) − 8``,
-    clamped to [4, 16]. SCALING.md measures why the knob must track
-    log2(n): a random pair collides in a band with p ≈ 2^-band_bits,
-    so expected bucket size is n·2^-band_bits — the 4-bit default's
-    regime ends near 20k rows (computed 6×10^10 candidates at an iid
-    200k corpus) while 8-bit carries 200k and 16-bit carries the
-    planted-dup 200k corpus in 11.7× wall at 100× data. The formula
-    keeps expected bucket size ≈ 2^8 rows regardless of n."""
+    clamped to [4, min(16, bits // 2)]. SCALING.md measures why the
+    knob must track log2(n): a random pair collides in a band with
+    p ≈ 2^-band_bits, so expected bucket size is n·2^-band_bits — the
+    4-bit default's regime ends near 20k rows (computed 6×10^10
+    candidates at an iid 200k corpus) while 8-bit carries 200k and
+    16-bit carries the planted-dup 200k corpus in 11.7× wall at 100×
+    data. The formula keeps expected bucket size ≈ 2^8 rows
+    regardless of n; the ``bits // 2`` cap guarantees at least two
+    bands (one band = no OR-amplification, recall collapses)."""
     import math
 
-    return max(4, min(16, int(math.log2(max(n, 2))) - 8))
+    return max(4, min(16, bits // 2, int(math.log2(max(n, 2))) - 8))
 
 
 def emb_near_dups_lsh(
@@ -311,6 +313,7 @@ def emb_near_dups_lsh(
     """
     from .knn import MAX_BROADCAST_ROWS, probe_collect
 
+    caller_n = n_base  # an explicit n_base is authoritative for the knob
     rows = None
     if n_base is None:
         rows = probe_collect(emb.select("vec_id", "embedding"))
@@ -319,8 +322,14 @@ def emb_near_dups_lsh(
         # the auto knob needs the true n past the probe cap — one
         # count() (columnar parquet metadata scan) before committing
         # to a band width is far cheaper than one band width too
-        # narrow for the corpus
-        n_for_knob = n_base if rows is not None else emb.count()
+        # narrow for the corpus; a caller-supplied n_base skips it
+        # (the input may be an expensive computed pipeline)
+        if rows is not None:
+            n_for_knob = n_base
+        elif caller_n is not None:
+            n_for_knob = caller_n
+        else:
+            n_for_knob = emb.count()
         band_bits = auto_band_bits(n_for_knob, bits)
     n_bands = bits // band_bits
     mask = 2**band_bits - 1
@@ -458,10 +467,15 @@ def emb_near_dups_lsh(
         # BEFORE the self-join commits — the knn._lsh_candidates
         # pattern; the persisted `sig` makes this a second pass over
         # cached signatures, not a recompute
+        # _c cast to double BEFORE the multiply: a bucket past ~3e9
+        # rows would overflow _c*(_c-1) in int64 and wrap negative,
+        # silently disabling the guard in exactly the regime it exists
+        # for; double loses exactness only above 2^53, far past any
+        # budget a caller could survive anyway
         bound = (
             blocked.groupBy("band", "key")
             .agg(F.count(F.lit(1)).alias("_c"))
-            .agg(F.sum(F.col("_c") * (F.col("_c") - 1) / 2))
+            .agg(F.sum(F.col("_c").cast("double") * (F.col("_c") - 1) / 2))
             .first()[0]
             or 0
         )
@@ -1137,7 +1151,7 @@ def semantic_dedup(
     emb: DataFrame,
     threshold: float = 0.45,
     bits: int = 32,
-    band_bits: int = 4,
+    band_bits: int | None = None,
     d: int = 64,
     quality: DataFrame | None = None,
     pair_budget: int | None = DEFAULT_PAIR_BUDGET,

@@ -274,11 +274,14 @@ class ManifestJsonlStreamWriter(DataSourceStreamWriter):
     0 — its commits would silently supersede a prior run's committed
     batches (whose data vacuum would then reclaim). The sink therefore
     claims the path with a ``_STREAM_OWNER`` mark holding the query's
-    checkpoint location: restarts of the same query (same checkpoint)
-    pass, a different query fails loudly. When no checkpointLocation
-    option is visible (Spark-managed temp checkpoint — such a query
-    can never legitimately replay), any pre-existing stream manifest
-    at batch 0 fails instead. A batch OVERWRITE releases the claim."""
+    checkpoint location (an atomic O_EXCL create — racing first
+    commits cannot both claim): restarts of the same query (same
+    checkpoint) pass; a different query, or any commit onto an
+    unclaimed path that already holds stream manifests, fails loudly.
+    When no checkpointLocation option is visible (Spark-managed temp
+    checkpoint — such a query can never legitimately replay), any
+    pre-existing stream manifest at batch 0 fails instead. A batch
+    OVERWRITE releases the claim."""
 
     def __init__(self, options: dict):
         self.path = options["path"]
@@ -293,7 +296,13 @@ class ManifestJsonlStreamWriter(DataSourceStreamWriter):
         os.makedirs(self.path, exist_ok=True)  # zero-partition batch
         owner = os.path.join(self.path, "_STREAM_OWNER")
         if self.run_key is not None:
-            if os.path.exists(owner):
+            # atomic claim: O_EXCL create wins or raises — two keyed
+            # queries racing their first commit cannot both claim
+            # (check-then-replace would let the last writer win and
+            # both proceed into mutual supersession)
+            try:
+                fd = os.open(owner, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
                 with open(owner) as f:
                     prior = f.read()
                 if prior != self.run_key:
@@ -306,22 +315,33 @@ class ManifestJsonlStreamWriter(DataSourceStreamWriter):
                         "release the claim."
                     )
                 return
-            if batchId == 0 and any(
-                n.startswith("_MANIFEST-") and not n.endswith(".tmp")
-                for n in os.listdir(self.path)
-            ):
-                # fresh-keyed query, dirty unclaimed path: the existing
-                # manifests are another run's committed batches
-                raise ValueError(
-                    f"manifest_jsonl path {self.path} holds stream "
-                    "manifests from an earlier (unclaimed) run; a new "
-                    "query would supersede them from batch 0. Write to "
-                    "a fresh path or batch-overwrite this one."
-                )
-            tmp = owner + ".tmp"
-            with open(tmp, "w") as f:
-                f.write(self.run_key)
-            os.replace(tmp, owner)
+            try:
+                # claimed fresh — but refuse a DIRTY unclaimed path at
+                # ANY batch id, not just 0: a keyed query whose
+                # checkpoint already advanced (re-pointed 'path'
+                # option, or resuming onto a legacy pre-ownership
+                # run's directory) would otherwise silently replace
+                # the foreign run's _MANIFEST-{batchId}. The one-time
+                # cost is that a pre-ownership-era query resuming onto
+                # its OWN path must batch-overwrite (or re-create the
+                # mark) once — loud, recoverable, and strictly better
+                # than silent supersession.
+                if any(
+                    n.startswith("_MANIFEST-") and not n.endswith(".tmp")
+                    for n in os.listdir(self.path)
+                ):
+                    raise ValueError(
+                        f"manifest_jsonl path {self.path} holds stream "
+                        "manifests from an earlier (unclaimed) run; "
+                        "committing would supersede them. Write to a "
+                        "fresh path or batch-overwrite this one."
+                    )
+                os.write(fd, self.run_key.encode())
+            except ValueError:
+                os.close(fd)
+                os.remove(owner)  # release the half-claim
+                raise
+            os.close(fd)
         elif batchId == 0 and (
             os.path.exists(owner)
             or any(
