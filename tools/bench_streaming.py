@@ -27,11 +27,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF1 = "/root/repo/_scratch/sf1"
 SF10_STREAM = "/root/repo/_scratch/sf10_stream"
+SF100_STREAM = "/root/repo/_scratch/sf100_stream"
 SCRATCH = "/root/repo/_scratch/stream_bench"
 
-# events source for the event-driven families — the `decade` mode
-# re-points this at the 10M-row sf10 replica so the same bench
-# functions produce the second-decade table rows (VERDICT r09 #4)
+# events source for the event-driven families — the `decade`/
+# `decade100` modes re-point this at the 10M/100M-row replicas so the
+# same bench functions produce the second/third-decade table rows
+# (VERDICT r09 #4 and the round-10 extension)
 EVENTS_SF = SF1
 SCALE_TAG = "sf1"
 
@@ -52,6 +54,25 @@ def build_events_sf10(spark) -> None:
         spark, SF1, SF10_STREAM, "events",
         ["event_id", "user_id"], replicas=10, key_offset=1 << 28,
         ts_col="ts", parts_out=64,
+    )
+
+
+def build_events_sf100(spark) -> None:
+    """100M-event replica (10 x the sf10 replica, keys offset by
+    1<<33 — above sf10's ~2.7e9 max key). ~2 GB parquet; the bounded
+    TTL-dedup feed doubles it to 200M delivered rows."""
+    from tools.replica_util import replicate
+
+    build_events_sf10(spark)
+    if os.path.exists(
+        os.path.join(SF100_STREAM, "events.parquet", "_SUCCESS")
+    ):
+        return
+    os.makedirs(SF100_STREAM, exist_ok=True)
+    replicate(
+        spark, SF10_STREAM, SF100_STREAM, "events",
+        ["event_id", "user_id"], replicas=10, key_offset=1 << 33,
+        ts_col="ts", parts_out=128,
     )
 
 
@@ -588,6 +609,7 @@ def main() -> None:
         "bounded": BOUNDED,
         "all": REPLAY + BOUNDED,
         "decade": DECADE,
+        "decade100": DECADE,
     }[mode]
     os.makedirs(SCRATCH, exist_ok=True)
     spark = get_spark(
@@ -596,6 +618,9 @@ def main() -> None:
     if mode == "decade":
         build_events_sf10(spark)
         EVENTS_SF, SCALE_TAG = SF10_STREAM, "sf10"
+    elif mode == "decade100":
+        build_events_sf100(spark)
+        EVENTS_SF, SCALE_TAG = SF100_STREAM, "sf100"
     for fn in fns:
         shutil.rmtree(SCRATCH, ignore_errors=True)
         os.makedirs(SCRATCH, exist_ok=True)
