@@ -35,6 +35,7 @@ SCRATCH = "/root/repo/_scratch/stream_bench"
 # same bench functions produce the second/third-decade table rows
 # (VERDICT r09 #4 and the round-10 extension)
 EVENTS_SF = SF1
+DOCS_SF = SF1
 SCALE_TAG = "sf1"
 
 
@@ -54,6 +55,22 @@ def build_events_sf10(spark) -> None:
         spark, SF1, SF10_STREAM, "events",
         ["event_id", "user_id"], replicas=10, key_offset=1 << 28,
         ts_col="ts", parts_out=64,
+    )
+
+
+def build_docs_sf10(spark) -> None:
+    """500k-doc replica (10 x sf1 documents, doc_id offset by 1<<28)
+    for the IVM decade row."""
+    from tools.replica_util import replicate
+
+    if os.path.exists(
+        os.path.join(SF10_STREAM, "documents.parquet", "_SUCCESS")
+    ):
+        return
+    os.makedirs(SF10_STREAM, exist_ok=True)
+    replicate(
+        spark, SF1, SF10_STREAM, "documents", ["doc_id"],
+        replicas=10, key_offset=1 << 28, parts_out=64,
     )
 
 
@@ -243,7 +260,7 @@ def bench_ivm(spark) -> dict:
 
     from vector_database_watermarking_spark.streaming import cdc, ivm
 
-    docs = spark.read.parquet(f"{SF1}/documents.parquet").select(
+    docs = spark.read.parquet(f"{DOCS_SF}/documents.parquet").select(
         "doc_id", "text", "source"
     )
     base = docs
@@ -594,22 +611,30 @@ def bench_manifest_sink(spark) -> dict:
 
 BOUNDED = (bench_ttl_dedup_bounded, bench_sessionize_bounded, bench_interval_join_bounded)
 REPLAY = (bench_ttl_dedup, bench_sessionize, bench_interval_join, bench_ivm, bench_manifest_sink)
-# second decade (VERDICT r09 #4): the two heaviest stateful gates at
-# the 10M-event sf10 replica, production (bounded-watermark) config
-DECADE = (bench_ttl_dedup_bounded, bench_interval_join_bounded)
+# second decade (VERDICT r09 #4, completed round 10): all four replay
+# families at 10x — the bounded-watermark config for the stateful
+# gates, plus IVM over the 500k-doc replica. decade100 runs the two
+# heaviest gates one decade further (200M-row feed / 40M-row join).
+DECADE = (
+    bench_ttl_dedup_bounded,
+    bench_interval_join_bounded,
+    bench_sessionize_bounded,
+    bench_ivm,
+)
+DECADE100 = (bench_ttl_dedup_bounded, bench_interval_join_bounded)
 
 
 def main() -> None:
     from vector_database_watermarking_spark.session import get_spark
 
-    global EVENTS_SF, SCALE_TAG
+    global EVENTS_SF, DOCS_SF, SCALE_TAG
     mode = sys.argv[1] if len(sys.argv) > 1 else "replay"
     fns = {
         "replay": REPLAY,
         "bounded": BOUNDED,
         "all": REPLAY + BOUNDED,
         "decade": DECADE,
-        "decade100": DECADE,
+        "decade100": DECADE100,
     }[mode]
     os.makedirs(SCRATCH, exist_ok=True)
     spark = get_spark(
@@ -617,7 +642,9 @@ def main() -> None:
     )
     if mode == "decade":
         build_events_sf10(spark)
-        EVENTS_SF, SCALE_TAG = SF10_STREAM, "sf10"
+        build_docs_sf10(spark)
+        EVENTS_SF = DOCS_SF = SF10_STREAM
+        SCALE_TAG = "sf10"
     elif mode == "decade100":
         build_events_sf100(spark)
         EVENTS_SF, SCALE_TAG = SF100_STREAM, "sf100"
