@@ -12,6 +12,8 @@ orders -> customer, events keep per-replica user populations with a
 25/5-row dimensions). ~2 GB parquet.
 
 Usage: python tools/bench_sf10_rel.py [--reps 2] [--queries a,b,...]
+       python tools/bench_sf10_rel.py --sf100   # third decade: 600M-
+       row lineitem, Q1/Q6 only (the single-table scan shapes)
 Prints one JSON line per (query, scale-point).
 """
 from __future__ import annotations
@@ -79,13 +81,66 @@ def build_sf10(spark) -> None:
 from tools.replica_util import consume  # noqa: E402
 
 
+SF100_DIR = "/root/repo/_scratch/sf100_rel"
+
+
+def build_sf100_lineitem(spark) -> None:
+    """Third-decade fixture: lineitem ONLY (Q1/Q6 are single-table
+    scans), 10 x the sf10 replica with keys offset by 1<<34 — past
+    sf10's ~1.7e9 max. ~14 GB parquet, 256 files."""
+    from tools.replica_util import replicate
+
+    if os.path.exists(
+        os.path.join(SF100_DIR, "lineitem.parquet", "_SUCCESS")
+    ):
+        return
+    os.makedirs(SF100_DIR, exist_ok=True)
+    replicate(
+        spark, SF10_DIR, SF100_DIR, "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey"],
+        replicas=10, key_offset=1 << 34, parts_out=256,
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--queries", default=None)
     ap.add_argument("--build-only", action="store_true")
+    ap.add_argument("--sf100", action="store_true")
     args = ap.parse_args()
     names = args.queries.split(",") if args.queries else QUERY_NAMES
+
+    if args.sf100:
+        from vector_database_watermarking_spark.registry import QUERIES
+        from vector_database_watermarking_spark.session import get_spark
+
+        spark = get_spark(
+            "bench-sf100-rel",
+            cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        )
+        build_sf10(spark)
+        t0 = time.monotonic()
+        build_sf100_lineitem(spark)
+        print(
+            json.dumps({"stage": "build_sf100_lineitem",
+                        "sec": round(time.monotonic() - t0, 1)}),
+            flush=True,
+        )
+        for name in ("rel_pricing_summary", "rel_forecast_revenue"):
+            fn = QUERIES[name].fn
+            consume(fn(spark, "/root/testdata/sf0.01"))  # codegen warmup
+            for sf, d in [(10.0, SF10_DIR), (100.0, SF100_DIR)]:
+                reps = []
+                for _ in range(max(args.reps, 3)):
+                    spark.catalog.clearCache()
+                    t0 = time.monotonic()
+                    consume(fn(spark, d))
+                    reps.append(round(time.monotonic() - t0, 2))
+                print(json.dumps({"query": name, "sf": sf,
+                                  "reps_sec": reps}), flush=True)
+        spark.stop()
+        return
 
     from vector_database_watermarking_spark.registry import QUERIES
     from vector_database_watermarking_spark.session import get_spark
