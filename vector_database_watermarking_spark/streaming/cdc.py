@@ -40,11 +40,18 @@ def _pointer_path(table_dir: str) -> str:
     return os.path.join(table_dir, "_CURRENT")
 
 
+def current_version(table_dir: str) -> int:
+    """Parse the commit pointer (the ONE place the ``vN`` format is
+    interpreted — review round 10 found four hand-copied parsers)."""
+    with open(_pointer_path(table_dir)) as fh:
+        return int(fh.read().strip().lstrip("v"))
+
+
 def read_current(spark: SparkSession, table_dir: str) -> DataFrame:
     """Resolve the snapshot pointer and read the current base table."""
-    with open(_pointer_path(table_dir)) as fh:
-        version = fh.read().strip()
-    return spark.read.parquet(os.path.join(table_dir, version))
+    return spark.read.parquet(
+        os.path.join(table_dir, f"v{current_version(table_dir)}")
+    )
 
 
 def init_table(base: DataFrame, table_dir: str) -> None:
@@ -66,8 +73,18 @@ def _commit_snapshot(df: DataFrame, table_dir: str, version: int) -> None:
 def read_version(spark: SparkSession, table_dir: str, version: int) -> DataFrame:
     """Time travel: read snapshot ``vN`` directly (it must still be
     retained — ``vacuum`` with ``retain=0`` disabled, or ``version``
-    within the retain window). The pointer is not consulted, so a
-    reader can pin an old version while writers advance."""
+    within the retain window). A version PAST the commit pointer is
+    refused: the pointer flip IS the commit, so a ``vN`` directory
+    above it is a crashed writer's half-written orphan — reading it
+    would silently return a partial snapshot, violating the module's
+    readers-never-see-a-half-write invariant (review round 10)."""
+    cur = current_version(table_dir)
+    if version > cur:
+        raise FileNotFoundError(
+            f"snapshot v{version} is past the commit pointer v{cur} under "
+            f"{table_dir} — never committed (a crashed writer may have "
+            "left a partial directory); the next commit will overwrite it"
+        )
     vdir = os.path.join(table_dir, f"v{version}")
     if not os.path.isdir(vdir):
         raise FileNotFoundError(
@@ -78,11 +95,14 @@ def read_version(spark: SparkSession, table_dir: str, version: int) -> DataFrame
 
 
 def list_versions(table_dir: str) -> list[int]:
-    """Retained snapshot versions, ascending (time-travel catalog)."""
+    """Retained COMMITTED snapshot versions, ascending (time-travel
+    catalog). Directories past the commit pointer are excluded — they
+    are crashed-writer orphans, not snapshots (see read_version)."""
+    cur = current_version(table_dir)
     return sorted(
         int(name[1:])
         for name in os.listdir(table_dir)
-        if name.startswith("v") and name[1:].isdigit()
+        if name.startswith("v") and name[1:].isdigit() and int(name[1:]) <= cur
     )
 
 
@@ -100,10 +120,9 @@ def apply_once(
     if not batch_df.take(1):
         return
     spark = batch_df.sparkSession
-    base = read_current(spark, table_dir)
+    cur = current_version(table_dir)  # one pointer read per trigger
+    base = spark.read.parquet(os.path.join(table_dir, f"v{cur}"))
     merged = apply_changes(base, batch_df, key=key, seq=seq, op=op)
-    with open(_pointer_path(table_dir)) as fh:
-        cur = int(fh.read().strip().lstrip("v"))
     _commit_snapshot(merged, table_dir, cur + 1)
     if retain:
         vacuum(table_dir, retain)
@@ -118,8 +137,7 @@ def vacuum(table_dir: str, retain: int = 2) -> list[str]:
     before a flip."""
     import shutil
 
-    with open(_pointer_path(table_dir)) as fh:
-        cur = int(fh.read().strip().lstrip("v"))
+    cur = current_version(table_dir)
     removed = []
     for name in sorted(os.listdir(table_dir)):
         if not name.startswith("v") or not name[1:].isdigit():

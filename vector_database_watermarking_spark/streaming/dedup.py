@@ -61,14 +61,7 @@ def run_dedup_stream(
         spark, dir_path, max_files_per_trigger=max_files_per_trigger
     )
     deduped = dedup_stream(stream, key_cols=key_cols, watermark=watermark)
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(table_name)
-        .outputMode("append")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    from .windows import drain_to_memory
+
+    drain_to_memory(deduped, table_name, "append", timeout_sec=120)
     return spark.sql(f"SELECT count(*) AS n FROM {table_name}").head()["n"]

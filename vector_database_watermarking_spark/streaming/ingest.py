@@ -43,11 +43,13 @@ def shingle_array(text_col, n: int = 3):
     return F.array_distinct(F.filter(grams, lambda s: F.length(s) > 0))
 
 
-def row_minhash(shingles, num_hashes: int = 8):
-    """Per-row MinHash signature (array<long>), identical values to
-    ``dedup.minhash_signatures``'s explode-groupBy tier — here an
-    ``array_min`` fold per hash so it stays a stateless projection."""
-    base = F.transform(shingles, lambda s: hash60(s) % F.lit(MINHASH_P))
+def row_minhash_from_base(base, num_hashes: int = 8):
+    """Per-row MinHash signature from an already-computed base-hash
+    array (``hash60(shingle) % P`` per shingle): one ``array_min``
+    affine fold per hash function. Splitting this from the shingling
+    lets callers materialize ``base`` behind an exchange so the
+    regex+md5 stage runs once per row, not once per hash function
+    (the word_shingles O(len²) pitfall, found here by review round 10)."""
     return F.array(
         *[
             F.array_min(
@@ -58,6 +60,14 @@ def row_minhash(shingles, num_hashes: int = 8):
             for a, b in minhash_coeffs(num_hashes)
         ]
     )
+
+
+def row_minhash(shingles, num_hashes: int = 8):
+    """Per-row MinHash signature (array<long>), identical values to
+    ``dedup.minhash_signatures``'s explode-groupBy tier — here an
+    ``array_min`` fold per hash so it stays a stateless projection."""
+    base = F.transform(shingles, lambda s: hash60(s) % F.lit(MINHASH_P))
+    return row_minhash_from_base(base, num_hashes)
 
 
 def row_bands(sig, num_hashes: int = 8, rows_per_band: int = 2):
@@ -112,11 +122,31 @@ def ingest_band_candidates_stream(
 ) -> DataFrame:
     """Near-dup candidate stream: (doc_id, corpus_doc_id, band) for
     every corpus band collision of a stream doc's per-row signature.
-    Stateless projection + explode + stream-static inner join."""
-    sig = row_minhash(shingle_array(text_col, n=n), num_hashes=num_hashes)
-    banded = doc_stream.select(
+    Stateless projection + explode + stream-static inner join.
+
+    Plan shape (review round 10): the shingle→md5 base array and then
+    the signature are each materialized behind an exchange before the
+    next stage references them. Higher-order-function expressions get
+    no whole-stage-codegen CSE, so inlining ``sig`` into the 8 band
+    struct fields (and ``base`` into the 8 per-hash folds inside it)
+    re-ran the tokenize/shingle/md5 pipeline tens of times per stream
+    row — the exact O(len²) pitfall ``dedup.word_shingles`` documents;
+    the two narrow (doc_id, array) shuffles per micro-batch are far
+    cheaper than the duplicated regex+md5 work they eliminate."""
+    nparts = doc_stream.sparkSession.sparkContext.defaultParallelism
+    base = F.transform(
+        shingle_array(text_col, n=n), lambda s: hash60(s) % F.lit(MINHASH_P)
+    )
+    based = doc_stream.select("doc_id", base.alias("_base")).repartition(
+        nparts, "doc_id"
+    )
+    sigged = based.select(
         "doc_id",
-        F.explode(row_bands(sig, num_hashes, rows_per_band)).alias("bb"),
+        row_minhash_from_base(F.col("_base"), num_hashes).alias("_sig"),
+    ).repartition(nparts, "doc_id")
+    banded = sigged.select(
+        "doc_id",
+        F.explode(row_bands(F.col("_sig"), num_hashes, rows_per_band)).alias("bb"),
     ).select("doc_id", "bb.band", "bb.band_hash")
     return banded.join(
         corpus_bands.select(

@@ -174,10 +174,8 @@ def apply_batch(
         return
     spark = batch_df.sparkSession
     keys = batch_df.select(key).distinct()
-    with open(cdc._pointer_path(table_dir)) as fh:
-        bcur = int(fh.read().strip().lstrip("v"))
-    with open(cdc._pointer_path(agg_dir)) as fh:
-        acur = int(fh.read().strip().lstrip("v"))
+    bcur = cdc.current_version(table_dir)
+    acur = cdc.current_version(agg_dir)
     stamp = _read_stamp(agg_dir, acur, default=bcur)
     if stamp > bcur:
         raise RuntimeError(
@@ -192,11 +190,21 @@ def apply_batch(
             base.join(keys, on=key, how="left_semi"), group_col, value_expr
         )
         merged = apply_changes(base, batch_df, key=key, seq=seq, op=op)
+        cdc._commit_snapshot(merged, table_dir, bcur + 1)
+        # compute `new` from the JUST-WRITTEN snapshot, not `merged`'s
+        # lineage: the view commit would otherwise re-run the full-
+        # outer MERGE a second time inside its own write (review round
+        # 10 — two merge joins per trigger on the hot path). The
+        # read-back is a key-pruned scan of the committed parquet —
+        # exactly what every other reader of v{bcur+1} sees — and the
+        # crash ordering is unchanged (base commit still precedes the
+        # view commit; the pre-merge v{bcur} survives until the
+        # post-commit vacuum, so `old`'s lineage stays readable).
+        fresh = spark.read.parquet(os.path.join(table_dir, f"v{bcur + 1}"))
         new = group_contrib(
-            merged.join(keys, on=key, how="left_semi"), group_col, value_expr
+            fresh.join(keys, on=key, how="left_semi"), group_col, value_expr
         )
         updated = _combine(view, old, new, group_col)
-        cdc._commit_snapshot(merged, table_dir, bcur + 1)
         _commit_view(updated, agg_dir, acur + 1, base_version=bcur + 1)
     else:
         # torn window: base@stamp is the pre-merge snapshot this view

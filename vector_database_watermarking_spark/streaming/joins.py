@@ -111,17 +111,10 @@ def attribution_join_streams(
 
 
 def run_to_append_sink(
-    stream_df: DataFrame, table_name: str
+    stream_df: DataFrame, table_name: str, timeout_sec: int = 60
 ) -> None:
     """Drive a stream-stream join to completion against a memory sink
     in append mode (joins emit append-only), then stop."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(table_name)
-        .outputMode("append")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    from .windows import drain_to_memory
+
+    drain_to_memory(stream_df, table_name, "append", timeout_sec)

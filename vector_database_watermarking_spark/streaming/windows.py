@@ -73,18 +73,42 @@ def stream_events_from_files(
     return reader.parquet(dir_path)
 
 
+def drain_to_memory(
+    stream_df: DataFrame,
+    table_name: str,
+    output_mode: str = "complete",
+    timeout_sec: int = 60,
+) -> None:
+    """THE memory-sink drain (review round 10: three hand-copied
+    start/processAllAvailable/stop blocks lived across the streaming
+    package): process everything available, then stop. ``timeout_sec``
+    bounds the drain — ``processAllAvailable`` has no timeout of its
+    own, so it runs on a worker thread and a wedged query is stopped
+    and reported instead of hanging the caller forever."""
+    import threading
+
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .start()
+    )
+    try:
+        drain = threading.Thread(target=q.processAllAvailable, daemon=True)
+        drain.start()
+        drain.join(timeout_sec)
+        if drain.is_alive():
+            raise TimeoutError(
+                f"streaming query '{table_name}' did not drain within "
+                f"{timeout_sec}s"
+            )
+    finally:
+        q.stop()
+
+
 def run_to_memory_sink(
     stream_df: DataFrame, table_name: str, timeout_sec: int = 60
 ) -> None:
     """Drive a streaming aggregation to completion against a memory
-    sink (test/demo harness): process everything available, then stop."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(table_name)
-        .outputMode("complete")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    sink (test/demo harness, complete mode)."""
+    drain_to_memory(stream_df, table_name, "complete", timeout_sec)
