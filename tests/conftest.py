@@ -46,7 +46,15 @@ def _enable_bundled_protobuf() -> None:
     shim = os.path.abspath(shim)
     os.makedirs(os.path.join(shim, "google"), exist_ok=True)
     link = os.path.join(shim, "google", "protobuf")
-    if not os.path.exists(link):
+    # lexists, not exists: a dangling symlink (SDK bundle moved/removed
+    # after a prior run) returns False from exists() and os.symlink then
+    # raises FileExistsError at conftest import, aborting the whole test
+    # session (ADVICE round 10). Remove a stale/dangling link first.
+    if os.path.lexists(link) and os.path.realpath(link) != os.path.realpath(
+        bundle_pb
+    ):
+        os.remove(link)
+    if not os.path.lexists(link):
         os.symlink(bundle_pb, link)
     sys.path.append(shim)
     try:

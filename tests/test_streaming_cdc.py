@@ -278,3 +278,49 @@ def test_cdc_time_travel_and_apply_once(spark, tmp_path):
     assert cdc.list_versions(d) == [2]
     with pytest.raises(FileNotFoundError):
         cdc.read_version(spark, d, 0)
+
+
+def test_cdc_uninitialized_dir_is_explicit(spark, tmp_path):
+    """ADVICE round 10: a table dir without a _CURRENT pointer is 'not
+    initialized', not a raw open() FileNotFoundError — list_versions
+    returns [] (zero committed snapshots by definition, even when stray
+    vN directories exist), and the readers name the missing pointer."""
+    import os
+
+    import pytest
+
+    d = str(tmp_path / "never_init")
+    os.makedirs(os.path.join(d, "v0"))  # externally-created orphan
+    assert cdc.list_versions(d) == []
+    with pytest.raises(FileNotFoundError, match="not initialized"):
+        cdc.current_version(d)
+    with pytest.raises(FileNotFoundError, match="not initialized"):
+        cdc.read_version(spark, d, 0)
+
+
+def test_drain_to_memory_propagates_query_failure(spark, tmp_path):
+    """ADVICE round 10 (medium): a StreamingQueryException inside the
+    worker-thread processAllAvailable must surface to the caller — the
+    old drain let the thread die silently and callers read a
+    partial/empty memory table as a successful drain."""
+    import pytest
+
+    from vector_database_watermarking_spark.streaming.windows import (
+        drain_to_memory,
+    )
+
+    src = str(tmp_path / "bad_src")
+    spark.createDataFrame([(1,)], "event_id long").write.parquet(src)
+    stream = (
+        spark.readStream.schema("event_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+
+    def _boom(batches):
+        raise ValueError("deliberate batch failure")
+        yield  # pragma: no cover - generator marker
+
+    failing = stream.mapInPandas(_boom, "event_id long")
+    with pytest.raises(Exception, match="deliberate batch failure"):
+        drain_to_memory(failing, "drain_failure_probe", "append", 120)

@@ -42,9 +42,19 @@ def _pointer_path(table_dir: str) -> str:
 
 def current_version(table_dir: str) -> int:
     """Parse the commit pointer (the ONE place the ``vN`` format is
-    interpreted — review round 10 found four hand-copied parsers)."""
-    with open(_pointer_path(table_dir)) as fh:
-        return int(fh.read().strip().lstrip("v"))
+    interpreted — review round 10 found four hand-copied parsers). A
+    missing pointer means the directory was never ``init_table``'d (or
+    was created externally) — say so, rather than leaking the raw
+    open() FileNotFoundError (ADVICE round 10)."""
+    try:
+        with open(_pointer_path(table_dir)) as fh:
+            return int(fh.read().strip().lstrip("v"))
+    except FileNotFoundError:
+        raise FileNotFoundError(
+            f"CDC table at {table_dir} is not initialized: no _CURRENT "
+            "commit pointer (call init_table first; a directory created "
+            "outside this module has no committed snapshots)"
+        ) from None
 
 
 def read_current(spark: SparkSession, table_dir: str) -> DataFrame:
@@ -97,8 +107,15 @@ def read_version(spark: SparkSession, table_dir: str, version: int) -> DataFrame
 def list_versions(table_dir: str) -> list[int]:
     """Retained COMMITTED snapshot versions, ascending (time-travel
     catalog). Directories past the commit pointer are excluded — they
-    are crashed-writer orphans, not snapshots (see read_version)."""
-    cur = current_version(table_dir)
+    are crashed-writer orphans, not snapshots (see read_version). An
+    uninitialized table dir (no pointer) has zero committed snapshots
+    by definition, so this returns [] rather than raising — stray
+    ``vN`` directories there are unreadable-as-snapshots anyway
+    (ADVICE round 10)."""
+    try:
+        cur = current_version(table_dir)
+    except FileNotFoundError:
+        return []
     return sorted(
         int(name[1:])
         for name in os.listdir(table_dir)

@@ -84,7 +84,16 @@ def drain_to_memory(
     package): process everything available, then stop. ``timeout_sec``
     bounds the drain — ``processAllAvailable`` has no timeout of its
     own, so it runs on a worker thread and a wedged query is stopped
-    and reported instead of hanging the caller forever."""
+    and reported instead of hanging the caller forever.
+
+    A failed query must FAIL the drain (ADVICE round 10): an exception
+    inside ``processAllAvailable`` on the worker thread would otherwise
+    die with the thread, ``join()`` would return normally, and the
+    caller would read a partial/empty memory table as if the drain
+    succeeded. The thread therefore captures its exception for the
+    caller to re-raise, and ``q.exception()`` is checked as a backstop
+    (a StreamingQueryException can surface there without ever raising
+    through ``processAllAvailable``)."""
     import threading
 
     q = (
@@ -93,8 +102,16 @@ def drain_to_memory(
         .outputMode(output_mode)
         .start()
     )
+    err: list[BaseException] = []
+
+    def _drain() -> None:
+        try:
+            q.processAllAvailable()
+        except BaseException as e:  # re-raised on the caller thread
+            err.append(e)
+
     try:
-        drain = threading.Thread(target=q.processAllAvailable, daemon=True)
+        drain = threading.Thread(target=_drain, daemon=True)
         drain.start()
         drain.join(timeout_sec)
         if drain.is_alive():
@@ -102,6 +119,11 @@ def drain_to_memory(
                 f"streaming query '{table_name}' did not drain within "
                 f"{timeout_sec}s"
             )
+        if err:
+            raise err[0]
+        q_err = q.exception()
+        if q_err is not None:
+            raise q_err
     finally:
         q.stop()
 
