@@ -889,7 +889,15 @@ _GRADE_ORDER = [
     # dup_spans_check / unigram_check / hard_neg_check).
     "stream_detection_replay",
     "stream_ingest_replay",
-    "stream_ingest_candidates_replay",
+    # Round-11 demotion (rotation for the round-10 registrations, per
+    # VERDICT r10 #1): stream_ingest_candidates_replay rotates out
+    # after two green rounds on a NEW full-oracle pack row
+    # (ingest_candidates_check embeds the complete demoted oracle —
+    # both two-sided MinHash-band CTE chains — so the streaming band
+    # candidate join stays driver-graded every round); the ingest
+    # family keeps its other full-output in-window gate,
+    # stream_ingest_replay, which replays the same per-row signature
+    # path end to end.
     "stream_curation_replay",
     # promoted round 8 (VERDICT r07 #1): the ten round-7 operators got
     # full-output driver rows; each keeps its belt-and-braces pack
@@ -940,7 +948,15 @@ _GRADE_ORDER = [
     "rel_market_share",
     "rel_nation_profit",
     "rel_cheapest_supplier",
-    "ext_emb_near_dups_scaled",
+    # Round-11 demotion (rotation for the round-10 registrations, per
+    # VERDICT r10 #1): ext_emb_near_dups_scaled rotates out after two
+    # green rounds on a NEW full-oracle pack row
+    # (near_dups_scaled_check embeds the complete 8-bit-band oracle),
+    # and the SAME shift/mask banding code path now grades in-window
+    # through the promoted default-argument row below — the window
+    # keeps one full-output hyperplane near-dup representative, at the
+    # width the auto knob actually derives.
+    "ext_emb_near_dups_auto",
     # promoted round 10 (VERDICT r09 #1): the eight TPC-H-completion
     # queries — Q5 local-supplier volume, Q6 forecast revenue, Q11
     # important parts, Q12 late shipment modes, Q14 promo revenue,
@@ -967,12 +983,22 @@ _GRADE_ORDER = [
     "pipe_rs_roundtrip",
     "pipe_scpw_roundtrip",
     "pipe_tabularmark_detect",
+    # promoted round 11 (VERDICT r10 #1): the modification column of
+    # the robustness grid gets its full-output driver row next to the
+    # deletion grid it mirrors; its day-one pack row a14_modify_check
+    # stays as belt and braces.
+    "a14_modify_mini",
     "a14_robustness_mini",
     # --- past the graded window: sub-computations of graded queries,
     # relational breadth, alternate views, further extensions. All
     # locally hash-checked via tools/check_oracles.py; rows demoted in
     # the latest rotation sit first so the next rotation can cycle
     # them back in if desired.
+    # Round-11 demotions (full-oracle pack rows near_dups_scaled_check
+    # / ingest_candidates_check; inline ledger notes at their old
+    # window slots above):
+    "ext_emb_near_dups_scaled",
+    "stream_ingest_candidates_replay",
     "rel_dominant_suppliers",
     "rel_events_twap",
     "ext_prefix_jaccard_dups",
@@ -1125,13 +1151,10 @@ _GRADE_ORDER = [
     # (the late-round-9 TPC-H completion set — rel_local_supplier_volume
     # … rel_disjunct_revenue — was promoted into the graded window in
     # round 10 per VERDICT r09 #1; their full-oracle pack rows remain)
-    # round-10 registrations (rotation pool for round 11; full-oracle
-    # pack rows near_dups_auto_check / a14_modify_check from day one):
-    # the default-argument (auto band width + budget guard) path of the
-    # hyperplane near-dup join, and the modification column of the
-    # robustness grid (C8 random_modify wired through the A14 harness).
-    "ext_emb_near_dups_auto",
-    "a14_modify_mini",
+    # (the two round-10 registrations — ext_emb_near_dups_auto and
+    # a14_modify_mini — were promoted into the graded window in round
+    # 11 per VERDICT r10 #1; their day-one full-oracle pack rows
+    # near_dups_auto_check / a14_modify_check remain)
 ]
 
 

@@ -6772,6 +6772,14 @@ def _pipeline_pack_oracle() -> str:
     # pack rows from day one, per the established pattern
     nda = QUERIES["ext_emb_near_dups_auto"].oracle
     a14m = QUERIES["a14_modify_mini"].oracle
+    # round-11 demotions: full oracles of the two rows rotated out of
+    # the graded window for the round-10 registrations' promotion —
+    # ext_emb_near_dups_scaled (the same shift/mask banding code path
+    # now grades in-window at the auto-derived width) and
+    # stream_ingest_candidates_replay (the ingest family keeps its
+    # other in-window gate, stream_ingest_replay)
+    ndsc = QUERIES["ext_emb_near_dups_scaled"].oracle
+    sic = QUERIES["stream_ingest_candidates_replay"].oracle
     h_ls = oracle_hash60("coalesce(lang, '~') || '|' || coalesce(source, '~')")
     h_spl9 = oracle_hash60("split")
     h_src9 = oracle_hash60("source")
@@ -7421,6 +7429,17 @@ SELECT 'a14_modify_check',
   CAST(count(*) + sum(CAST(floor(p * 10 + 0.5) AS BIGINT) * 131
        + CAST(floor(ber * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
   FROM ({a14m})
+UNION ALL
+SELECT 'near_dups_scaled_check',
+  CAST(count(*) + coalesce(sum((src % 997 + 1)
+       * ((dst * 131 + CAST(floor(cos_sim * 1000000 + 0.5) AS BIGINT))
+          % 1000003)), 0) AS BIGINT)
+  FROM ({ndsc})
+UNION ALL
+SELECT 'ingest_candidates_check',
+  CAST(count(*) + coalesce(sum((doc_id % 997 + 1)
+       * ((corpus_doc_id * 131 + band) % 1000003)), 0) AS BIGINT)
+  FROM ({sic})
 UNION ALL
 SELECT 'manifest_jsonl_check',
   CAST(count(*) + count(*) * 31 + sum((event_id % 997 + 1)
@@ -9808,6 +9827,55 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.sum(
                         F.floor(F.col("p") * 10 + F.lit(0.5)).cast("long") * 131
                         + F.floor(F.col("ber") * 1000000 + F.lit(0.5)).cast("long")
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    # round-11 demotions (see the oracle binding above): each demoted
+    # row's FULL oracle stays driver-graded here every round
+    ndsc = QUERIES["ext_emb_near_dups_scaled"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "near_dups_scaled_check",
+            ndsc.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.coalesce(
+                        F.sum(
+                            (F.col("src") % 997 + 1)
+                            * (
+                                (
+                                    F.col("dst") * 131
+                                    + F.floor(
+                                        F.col("cos_sim") * 1000000 + F.lit(0.5)
+                                    ).cast("long")
+                                )
+                                % 1000003
+                            )
+                        ),
+                        F.lit(0),
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    sic = QUERIES["stream_ingest_candidates_replay"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "ingest_candidates_check",
+            sic.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.coalesce(
+                        F.sum(
+                            (F.col("doc_id") % 997 + 1)
+                            * (
+                                (F.col("corpus_doc_id") * 131 + F.col("band"))
+                                % 1000003
+                            )
+                        ),
+                        F.lit(0),
                     )
                 ).alias("value")
             ),
