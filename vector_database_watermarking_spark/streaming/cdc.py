@@ -32,6 +32,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.merge import apply_changes
 
@@ -58,10 +59,13 @@ def current_version(table_dir: str) -> int:
 
 
 def read_current(spark: SparkSession, table_dir: str) -> DataFrame:
-    """Resolve the snapshot pointer and read the current base table."""
-    return spark.read.parquet(
+    """Resolve the snapshot pointer and read the current base table.
+    On a bucketed-layout table the internal partition column is
+    dropped — readers see the same schema either way."""
+    df = spark.read.parquet(
         os.path.join(table_dir, f"v{current_version(table_dir)}")
     )
+    return df.drop(BUCKET_COL) if bucket_spec(table_dir) else df
 
 
 def init_table(base: DataFrame, table_dir: str) -> None:
@@ -71,13 +75,128 @@ def init_table(base: DataFrame, table_dir: str) -> None:
         fh.write("v0")
 
 
-def _commit_snapshot(df: DataFrame, table_dir: str, version: int) -> None:
-    vdir = f"v{version}"
-    df.write.mode("overwrite").parquet(os.path.join(table_dir, vdir))
+def _flip_pointer(table_dir: str, version: int) -> None:
     tmp = _pointer_path(table_dir) + ".tmp"
     with open(tmp, "w") as fh:
-        fh.write(vdir)
+        fh.write(f"v{version}")
     os.replace(tmp, _pointer_path(table_dir))  # atomic pointer flip
+
+
+def _commit_snapshot(df: DataFrame, table_dir: str, version: int) -> None:
+    df.write.mode("overwrite").parquet(os.path.join(table_dir, f"v{version}"))
+    _flip_pointer(table_dir, version)
+
+
+# --------------------------------------------------- bucketed layout
+# VERDICT r10 #4: the plain layout rewrites the FULL snapshot per
+# trigger — O(snapshot) regardless of batch size. The bucketed layout
+# makes the rewrite O(changed buckets): v0 is written partitioned by
+# _bucket = pmod(xxhash64(key), n_buckets); each commit writes only the
+# buckets the batch's keys land in and HARD-LINKS every other bucket's
+# immutable data files from the previous version (same filesystem, so a
+# link is a metadata operation; vacuuming an old version just drops its
+# links — a file lives until no retained version references it). Every
+# version stays a complete, self-contained snapshot — the pointer flip,
+# time travel, vacuum, and the readers-never-see-a-half-write invariant
+# are untouched. This is the parquet analogue of a table format's
+# bucket index (e.g. Hudi's): at 100 TB the equivalent is bucketed
+# table layout + copy-on-write of touched files only.
+#
+# Hash bucketing spreads uniform keys across all buckets, so the win is
+# |changed buckets| / n_buckets: a trickle batch (keys ≲ n_buckets)
+# rewrites a few buckets; a batch with keys >> n_buckets degrades to
+# the plain full rewrite (measured in SCALING.md). Choose n_buckets so
+# the steady-state batch key count stays below it.
+
+BUCKET_COL = "_bucket"
+
+
+def _buckets_meta_path(table_dir: str) -> str:
+    return os.path.join(table_dir, "_BUCKETS")
+
+
+def bucket_spec(table_dir: str) -> tuple[int, str] | None:
+    """(n_buckets, key) when the table uses the bucketed snapshot
+    layout, else None. The layout is a property of the TABLE (recorded
+    at init), so apply_once / ivm.apply_batch adapt automatically."""
+    try:
+        with open(_buckets_meta_path(table_dir)) as fh:
+            n, key = fh.read().strip().split("\n")[:2]
+            return int(n), key
+    except FileNotFoundError:
+        return None
+
+
+def _bucket_expr(key: str, n_buckets: int):
+    # cast to string so the hash is stable across integer widths;
+    # xxhash64 is seed-fixed in Spark — deterministic across sessions
+    return F.pmod(
+        F.xxhash64(F.col(key).cast("string")), F.lit(n_buckets)
+    ).cast("int")
+
+
+def init_table_bucketed(
+    base: DataFrame, table_dir: str, key: str = "doc_id", n_buckets: int = 64
+) -> None:
+    """Write snapshot v0 in the bucketed layout plus the _BUCKETS spec
+    and the pointer."""
+    base.withColumn(BUCKET_COL, _bucket_expr(key, n_buckets)).write.mode(
+        "overwrite"
+    ).partitionBy(BUCKET_COL).parquet(os.path.join(table_dir, "v0"))
+    with open(_buckets_meta_path(table_dir), "w") as fh:
+        fh.write(f"{n_buckets}\n{key}")
+    _flip_pointer(table_dir, 0)
+
+
+def changed_buckets(batch_df: DataFrame, key: str, n_buckets: int) -> list[int]:
+    """Bucket ids the batch's keys land in (≤ n_buckets ints — a
+    driver-side bound by construction, not a data-sized collect)."""
+    return sorted(
+        r[0]
+        for r in batch_df.select(_bucket_expr(key, n_buckets).alias("b"))
+        .distinct()
+        .collect()
+    )
+
+
+def read_version_buckets(
+    spark: SparkSession, table_dir: str, version: int, buckets: list[int]
+) -> DataFrame:
+    """Partition-pruned read of only the given buckets of a committed
+    snapshot (internal: callers pass versions they just resolved)."""
+    df = spark.read.parquet(os.path.join(table_dir, f"v{version}"))
+    return df.filter(F.col(BUCKET_COL).isin(buckets)).drop(BUCKET_COL)
+
+
+def _commit_snapshot_bucketed(
+    merged_changed: DataFrame,
+    table_dir: str,
+    version: int,
+    changed: list[int],
+    n_buckets: int,
+    key: str,
+) -> None:
+    """Commit ``v{version}`` from ``merged_changed`` — the post-merge
+    content of ONLY the changed buckets — plus hard links to every
+    unchanged bucket of ``v{version-1}``. Bytes written scale with the
+    changed buckets; the rest is filesystem metadata."""
+    vdir = os.path.join(table_dir, f"v{version}")
+    merged_changed.withColumn(
+        BUCKET_COL, _bucket_expr(key, n_buckets)
+    ).write.mode("overwrite").partitionBy(BUCKET_COL).parquet(vdir)
+    changed_set = set(changed)
+    prev = os.path.join(table_dir, f"v{version - 1}")
+    for name in os.listdir(prev):
+        if not name.startswith(f"{BUCKET_COL}="):
+            continue
+        if int(name.split("=", 1)[1]) in changed_set:
+            continue
+        src_d, dst_d = os.path.join(prev, name), os.path.join(vdir, name)
+        os.makedirs(dst_d, exist_ok=True)
+        for fn in os.listdir(src_d):
+            if not fn.startswith("_"):
+                os.link(os.path.join(src_d, fn), os.path.join(dst_d, fn))
+    _flip_pointer(table_dir, version)
 
 
 def read_version(spark: SparkSession, table_dir: str, version: int) -> DataFrame:
@@ -101,7 +220,8 @@ def read_version(spark: SparkSession, table_dir: str, version: int) -> DataFrame
             f"snapshot v{version} not present under {table_dir} — vacuumed, "
             "or never committed"
         )
-    return spark.read.parquet(vdir)
+    df = spark.read.parquet(vdir)
+    return df.drop(BUCKET_COL) if bucket_spec(table_dir) else df
 
 
 def list_versions(table_dir: str) -> list[int]:
@@ -138,9 +258,28 @@ def apply_once(
         return
     spark = batch_df.sparkSession
     cur = current_version(table_dir)  # one pointer read per trigger
-    base = spark.read.parquet(os.path.join(table_dir, f"v{cur}"))
-    merged = apply_changes(base, batch_df, key=key, seq=seq, op=op)
-    _commit_snapshot(merged, table_dir, cur + 1)
+    spec = bucket_spec(table_dir)
+    if spec:
+        # bucketed layout: merge against ONLY the buckets the batch
+        # touches (a key's bucket is deterministic, so every insert/
+        # update/delete is confined to them) and commit those buckets
+        # plus hard links to the rest — O(changed buckets) per trigger
+        n_buckets, bkey = spec
+        if bkey != key:
+            raise ValueError(
+                f"table at {table_dir} is bucketed by '{bkey}' but the "
+                f"merge key is '{key}'"
+            )
+        changed = changed_buckets(batch_df, key, n_buckets)
+        base = read_version_buckets(spark, table_dir, cur, changed)
+        merged = apply_changes(base, batch_df, key=key, seq=seq, op=op)
+        _commit_snapshot_bucketed(
+            merged, table_dir, cur + 1, changed, n_buckets, key
+        )
+    else:
+        base = spark.read.parquet(os.path.join(table_dir, f"v{cur}"))
+        merged = apply_changes(base, batch_df, key=key, seq=seq, op=op)
+        _commit_snapshot(merged, table_dir, cur + 1)
     if retain:
         vacuum(table_dir, retain)
 

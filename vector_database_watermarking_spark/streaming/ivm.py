@@ -184,13 +184,39 @@ def apply_batch(
             "or is not owned by this IVM trigger"
         )
     view = cdc.read_current(spark, agg_dir)
+    # bucketed base (cdc.init_table_bucketed — VERDICT r10 #4): every
+    # base read below is partition-pruned to the buckets the batch's
+    # keys land in, and the base commit rewrites ONLY those buckets
+    # (hard-linking the rest), making the per-trigger base cost
+    # O(changed buckets) instead of O(snapshot). The layout is a table
+    # property, so the trigger adapts with no API change.
+    spec = cdc.bucket_spec(table_dir)
+    changed: list[int] = []
+    if spec and spec[1] != key:
+        raise ValueError(
+            f"base table at {table_dir} is bucketed by '{spec[1]}' but "
+            f"the merge key is '{key}'"
+        )
+    if spec:
+        changed = cdc.changed_buckets(batch_df, key, spec[0])
+
+    def _read_base(version: int):
+        if spec:
+            return cdc.read_version_buckets(spark, table_dir, version, changed)
+        return spark.read.parquet(os.path.join(table_dir, f"v{version}"))
+
     if stamp == bcur:
-        base = cdc.read_current(spark, table_dir)
+        base = _read_base(bcur)
         old = group_contrib(
             base.join(keys, on=key, how="left_semi"), group_col, value_expr
         )
         merged = apply_changes(base, batch_df, key=key, seq=seq, op=op)
-        cdc._commit_snapshot(merged, table_dir, bcur + 1)
+        if spec:
+            cdc._commit_snapshot_bucketed(
+                merged, table_dir, bcur + 1, changed, spec[0], key
+            )
+        else:
+            cdc._commit_snapshot(merged, table_dir, bcur + 1)
         # compute `new` from the JUST-WRITTEN snapshot, not `merged`'s
         # lineage: the view commit would otherwise re-run the full-
         # outer MERGE a second time inside its own write (review round
@@ -200,7 +226,7 @@ def apply_batch(
         # crash ordering is unchanged (base commit still precedes the
         # view commit; the pre-merge v{bcur} survives until the
         # post-commit vacuum, so `old`'s lineage stays readable).
-        fresh = spark.read.parquet(os.path.join(table_dir, f"v{bcur + 1}"))
+        fresh = _read_base(bcur + 1)
         new = group_contrib(
             fresh.join(keys, on=key, how="left_semi"), group_col, value_expr
         )
@@ -217,14 +243,12 @@ def apply_batch(
                 f"pointer at v{bcur})"
             )
         old = group_contrib(
-            spark.read.parquet(prev).join(keys, on=key, how="left_semi"),
+            _read_base(stamp).join(keys, on=key, how="left_semi"),
             group_col,
             value_expr,
         )
         new = group_contrib(
-            cdc.read_current(spark, table_dir).join(
-                keys, on=key, how="left_semi"
-            ),
+            _read_base(bcur).join(keys, on=key, how="left_semi"),
             group_col,
             value_expr,
         )
