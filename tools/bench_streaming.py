@@ -317,6 +317,103 @@ def bench_ivm(spark) -> dict:
     }
 
 
+def _unique_bytes(root: str) -> int:
+    """Bytes on disk under ``root`` counting each inode once — hard
+    links across snapshot versions share bytes, and that sharing IS
+    the bucketed layout's claim."""
+    seen, total = set(), 0
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in files:
+            st = os.stat(os.path.join(dirpath, fn))
+            if st.st_ino not in seen:
+                seen.add(st.st_ino)
+                total += st.st_size
+    return total
+
+
+def bench_ivm_trickle(spark) -> dict:
+    """The trickle-CDC regime (VERDICT r10 #4): ~25-key micro-batches
+    against the FULL documents base through the identical IVM trigger,
+    plain snapshot layout vs bucketed (n_buckets=64), retain=0 so
+    every version's write cost stays on disk to be measured. The plain
+    layout rewrites the whole base per trigger — O(snapshot); the
+    bucketed layout rewrites only the ~25 touched buckets and
+    hard-links the rest — O(changed buckets). ``*_bytes_written``
+    counts unique inodes, so shared (linked) files are counted once —
+    exactly the bytes a 100 TB object store would ingest per commit.
+    Hash bucketing spreads keys uniformly, so the win requires batch
+    keys ≲ n_buckets (trickle); a batch with keys >> n_buckets
+    converges back to the full rewrite."""
+    from pyspark.sql import functions as F
+
+    from vector_database_watermarking_spark.streaming import cdc, ivm
+
+    docs = spark.read.parquet(f"{DOCS_SF}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    n_docs = docs.count()
+    n_batches, per_batch_mod = 8, 2000  # ~n_docs/2000 keys per batch
+    batches = []
+    for b in range(n_batches):
+        batches.append(
+            docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(per_batch_mod)) == b)
+            .select(
+                "doc_id",
+                F.concat(F.col("text"), F.lit(" v2")).alias("text"),
+                "source",
+                F.lit(b + 1).alias("seq"),
+                F.when(F.pmod(F.col("doc_id"), F.lit(10)) == 0, "delete")
+                .otherwise("upsert")
+                .alias("op"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    n_changes = sum(b.count() for b in batches)
+    out: dict = {
+        "family": "ivm_trickle",
+        "base_rows": n_docs,
+        "batches": n_batches,
+        "change_rows": n_changes,
+        "n_buckets": 64,
+    }
+    scratch = os.path.join(SCRATCH, "ivm_trickle")
+    for layout in ("plain", "bucketed"):
+        shutil.rmtree(scratch, ignore_errors=True)
+        table_dir = os.path.join(scratch, "table")
+        agg_dir = os.path.join(scratch, "view")
+        if layout == "bucketed":
+            cdc.init_table_bucketed(docs, table_dir, key="doc_id", n_buckets=64)
+        else:
+            cdc.init_table(docs, table_dir)
+        ivm.init_view(docs, agg_dir, "source", "length(text)")
+        base_bytes = _unique_bytes(table_dir)
+        t0 = time.monotonic()
+        for b in batches:
+            ivm.apply_batch(
+                b, table_dir, agg_dir, "source", "length(text)", retain=0
+            )
+        wall = time.monotonic() - t0
+        out[f"{layout}_wall_sec"] = round(wall, 2)
+        out[f"{layout}_commit_bytes"] = _unique_bytes(table_dir) - base_bytes
+        # the defining invariant must hold in both layouts
+        view = {
+            tuple(r)
+            for r in cdc.read_current(spark, agg_dir).collect()
+        }
+        recomputed = {
+            tuple(r)
+            for r in ivm.group_contrib(
+                cdc.read_current(spark, table_dir), "source", "length(text)"
+            ).collect()
+        }
+        assert view == recomputed, f"IVM invariant broken in {layout} layout"
+    out["bytes_ratio"] = round(
+        out["plain_commit_bytes"] / max(out["bucketed_commit_bytes"], 1), 1
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    return out
+
+
 # ------------------------------------------------------- bounded watermark
 # The replay benches above deliberately pin the watermark past the
 # fixture horizon (watermark="365 days") so NOTHING is evicted and the
@@ -472,6 +569,125 @@ def bench_sessionize_bounded(spark) -> dict:
     }
 
 
+def bench_sessionize_native_bounded(spark) -> dict:
+    """Same feed as bench_sessionize_bounded, engine-NATIVE gap
+    sessionization: ``F.session_window`` — the JVM merging-session
+    state operator (batch semantics graded by
+    rel_events_session_window + the pack's session_window_check).
+    This is the measured scale-safe alternative the decade table was
+    missing (VERDICT r10 #2): the applyInPandasWithState tier is
+    honestly near-linear in PYTHON compute (213 s at sf10), while this
+    tier keeps the whole merge loop JVM-side — no Python worker, no
+    Arrow transfer, state rows merged by the native session-window
+    store. Same 30-minute gap, same 2-hour watermark, same
+    event-time-ordered delivery with a held-back late batch."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{EVENTS_SF}/events.parquet").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    src = os.path.join(SCRATCH, "sessn_feed")
+    n_on_time, n_late = write_time_batches(ev, "ts", "event_id", src, 8)
+    stream = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, event_id long, value double"
+        )
+        .option("maxFilesPerTrigger", 4)
+        .parquet(src)
+    )
+    out = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    wall, metrics = _run_noop(out, os.path.join(SCRATCH, "sessn_ckpt"))
+    n_in = n_on_time + n_late
+    n_users = ev.select("user_id").distinct().count()
+    return {
+        "family": "sessionization_native",
+        "watermark": "2 hours",
+        "input_rows": n_in,
+        "distinct_keys": n_users,
+        "late_rows_fed": n_late,
+        "wall_sec": round(wall, 2),
+        "events_per_sec": int(n_in / wall),
+        **metrics,
+    }
+
+
+def bench_sessionize_tws_bounded(spark) -> dict:
+    """Same feed, transformWithState (state-v2) tier — the third
+    sessionization tier, output-identical to the graded v1 tier (the
+    parity test pins it). Python-stateful like v1, so it measures the
+    state-v2 protocol's overhead, not a scale escape; the scale escape
+    is the native row above. Skips (with a recorded reason) when no
+    protobuf runtime is available — the pb_shim export must happen
+    before the JVM starts (main() does it)."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        return {
+            "family": "sessionization_tws",
+            "skipped": "no protobuf runtime (pip or pb_shim)",
+        }
+    from vector_database_watermarking_spark.streaming.sessions import (
+        sessionize_stream_tws,
+    )
+
+    ev = spark.read.parquet(f"{EVENTS_SF}/events.parquet").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    src = os.path.join(SCRATCH, "sesst_feed")
+    n_on_time, n_late = write_time_batches(ev, "ts", "event_id", src, 8)
+    stream = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, event_id long, value double"
+        )
+        .option("maxFilesPerTrigger", 4)
+        .parquet(src)
+    )
+    out = sessionize_stream_tws(stream, watermark="2 hours")
+    # state-v2 needs multiple column families — RocksDB provider only
+    # (the HDFS-backed default refuses); scoped to this query, restored
+    # after, like the parity test does
+    pkey = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(pkey, None)
+    spark.conf.set(
+        pkey,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        wall, metrics = _run_noop(out, os.path.join(SCRATCH, "sesst_ckpt"))
+    finally:
+        if prev is None:
+            spark.conf.unset(pkey)
+        else:
+            spark.conf.set(pkey, prev)
+    n_in = n_on_time + n_late
+    n_users = ev.select("user_id").distinct().count()
+    return {
+        "family": "sessionization_tws",
+        "watermark": "2 hours",
+        "input_rows": n_in,
+        "distinct_keys": n_users,
+        "late_rows_fed": n_late,
+        "wall_sec": round(wall, 2),
+        "events_per_sec": int(n_in / wall),
+        **metrics,
+    }
+
+
 def bench_interval_join_bounded(spark) -> dict:
     """view/purchase interval join, 2-hour watermark + 1-hour horizon:
     each side buffers only rows within watermark+horizon of the
@@ -609,19 +825,34 @@ def bench_manifest_sink(spark) -> dict:
     }
 
 
-BOUNDED = (bench_ttl_dedup_bounded, bench_sessionize_bounded, bench_interval_join_bounded)
+BOUNDED = (
+    bench_ttl_dedup_bounded,
+    bench_sessionize_bounded,
+    bench_sessionize_native_bounded,
+    bench_sessionize_tws_bounded,
+    bench_interval_join_bounded,
+)
 REPLAY = (bench_ttl_dedup, bench_sessionize, bench_interval_join, bench_ivm, bench_manifest_sink)
 # second decade (VERDICT r09 #4, completed round 10): all four replay
 # families at 10x — the bounded-watermark config for the stateful
 # gates, plus IVM over the 500k-doc replica. decade100 runs the two
 # heaviest gates one decade further (200M-row feed / 40M-row join).
+# Round 11 (VERDICT r10 #2): the native session_window tier joins both
+# decade modes so the decade table carries a measured scale-safe
+# sessionization alternative, not just the Python-stateful number.
 DECADE = (
     bench_ttl_dedup_bounded,
     bench_interval_join_bounded,
     bench_sessionize_bounded,
+    bench_sessionize_native_bounded,
     bench_ivm,
+    bench_ivm_trickle,
 )
-DECADE100 = (bench_ttl_dedup_bounded, bench_interval_join_bounded)
+DECADE100 = (
+    bench_ttl_dedup_bounded,
+    bench_interval_join_bounded,
+    bench_sessionize_native_bounded,
+)
 
 
 def main() -> None:
@@ -637,6 +868,11 @@ def main() -> None:
         "decade100": DECADE100,
     }[mode]
     os.makedirs(SCRATCH, exist_ok=True)
+    # before the JVM starts: the tws tier's state-server workers need
+    # the protobuf runtime on PYTHONPATH (no-op when pip-installed)
+    from tools.pb_shim import enable_bundled_protobuf
+
+    enable_bundled_protobuf()
     spark = get_spark(
         "bench-streaming", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     )

@@ -1,0 +1,77 @@
+"""Protobuf fallback shim for the transformWithState tier (shared by
+tests/conftest.py and tools/bench_streaming.py).
+
+Makes the transformWithState paths runnable when the ``protobuf``
+package is not pip-installed: the Google Cloud SDK ships the public
+(BSD-licensed) pure-Python protobuf runtime, and PySpark's state-v2
+protocol only needs it importable in the driver and its spawned Python
+workers. Call :func:`enable_bundled_protobuf` BEFORE the SparkSession
+starts its JVM so the PYTHONPATH export is inherited by the tws
+state-server worker processes.
+
+The export goes through a SHIM directory holding only a
+``google/protobuf`` symlink, never the SDK dir itself: ``google`` is a
+PEP-420 namespace package and the SDK bundle also carries
+``google.auth``/``google.oauth2``/``google.pyglib`` — putting the whole
+bundle ahead of site-packages would silently shadow any pip-installed
+versions of those in the workers while the driver (appended path) kept
+the pip ones, a driver/executor skew. The shim confines the fallback to
+exactly protobuf.
+
+The bundled runtime (6.32.0-dev) trails PySpark's gencode (6.33.0) by
+one minor, so protobuf's own documented escape hatch
+(TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK) is set alongside; the wire
+format is unchanged across that step and the tws parity test checks the
+full round-trip anyway. No-op when protobuf is already installed or the
+SDK bundle is absent (callers then skip/refuse as before).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+_BUNDLE_PB = (
+    "/usr/lib/google-cloud-sdk/platform/google_appengine/google/protobuf"
+)
+_SHIM_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "_scratch",
+    "pb_shim",
+)
+
+
+def enable_bundled_protobuf() -> bool:
+    """Returns True when ``google.protobuf`` is importable afterwards
+    (pip-installed or shimmed), False when no runtime is available."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        pass
+    if not os.path.isdir(_BUNDLE_PB):
+        return False
+    os.makedirs(os.path.join(_SHIM_DIR, "google"), exist_ok=True)
+    link = os.path.join(_SHIM_DIR, "google", "protobuf")
+    # lexists, not exists: a dangling symlink (SDK bundle moved/removed
+    # after a prior run) returns False from exists() and os.symlink then
+    # raises FileExistsError, aborting the caller (ADVICE round 10).
+    # Remove a stale/dangling link first.
+    if os.path.lexists(link) and os.path.realpath(link) != os.path.realpath(
+        _BUNDLE_PB
+    ):
+        os.remove(link)
+    if not os.path.lexists(link):
+        os.symlink(_BUNDLE_PB, link)
+    sys.path.append(_SHIM_DIR)
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        sys.path.remove(_SHIM_DIR)
+        return False
+    os.environ["PYTHONPATH"] = (
+        _SHIM_DIR + os.pathsep + os.environ.get("PYTHONPATH", "")
+    ).rstrip(os.pathsep)
+    os.environ.setdefault("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true")
+    return True

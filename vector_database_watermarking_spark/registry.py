@@ -1155,6 +1155,14 @@ _GRADE_ORDER = [
     # a14_modify_mini — were promoted into the graded window in round
     # 11 per VERDICT r10 #1; their day-one full-oracle pack rows
     # near_dups_auto_check / a14_modify_check remain)
+    # round-11 registrations (rotation pool for round 12; full-oracle
+    # pack rows session_native_stream_check / ivm_bucketed_check from
+    # day one): the native session_window tier run as a real stream
+    # (the scale-safe sessionization alternative, VERDICT r10 #2), and
+    # the IVM loop over a bucketed base table (O(changed buckets)
+    # commits, VERDICT r10 #4).
+    "stream_session_native_replay",
+    "stream_ivm_bucketed_replay",
 ]
 
 

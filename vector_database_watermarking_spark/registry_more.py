@@ -3308,6 +3308,89 @@ def stream_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_session_native_replay",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ordered
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id, sid
+""",
+)
+def stream_session_native_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NATIVE ``F.session_window`` tier run as a real STREAM
+    (VERDICT r10 #2's scale-safe sessionization alternative, graded
+    end-to-end rather than only in batch mode): the events table plus
+    ONE far-future sentinel row rides a file-source stream into the
+    merging session-window aggregation. Unlike the stateful tier
+    (per-key gap closure), the native operator finalizes windows by
+    the GLOBAL watermark, so a single sentinel suffices — it advances
+    the watermark past every real window's end while its own window
+    stays open in state, never emitted. Output shape mirrors
+    ``rel_events_session_window`` (``session_end`` = last event time =
+    ``window.end − gap``; the native break is half-open, ``diff >=
+    gap``), so the oracle is the same island SQL over the UNTOUCHED
+    events table. ``total_value`` deliberately not graded (float sum —
+    same carve-out as stream_session_replay)."""
+    import shutil
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    max_ts = ev.agg(F.max("ts").alias("m")).head()["m"]
+    sentinel = spark.createDataFrame(
+        [(-1,)], "user_id long"
+    ).select(
+        "user_id",
+        (F.lit(max_ts) + F.expr("INTERVAL 10 DAYS")).alias("ts"),
+        F.lit(0.0).alias("value"),
+    )
+    scratch = _scratch_dir("snsess", sf_dir)
+    shutil.rmtree(scratch, ignore_errors=True)
+    (
+        ev.unionByName(sentinel)
+        .orderBy("user_id", "ts")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(scratch)
+    )
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(scratch)
+    )
+    out = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            (F.col("w.end") - F.expr("INTERVAL 30 MINUTES")).alias(
+                "session_end"
+            ),
+            "n_events",
+        )
+    )
+    name = _sink_name("snsess", sf_dir)
+    spark.catalog.dropTempView(name)
+    _drain_to_memory(out, name, "append")
+    return spark.table(name).select(
+        "user_id", "session_start", "session_end", "n_events"
+    )
+
+
+@register(
     "rel_lineitem_unpivot",
     oracle="""
 SELECT l_orderkey, l_linenumber, measure, round(value, 6) AS value
@@ -4932,6 +5015,74 @@ def stream_agg_ivm_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt_dir = _os.path.join(scratch, "ckpt")
 
     cdc.init_table(base, table_dir)
+    ivm.init_view(base, agg_dir, group_col="source", value_expr="length(text)")
+    for b in range(3):
+        (
+            ch.filter(F.pmod(F.col("doc_id"), F.lit(3)) == b)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(changes_dir)
+        )
+    stream = (
+        spark.readStream.schema(ch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(changes_dir)
+    )
+    q = ivm.ivm_agg_stream(
+        stream,
+        table_dir,
+        agg_dir,
+        group_col="source",
+        value_expr="length(text)",
+        key="doc_id",
+        seq="seq",
+        op="op",
+        checkpoint_dir=ckpt_dir,
+        retain=1,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return cdc.read_current(spark, agg_dir)
+
+
+@register(
+    "stream_ivm_bucketed_replay",
+    oracle=f"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(length(text)) AS BIGINT) AS sum_value
+FROM ({_MERGE_ORACLE})
+GROUP BY source
+""",
+)
+def stream_ivm_bucketed_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``stream_agg_ivm_replay`` on a BUCKETED base table
+    (``cdc.init_table_bucketed`` — VERDICT r10 #4): the IVM trigger
+    detects the layout and switches to bucket-pruned base reads plus
+    bucket-wise commits (only the buckets the batch's keys land in are
+    rewritten; the rest are hard-linked from the previous version —
+    O(changed buckets) per trigger instead of O(snapshot)). The
+    converged view must STILL equal the one-shot group aggregate over
+    the MERGE oracle exactly — same oracle as the plain-layout gate,
+    so any divergence between the two layouts (a mis-pruned bucket, a
+    key hashed inconsistently, a missing link) flips this row's hash
+    while the plain row stays green, isolating the fault to the
+    layout."""
+    import shutil
+
+    from .streaming import cdc, ivm
+
+    base, ch = _merge_inputs(spark, sf_dir)
+    scratch = _scratch_dir("ivmb_replay", sf_dir)
+    shutil.rmtree(scratch, ignore_errors=True)
+    changes_dir = _os.path.join(scratch, "changes")
+    table_dir = _os.path.join(scratch, "table")
+    agg_dir = _os.path.join(scratch, "view")
+    ckpt_dir = _os.path.join(scratch, "ckpt")
+
+    cdc.init_table_bucketed(base, table_dir, key="doc_id", n_buckets=16)
     ivm.init_view(base, agg_dir, group_col="source", value_expr="length(text)")
     for b in range(3):
         (
@@ -6780,6 +6931,10 @@ def _pipeline_pack_oracle() -> str:
     # other in-window gate, stream_ingest_replay)
     ndsc = QUERIES["ext_emb_near_dups_scaled"].oracle
     sic = QUERIES["stream_ingest_candidates_replay"].oracle
+    # round-11 registrations (rotation pool for round 12): full-oracle
+    # pack rows from day one, per the established pattern
+    snsr = QUERIES["stream_session_native_replay"].oracle
+    ivb = QUERIES["stream_ivm_bucketed_replay"].oracle
     h_ls = oracle_hash60("coalesce(lang, '~') || '|' || coalesce(source, '~')")
     h_spl9 = oracle_hash60("split")
     h_src9 = oracle_hash60("source")
@@ -7440,6 +7595,17 @@ SELECT 'ingest_candidates_check',
   CAST(count(*) + coalesce(sum((doc_id % 997 + 1)
        * ((corpus_doc_id * 131 + band) % 1000003)), 0) AS BIGINT)
   FROM ({sic})
+UNION ALL
+SELECT 'session_native_stream_check',
+  CAST(count(*) + sum((user_id % 997 + 1) * ((n_events * 131
+       + epoch_us(session_start) % 86400 + epoch_us(session_end) % 86400)
+       % 1000003)) AS BIGINT)
+  FROM ({snsr})
+UNION ALL
+SELECT 'ivm_bucketed_check',
+  CAST(count(*) + sum(({h_src} % 997 + 1)
+       * ((n_rows * 131 + sum_value) % 1000003)) AS BIGINT)
+  FROM ({ivb})
 UNION ALL
 SELECT 'manifest_jsonl_check',
   CAST(count(*) + count(*) * 31 + sum((event_id % 997 + 1)
@@ -9876,6 +10042,44 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                             )
                         ),
                         F.lit(0),
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    # round-11 registrations (rotation pool for round 12)
+    snsr = QUERIES["stream_session_native_replay"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "session_native_stream_check",
+            snsr.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (F.col("user_id") % 997 + 1)
+                        * (
+                            (
+                                F.col("n_events") * 131
+                                + F.unix_micros("session_start") % 86400
+                                + F.unix_micros("session_end") % 86400
+                            )
+                            % 1000003
+                        )
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    ivb = QUERIES["stream_ivm_bucketed_replay"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "ivm_bucketed_check",
+            ivb.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (hash60(F.col("source")) % 997 + 1)
+                        * ((F.col("n_rows") * 131 + F.col("sum_value")) % 1000003)
                     )
                 ).alias("value")
             ),
