@@ -84,22 +84,46 @@ from tools.replica_util import consume  # noqa: E402
 SF100_DIR = "/root/repo/_scratch/sf100_rel"
 
 
-def build_sf100_lineitem(spark) -> None:
-    """Third-decade fixture: lineitem ONLY (Q1/Q6 are single-table
-    scans), 10 x the sf10 replica with keys offset by 1<<34 — past
-    sf10's ~1.7e9 max. ~14 GB parquet, 256 files."""
-    from tools.replica_util import replicate
+# third-decade fixture: 10 x the sf10 replicas with keys offset by
+# 1<<34 — past sf10's ~1.7e9 max. FK consistency survives because every
+# key column of a relationship gets the same offset. lineitem alone is
+# ~14 GB / 256 files; the shuffle-bound set (orders/customer for Q18,
+# plus part/supplier/nation/region for Q8) adds ~6 GB.
+_SF100_TABLES = {
+    "lineitem": (["l_orderkey", "l_partkey", "l_suppkey"], 256),
+    "orders": (["o_orderkey", "o_custkey"], 128),
+    "customer": (["c_custkey"], 32),
+    "part": (["p_partkey"], 32),
+    "supplier": (["s_suppkey"], 8),
+}
 
-    if os.path.exists(
-        os.path.join(SF100_DIR, "lineitem.parquet", "_SUCCESS")
-    ):
-        return
+
+def build_sf100(spark, tables=("lineitem",)) -> None:
+    """Build the requested sf100 replicas (per-table _SUCCESS
+    sentinels, so an interrupted build retries only what's missing).
+    nation/region are fixed dimensions, copied verbatim."""
+    from tools.replica_util import copy_verbatim, replicate
+
     os.makedirs(SF100_DIR, exist_ok=True)
-    replicate(
-        spark, SF10_DIR, SF100_DIR, "lineitem",
-        ["l_orderkey", "l_partkey", "l_suppkey"],
-        replicas=10, key_offset=1 << 34, parts_out=256,
-    )
+    for name in tables:
+        offsets, parts_out = _SF100_TABLES[name]
+        if os.path.exists(
+            os.path.join(SF100_DIR, f"{name}.parquet", "_SUCCESS")
+        ):
+            continue
+        replicate(
+            spark, SF10_DIR, SF100_DIR, name, offsets,
+            replicas=10, key_offset=1 << 34, parts_out=parts_out,
+        )
+    for dim in ("nation", "region"):
+        if not os.path.exists(
+            os.path.join(SF100_DIR, f"{dim}.parquet", "_SUCCESS")
+        ):
+            copy_verbatim(spark, SF10_DIR, SF100_DIR, dim)
+
+
+def build_sf100_lineitem(spark) -> None:
+    build_sf100(spark, ("lineitem",))
 
 
 def main() -> None:
@@ -108,8 +132,50 @@ def main() -> None:
     ap.add_argument("--queries", default=None)
     ap.add_argument("--build-only", action="store_true")
     ap.add_argument("--sf100", action="store_true")
+    ap.add_argument(
+        "--sf100-shuffle",
+        action="store_true",
+        help="third decade for the SHUFFLE-BOUND shapes (VERDICT r10 "
+        "#5): Q18's fact-side group-by-HAVING (600M-row aggregate into "
+        "~150M groups) and Q8's 6-table fact join tree, at sf10 and "
+        "sf100",
+    )
     args = ap.parse_args()
     names = args.queries.split(",") if args.queries else QUERY_NAMES
+
+    if args.sf100_shuffle:
+        from vector_database_watermarking_spark.registry import QUERIES
+        from vector_database_watermarking_spark.session import get_spark
+
+        spark = get_spark(
+            "bench-sf100-shuffle",
+            cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        )
+        build_sf10(spark)
+        t0 = time.monotonic()
+        build_sf100(
+            spark,
+            ("lineitem", "orders", "customer", "part", "supplier"),
+        )
+        print(
+            json.dumps({"stage": "build_sf100_tables",
+                        "sec": round(time.monotonic() - t0, 1)}),
+            flush=True,
+        )
+        for name in ("rel_large_volume_customers", "rel_market_share"):
+            fn = QUERIES[name].fn
+            consume(fn(spark, "/root/testdata/sf0.01"))  # codegen warmup
+            for sf, d in [(10.0, SF10_DIR), (100.0, SF100_DIR)]:
+                reps = []
+                for _ in range(max(args.reps, 3)):
+                    spark.catalog.clearCache()
+                    t0 = time.monotonic()
+                    consume(fn(spark, d))
+                    reps.append(round(time.monotonic() - t0, 2))
+                print(json.dumps({"query": name, "sf": sf,
+                                  "reps_sec": reps}), flush=True)
+        spark.stop()
+        return
 
     if args.sf100:
         from vector_database_watermarking_spark.registry import QUERIES

@@ -74,6 +74,25 @@ def build_docs_sf10(spark) -> None:
     )
 
 
+def build_docs_sf100(spark) -> None:
+    """5M-doc replica (10 x the sf10 docs, doc_id offset by 1<<33) for
+    the IVM trickle third point — the scale where the bucketed
+    layout's wall crosses over (the plain layout's full rewrite
+    dominates; the bucketed commit cost stays flat)."""
+    from tools.replica_util import replicate
+
+    build_docs_sf10(spark)
+    if os.path.exists(
+        os.path.join(SF100_STREAM, "documents.parquet", "_SUCCESS")
+    ):
+        return
+    os.makedirs(SF100_STREAM, exist_ok=True)
+    replicate(
+        spark, SF10_STREAM, SF100_STREAM, "documents", ["doc_id"],
+        replicas=10, key_offset=1 << 33, parts_out=128,
+    )
+
+
 def build_events_sf100(spark) -> None:
     """100M-event replica (10 x the sf10 replica, keys offset by
     1<<33 — above sf10's ~2.7e9 max key). ~2 GB parquet; the bounded
@@ -334,7 +353,7 @@ def _unique_bytes(root: str) -> int:
 def bench_ivm_trickle(spark) -> dict:
     """The trickle-CDC regime (VERDICT r10 #4): ~25-key micro-batches
     against the FULL documents base through the identical IVM trigger,
-    plain snapshot layout vs bucketed (n_buckets=64), retain=0 so
+    plain snapshot layout vs bucketed (n_buckets=256), retain=0 so
     every version's write cost stays on disk to be measured. The plain
     layout rewrites the whole base per trigger — O(snapshot); the
     bucketed layout rewrites only the ~25 touched buckets and
@@ -352,7 +371,11 @@ def bench_ivm_trickle(spark) -> dict:
         "doc_id", "text", "source"
     )
     n_docs = docs.count()
-    n_batches, per_batch_mod = 8, 2000  # ~n_docs/2000 keys per batch
+    # trickle regime: ~25 keys per batch REGARDLESS of base size (the
+    # whole point is batch keys << n_buckets; ~250-key batches over 64
+    # buckets touch every bucket and converge to the full rewrite —
+    # measured, and stated in the docstring)
+    n_batches, per_batch_mod = 8, max(1, n_docs // 25)
     batches = []
     for b in range(n_batches):
         batches.append(
@@ -369,12 +392,13 @@ def bench_ivm_trickle(spark) -> dict:
             .localCheckpoint(eager=True)
         )
     n_changes = sum(b.count() for b in batches)
+    n_buckets = 256
     out: dict = {
         "family": "ivm_trickle",
         "base_rows": n_docs,
         "batches": n_batches,
         "change_rows": n_changes,
-        "n_buckets": 64,
+        "n_buckets": n_buckets,
     }
     scratch = os.path.join(SCRATCH, "ivm_trickle")
     for layout in ("plain", "bucketed"):
@@ -382,7 +406,9 @@ def bench_ivm_trickle(spark) -> dict:
         table_dir = os.path.join(scratch, "table")
         agg_dir = os.path.join(scratch, "view")
         if layout == "bucketed":
-            cdc.init_table_bucketed(docs, table_dir, key="doc_id", n_buckets=64)
+            cdc.init_table_bucketed(
+                docs, table_dir, key="doc_id", n_buckets=n_buckets
+            )
         else:
             cdc.init_table(docs, table_dir)
         ivm.init_view(docs, agg_dir, "source", "length(text)")

@@ -140,7 +140,11 @@ def init_table_bucketed(
 ) -> None:
     """Write snapshot v0 in the bucketed layout plus the _BUCKETS spec
     and the pointer."""
-    base.withColumn(BUCKET_COL, _bucket_expr(key, n_buckets)).write.mode(
+    # repartition BY THE BUCKET COLUMN first: partitionBy alone writes
+    # one file per (task, bucket) — tasks x buckets small files;
+    # bucket-aligned tasks write ~one file per bucket instead
+    df = base.withColumn(BUCKET_COL, _bucket_expr(key, n_buckets))
+    df.repartition(n_buckets, F.col(BUCKET_COL)).write.mode(
         "overwrite"
     ).partitionBy(BUCKET_COL).parquet(os.path.join(table_dir, "v0"))
     with open(_buckets_meta_path(table_dir), "w") as fh:
@@ -183,7 +187,9 @@ def _commit_snapshot_bucketed(
     vdir = os.path.join(table_dir, f"v{version}")
     merged_changed.withColumn(
         BUCKET_COL, _bucket_expr(key, n_buckets)
-    ).write.mode("overwrite").partitionBy(BUCKET_COL).parquet(vdir)
+    ).repartition(max(len(changed), 1), F.col(BUCKET_COL)).write.mode(
+        "overwrite"
+    ).partitionBy(BUCKET_COL).parquet(vdir)
     changed_set = set(changed)
     prev = os.path.join(table_dir, f"v{version - 1}")
     for name in os.listdir(prev):
