@@ -162,10 +162,22 @@ def main() -> None:
                         "sec": round(time.monotonic() - t0, 1)}),
             flush=True,
         )
+        # size the shuffle to the scale (the measured knob, recorded in
+        # SCALING.md): at 600M rows the session default of 32 leaves
+        # ~19M rows per shuffle partition — they spill and GC-thrash
+        # (Q8 measured 73-190 s); 256 partitions keep each
+        # memory-resident (52.7 s stable). The cluster-side equivalent
+        # is AQE's coalescePartitions.initialPartitionNum: start wide,
+        # let AQE coalesce small stages back down.
+        default_parts = spark.conf.get("spark.sql.shuffle.partitions")
         for name in ("rel_large_volume_customers", "rel_market_share"):
             fn = QUERIES[name].fn
             consume(fn(spark, "/root/testdata/sf0.01"))  # codegen warmup
-            for sf, d in [(10.0, SF10_DIR), (100.0, SF100_DIR)]:
+            for sf, d, parts in [
+                (10.0, SF10_DIR, default_parts),
+                (100.0, SF100_DIR, "256"),
+            ]:
+                spark.conf.set("spark.sql.shuffle.partitions", parts)
                 reps = []
                 for _ in range(max(args.reps, 3)):
                     spark.catalog.clearCache()
@@ -173,7 +185,9 @@ def main() -> None:
                     consume(fn(spark, d))
                     reps.append(round(time.monotonic() - t0, 2))
                 print(json.dumps({"query": name, "sf": sf,
+                                  "shuffle_partitions": int(parts),
                                   "reps_sec": reps}), flush=True)
+            spark.conf.set("spark.sql.shuffle.partitions", default_parts)
         spark.stop()
         return
 

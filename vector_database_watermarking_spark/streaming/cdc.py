@@ -202,6 +202,17 @@ def _commit_snapshot_bucketed(
         for fn in os.listdir(src_d):
             if not fn.startswith("_"):
                 os.link(os.path.join(src_d, fn), os.path.join(dst_d, fn))
+    if not any(n.startswith(f"{BUCKET_COL}=") for n in os.listdir(vdir)):
+        # a commit that empties the ENTIRE table: a partitioned write
+        # of zero rows leaves no parquet footer to infer a schema from,
+        # so the snapshot would be unreadable (the plain layout writes
+        # a schema-carrying empty file; this one can't). Refuse before
+        # the pointer flip — the previous version stays live.
+        raise ValueError(
+            f"bucketed commit v{version} under {table_dir} would empty "
+            "the entire table; the bucketed layout cannot represent a "
+            "zero-row snapshot — drop/re-init the table instead"
+        )
     _flip_pointer(table_dir, version)
 
 
