@@ -468,3 +468,36 @@ def test_ivm_bucketed_view_equals_recompute(spark, tmp_path):
                 ):
                     shared += 1
     assert shared > 0
+
+
+def test_bucketed_refusals_are_explicit(spark, tmp_path):
+    """The bucketed layout's two guard rails: a merge keyed on a
+    different column than the table's bucket key is refused (the
+    bucket routing would silently miss rows), and a commit that would
+    empty the entire table is refused before the pointer flip (a
+    partitioned write of zero rows has no parquet footer — the
+    snapshot would be unreadable; the previous version must stay
+    live)."""
+    import pytest
+
+    base = spark.createDataFrame(
+        [(1, 10), (2, 20)], "doc_id long, val long"
+    )
+    d = str(tmp_path / "b")
+    cdc.init_table_bucketed(base, d, key="doc_id", n_buckets=4)
+    wrong_key = spark.createDataFrame(
+        [(1, 0, 1, "upsert")], "other_id long, val long, seq long, op string"
+    )
+    with pytest.raises(ValueError, match="bucketed by 'doc_id'"):
+        cdc.apply_once(wrong_key, d, key="other_id", retain=0)
+
+    delete_all = spark.createDataFrame(
+        _rows([1, 2], lambda i: None, 1, "delete"), CHANGES_SCHEMA
+    )
+    with pytest.raises(ValueError, match="empty the entire table"):
+        cdc.apply_once(delete_all, d, retain=0)
+    # refusal happened BEFORE the pointer flip: v0 is still live
+    assert cdc.current_version(d) == 0
+    assert {
+        (r["doc_id"], r["val"]) for r in cdc.read_current(spark, d).collect()
+    } == {(1, 10), (2, 20)}
