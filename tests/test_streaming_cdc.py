@@ -501,3 +501,46 @@ def test_bucketed_refusals_are_explicit(spark, tmp_path):
     assert {
         (r["doc_id"], r["val"]) for r in cdc.read_current(spark, d).collect()
     } == {(1, 10), (2, 20)}
+
+
+def test_cdc_time_travel_as_of_timestamp(spark, tmp_path):
+    """Timestamp time travel (AS OF): every commit records its
+    wall-clock inside the snapshot dir before the pointer flip;
+    read_as_of resolves the newest retained snapshot at or before the
+    asked-for instant, and refuses instants that predate the oldest
+    retained snapshot (never existed, or vacuumed)."""
+    import pytest
+
+    base = spark.createDataFrame([(1, 10)], "doc_id long, val long")
+    b1 = spark.createDataFrame(_rows([1], lambda i: 11, 10, "update"), CHANGES_SCHEMA)
+    b2 = spark.createDataFrame(_rows([2], lambda i: 22, 20, "insert"), CHANGES_SCHEMA)
+    d = str(tmp_path / "t")
+    cdc.init_table(base, d)
+    cdc.apply_once(b1, d, retain=0)
+    cdc.apply_once(b2, d, retain=0)
+
+    hist = cdc.version_history(d)
+    assert [v for v, _ in hist] == [0, 1, 2]
+    ts = [t for _, t in hist]
+    assert all(t is not None for t in ts) and ts == sorted(ts)
+
+    def vals(df):
+        return {(r["doc_id"], r["val"]) for r in df.collect()}
+
+    assert vals(cdc.read_as_of(spark, d, ts[0])) == {(1, 10)}
+    assert vals(cdc.read_as_of(spark, d, ts[1])) == {(1, 11)}
+    # an instant long after the last commit resolves to the current
+    assert vals(cdc.read_as_of(spark, d, ts[2] + 10**9)) == {(1, 11), (2, 22)}
+    with pytest.raises(FileNotFoundError, match="at or before"):
+        cdc.read_as_of(spark, d, ts[0] - 1)
+    # vacuum drops v0/v1: their instants become unanswerable, honestly
+    cdc.vacuum(d, retain=1)
+    with pytest.raises(FileNotFoundError, match="at or before"):
+        cdc.read_as_of(spark, d, ts[1])
+    # bucketed commits stamp identically (shared commit path)
+    db = str(tmp_path / "b")
+    cdc.init_table_bucketed(base, db, key="doc_id", n_buckets=4)
+    cdc.apply_once(b2, db, retain=0)
+    bts = [t for _, t in cdc.version_history(db)]
+    assert len(bts) == 2 and all(t is not None for t in bts)
+    assert vals(cdc.read_as_of(spark, db, bts[0])) == {(1, 10)}

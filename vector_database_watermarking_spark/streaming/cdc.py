@@ -71,6 +71,7 @@ def read_current(spark: SparkSession, table_dir: str) -> DataFrame:
 def init_table(base: DataFrame, table_dir: str) -> None:
     """Write snapshot v0 and the pointer."""
     base.write.mode("overwrite").parquet(os.path.join(table_dir, "v0"))
+    _stamp_commit_ts(table_dir, 0)
     with open(_pointer_path(table_dir), "w") as fh:
         fh.write("v0")
 
@@ -82,8 +83,59 @@ def _flip_pointer(table_dir: str, version: int) -> None:
     os.replace(tmp, _pointer_path(table_dir))  # atomic pointer flip
 
 
+def _stamp_commit_ts(table_dir: str, version: int) -> None:
+    """Record the commit wall-clock (epoch microseconds) inside the
+    snapshot dir, before the pointer flip — the basis for
+    timestamp-based time travel (``read_as_of``). Underscore-prefixed,
+    so parquet readers skip it; a crash after the stamp but before the
+    flip orphans the whole dir as usual."""
+    import time
+
+    with open(os.path.join(table_dir, f"v{version}", "_COMMIT_TS"), "w") as fh:
+        fh.write(str(int(time.time() * 1_000_000)))
+
+
+def commit_ts(table_dir: str, version: int) -> int | None:
+    """Commit wall-clock of a retained snapshot (epoch microseconds),
+    or None for snapshots written before the stamp existed."""
+    try:
+        with open(
+            os.path.join(table_dir, f"v{version}", "_COMMIT_TS")
+        ) as fh:
+            return int(fh.read().strip())
+    except FileNotFoundError:
+        return None
+
+
+def version_history(table_dir: str) -> list[tuple[int, int | None]]:
+    """(version, commit_ts_us) for every retained committed snapshot,
+    ascending — the time-travel catalog with timestamps."""
+    return [(v, commit_ts(table_dir, v)) for v in list_versions(table_dir)]
+
+
+def read_as_of(spark: SparkSession, table_dir: str, ts_us: int) -> DataFrame:
+    """Timestamp time travel: the table AS OF ``ts_us`` (epoch
+    microseconds) — the newest retained snapshot whose commit time is
+    ≤ the asked-for instant, exactly the lakehouse ``AS OF TIMESTAMP``
+    contract. Raises when the instant predates the oldest RETAINED
+    snapshot (either the table didn't exist yet or vacuum dropped the
+    version that was live then — both are unanswerable and say so)."""
+    best = None
+    for v, cts in version_history(table_dir):
+        if cts is not None and cts <= ts_us:
+            best = v if best is None else max(best, v)
+    if best is None:
+        raise FileNotFoundError(
+            f"no retained snapshot under {table_dir} committed at or "
+            f"before ts={ts_us} (the table did not exist yet, or vacuum "
+            "removed the version live at that instant)"
+        )
+    return read_version(spark, table_dir, best)
+
+
 def _commit_snapshot(df: DataFrame, table_dir: str, version: int) -> None:
     df.write.mode("overwrite").parquet(os.path.join(table_dir, f"v{version}"))
+    _stamp_commit_ts(table_dir, version)
     _flip_pointer(table_dir, version)
 
 
@@ -149,6 +201,7 @@ def init_table_bucketed(
     ).partitionBy(BUCKET_COL).parquet(os.path.join(table_dir, "v0"))
     with open(_buckets_meta_path(table_dir), "w") as fh:
         fh.write(f"{n_buckets}\n{key}")
+    _stamp_commit_ts(table_dir, 0)
     _flip_pointer(table_dir, 0)
 
 
@@ -213,6 +266,7 @@ def _commit_snapshot_bucketed(
             "the entire table; the bucketed layout cannot represent a "
             "zero-row snapshot — drop/re-init the table instead"
         )
+    _stamp_commit_ts(table_dir, version)
     _flip_pointer(table_dir, version)
 
 

@@ -87,6 +87,7 @@ def _commit_view(
     live and the orphan dir is overwritten on the next attempt."""
     vdir = f"v{version}"
     df.write.mode("overwrite").parquet(os.path.join(agg_dir, vdir))
+    cdc._stamp_commit_ts(agg_dir, version)  # view supports AS OF too
     with open(_stamp_path(agg_dir, version), "w") as fh:
         fh.write(f"v{base_version}")
     tmp = cdc._pointer_path(agg_dir) + ".tmp"
