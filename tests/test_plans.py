@@ -674,3 +674,20 @@ def test_promo_revenue_single_row_two_aggregates(spark, sf_dir):
     assert "ReadSchema: struct<p_partkey:bigint,p_type:string>" in plan, plan
     assert plan.count("lineitem.parquet") == 1, plan
     assert plan.count("part.parquet") == 1, plan
+
+
+def test_bucketed_cdc_read_is_partition_pruned(spark, tmp_path):
+    """The bucketed snapshot layout's scale claim is that a trigger
+    reads ONLY the changed buckets — which must be directory-level
+    partition pruning at the scan (PartitionFilters), not a post-scan
+    Filter over every bucket's rows."""
+    from vector_database_watermarking_spark.streaming import cdc
+
+    d = str(tmp_path / "t")
+    base = spark.range(1000).selectExpr("id as doc_id", "id * 2 as val")
+    cdc.init_table_bucketed(base, d, key="doc_id", n_buckets=8)
+    df = cdc.read_version_buckets(spark, d, 0, [1, 3])
+    plan = plan_of(df)
+    assert "PartitionFilters: [_bucket" in plan and "IN (1,3)" in plan, plan
+    # the pruning is directory-level: no row-level filter remains
+    assert "DataFilters: []" in plan, plan
