@@ -1163,6 +1163,9 @@ _GRADE_ORDER = [
     # commits, VERDICT r10 #4).
     "stream_session_native_replay",
     "stream_ivm_bucketed_replay",
+    # ...plus TIMESTAMP time travel resolved from the commit catalog,
+    # on a bucketed table (pack row cdc_as_of_check).
+    "rel_cdc_read_as_of",
 ]
 
 

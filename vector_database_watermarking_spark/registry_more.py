@@ -5387,6 +5387,42 @@ def rel_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_cdc_read_as_of",
+    oracle=_merge_oracle("AND key % 3 = 0"),
+)
+def rel_cdc_read_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP time travel (``streaming.cdc.read_as_of``) graded
+    end-to-end, on a BUCKETED table (double coverage: the AS OF
+    resolution path AND the bucketed layout's version reads): the same
+    three key-disjoint MERGE batches as ``rel_cdc_time_travel``, then
+    the table is read AS OF v1's own recorded commit instant while the
+    pointer sits at v3 — the resolver must land exactly on v1, so the
+    oracle is the first-batch merge replay. Deterministic because the
+    asked-for instant comes from the commit catalog itself
+    (``commit_ts``), not from an external clock."""
+    import shutil
+
+    from .streaming import cdc
+
+    base, ch = _merge_inputs(spark, sf_dir)
+    table_dir = _scratch_dir("cdc_asof", sf_dir)
+    shutil.rmtree(table_dir, ignore_errors=True)
+    cdc.init_table_bucketed(base, table_dir, key="doc_id", n_buckets=16)
+    for b in range(3):
+        cdc.apply_once(
+            ch.filter(F.pmod(F.col("doc_id"), F.lit(3)) == b),
+            table_dir,
+            key="doc_id",
+            seq="seq",
+            op="op",
+            retain=0,
+        )
+    ts_v1 = cdc.commit_ts(table_dir, 1)
+    assert ts_v1 is not None
+    return cdc.read_as_of(spark, table_dir, ts_v1)
+
+
+@register(
     "ext_schema_merge_read",
     oracle="""
 SELECT doc_id, text,
@@ -6935,6 +6971,7 @@ def _pipeline_pack_oracle() -> str:
     # pack rows from day one, per the established pattern
     snsr = QUERIES["stream_session_native_replay"].oracle
     ivb = QUERIES["stream_ivm_bucketed_replay"].oracle
+    aso = QUERIES["rel_cdc_read_as_of"].oracle
     h_ls = oracle_hash60("coalesce(lang, '~') || '|' || coalesce(source, '~')")
     h_spl9 = oracle_hash60("split")
     h_src9 = oracle_hash60("source")
@@ -7606,6 +7643,10 @@ SELECT 'ivm_bucketed_check',
   CAST(count(*) + sum(({h_src} % 997 + 1)
        * ((n_rows * 131 + sum_value) % 1000003)) AS BIGINT)
   FROM ({ivb})
+UNION ALL
+SELECT 'cdc_as_of_check',
+  CAST(count(*) + sum((doc_id % 997 + 1) * ({h_tls} % 1000003)) AS BIGINT)
+  FROM ({aso})
 UNION ALL
 SELECT 'manifest_jsonl_check',
   CAST(count(*) + count(*) * 31 + sum((event_id % 997 + 1)
@@ -10080,6 +10121,31 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.sum(
                         (hash60(F.col("source")) % 997 + 1)
                         * ((F.col("n_rows") * 131 + F.col("sum_value")) % 1000003)
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    aso = QUERIES["rel_cdc_read_as_of"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "cdc_as_of_check",
+            aso.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (F.col("doc_id") % 997 + 1)
+                        * (
+                            hash60(
+                                F.concat_ws(
+                                    "|",
+                                    F.coalesce(F.col("text"), F.lit("~")),
+                                    F.coalesce(F.col("lang"), F.lit("~")),
+                                    F.coalesce(F.col("source"), F.lit("~")),
+                                )
+                            )
+                            % 1000003
+                        )
                     )
                 ).alias("value")
             ),
