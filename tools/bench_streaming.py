@@ -878,6 +878,7 @@ DECADE100 = (
     bench_ttl_dedup_bounded,
     bench_interval_join_bounded,
     bench_sessionize_native_bounded,
+    bench_ivm_trickle,  # the 5M-doc wall-crossover point (SCALING.md)
 )
 
 
@@ -909,7 +910,9 @@ def main() -> None:
         SCALE_TAG = "sf10"
     elif mode == "decade100":
         build_events_sf100(spark)
-        EVENTS_SF, SCALE_TAG = SF100_STREAM, "sf100"
+        build_docs_sf100(spark)  # 5M-doc base for the IVM trickle row
+        EVENTS_SF = DOCS_SF = SF100_STREAM
+        SCALE_TAG = "sf100"
     for fn in fns:
         shutil.rmtree(SCRATCH, ignore_errors=True)
         os.makedirs(SCRATCH, exist_ok=True)
