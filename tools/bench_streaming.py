@@ -559,18 +559,17 @@ def bench_ttl_dedup_bounded(spark) -> dict:
     }
 
 
-def bench_sessionize_bounded(spark) -> dict:
-    """1M events, applyInPandasWithState sessionization, 2-hour
-    watermark: state carries only sessions still open near the
-    frontier; closed sessions are emitted and their state dropped."""
-    from vector_database_watermarking_spark.streaming.sessions import (
-        sessionize_stream,
-    )
-
+def _session_feed(spark, tag: str):
+    """Shared sessionization-bench feed (review round 11: the three
+    tier benches each hand-copied this block): the events table sliced
+    into 8 event-time batches plus the held-back late slice, read back
+    as a 4-files-per-trigger stream. Returns (stream, run) where run
+    drives a session DataFrame to the noop sink and assembles the
+    metrics row for the given family name."""
     ev = spark.read.parquet(f"{EVENTS_SF}/events.parquet").select(
         "user_id", "ts", "event_id", "value"
     )
-    src = os.path.join(SCRATCH, "sessb_feed")
+    src = os.path.join(SCRATCH, f"{tag}_feed")
     n_on_time, n_late = write_time_batches(ev, "ts", "event_id", src, 8)
     stream = (
         spark.readStream.schema(
@@ -579,20 +578,36 @@ def bench_sessionize_bounded(spark) -> dict:
         .option("maxFilesPerTrigger", 4)
         .parquet(src)
     )
-    out = sessionize_stream(stream, watermark="2 hours")
-    wall, metrics = _run_noop(out, os.path.join(SCRATCH, "sessb_ckpt"))
-    n_in = n_on_time + n_late
-    n_users = ev.select("user_id").distinct().count()
-    return {
-        "family": "sessionization_bounded",
-        "watermark": "2 hours",
-        "input_rows": n_in,
-        "distinct_keys": n_users,
-        "late_rows_fed": n_late,
-        "wall_sec": round(wall, 2),
-        "events_per_sec": int(n_in / wall),
-        **metrics,
-    }
+
+    def run(out, family: str) -> dict:
+        wall, metrics = _run_noop(out, os.path.join(SCRATCH, f"{tag}_ckpt"))
+        n_in = n_on_time + n_late
+        n_users = ev.select("user_id").distinct().count()
+        return {
+            "family": family,
+            "watermark": "2 hours",
+            "input_rows": n_in,
+            "distinct_keys": n_users,
+            "late_rows_fed": n_late,
+            "wall_sec": round(wall, 2),
+            "events_per_sec": int(n_in / wall),
+            **metrics,
+        }
+
+    return stream, run
+
+
+def bench_sessionize_bounded(spark) -> dict:
+    """1M events, applyInPandasWithState sessionization, 2-hour
+    watermark: state carries only sessions still open near the
+    frontier; closed sessions are emitted and their state dropped."""
+    from vector_database_watermarking_spark.streaming.sessions import (
+        sessionize_stream,
+    )
+
+    stream, run = _session_feed(spark, "sessb")
+    return run(sessionize_stream(stream, watermark="2 hours"),
+               "sessionization_bounded")
 
 
 def bench_sessionize_native_bounded(spark) -> dict:
@@ -609,18 +624,7 @@ def bench_sessionize_native_bounded(spark) -> dict:
     event-time-ordered delivery with a held-back late batch."""
     from pyspark.sql import functions as F
 
-    ev = spark.read.parquet(f"{EVENTS_SF}/events.parquet").select(
-        "user_id", "ts", "event_id", "value"
-    )
-    src = os.path.join(SCRATCH, "sessn_feed")
-    n_on_time, n_late = write_time_batches(ev, "ts", "event_id", src, 8)
-    stream = (
-        spark.readStream.schema(
-            "user_id long, ts timestamp, event_id long, value double"
-        )
-        .option("maxFilesPerTrigger", 4)
-        .parquet(src)
-    )
+    stream, run = _session_feed(spark, "sessn")
     out = (
         stream.withWatermark("ts", "2 hours")
         .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
@@ -636,19 +640,7 @@ def bench_sessionize_native_bounded(spark) -> dict:
             "total_value",
         )
     )
-    wall, metrics = _run_noop(out, os.path.join(SCRATCH, "sessn_ckpt"))
-    n_in = n_on_time + n_late
-    n_users = ev.select("user_id").distinct().count()
-    return {
-        "family": "sessionization_native",
-        "watermark": "2 hours",
-        "input_rows": n_in,
-        "distinct_keys": n_users,
-        "late_rows_fed": n_late,
-        "wall_sec": round(wall, 2),
-        "events_per_sec": int(n_in / wall),
-        **metrics,
-    }
+    return run(out, "sessionization_native")
 
 
 def bench_sessionize_tws_bounded(spark) -> dict:
@@ -670,18 +662,7 @@ def bench_sessionize_tws_bounded(spark) -> dict:
         sessionize_stream_tws,
     )
 
-    ev = spark.read.parquet(f"{EVENTS_SF}/events.parquet").select(
-        "user_id", "ts", "event_id", "value"
-    )
-    src = os.path.join(SCRATCH, "sesst_feed")
-    n_on_time, n_late = write_time_batches(ev, "ts", "event_id", src, 8)
-    stream = (
-        spark.readStream.schema(
-            "user_id long, ts timestamp, event_id long, value double"
-        )
-        .option("maxFilesPerTrigger", 4)
-        .parquet(src)
-    )
+    stream, run = _session_feed(spark, "sesst")
     out = sessionize_stream_tws(stream, watermark="2 hours")
     # state-v2 needs multiple column families — RocksDB provider only
     # (the HDFS-backed default refuses); scoped to this query, restored
@@ -694,24 +675,12 @@ def bench_sessionize_tws_bounded(spark) -> dict:
         "RocksDBStateStoreProvider",
     )
     try:
-        wall, metrics = _run_noop(out, os.path.join(SCRATCH, "sesst_ckpt"))
+        return run(out, "sessionization_tws")
     finally:
         if prev is None:
             spark.conf.unset(pkey)
         else:
             spark.conf.set(pkey, prev)
-    n_in = n_on_time + n_late
-    n_users = ev.select("user_id").distinct().count()
-    return {
-        "family": "sessionization_tws",
-        "watermark": "2 hours",
-        "input_rows": n_in,
-        "distinct_keys": n_users,
-        "late_rows_fed": n_late,
-        "wall_sec": round(wall, 2),
-        "events_per_sec": int(n_in / wall),
-        **metrics,
-    }
 
 
 def bench_interval_join_bounded(spark) -> dict:
