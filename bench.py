@@ -157,7 +157,7 @@ def _probe_burn(n: int) -> int:
     return acc
 
 
-def effective_cores(workers: int = 32, unit: int = 4_000_000) -> float:
+def effective_cores(workers: int = 32, unit: int = 4_000_000) -> tuple[float, int]:
     """Host-contention calibration emitted alongside the bench JSON.
 
     Rounds 8-10 attributed uniform bench drift to hypervisor CPU steal
@@ -167,7 +167,9 @@ def effective_cores(workers: int = 32, unit: int = 4_000_000) -> float:
     don't re-derive it. Method: wall-time one burn unit solo, then
     ``workers`` units in parallel (one process each); aggregate
     speedup = workers x solo / parallel = cores actually delivered.
-    Costs ~1.5 s once per bench run."""
+    Costs ~1.5 s once per bench run. Returns (cores, workers) so the
+    emitted artifact always states the probe configuration that
+    produced the number (ADVICE round 11)."""
     import multiprocessing as mp
 
     t0 = time.time()
@@ -177,7 +179,7 @@ def effective_cores(workers: int = 32, unit: int = 4_000_000) -> float:
         t0 = time.time()
         pool.map(_probe_burn, [unit] * workers)
         par = time.time() - t0
-    return round(workers * solo / par, 1)
+    return round(workers * solo / par, 1), workers
 
 
 def _warmup(spark, sf_dir: str) -> None:
@@ -213,7 +215,7 @@ def _warmup(spark, sf_dir: str) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    cores = effective_cores()  # before the JVM starts: probe a bare host
+    cores, probe_workers = effective_cores()  # before the JVM: bare host
     spark = get_spark("bench")
     _warmup(spark, sf_dir)
     fns = {n: QUERIES[n].fn for n in HEADLINE if n in QUERIES}
@@ -266,7 +268,7 @@ def main() -> None:
                 # in units of THIS number, not wall seconds.
                 "calibration": {
                     "effective_cores": cores,
-                    "probe_workers": 32,
+                    "probe_workers": probe_workers,
                 },
             }
         )

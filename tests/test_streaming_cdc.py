@@ -544,3 +544,81 @@ def test_cdc_time_travel_as_of_timestamp(spark, tmp_path):
     bts = [t for _, t in cdc.version_history(db)]
     assert len(bts) == 2 and all(t is not None for t in bts)
     assert vals(cdc.read_as_of(spark, db, bts[0])) == {(1, 10)}
+
+
+def test_commit_ts_is_monotonic_under_clock_step(spark, tmp_path, monkeypatch):
+    """ADVICE round 11: an NTP step backwards (or a same-microsecond
+    pair of commits) must not produce a later version with an earlier
+    _COMMIT_TS — read_as_of picks max version with cts <= ts, so a
+    non-monotonic stamp would resolve AS OF an earlier commit's own
+    instant to a LATER snapshot. The stamp is clamped to
+    prev_commit_ts + 1."""
+    base = spark.createDataFrame([(1, 10)], "doc_id long, val long")
+    b1 = spark.createDataFrame(_rows([1], lambda i: 11, 10, "update"), CHANGES_SCHEMA)
+    d = str(tmp_path / "t")
+    cdc.init_table(base, d)
+    t0 = cdc.commit_ts(d, 0)
+    # step the wall clock 10 s into the past for the next commit
+    monkeypatch.setattr(time, "time", lambda: (t0 / 1_000_000) - 10.0)
+    cdc.apply_once(b1, d, retain=0)
+    t1 = cdc.commit_ts(d, 1)
+    assert t1 == t0 + 1  # clamped, strictly monotonic
+    # AS OF v0's own instant still resolves to v0, not v1
+    assert {(r["doc_id"], r["val"]) for r in cdc.read_as_of(spark, d, t0).collect()} == {
+        (1, 10)
+    }
+
+
+def test_bucketed_null_merge_key_is_refused_by_name(spark, tmp_path):
+    """ADVICE round 11: a null-keyed change row can never be matched
+    by the equality merge join (NULL != NULL), so it would become a
+    permanently unmergeable row — refuse with a named ValueError
+    (xxhash64 hashes NULL to the bare seed, so the old code silently
+    routed it to a real bucket instead)."""
+    import pytest
+
+    base = spark.createDataFrame([(1, 10)], "doc_id long, val long")
+    d = str(tmp_path / "b")
+    cdc.init_table_bucketed(base, d, key="doc_id", n_buckets=4)
+    null_key = spark.createDataFrame(
+        [(None, 99, 1, "insert")], CHANGES_SCHEMA
+    )
+    with pytest.raises(ValueError, match="NULL merge key 'doc_id'"):
+        cdc.apply_once(null_key, d, retain=0)
+    assert cdc.current_version(d) == 0  # refused before any commit
+
+
+def test_bucketed_link_loop_links_only_data_files(spark, tmp_path):
+    """ADVICE round 11: the unchanged-bucket hard-link loop must copy
+    only parquet data files — '_'-prefixed commit markers AND
+    '.'-prefixed local-FS checksum files ('.part-*.crc') stay behind,
+    so bytes accounting and directory diffs see data only."""
+    import os
+
+    base = spark.createDataFrame(
+        [(i, i * 10) for i in range(8)], "doc_id long, val long"
+    )
+    d = str(tmp_path / "b")
+    cdc.init_table_bucketed(base, d, key="doc_id", n_buckets=4)
+    # plant non-data files in every v0 bucket dir (deterministic stand-
+    # ins for Hadoop LocalFS .crc checksums and marker files)
+    v0 = os.path.join(d, "v0")
+    bucket_dirs = [n for n in os.listdir(v0) if n.startswith("_bucket=")]
+    assert bucket_dirs
+    for bd in bucket_dirs:
+        open(os.path.join(v0, bd, ".part-fake.crc"), "w").close()
+        open(os.path.join(v0, bd, "_fake_marker"), "w").close()
+    b1 = spark.createDataFrame(_rows([0], lambda i: 99, 10, "update"), CHANGES_SCHEMA)
+    cdc.apply_once(b1, d, retain=0)
+    v1 = os.path.join(d, "v1")
+    changed = cdc.changed_buckets(b1, "doc_id", 4)
+    linked = [
+        n
+        for n in os.listdir(v1)
+        if n.startswith("_bucket=") and int(n.split("=")[1]) not in changed
+    ]
+    assert linked  # at least one unchanged bucket got linked
+    for bd in linked:
+        names = os.listdir(os.path.join(v1, bd))
+        assert names, bd  # the data files made it
+        assert all(not n.startswith(("_", ".")) for n in names), names

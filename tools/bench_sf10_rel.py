@@ -143,6 +143,15 @@ def main() -> None:
     args = ap.parse_args()
     names = args.queries.split(",") if args.queries else QUERY_NAMES
 
+    # host calibration BEFORE the JVM starts (the probe bench.py
+    # embeds): the sf100 rows are the steal-sensitive >30 s
+    # measurements (Q7's 81-144 s rep band), so every per-query row
+    # carries the cores delivered at run time (VERDICT r11 #3)
+    from bench import effective_cores
+
+    cal_cores, cal_workers = effective_cores()
+    cal = {"effective_cores": cal_cores, "probe_workers": cal_workers}
+
     if args.sf100_shuffle:
         from vector_database_watermarking_spark.registry import QUERIES
         from vector_database_watermarking_spark.session import get_spark
@@ -186,7 +195,7 @@ def main() -> None:
                     reps.append(round(time.monotonic() - t0, 2))
                 print(json.dumps({"query": name, "sf": sf,
                                   "shuffle_partitions": int(parts),
-                                  "reps_sec": reps}), flush=True)
+                                  "reps_sec": reps, **cal}), flush=True)
             spark.conf.set("spark.sql.shuffle.partitions", default_parts)
         spark.stop()
         return
@@ -218,7 +227,7 @@ def main() -> None:
                     consume(fn(spark, d))
                     reps.append(round(time.monotonic() - t0, 2))
                 print(json.dumps({"query": name, "sf": sf,
-                                  "reps_sec": reps}), flush=True)
+                                  "reps_sec": reps, **cal}), flush=True)
         spark.stop()
         return
 
@@ -273,8 +282,8 @@ def main() -> None:
                     break
                 reps.append(round(time.monotonic() - t0, 2))
             if reps:
-                print(json.dumps({"query": name, "sf": sf, "reps_sec": reps}),
-                      flush=True)
+                print(json.dumps({"query": name, "sf": sf, "reps_sec": reps,
+                                  **cal}), flush=True)
     spark.stop()
 
 

@@ -855,6 +855,13 @@ def main() -> None:
     from vector_database_watermarking_spark.session import get_spark
 
     global EVENTS_SF, DOCS_SF, SCALE_TAG
+    # host calibration BEFORE the JVM starts (same probe bench.py
+    # embeds): the decade rows here are the steal-sensitive >30 s
+    # measurements, so every emitted row carries the cores actually
+    # delivered at run time (VERDICT r11 #3)
+    from bench import effective_cores
+
+    cal_cores, cal_workers = effective_cores()
     mode = sys.argv[1] if len(sys.argv) > 1 else "replay"
     fns = {
         "replay": REPLAY,
@@ -886,7 +893,17 @@ def main() -> None:
         shutil.rmtree(SCRATCH, ignore_errors=True)
         os.makedirs(SCRATCH, exist_ok=True)
         spark.catalog.clearCache()
-        print(json.dumps({**fn(spark), "scale": SCALE_TAG}), flush=True)
+        print(
+            json.dumps(
+                {
+                    **fn(spark),
+                    "scale": SCALE_TAG,
+                    "effective_cores": cal_cores,
+                    "probe_workers": cal_workers,
+                }
+            ),
+            flush=True,
+        )
     shutil.rmtree(SCRATCH, ignore_errors=True)
     spark.stop()
 

@@ -88,11 +88,23 @@ def _stamp_commit_ts(table_dir: str, version: int) -> None:
     snapshot dir, before the pointer flip — the basis for
     timestamp-based time travel (``read_as_of``). Underscore-prefixed,
     so parquet readers skip it; a crash after the stamp but before the
-    flip orphans the whole dir as usual."""
+    flip orphans the whole dir as usual.
+
+    The stamp is clamped to strictly exceed the previous version's —
+    raw wall-clock can step backwards (NTP) or collide within a
+    microsecond, and ``read_as_of`` picks the max version with
+    ``cts <= ts``, so a non-monotonic stamp would let AS OF an earlier
+    commit's own instant resolve to a LATER snapshot. Same contract as
+    a lakehouse in-commit timestamp (ADVICE round 11)."""
     import time
 
+    ts = int(time.time() * 1_000_000)
+    if version > 0:
+        prev = commit_ts(table_dir, version - 1)
+        if prev is not None:
+            ts = max(ts, prev + 1)
     with open(os.path.join(table_dir, f"v{version}", "_COMMIT_TS"), "w") as fh:
-        fh.write(str(int(time.time() * 1_000_000)))
+        fh.write(str(ts))
 
 
 def commit_ts(table_dir: str, version: int) -> int | None:
@@ -207,13 +219,34 @@ def init_table_bucketed(
 
 def changed_buckets(batch_df: DataFrame, key: str, n_buckets: int) -> list[int]:
     """Bucket ids the batch's keys land in (≤ n_buckets ints — a
-    driver-side bound by construction, not a data-sized collect)."""
-    return sorted(
+    driver-side bound by construction, not a data-sized collect).
+
+    A NULL merge key is refused by name (ADVICE round 11): Spark's
+    ``xxhash64`` hashes a NULL input to the bare seed (42), so a
+    null-keyed row WOULD silently route to a real bucket — but the
+    merge join matches on key equality, where NULL never equals NULL,
+    so the row could never be updated or deleted again (an insert
+    would become a permanently unmergeable tombstone). Detect nulls
+    explicitly in the same single pass and raise, mirroring the
+    wrong-key guard."""
+    ids = [
         r[0]
-        for r in batch_df.select(_bucket_expr(key, n_buckets).alias("b"))
+        for r in batch_df.select(
+            F.when(
+                F.col(key).isNull(), F.lit(None)
+            ).otherwise(_bucket_expr(key, n_buckets)).alias("b")
+        )
         .distinct()
         .collect()
-    )
+    ]
+    if any(b is None for b in ids):
+        raise ValueError(
+            f"CDC batch contains NULL merge key '{key}': a null key "
+            "can never be matched for update or delete (NULL != NULL "
+            "in the merge join) — filter or repair null-keyed change "
+            "rows upstream"
+        )
+    return sorted(ids)
 
 
 def read_version_buckets(
@@ -253,7 +286,11 @@ def _commit_snapshot_bucketed(
         src_d, dst_d = os.path.join(prev, name), os.path.join(vdir, name)
         os.makedirs(dst_d, exist_ok=True)
         for fn in os.listdir(src_d):
-            if not fn.startswith("_"):
+            # link only data files: '_' skips SUCCESS/metadata markers,
+            # '.' skips local-FS .part-*.crc checksums — harmless for
+            # reads but they'd inflate bytes accounting and directory
+            # diffs (ADVICE round 11)
+            if not fn.startswith(("_", ".")):
                 os.link(os.path.join(src_d, fn), os.path.join(dst_d, fn))
     if not any(n.startswith(f"{BUCKET_COL}=") for n in os.listdir(vdir)):
         # a commit that empties the ENTIRE table: a partitioned write
