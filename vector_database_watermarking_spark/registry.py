@@ -922,6 +922,18 @@ _GRADE_ORDER = [
     # representative (six stream gates remain in-window: cdc,
     # detection, ingest ×2, curation, interval-left).
     "stream_interval_join_left_replay",
+    # promoted round 12 (VERDICT r11 #1): the three round-11
+    # registrations get full-output driver rows — the native
+    # session_window tier graded as a real stream (now fed OUT OF
+    # ORDER: 8 event-time slices with each slice's last 50 minutes
+    # held back one trigger, per VERDICT r11 #6), the IVM loop over a
+    # bucketed base (O(changed buckets) commits), and TIMESTAMP time
+    # travel on a bucketed table. Each keeps its day-one full-oracle
+    # pack row (session_native_stream_check / ivm_bucketed_check /
+    # cdc_as_of_check) as belt and braces.
+    "stream_session_native_replay",
+    "stream_ivm_bucketed_replay",
+    "rel_cdc_read_as_of",
     # Round-10 demotions (VERDICT r09 #1 rotation): the five round-8
     # operators promoted in round 9 (rel_dominant_suppliers,
     # rel_events_twap, ext_prefix_jaccard_dups, ext_synth_source_scan,
@@ -966,10 +978,19 @@ _GRADE_ORDER = [
     # forecast_revenue_check / important_parts_check / late_modes_check
     # / promo_revenue_check / top_supplier_check / large_volume_check /
     # disjunct_revenue_check) plus a hand-computed pytest.
-    "rel_local_supplier_volume",
-    "rel_forecast_revenue",
+    # Round-12 demotions from this block (rotation for the round-11
+    # registrations, per VERDICT r11 #1): after two green rounds
+    # (r10+r11), rel_local_supplier_volume (Q5 — the 6-table join
+    # family stays in-window via Q8 rel_market_share and Q9
+    # rel_nation_profit), rel_forecast_revenue (Q6 — single-table
+    # filter+agg, the registry's simplest plan) and
+    # rel_late_shipment_modes (Q12 — the conditional-agg shape stays
+    # in-window via Q14 rel_promo_revenue) rotate out on the
+    # full-oracle pack rows they have carried since registration
+    # (local_supplier_check / forecast_revenue_check /
+    # late_modes_check each embed the complete demoted oracle SQL, so
+    # all three stay driver-graded every round).
     "rel_important_parts",
-    "rel_late_shipment_modes",
     "rel_promo_revenue",
     "rel_top_supplier",
     "rel_large_volume_customers",
@@ -994,6 +1015,12 @@ _GRADE_ORDER = [
     # locally hash-checked via tools/check_oracles.py; rows demoted in
     # the latest rotation sit first so the next rotation can cycle
     # them back in if desired.
+    # Round-12 demotions (full-oracle pack rows local_supplier_check /
+    # forecast_revenue_check / late_modes_check, carried since
+    # registration; inline ledger note at their old window slot above):
+    "rel_local_supplier_volume",
+    "rel_forecast_revenue",
+    "rel_late_shipment_modes",
     # Round-11 demotions (full-oracle pack rows near_dups_scaled_check
     # / ingest_candidates_check; inline ledger notes at their old
     # window slots above):
@@ -1155,17 +1182,10 @@ _GRADE_ORDER = [
     # a14_modify_mini — were promoted into the graded window in round
     # 11 per VERDICT r10 #1; their day-one full-oracle pack rows
     # near_dups_auto_check / a14_modify_check remain)
-    # round-11 registrations (rotation pool for round 12; full-oracle
-    # pack rows session_native_stream_check / ivm_bucketed_check from
-    # day one): the native session_window tier run as a real stream
-    # (the scale-safe sessionization alternative, VERDICT r10 #2), and
-    # the IVM loop over a bucketed base table (O(changed buckets)
-    # commits, VERDICT r10 #4).
-    "stream_session_native_replay",
-    "stream_ivm_bucketed_replay",
-    # ...plus TIMESTAMP time travel resolved from the commit catalog,
-    # on a bucketed table (pack row cdc_as_of_check).
-    "rel_cdc_read_as_of",
+    # (the three round-11 registrations — stream_session_native_replay,
+    # stream_ivm_bucketed_replay, rel_cdc_read_as_of — were promoted
+    # into the graded window in round 12 per VERDICT r11 #1; their
+    # day-one full-oracle pack rows remain)
 ]
 
 

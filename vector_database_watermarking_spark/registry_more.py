@@ -3307,6 +3307,59 @@ def stream_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _write_disordered_session_feed(
+    ev: DataFrame, sentinel: DataFrame, scratch: str, n_slices: int = 8
+) -> None:
+    """Out-of-order feed for the graded native-session replay
+    (VERDICT r11 #6): the gate previously wrote ONE event-time-ordered
+    file — a single trigger, so the merging session state never saw
+    out-of-order arrival. This mirrors the bench's 8-slice +
+    held-back-late construction (``tools/bench_streaming.py
+    write_time_batches``) with one deliberate difference: the bench's
+    late rows come from the first half of the timeline — far BEHIND
+    the bounded watermark, measuring drops — while the graded rows
+    must all still land in a session so the oracle stays the untouched
+    full-table island SQL. Here the held-back rows are the last 50
+    minutes of each event-time slice, delivered one trigger later:
+    after trigger i the global watermark is at most
+    ``slice_hi − 50min − 1h`` (the on-time max excludes the held-back
+    sliver), so a held-back row arrives ≥ 1 h AHEAD of the watermark —
+    merged retroactively, never dropped. Sessions spanning slice
+    boundaries additionally arrive as split windows that state must
+    merge across triggers. Sequential appends give the file source
+    monotonically increasing mod-times; ``maxFilesPerTrigger=1`` turns
+    each file into its own trigger."""
+    import shutil
+
+    shutil.rmtree(scratch, ignore_errors=True)
+    ts_s = F.unix_seconds(F.col("ts"))
+    lo, hi = ev.agg(F.min(ts_s), F.max(ts_s)).first()
+    span = (hi - lo) + 1
+    sid = F.least(
+        F.lit(n_slices - 1),
+        F.floor((ts_s - F.lit(lo)) * n_slices / F.lit(span)),
+    )
+    slice_hi = F.lit(lo) + (sid + 1) * F.lit(span) / F.lit(n_slices)
+    tagged = ev.withColumn("_sid", sid).withColumn(
+        "_late", ts_s > slice_hi - F.lit(50 * 60)
+    )
+
+    def _append(df: DataFrame) -> None:
+        df.drop("_sid", "_late").coalesce(1).write.mode("append").parquet(
+            scratch
+        )
+
+    prev_late = None
+    for b in range(n_slices):
+        cur = tagged.filter(F.col("_sid") == b)
+        _append(cur.filter(~F.col("_late")))
+        if prev_late is not None:
+            _append(prev_late)
+        prev_late = cur.filter(F.col("_late"))
+    _append(prev_late)
+    _append(sentinel.withColumn("_sid", F.lit(0)).withColumn("_late", F.lit(False)))
+
+
 @register(
     "stream_session_native_replay",
     oracle="""
@@ -3332,20 +3385,23 @@ FROM sess GROUP BY user_id, sid
 def stream_session_native_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The NATIVE ``F.session_window`` tier run as a real STREAM
     (VERDICT r10 #2's scale-safe sessionization alternative, graded
-    end-to-end rather than only in batch mode): the events table plus
-    ONE far-future sentinel row rides a file-source stream into the
-    merging session-window aggregation. Unlike the stateful tier
-    (per-key gap closure), the native operator finalizes windows by
-    the GLOBAL watermark, so a single sentinel suffices — it advances
-    the watermark past every real window's end while its own window
-    stays open in state, never emitted. Output shape mirrors
-    ``rel_events_session_window`` (``session_end`` = last event time =
-    ``window.end − gap``; the native break is half-open, ``diff >=
-    gap``), so the oracle is the same island SQL over the UNTOUCHED
-    events table. ``total_value`` deliberately not graded (float sum —
-    same carve-out as stream_session_replay)."""
-    import shutil
-
+    end-to-end rather than only in batch mode): the events table rides
+    a file-source stream into the merging session-window aggregation —
+    delivered OUT OF ORDER (8 event-time slices, each slice's last 50
+    minutes held back one trigger; see
+    :func:`_write_disordered_session_feed`) so the graded gate
+    exercises cross-trigger window merging and within-watermark late
+    arrival, not just a happy-path single batch. Unlike the stateful
+    tier (per-key gap closure), the native operator finalizes windows
+    by the GLOBAL watermark, so one far-future sentinel row flushes
+    every real window while its own window stays open in state, never
+    emitted. Output shape mirrors ``rel_events_session_window``
+    (``session_end`` = last event time = ``window.end − gap``; the
+    native break is half-open, ``diff >= gap``), so the oracle is the
+    same island SQL over the UNTOUCHED events table — every late row
+    is inside the watermark by construction, so nothing is dropped.
+    ``total_value`` deliberately not graded (float sum — same
+    carve-out as stream_session_replay)."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
     max_ts = ev.agg(F.max("ts").alias("m")).head()["m"]
     sentinel = spark.createDataFrame(
@@ -3356,14 +3412,7 @@ def stream_session_native_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0).alias("value"),
     )
     scratch = _scratch_dir("snsess", sf_dir)
-    shutil.rmtree(scratch, ignore_errors=True)
-    (
-        ev.unionByName(sentinel)
-        .orderBy("user_id", "ts")
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(scratch)
-    )
+    _write_disordered_session_feed(ev, sentinel, scratch)
     stream = (
         spark.readStream.schema("user_id long, ts timestamp, value double")
         .option("maxFilesPerTrigger", 1)
