@@ -13,8 +13,19 @@ Anchors from the reference's pickled grid (``BASELINE.md``):
 - TabularMark match proportion lost: 0.099 at p=0.1 rising to 0.78 at
   p=0.8 (nw=100, p=4, dim=40 — ``compare/roubust.py:172-174,207-213``)
 
-Usage: python tools/run_refconfig_grid.py [n] [attack] [trials]
-(defaults 10000 random_delete 5; prints one JSON line per scheme)
+Usage: python tools/run_refconfig_grid.py [n] [attack] [trials] [schemes]
+(defaults 10000 random_delete 5 scpw,tabularmark; prints one JSON line
+per scheme). ``schemes`` also accepts ``tvp`` and ``rs`` (VERDICT r11
+#2: the round-8 TVP/RS grids ran on the d=64 fixture, but the
+reference's modification anchors are sift-128-euclidean geometry —
+the d=128 widened fixture re-runs close the carry-over). TVP/RS
+anchors from the pickled grid (``BASELINE.md``):
+- TVP modification BER, p=0.1→0.8: 0.0, 0.0, 0.005, 0.014, 0.038,
+  0.110, 0.207, 0.264 (strength=0.55, th=1, n=10k, times=20 —
+  ``compare/compare_modi_robust.pkl``, ``compare/roubust.py:233-306``)
+- RS: no published modification anchor (the pickle's RS rows cover
+  deletion only) — the d=128 run records the engine's own
+  d-sensitivity instead.
 """
 
 from __future__ import annotations
@@ -115,6 +126,9 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10000
     attack = sys.argv[2] if len(sys.argv) > 2 else "random_delete"
     trials = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+    schemes = (
+        sys.argv[4].split(",") if len(sys.argv) > 4 else ["scpw", "tabularmark"]
+    )
     spark = get_spark(
         "refconfig-grid", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     )
@@ -132,36 +146,82 @@ def main() -> None:
         emb = pad_to_d128(emb)
     emb = emb.localCheckpoint(eager=True)
 
-    acc: dict[float, float] = {p: 0.0 for p in PS}
-    for seed in seeds:
-        res = robustness_grid(
-            emb,
-            WATERMARK,
-            attack=attack,
-            scheme="scpw",
-            strengths=(0.55 if modify else 0.54,),
-            ths=(1.0,),
-            ps=PS,
-            seed=seed,
-            scpw_position=100 if modify else None,
+    if "scpw" in schemes:
+        acc: dict[float, float] = {p: 0.0 for p in PS}
+        for seed in seeds:
+            res = robustness_grid(
+                emb,
+                WATERMARK,
+                attack=attack,
+                scheme="scpw",
+                strengths=(0.55 if modify else 0.54,),
+                ths=(1.0,),
+                ps=PS,
+                seed=seed,
+                scpw_position=100 if modify else None,
+            )
+            for r in res:
+                acc[r.p] += r.ber
+        print(
+            json.dumps(
+                {
+                    "scheme": "scpw",
+                    "attack": attack,
+                    "n": n,
+                    "d": 128 if modify else 64,
+                    "L": len(WATERMARK),
+                    "trials": len(seeds),
+                    "ber_by_p": {
+                        str(p): round(acc[p] / len(seeds), 4) for p in PS
+                    },
+                }
+            ),
+            flush=True,
         )
-        for r in res:
-            acc[r.p] += r.ber
-    print(
-        json.dumps(
-            {
-                "scheme": "scpw",
-                "attack": attack,
-                "n": n,
-                "d": 128 if modify else 64,
-                "L": len(WATERMARK),
-                "trials": len(seeds),
-                "ber_by_p": {str(p): round(acc[p] / len(seeds), 4) for p in PS},
-            }
-        ),
-        flush=True,
-    )
 
+    # TVP / RS at the same reference config (VERDICT r11 #2): the
+    # modification anchors are d=128 geometry, so these rows must run
+    # on the widened fixture — the round-8 d=64 agreement (−0.026 at
+    # p=0.8) could be coincidence of the engine's own overlap model
+    # loss ≈ p·(k+29)/d. Config mirrors the reference's modification
+    # grid: strength=0.55, th=1 (``compare/roubust.py:242-249``).
+    for scheme in ("tvp", "rs"):
+        if scheme not in schemes:
+            continue
+        acc_s: dict[float, float] = {p: 0.0 for p in PS}
+        for seed in seeds:
+            res = robustness_grid(
+                emb,
+                WATERMARK,
+                attack=attack,
+                scheme=scheme,
+                strengths=(0.55,),
+                ths=(1.0,),
+                ps=PS,
+                seed=seed,
+            )
+            for r in res:
+                acc_s[r.p] += r.ber
+        print(
+            json.dumps(
+                {
+                    "scheme": scheme,
+                    "attack": attack,
+                    "n": n,
+                    "d": 128 if modify else 64,
+                    "L": len(WATERMARK),
+                    "trials": len(seeds),
+                    "ber_by_p": {
+                        str(p): round(acc_s[p] / len(seeds), 4) for p in PS
+                    },
+                }
+            ),
+            flush=True,
+        )
+
+    if "tabularmark" not in schemes:
+        spark.stop()
+        return
     emb_u = load_perm_emb(spark, n)
     if modify:
         emb_u = pad_to_d128(emb_u)

@@ -1186,6 +1186,17 @@ _GRADE_ORDER = [
     # stream_ivm_bucketed_replay, rel_cdc_read_as_of — were promoted
     # into the graded window in round 12 per VERDICT r11 #1; their
     # day-one full-oracle pack rows remain)
+    # round-12 registrations (rotation pool for round 13; full-oracle
+    # pack rows nation_trade_preagg_check / window_topk_check /
+    # erasure_cascade_check from day one): the Q7 eager-aggregation
+    # plan variant (VERDICT r11 #4's alternative-plan probe, graded
+    # against the same full Q7 oracle), the watermarked tumbling-window
+    # aggregation run as a real out-of-order stream with a batch-side
+    # top-3 rank, and the GDPR MERGE-delete cascade audited from the
+    # committed CDC snapshots.
+    "rel_nation_trade_preagg",
+    "stream_window_topk_replay",
+    "rel_erasure_cascade",
 ]
 
 

@@ -5472,6 +5472,268 @@ def rel_cdc_read_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_nation_trade_preagg",
+    oracle="""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(count(*) AS BIGINT) AS n_lineitems,
+       CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (10000 - CAST(floor(l.l_discount * 10000 + 0.5) AS BIGINT)))
+            AS BIGINT) AS revenue_e6
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+WHERE sn.n_name <> cn.n_name
+GROUP BY sn.n_name, cn.n_name
+""",
+)
+def rel_nation_trade_preagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 with EAGER AGGREGATION below the fact-fact join (VERDICT r11
+    #4's alternative-plan probe, registered so the A/B is graded, not
+    a scratch script): same oracle as ``rel_nation_trade``, different
+    physical plan. The lineitem×supplier side is collapsed to ONE row
+    per order — ``groupBy(l_orderkey).agg(collect_list(struct(
+    supp_nationkey, revenue)))`` — BEFORE the orderkey join, so the
+    join probes |orders| rows per side instead of |lineitem| vs
+    |orders| (≈4× fewer left-side rows at TPC-H fan-out), and the
+    aggregate's hash partitioning on l_orderkey is REUSED by the join
+    (no re-exchange of the collapsed side). Catalyst does not perform
+    eager aggregation itself, so this is the hand-written form of the
+    classic optimization; whether it beats the straight plan at 600M
+    rows on a fixed-memory host is exactly what the sf100 probe
+    measures (the collect_list is an ObjectHashAggregate — no
+    whole-stage codegen — so the win is not free). Nation names join
+    on the 25-row broadcast AFTER the 625-group aggregate, keeping
+    the exchanged payload to (int nationkey, long revenue) structs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long") * (
+        10000 - F.floor(F.col("l_discount") * 10000 + F.lit(0.5)).cast("long")
+    )
+    lside = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .select(
+            F.col("l_orderkey").alias("okey"),
+            F.col("s_nationkey").cast("int").alias("snk"),
+            rev.alias("rev"),
+        )
+        .groupBy("okey")
+        .agg(F.collect_list(F.struct("snk", "rev")).alias("parts"))
+    )
+    oside = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("o_orderkey").alias("okey2"),
+        F.col("c_nationkey").cast("int").alias("cnk"),
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("snk2"), F.col("n_name").alias("supp_nation")
+    )
+    cn = n.select(
+        F.col("n_nationkey").alias("cnk2"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        lside.join(oside, F.col("okey") == F.col("okey2"))
+        .select("cnk", F.explode("parts").alias("p"))
+        .filter(F.col("p.snk") != F.col("cnk"))
+        .groupBy(F.col("p.snk").alias("snk"), "cnk")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.sum("p.rev").alias("revenue_e6"),
+        )
+        .join(F.broadcast(sn), F.col("snk") == F.col("snk2"))
+        .join(F.broadcast(cn), F.col("cnk") == F.col("cnk2"))
+        .select("supp_nation", "cust_nation", "n_lineitems", "revenue_e6")
+    )
+
+
+@register(
+    "stream_window_topk_replay",
+    oracle="""
+WITH w AS (
+  SELECT date_trunc('day', ts) AS window_start, event_type,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT window_start, event_type, n_events,
+         row_number() OVER (PARTITION BY window_start
+                            ORDER BY n_events DESC, event_type) AS rnk
+  FROM w
+)
+SELECT window_start, event_type, n_events, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 3
+""",
+)
+def stream_window_topk_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fundamental Structured Streaming shape graded end-to-end:
+    a watermarked TUMBLING-WINDOW aggregation over a file stream
+    delivered OUT OF ORDER (the same 8-slice + held-back-within-
+    watermark feed as the graded native-session replay), with a
+    batch-side top-3-per-window rank on the drained sink. Streaming
+    emits each finalized (window, event_type) count exactly once in
+    append mode once the watermark passes the window end — rank
+    truncation cannot run inside the stream (no window functions over
+    unbounded input), so the sink table carries the full counts and
+    the top-k is the cheap batch epilogue, the standard dashboard
+    split. Every held-back row is inside the 1-hour watermark by
+    construction, so nothing is dropped and the oracle is the plain
+    GROUP BY over the untouched events table. ``total_value``
+    deliberately not graded (float sum — the session-gate carve-out);
+    the sentinel's own window is never finalized, so it never appears.
+    At 100 TB the same query is shuffle-partitioned state keyed by
+    (window, event_type) — O(active windows × types), not O(rows)."""
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    max_ts = ev.agg(F.max("ts").alias("m")).head()["m"]
+    sentinel = spark.createDataFrame([("~sentinel~",)], "event_type string").select(
+        (F.lit(max_ts) + F.expr("INTERVAL 10 DAYS")).alias("ts"),
+        "event_type",
+        F.lit(0.0).alias("value"),
+    )
+    scratch = _scratch_dir("swtopk", sf_dir)
+    _write_disordered_session_feed(
+        ev.select("ts", "event_type", "value"), sentinel, scratch
+    )
+    from .streaming.windows import windowed_counts
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(scratch)
+    )
+    out = windowed_counts(stream, window="1 day", watermark="1 hour")
+    name = _sink_name("swtopk", sf_dir)
+    spark.catalog.dropTempView(name)
+    _drain_to_memory(out, name, "append")
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type")
+    )
+    return (
+        spark.table(name)
+        .select("window_start", "event_type", "n_events")
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@register(
+    "rel_erasure_cascade",
+    oracle="""
+WITH dead_orders AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_custkey % 53 = 0)
+),
+surv_o AS (
+  SELECT * FROM orders
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM dead_orders)
+),
+surv_l AS (
+  SELECT * FROM lineitem
+  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM dead_orders)
+)
+SELECT 'orders' AS tbl,
+  CAST((SELECT count(*) FROM orders) AS BIGINT) AS rows_before,
+  CAST((SELECT count(*) FROM orders) - count(*) AS BIGINT) AS rows_deleted,
+  CAST(count(*) AS BIGINT) AS rows_after,
+  CAST(sum((o_orderkey % 997 + 1) * ((o_custkey * 131) % 1000003))
+       AS BIGINT) AS survivor_check
+FROM surv_o
+UNION ALL
+SELECT 'lineitem',
+  CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+  CAST((SELECT count(*) FROM lineitem) - count(*) AS BIGINT),
+  CAST(count(*) AS BIGINT),
+  CAST(sum(((l_orderkey * 10 + l_linenumber) % 997 + 1)
+           * ((l_suppkey * 131) % 1000003)) AS BIGINT)
+FROM surv_l
+""",
+)
+def rel_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten as a VERIFIED MERGE-delete cascade (the
+    GDPR flow every production lakehouse runs): a victim key set
+    (customers with ``c_custkey % 53 == 0``) cascades through the FK
+    chain — their orders are MERGE-deleted from a CDC-committed orders
+    table, then those orders' lineitems from a CDC-committed lineitem
+    table (composite identity ``l_orderkey*10 + l_linenumber`` as the
+    merge key; linenumber < 10 by TPC-H construction) — and the graded
+    output audits the erasure FROM THE COMMITTED SNAPSHOTS (counts
+    before/deleted/after plus a survivor checksum read back through
+    the pointer), not from the logical plan that produced them. The
+    oracle replays the cascade as NOT IN. At 100 TB the identical flow
+    is two small delete batches (the key sets) against key-bucketed
+    tables — each commit rewrites only the touched buckets
+    (``cdc.init_table_bucketed``), and the cascade key set is one
+    semi-join per FK hop."""
+    import shutil
+
+    from .streaming import cdc
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    victims = c.filter(F.col("c_custkey") % 53 == 0).select("c_custkey")
+
+    def delete_batch(df: DataFrame, key: str) -> DataFrame:
+        cols = [F.col(key)] + [
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in df.schema.fields
+            if f.name != key
+        ]
+        return (
+            df.select(*cols)
+            .withColumn("seq", F.lit(1))
+            .withColumn("op", F.lit("delete"))
+        )
+
+    odir = _scratch_dir("erase_o", sf_dir)
+    ldir = _scratch_dir("erase_l", sf_dir)
+    shutil.rmtree(odir, ignore_errors=True)
+    shutil.rmtree(ldir, ignore_errors=True)
+    cdc.init_table(o, odir)
+    li_k = li.withColumn(
+        "_lkey", F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    )
+    cdc.init_table(li_k, ldir)
+
+    dead_o = o.join(victims, o.o_custkey == victims.c_custkey, "left_semi")
+    cdc.apply_once(delete_batch(dead_o, "o_orderkey"), odir,
+                   key="o_orderkey", retain=0)
+    dead_l = li_k.join(
+        dead_o.select("o_orderkey"),
+        li_k.l_orderkey == F.col("o_orderkey"),
+        "left_semi",
+    )
+    cdc.apply_once(delete_batch(dead_l, "_lkey"), ldir, key="_lkey", retain=0)
+
+    def stats(name: str, before_n: int, surv: DataFrame, check) -> DataFrame:
+        return surv.agg(
+            F.count(F.lit(1)).alias("_after"),
+            F.sum(check).alias("_check"),
+        ).select(
+            F.lit(name).alias("tbl"),
+            F.lit(before_n).cast("long").alias("rows_before"),
+            (F.lit(before_n) - F.col("_after")).cast("long").alias("rows_deleted"),
+            F.col("_after").cast("long").alias("rows_after"),
+            F.col("_check").cast("long").alias("survivor_check"),
+        )
+
+    surv_o = cdc.read_current(spark, odir)
+    surv_l = cdc.read_current(spark, ldir)
+    o_check = (F.col("o_orderkey") % 997 + 1) * (
+        (F.col("o_custkey") * 131) % 1000003
+    )
+    l_check = ((F.col("l_orderkey") * 10 + F.col("l_linenumber")) % 997 + 1) * (
+        (F.col("l_suppkey") * 131) % 1000003
+    )
+    return stats("orders", o.count(), surv_o, o_check).unionByName(
+        stats("lineitem", li.count(), surv_l, l_check)
+    )
+
+
+@register(
     "ext_schema_merge_read",
     oracle="""
 SELECT doc_id, text,
@@ -7021,6 +7283,14 @@ def _pipeline_pack_oracle() -> str:
     snsr = QUERIES["stream_session_native_replay"].oracle
     ivb = QUERIES["stream_ivm_bucketed_replay"].oracle
     aso = QUERIES["rel_cdc_read_as_of"].oracle
+    # round-12 registrations (rotation pool for round 13): full-oracle
+    # pack rows from day one — the Q7 eager-aggregation plan variant,
+    # the watermarked tumbling-window stream gate, and the MERGE-delete
+    # erasure cascade
+    ntp = QUERIES["rel_nation_trade_preagg"].oracle
+    swt = QUERIES["stream_window_topk_replay"].oracle
+    ers = QUERIES["rel_erasure_cascade"].oracle
+    h_nat2 = oracle_hash60("supp_nation || '|' || cust_nation")
     h_ls = oracle_hash60("coalesce(lang, '~') || '|' || coalesce(source, '~')")
     h_spl9 = oracle_hash60("split")
     h_src9 = oracle_hash60("source")
@@ -7696,6 +7966,23 @@ UNION ALL
 SELECT 'cdc_as_of_check',
   CAST(count(*) + sum((doc_id % 997 + 1) * ({h_tls} % 1000003)) AS BIGINT)
   FROM ({aso})
+UNION ALL
+SELECT 'nation_trade_preagg_check',
+  CAST(count(*) + sum(({h_nat2} % 997 + 1)
+       * ((n_lineitems * 131 + revenue_e6) % 1000003)) AS BIGINT)
+  FROM ({ntp})
+UNION ALL
+SELECT 'window_topk_check',
+  CAST(count(*) + sum((epoch_us(window_start) % 997 + 1)
+       * ((n_events * 131 + rnk * 17
+           + {oracle_hash60('event_type')} % 100003) % 1000003)) AS BIGINT)
+  FROM ({swt})
+UNION ALL
+SELECT 'erasure_cascade_check',
+  CAST(count(*) + sum(({oracle_hash60('tbl')} % 997 + 1)
+       * ((rows_before + rows_deleted * 131 + rows_after * 17
+           + survivor_check) % 1000003)) AS BIGINT)
+  FROM ({ers})
 UNION ALL
 SELECT 'manifest_jsonl_check',
   CAST(count(*) + count(*) * 31 + sum((event_id % 997 + 1)
@@ -10192,6 +10479,80 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     F.coalesce(F.col("lang"), F.lit("~")),
                                     F.coalesce(F.col("source"), F.lit("~")),
                                 )
+                            )
+                            % 1000003
+                        )
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    # round-12 registrations (rotation pool for round 13)
+    ntp = QUERIES["rel_nation_trade_preagg"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "nation_trade_preagg_check",
+            ntp.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (
+                            hash60(
+                                F.concat_ws(
+                                    "|",
+                                    F.col("supp_nation"),
+                                    F.col("cust_nation"),
+                                )
+                            )
+                            % 997
+                            + 1
+                        )
+                        * (
+                            (F.col("n_lineitems") * 131 + F.col("revenue_e6"))
+                            % 1000003
+                        )
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    swt = QUERIES["stream_window_topk_replay"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "window_topk_check",
+            swt.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (F.unix_micros("window_start") % 997 + 1)
+                        * (
+                            (
+                                F.col("n_events") * 131
+                                + F.col("rnk") * 17
+                                + hash60(F.col("event_type")) % 100003
+                            )
+                            % 1000003
+                        )
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    ers = QUERIES["rel_erasure_cascade"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "erasure_cascade_check",
+            ers.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (hash60(F.col("tbl")) % 997 + 1)
+                        * (
+                            (
+                                F.col("rows_before")
+                                + F.col("rows_deleted") * 131
+                                + F.col("rows_after") * 17
+                                + F.col("survivor_check")
                             )
                             % 1000003
                         )
