@@ -691,3 +691,28 @@ def test_bucketed_cdc_read_is_partition_pruned(spark, tmp_path):
     assert "PartitionFilters: [_bucket" in plan and "IN (1,3)" in plan, plan
     # the pruning is directory-level: no row-level filter remains
     assert "DataFilters: []" in plan, plan
+
+
+def test_nation_trade_preagg_join_reuses_agg_partitioning(spark, sf_dir):
+    """The eager-aggregation Q7 variant's plan claim: the per-order
+    collapse (groupBy(okey) + collect_list) leaves its output hash-
+    partitioned on okey, and the fact-fact join REUSES that
+    partitioning — the collapsed side is exchanged on okey exactly
+    once, for the aggregate, never again for the join. Broadcast is
+    disabled so the join planning matches the at-scale regime (at
+    sf0.001 everything would broadcast and the claim would be
+    vacuous)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = QUERIES["rel_nation_trade_preagg"].fn(spark, sf_dir)
+        plan = plan_of(out)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # ONE okey exchange total: the aggregate's (okey2 — the orders
+    # side — is a different attribute and doesn't match the '#').
+    assert plan.count("hashpartitioning(okey#") == 1, plan
+    # the collapse is the typed-buffer aggregate (collect_list)
+    assert "ObjectHashAggregate" in plan, plan
+    # both explicit nation broadcasts survive
+    assert plan.count("BroadcastExchange") == 2, plan

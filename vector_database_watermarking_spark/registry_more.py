@@ -5506,7 +5506,16 @@ def rel_nation_trade_preagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     measures (the collect_list is an ObjectHashAggregate — no
     whole-stage codegen — so the win is not free). Nation names join
     on the 25-row broadcast AFTER the 625-group aggregate, keeping
-    the exchanged payload to (int nationkey, long revenue) structs."""
+    the exchanged payload to (int nationkey, long revenue) structs.
+
+    MEASURED at sf100 (SCALING.md round 12, A/B-interleaved): this
+    variant moves 18% fewer shuffle bytes (12.7 vs 15.5 GB) but LOSES
+    (104–148 s vs 57–111 s) — the collect_list buffers spill 64 GB
+    where the straight plan spills ZERO — so at TPC-H's ~4:1 fan-out
+    the straight plan stays the engine's Q7. Eager aggregation earns
+    its keep when the collapsed side's fan-out is high enough that the
+    row reduction beats the typed-buffer cost (wide payloads or ≫4
+    rows per key)."""
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     o = load_table(spark, sf_dir, "orders")
