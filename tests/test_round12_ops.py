@@ -81,3 +81,81 @@ def test_erasure_cascade_fully_erases_victims(spark, sf_dir):
     )
     assert out["orders"][1] == dead_o.count()
     assert out["lineitem"][1] == dead_l.count()
+
+
+def test_disordered_feed_late_rows_merge_without_drops(spark, sf_dir, tmp_path):
+    """Pin the late-row semantics the disordered graded feeds rely on
+    (measured round 12): a stateful aggregation filters input against
+    the EVICTION FRONTIER (the watermark in effect one batch earlier)
+    and evicts at batch end with the current watermark — so a held-back
+    row delivered one trigger late merges correctly even when it is
+    behind the instantaneous watermark, while a row whose window was
+    already evicted is dropped AND counted. Three assertions: the feed
+    really holds rows back, the replay drops nothing, and the streamed
+    counts equal the batch GROUP BY. If a Spark upgrade tightens the
+    input filter to the instantaneous watermark, this test (and the two
+    graded gates) fail loudly rather than silently."""
+    import pyspark.sql.functions as F
+
+    from vector_database_watermarking_spark.registry_more import (
+        _write_disordered_session_feed,
+    )
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(F.col("ts").cast("timestamp").alias("ts"), "event_type")
+    )
+    max_ts = ev.agg(F.max("ts")).head()[0]
+    sentinel = spark.createDataFrame(
+        [("~sentinel~",)], "event_type string"
+    ).select(
+        (F.lit(max_ts) + F.expr("INTERVAL 10 DAYS")).alias("ts"), "event_type"
+    )
+    scratch = str(tmp_path / "feed")
+    _write_disordered_session_feed(ev, sentinel, scratch)
+    # the feed holds rows back: more files than slices+sentinel alone
+    import glob
+
+    n_files = len(glob.glob(scratch + "/part-*"))
+    assert n_files > 9, n_files  # 8 on-time + sentinel + >=1 late file
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(scratch)
+    )
+    out = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dfeed_pin")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        dropped = sum(
+            int(o.get("numRowsDroppedByWatermark", 0))
+            for p in q.recentProgress
+            for o in (p.get("stateOperators") or [])
+        )
+        n_batches = len(q.recentProgress)
+    finally:
+        q.stop()
+    assert dropped == 0, dropped
+    assert n_batches >= n_files  # one trigger per file: real disorder
+    got = {
+        (r["ws"], r["event_type"]): r["n"]
+        for r in spark.table("dfeed_pin").collect()
+    }
+    expected = {
+        (r["ws"], r["event_type"]): r["n"]
+        for r in ev.groupBy(
+            F.date_trunc("day", "ts").alias("ws"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == expected

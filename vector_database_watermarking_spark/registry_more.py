@@ -3320,15 +3320,31 @@ def _write_disordered_session_feed(
     the bounded watermark, measuring drops — while the graded rows
     must all still land in a session so the oracle stays the untouched
     full-table island SQL. Here the held-back rows are the last 50
-    minutes of each event-time slice, delivered one trigger later:
-    after trigger i the global watermark is at most
-    ``slice_hi − 50min − 1h`` (the on-time max excludes the held-back
-    sliver), so a held-back row arrives ≥ 1 h AHEAD of the watermark —
-    merged retroactively, never dropped. Sessions spanning slice
-    boundaries additionally arrive as split windows that state must
-    merge across triggers. Sequential appends give the file source
-    monotonically increasing mod-times; ``maxFilesPerTrigger=1`` turns
-    each file into its own trigger."""
+    minutes of each event-time slice, delivered exactly one trigger
+    later.
+
+    Why nothing is dropped — the MEASURED late-row semantics of this
+    Spark version (round-12 probe, pinned by
+    ``test_disordered_feed_late_rows_merge_without_drops``): a
+    stateful aggregation filters input against the EVICTION FRONTIER —
+    the watermark in effect one batch earlier — and evicts/emits at
+    batch end with the current watermark, so a late row merges
+    correctly iff its window has not yet been evicted (a row behind
+    the instantaneous watermark but above the frontier merges;
+    ``numRowsDroppedByWatermark`` counts only rows whose window was
+    already emitted). The frontier at a held-back batch is at most
+    ``on-time max of its slice − 1 h`` = ``slice_hi − 50min − 1h``
+    (the whole last-50-min sliver is held back), while the held-back
+    rows' windows end above ``slice_hi − 20min`` — a ≥ 90-minute
+    margin above every frontier that runs before they arrive. Held
+    rows ride exactly ONE trigger behind; holding them longer (or
+    holding rows from deeper inside the slice, as the bench's
+    drop-measuring feed deliberately does) would cross an eviction
+    frontier and be dropped. Sessions spanning slice boundaries
+    additionally arrive as split windows that state must merge across
+    triggers. Sequential appends give the file source monotonically
+    increasing mod-times; ``maxFilesPerTrigger=1`` turns each file
+    into its own trigger."""
     import shutil
 
     shutil.rmtree(scratch, ignore_errors=True)
@@ -3398,8 +3414,10 @@ def stream_session_native_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted. Output shape mirrors ``rel_events_session_window``
     (``session_end`` = last event time = ``window.end − gap``; the
     native break is half-open, ``diff >= gap``), so the oracle is the
-    same island SQL over the UNTOUCHED events table — every late row
-    is inside the watermark by construction, so nothing is dropped.
+    same island SQL over the UNTOUCHED events table — no held-back
+    row is ever dropped (each stays above every eviction frontier that
+    runs before it arrives; mechanism measured and documented on
+    :func:`_write_disordered_session_feed`).
     ``total_value`` deliberately not graded (float sum — same
     carve-out as stream_session_replay)."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
@@ -5588,9 +5606,10 @@ def stream_window_topk_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncation cannot run inside the stream (no window functions over
     unbounded input), so the sink table carries the full counts and
     the top-k is the cheap batch epilogue, the standard dashboard
-    split. Every held-back row is inside the 1-hour watermark by
-    construction, so nothing is dropped and the oracle is the plain
-    GROUP BY over the untouched events table. ``total_value``
+    split. No held-back row is ever dropped (each stays above every
+    eviction frontier that runs before it arrives — mechanism measured
+    and documented on :func:`_write_disordered_session_feed`), so the
+    oracle is the plain GROUP BY over the untouched events table. ``total_value``
     deliberately not graded (float sum — the session-gate carve-out);
     the sentinel's own window is never finalized, so it never appears.
     At 100 TB the same query is shuffle-partitioned state keyed by
