@@ -81,6 +81,20 @@ def test_erasure_cascade_fully_erases_victims(spark, sf_dir):
     )
     assert out["orders"][1] == dead_o.count()
     assert out["lineitem"][1] == dead_l.count()
+    # identity, not just counts (review round 12): NO victim row
+    # survives in the committed snapshots, and every survivor is a
+    # non-victim — read back through the pointer like any reader would
+    from vector_database_watermarking_spark.streaming import cdc
+
+    from vector_database_watermarking_spark.registry_more import _scratch_dir
+
+    surv_o = cdc.read_current(spark, _scratch_dir("erase_o", sf_dir))
+    surv_l = cdc.read_current(spark, _scratch_dir("erase_l", sf_dir))
+    assert surv_o.join(victims, surv_o.o_custkey == victims.c_custkey, "left_semi").count() == 0
+    assert surv_l.join(dead_o.select("o_orderkey"), surv_l.l_orderkey == F.col("o_orderkey"), "left_semi").count() == 0
+    # survivors are exactly the non-victim rows
+    assert surv_o.count() + dead_o.count() == o.count()
+    assert surv_l.count() + dead_l.count() == li.count()
 
 
 def test_disordered_feed_late_rows_merge_without_drops(spark, sf_dir, tmp_path):

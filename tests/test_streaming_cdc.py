@@ -672,3 +672,37 @@ def test_ivm_view_supports_as_of_time_travel(spark, tmp_path):
     # the view's commit instants are strictly monotonic (stamp clamp)
     hist = [t for _, t in cdc.version_history(agg_dir)]
     assert hist == sorted(hist) and len(set(hist)) == 3
+
+
+def test_null_merge_key_refused_on_plain_layout_and_ivm(spark, tmp_path):
+    """Review round 12: the round-11 null-key guard lived only in the
+    bucket-routing path — the PLAIN layout and the IVM trigger must
+    refuse the same permanently-unmergeable row, via the shared
+    refuse_null_keys."""
+    import pytest
+
+    from vector_database_watermarking_spark.streaming import ivm
+
+    base = spark.createDataFrame(
+        [(1, 10)], "doc_id long, val long"
+    )
+    d = str(tmp_path / "plain")
+    cdc.init_table(base, d)
+    null_key = spark.createDataFrame([(None, 99, 1, "insert")], CHANGES_SCHEMA)
+    with pytest.raises(ValueError, match="NULL merge key 'doc_id'"):
+        cdc.apply_once(null_key, d, retain=0)
+    assert cdc.current_version(d) == 0
+
+    base2 = spark.createDataFrame(
+        [(1, "a", "g1")], "doc_id long, text string, source string"
+    )
+    t2, v2 = str(tmp_path / "t2"), str(tmp_path / "v2")
+    cdc.init_table(base2, t2)
+    ivm.init_view(base2, v2, "source", "length(text)")
+    null_b = spark.createDataFrame(
+        [(None, "x", "g1", 1, "insert")],
+        "doc_id long, text string, source string, seq long, op string",
+    )
+    with pytest.raises(ValueError, match="NULL merge key 'doc_id'"):
+        ivm.apply_batch(null_b, t2, v2, "source", "length(text)", retain=0)
+    assert cdc.current_version(t2) == 0 and cdc.current_version(v2) == 0

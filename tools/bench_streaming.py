@@ -855,6 +855,17 @@ def main() -> None:
     from vector_database_watermarking_spark.session import get_spark
 
     global EVENTS_SF, DOCS_SF, SCALE_TAG
+    mode = sys.argv[1] if len(sys.argv) > 1 else "replay"
+    modes = {
+        "replay": REPLAY,
+        "bounded": BOUNDED,
+        "all": REPLAY + BOUNDED,
+        "decade": DECADE,
+        "decade100": DECADE100,
+    }
+    if mode not in modes:  # fail fast, before the 1.5 s probe burn
+        raise SystemExit(f"unknown mode {mode!r}; choose from {sorted(modes)}")
+    fns = modes[mode]
     # host calibration BEFORE the JVM starts (same probe bench.py
     # embeds): the decade rows here are the steal-sensitive >30 s
     # measurements, so every emitted row carries the cores actually
@@ -862,14 +873,6 @@ def main() -> None:
     from bench import effective_cores
 
     cal_cores, cal_workers = effective_cores()
-    mode = sys.argv[1] if len(sys.argv) > 1 else "replay"
-    fns = {
-        "replay": REPLAY,
-        "bounded": BOUNDED,
-        "all": REPLAY + BOUNDED,
-        "decade": DECADE,
-        "decade100": DECADE100,
-    }[mode]
     os.makedirs(SCRATCH, exist_ok=True)
     # before the JVM starts: the tws tier's state-server workers need
     # the protobuf runtime on PYTHONPATH (no-op when pip-installed)

@@ -126,9 +126,17 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10000
     attack = sys.argv[2] if len(sys.argv) > 2 else "random_delete"
     trials = int(sys.argv[3]) if len(sys.argv) > 3 else 5
-    schemes = (
+    schemes = set(
         sys.argv[4].split(",") if len(sys.argv) > 4 else ["scpw", "tabularmark"]
     )
+    known = {"scpw", "tvp", "rs", "tabularmark"}
+    if not schemes <= known:
+        # a typo'd scheme must fail loudly, not "run" with zero output
+        # (review round 12)
+        raise SystemExit(
+            f"unknown scheme(s) {sorted(schemes - known)}; "
+            f"choose from {sorted(known)}"
+        )
     spark = get_spark(
         "refconfig-grid", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     )
@@ -141,67 +149,45 @@ def main() -> None:
     # position=100 on the d=128 reference-geometry fixture; deletion
     # keeps the round-9 graded config (0.54, fixture-default position)
     modify = attack == "random_modify"
-    emb = load_dense_emb(spark, n)
-    if modify:
-        emb = pad_to_d128(emb)
-    emb = emb.localCheckpoint(eager=True)
+    dense_users = schemes & {"scpw", "tvp", "rs"}
+    if dense_users:  # tabularmark-only runs never pay this fixture
+        emb = load_dense_emb(spark, n)
+        if modify:
+            emb = pad_to_d128(emb)
+        emb = emb.localCheckpoint(eager=True)
 
-    if "scpw" in schemes:
+    # one accumulate-and-print loop for every BER-grid scheme (review
+    # round 12 — scpw and tvp/rs were near-duplicate blocks); the
+    # per-scheme differences live in this kwargs table. SCPW's deletion
+    # row keeps the round-9 graded config (strength 0.54,
+    # fixture-default position); TVP/RS mirror the reference's
+    # modification grid config at both attacks (strength 0.55, th 1 —
+    # compare/roubust.py:242-249).
+    GRID_KW = {
+        "scpw": dict(
+            strengths=(0.55 if modify else 0.54,),
+            scpw_position=100 if modify else None,
+        ),
+        "tvp": dict(strengths=(0.55,)),
+        "rs": dict(strengths=(0.55,)),
+    }
+    for scheme in ("scpw", "tvp", "rs"):
+        if scheme not in schemes:
+            continue
         acc: dict[float, float] = {p: 0.0 for p in PS}
         for seed in seeds:
             res = robustness_grid(
                 emb,
                 WATERMARK,
                 attack=attack,
-                scheme="scpw",
-                strengths=(0.55 if modify else 0.54,),
+                scheme=scheme,
                 ths=(1.0,),
                 ps=PS,
                 seed=seed,
-                scpw_position=100 if modify else None,
+                **GRID_KW[scheme],
             )
             for r in res:
                 acc[r.p] += r.ber
-        print(
-            json.dumps(
-                {
-                    "scheme": "scpw",
-                    "attack": attack,
-                    "n": n,
-                    "d": 128 if modify else 64,
-                    "L": len(WATERMARK),
-                    "trials": len(seeds),
-                    "ber_by_p": {
-                        str(p): round(acc[p] / len(seeds), 4) for p in PS
-                    },
-                }
-            ),
-            flush=True,
-        )
-
-    # TVP / RS at the same reference config (VERDICT r11 #2): the
-    # modification anchors are d=128 geometry, so these rows must run
-    # on the widened fixture — the round-8 d=64 agreement (−0.026 at
-    # p=0.8) could be coincidence of the engine's own overlap model
-    # loss ≈ p·(k+29)/d. Config mirrors the reference's modification
-    # grid: strength=0.55, th=1 (``compare/roubust.py:242-249``).
-    for scheme in ("tvp", "rs"):
-        if scheme not in schemes:
-            continue
-        acc_s: dict[float, float] = {p: 0.0 for p in PS}
-        for seed in seeds:
-            res = robustness_grid(
-                emb,
-                WATERMARK,
-                attack=attack,
-                scheme=scheme,
-                strengths=(0.55,),
-                ths=(1.0,),
-                ps=PS,
-                seed=seed,
-            )
-            for r in res:
-                acc_s[r.p] += r.ber
         print(
             json.dumps(
                 {
@@ -212,7 +198,7 @@ def main() -> None:
                     "L": len(WATERMARK),
                     "trials": len(seeds),
                     "ber_by_p": {
-                        str(p): round(acc_s[p] / len(seeds), 4) for p in PS
+                        str(p): round(acc[p] / len(seeds), 4) for p in PS
                     },
                 }
             ),

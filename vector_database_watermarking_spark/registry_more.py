@@ -3343,9 +3343,13 @@ def _write_disordered_session_feed(
     frontier and be dropped. Sessions spanning slice boundaries
     additionally arrive as split windows that state must merge across
     triggers. Sequential appends give the file source monotonically
-    increasing mod-times; ``maxFilesPerTrigger=1`` turns each file
-    into its own trigger."""
+    increasing mod-times — stamped EXPLICITLY per batch (review round
+    12: relying on write-order mod-times breaks on coarse-granularity
+    filesystems, where a tie could reorder a held-back file past the
+    sentinel and turn the gate host-dependent); ``maxFilesPerTrigger=1``
+    turns each file into its own trigger."""
     import shutil
+    import time as _time
 
     shutil.rmtree(scratch, ignore_errors=True)
     ts_s = F.unix_seconds(F.col("ts"))
@@ -3356,14 +3360,31 @@ def _write_disordered_session_feed(
         F.floor((ts_s - F.lit(lo)) * n_slices / F.lit(span)),
     )
     slice_hi = F.lit(lo) + (sid + 1) * F.lit(span) / F.lit(n_slices)
+    # materialize the tagged source ONCE — each of the ~2n appends
+    # below is its own job, and without the persist every one would
+    # re-scan and re-tag the full events source (review round 12)
     tagged = ev.withColumn("_sid", sid).withColumn(
         "_late", ts_s > slice_hi - F.lit(50 * 60)
-    )
+    ).persist()
+    tagged.count()
+
+    # backdated so no stamp sits in the future when the stream starts
+    base_mtime = _time.time() - 120
+    stamped: set[str] = set()
+    seq = [0]
 
     def _append(df: DataFrame) -> None:
         df.drop("_sid", "_late").coalesce(1).write.mode("append").parquet(
             scratch
         )
+        # one whole second per batch: far above any fs/JVM timestamp
+        # granularity, so delivery order is exactly append order
+        seq[0] += 1
+        t = base_mtime + seq[0]
+        for fn in _os.listdir(scratch):
+            if fn.startswith("part-") and fn not in stamped:
+                _os.utime(_os.path.join(scratch, fn), (t, t))
+                stamped.add(fn)
 
     prev_late = None
     for b in range(n_slices):
@@ -3374,6 +3395,7 @@ def _write_disordered_session_feed(
         prev_late = cur.filter(F.col("_late"))
     _append(prev_late)
     _append(sentinel.withColumn("_sid", F.lit(0)).withColumn("_late", F.lit(False)))
+    tagged.unpersist()
 
 
 @register(

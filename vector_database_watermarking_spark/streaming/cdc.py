@@ -217,18 +217,35 @@ def init_table_bucketed(
     _flip_pointer(table_dir, 0)
 
 
+def refuse_null_keys(batch_df: DataFrame, key: str) -> None:
+    """Refuse a change batch carrying a NULL merge key, by name
+    (review round 12 — the round-11 guard lived in the bucket-routing
+    path only, so the plain layout silently committed the same
+    permanently-unmergeable row): the merge join matches on key
+    equality, where NULL never equals NULL, so a null-keyed insert
+    could never be updated or deleted again and a null-keyed
+    update/delete silently no-ops. One cheap take(1) on the (small by
+    construction) change batch, shared by BOTH snapshot layouts and
+    the IVM trigger."""
+    if batch_df.where(F.col(key).isNull()).take(1):
+        raise ValueError(
+            f"CDC batch contains NULL merge key '{key}': a null key "
+            "can never be matched for update or delete (NULL != NULL "
+            "in the merge join) — filter or repair null-keyed change "
+            "rows upstream"
+        )
+
+
 def changed_buckets(batch_df: DataFrame, key: str, n_buckets: int) -> list[int]:
     """Bucket ids the batch's keys land in (≤ n_buckets ints — a
     driver-side bound by construction, not a data-sized collect).
 
-    A NULL merge key is refused by name (ADVICE round 11): Spark's
-    ``xxhash64`` hashes a NULL input to the bare seed (42), so a
-    null-keyed row WOULD silently route to a real bucket — but the
-    merge join matches on key equality, where NULL never equals NULL,
-    so the row could never be updated or deleted again (an insert
-    would become a permanently unmergeable tombstone). Detect nulls
-    explicitly in the same single pass and raise, mirroring the
-    wrong-key guard."""
+    A NULL merge key is additionally refused here (ADVICE round 11;
+    belt to :func:`refuse_null_keys`' braces — this one rides the
+    distinct-collect the bucketed path already pays, so it is free):
+    Spark's ``xxhash64`` hashes a NULL input to the bare seed (42),
+    so a null-keyed row WOULD silently route to a real bucket — made
+    explicit as None via the when() below and raised by name."""
     ids = [
         r[0]
         for r in batch_df.select(
@@ -364,6 +381,7 @@ def apply_once(
     deterministic-order replays / tests)."""
     if not batch_df.take(1):
         return
+    refuse_null_keys(batch_df, key)
     spark = batch_df.sparkSession
     cur = current_version(table_dir)  # one pointer read per trigger
     spec = bucket_spec(table_dir)

@@ -173,6 +173,7 @@ def apply_batch(
     Asserted by ``test_ivm_crash_between_commits_heals_on_replay``."""
     if not batch_df.take(1):
         return
+    cdc.refuse_null_keys(batch_df, key)
     spark = batch_df.sparkSession
     keys = batch_df.select(key).distinct()
     bcur = cdc.current_version(table_dir)
