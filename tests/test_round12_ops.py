@@ -173,3 +173,97 @@ def test_disordered_feed_late_rows_merge_without_drops(spark, sf_dir, tmp_path):
         ).agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == expected
+
+
+def test_synthetic_stream_restart_is_exactly_once(spark, tmp_path):
+    """Review round 12: a restarted query hands the CHECKPOINTED start
+    to a fresh reader whose offset clock is at 0 — without the
+    fast-forward + emission floor, the engine logs a regressed offset
+    and re-delivers already-committed rows. Deterministic repro: drain
+    a 600-row feed, then restart the same checkpoint with the cap
+    raised to 1000 — the reader must emit exactly rows 600..999, never
+    0..599 again."""
+    from vector_database_watermarking_spark.sources.synthetic import (
+        read_manifest_jsonl,
+        register_manifest_sink,
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    register_manifest_sink(spark)
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    def run(rows: int) -> None:
+        q = (
+            spark.readStream.format("synthevents")
+            .option("rows", rows)
+            .option("rows_per_batch", 200)
+            .load()
+            .select("event_id", "user_id", "event_type")
+            .writeStream.format("manifest_jsonl")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run(600)
+    df1, total1 = read_manifest_jsonl(spark, out)
+    assert total1 == 600 and df1.count() == 600
+    run(1000)  # same checkpoint: the restart/regression case
+    df2, total2 = read_manifest_jsonl(spark, out)
+    ids = sorted(r["event_id"] for r in df2.select("event_id").collect())
+    assert ids == list(range(1000)), (len(ids), ids[:5], ids[-5:])
+    assert total2 == 1000
+
+
+def test_manifest_sink_edge_cases(spark, tmp_path):
+    """Review round 12 fixes, pinned: (a) a zero-partition batch write
+    publishes an empty manifest instead of crashing in commit();
+    (b) non-JSON-native columns are refused loudly instead of being
+    mangled through str(); (c) a zero-row synthevents batch read is an
+    empty scan, not a range() crash."""
+    import pytest
+
+    from vector_database_watermarking_spark.sources.synthetic import (
+        register_manifest_sink,
+        register_synthetic_source,
+    )
+    import pyspark.sql.functions as F
+
+    register_manifest_sink(spark)
+    register_synthetic_source(spark)
+
+    d = str(tmp_path / "empty_write")
+    spark.createDataFrame([], "event_id long").write.format(
+        "manifest_jsonl"
+    ).option("path", d).mode("append").save()
+    import json, os
+
+    with open(os.path.join(d, "_MANIFEST")) as f:
+        m = json.load(f)
+    # this Spark version schedules tasks even for an empty local
+    # relation (staging zero-row files); the pinned contract is a
+    # published zero-row manifest either way — commit() creates the
+    # directory itself for the genuinely zero-task case
+    assert m["total_rows"] == 0 and all(e["rows"] == 0 for e in m["files"])
+
+    df = spark.range(3).select(
+        F.struct("id").alias("s"), F.col("id").alias("event_id")
+    )
+    with pytest.raises(Exception, match="JSON-native"):
+        df.write.format("manifest_jsonl").option(
+            "path", str(tmp_path / "bad")
+        ).mode("append").save()
+
+    assert (
+        spark.read.format("synthevents").option("rows", 0).load().count() == 0
+    )
+    with pytest.raises(Exception, match="positive integer"):
+        spark.read.format("synthevents").option("rows", 10).option(
+            "partitions", 0
+        ).load().count()

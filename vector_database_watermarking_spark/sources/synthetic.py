@@ -26,7 +26,7 @@ Row formula for index i (all integers / exact cents):
 from __future__ import annotations
 
 import hashlib
-from datetime import datetime, timedelta
+from datetime import datetime, timedelta, timezone
 from typing import Iterator, Sequence
 
 from pyspark.sql.datasource import (
@@ -40,7 +40,22 @@ from pyspark.sql.datasource import (
 )
 
 EVENT_TYPES = ("view", "click", "purchase", "error")
-EPOCH0 = datetime(2024, 1, 1, 0, 0, 0)
+# tz-AWARE epoch (review round 12): a naive datetime would be
+# interpreted in the SESSION time zone, so the documented
+# "2024-01-01T00:00:00Z + 37i" contract (and the DuckDB oracle parity
+# built on unix seconds 1704067200 + 37i) would only hold under a UTC
+# session — an undocumented coupling to session.py's tz pin. An aware
+# datetime converts identically in every session.
+EPOCH0 = datetime(2024, 1, 1, 0, 0, 0, tzinfo=timezone.utc)
+
+
+def _positive_int(options: dict, key: str, default: int) -> int:
+    v = int(options.get(key, default))
+    if v <= 0:
+        raise ValueError(
+            f"synthevents option {key!r} must be a positive integer, got {v}"
+        )
+    return v
 
 
 def _h60(s: str) -> int:
@@ -65,10 +80,17 @@ class _Range(InputPartition):
 class SyntheticEventsReader(DataSourceReader):
     def __init__(self, options: dict):
         self.rows = int(options.get("rows", 1000))
-        self.users = int(options.get("users", 97))
-        self.n_parts = int(options.get("partitions", 8))
+        if self.rows < 0:
+            raise ValueError(f"synthevents rows must be >= 0, got {self.rows}")
+        self.users = _positive_int(options, "users", 97)
+        self.n_parts = _positive_int(options, "partitions", 8)
 
     def partitions(self) -> Sequence[InputPartition]:
+        if self.rows == 0:
+            # an empty feed is a valid plan (one empty range), not a
+            # range()-step crash — matching the streaming reader, which
+            # simply never plans a batch at rows=0 (review round 12)
+            return [_Range(0, 0)]
         per = -(-self.rows // self.n_parts)
         return [
             _Range(lo, min(lo + per, self.rows))
@@ -84,28 +106,51 @@ class SyntheticEventsStreamReader(DataSourceStreamReader):
     """Micro-batch reader: the offset dict carries the next unread row
     index; each trigger advances by ``rows_per_batch`` until ``rows``
     is exhausted (a bounded feed — convenient for replay tests; an
-    unbounded feed just drops the cap). Offsets are durable dicts, so
-    a restarted query resumes exactly where the checkpoint says."""
+    unbounded feed just drops the cap).
+
+    RESTART SEMANTICS (review round 12): this reader is a pure
+    generator with no upstream to ask for the committed frontier, so a
+    fresh reader's offset clock starts at 0 while the engine hands
+    ``partitions()`` the CHECKPOINTED start. The reader therefore
+    fast-forwards its clock and pins an emission FLOOR to the highest
+    start it has ever seen: the one catch-up trigger after a clean-stop
+    restart plans an (engine-logged) regressed offset pair, but every
+    batch emits only indices at or above the floor — no row is ever
+    re-delivered and none is skipped (pinned by
+    ``test_synthetic_stream_restart_is_exactly_once``). Residual,
+    documented honestly: a SECOND crash inside that single catch-up
+    trigger restarts from the regressed log entry with a fresh floor
+    and would re-emit the window between the two log entries — the
+    inherent limit of an offset-opaque generator (a real source reads
+    its frontier from the upstream system; a driver-side
+    SimpleDataSourceStreamReader would be fully restart-stateless at
+    the cost of distributed reads)."""
 
     def __init__(self, options: dict):
         self.rows = int(options.get("rows", 1000))
-        self.users = int(options.get("users", 97))
-        self.per_batch = int(options.get("rows_per_batch", 200))
-        self.n_parts = int(options.get("partitions", 4))
+        if self.rows < 0:
+            raise ValueError(f"synthevents rows must be >= 0, got {self.rows}")
+        self.users = _positive_int(options, "users", 97)
+        self.per_batch = _positive_int(options, "rows_per_batch", 200)
+        self.n_parts = _positive_int(options, "partitions", 4)
         self._latest = 0
+        self._floor = 0  # highest checkpointed start seen — never re-emit below
 
     def initialOffset(self) -> dict:
         return {"index": 0}
 
     def latestOffset(self) -> dict:
-        # bounded feed arriving per_batch rows per trigger; the offset
-        # the engine checkpoints is exactly what partitions() will
-        # read, so a restart resumes with no gap or overlap
+        # bounded feed arriving per_batch rows per trigger
         self._latest = min(self._latest + self.per_batch, self.rows)
         return {"index": self._latest}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         lo, hi = int(start["index"]), int(end["index"])
+        # restart fast-forward: the checkpointed start teaches a fresh
+        # reader where the committed frontier is (see class docstring)
+        self._latest = max(self._latest, lo, hi)
+        self._floor = max(self._floor, lo)
+        lo = max(lo, self._floor)
         if hi <= lo:
             return [_Range(lo, lo)]
         per = -(-(hi - lo) // self.n_parts)
@@ -118,9 +163,9 @@ class SyntheticEventsStreamReader(DataSourceStreamReader):
             yield _row(i, self.users)
 
     def commit(self, end: dict) -> None:
-        # protocol no-op: a pure generator has no upstream to ack and
-        # no consumed data to clean up
-        pass
+        # a pure generator has no upstream to ack; keep the offset
+        # clock monotone with what the engine has durably committed
+        self._latest = max(self._latest, int(end["index"]))
 
     def stop(self) -> None:
         pass  # no sockets/handles to release
@@ -168,6 +213,45 @@ class _JsonlCommit(WriterCommitMessage):
         self.n_rows = n_rows
 
 
+def _file_entries(messages) -> list[dict]:
+    """THE manifest file-list shape, shared by the batch and stream
+    commit paths (review round 12 — two hand-copied assemblies could
+    drift): deterministic filename order, one {file, rows} entry per
+    successful task."""
+    return [
+        {"file": m.filename, "rows": m.n_rows}
+        for m in sorted((m for m in messages if m), key=lambda m: m.filename)
+    ]
+
+
+#: column types json.dumps round-trips losslessly through JSONL; the
+#: writer REFUSES anything else (struct/array/map/timestamp) rather
+#: than silently mangling it into a Python repr string via
+#: ``default=str`` (review round 12)
+_JSONL_TYPES = (
+    "byte", "short", "int", "integer", "long", "bigint",
+    "float", "double", "string", "boolean",
+)
+
+
+def _check_jsonl_schema(schema) -> None:
+    if schema is None:  # direct protocol-level calls carry no schema
+        return
+    bad = [
+        f"{f.name}: {f.dataType.simpleString()}"
+        for f in schema.fields
+        if f.dataType.simpleString() not in _JSONL_TYPES
+    ]
+    if bad:
+        raise ValueError(
+            "manifest_jsonl supports only JSON-native atomic columns "
+            f"({', '.join(sorted(set(_JSONL_TYPES)))}); rejected: "
+            f"{bad}. Cast timestamps to epoch integers and flatten "
+            "structs/arrays before writing — a silent str() round-trip "
+            "would mangle them."
+        )
+
+
 class ManifestJsonlWriter(DataSourceWriter):
     def __init__(self, options: dict, overwrite: bool):
         self.path = options["path"]
@@ -190,7 +274,7 @@ class ManifestJsonlWriter(DataSourceWriter):
         n = 0
         with open(os.path.join(self.path, fname), "w") as f:
             for row in iterator:
-                f.write(json.dumps(row.asDict(), default=str) + "\n")
+                f.write(json.dumps(row.asDict()) + "\n")
                 n += 1
         return _JsonlCommit(fname, n)
 
@@ -198,10 +282,12 @@ class ManifestJsonlWriter(DataSourceWriter):
         import json
         import os
 
-        files = [
-            {"file": m.filename, "rows": m.n_rows}
-            for m in sorted((m for m in messages if m), key=lambda m: m.filename)
-        ]
+        # a zero-partition plan (empty local scan) runs no tasks, so
+        # write() never created the directory — the commit must still
+        # publish an empty manifest (review round 12; the stream
+        # writer's _claim_path already handles its own case)
+        os.makedirs(self.path, exist_ok=True)
+        files = _file_entries(messages)
         if self.overwrite:
             # an overwrite REPLACES the whole dataset: retract any
             # streaming batch manifests (and a prior streaming query's
@@ -296,13 +382,28 @@ class ManifestJsonlStreamWriter(DataSourceStreamWriter):
         os.makedirs(self.path, exist_ok=True)  # zero-partition batch
         owner = os.path.join(self.path, "_STREAM_OWNER")
         if self.run_key is not None:
-            # atomic claim: O_EXCL create wins or raises — two keyed
-            # queries racing their first commit cannot both claim
-            # (check-then-replace would let the last writer win and
-            # both proceed into mutual supersession)
+            # atomic claim WITH CONTENT: stage the key in a unique tmp
+            # file and hard-link it into place — link wins or raises,
+            # so two keyed queries racing their first commit cannot
+            # both claim, and (review round 12) there is never a
+            # created-but-empty owner file: a crash at any instant
+            # leaves either no claim or a complete one holding our
+            # key, which our own retry then recognizes (the old
+            # O_EXCL-create-then-write left a window where a crash
+            # locked the path with checkpoint='' forever).
+            import uuid as _uuid
+
+            tmp = f"{owner}.claim-{_uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                f.write(self.run_key)
             try:
-                fd = os.open(owner, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.link(tmp, owner)
+                claimed_fresh = True
             except FileExistsError:
+                claimed_fresh = False
+            finally:
+                os.remove(tmp)
+            if not claimed_fresh:
                 with open(owner) as f:
                     prior = f.read()
                 if prior != self.run_key:
@@ -315,33 +416,27 @@ class ManifestJsonlStreamWriter(DataSourceStreamWriter):
                         "release the claim."
                     )
                 return
-            try:
-                # claimed fresh — but refuse a DIRTY unclaimed path at
-                # ANY batch id, not just 0: a keyed query whose
-                # checkpoint already advanced (re-pointed 'path'
-                # option, or resuming onto a legacy pre-ownership
-                # run's directory) would otherwise silently replace
-                # the foreign run's _MANIFEST-{batchId}. The one-time
-                # cost is that a pre-ownership-era query resuming onto
-                # its OWN path must batch-overwrite (or re-create the
-                # mark) once — loud, recoverable, and strictly better
-                # than silent supersession.
-                if any(
-                    n.startswith("_MANIFEST-") and not n.endswith(".tmp")
-                    for n in os.listdir(self.path)
-                ):
-                    raise ValueError(
-                        f"manifest_jsonl path {self.path} holds stream "
-                        "manifests from an earlier (unclaimed) run; "
-                        "committing would supersede them. Write to a "
-                        "fresh path or batch-overwrite this one."
-                    )
-                os.write(fd, self.run_key.encode())
-            except ValueError:
-                os.close(fd)
-                os.remove(owner)  # release the half-claim
-                raise
-            os.close(fd)
+            # claimed fresh — but refuse a DIRTY unclaimed path at
+            # ANY batch id, not just 0: a keyed query whose
+            # checkpoint already advanced (re-pointed 'path'
+            # option, or resuming onto a legacy pre-ownership
+            # run's directory) would otherwise silently replace
+            # the foreign run's _MANIFEST-{batchId}. The one-time
+            # cost is that a pre-ownership-era query resuming onto
+            # its OWN path must batch-overwrite (or re-create the
+            # mark) once — loud, recoverable, and strictly better
+            # than silent supersession.
+            if any(
+                n.startswith("_MANIFEST-") and not n.endswith(".tmp")
+                for n in os.listdir(self.path)
+            ):
+                os.remove(owner)  # release the fresh claim, loudly
+                raise ValueError(
+                    f"manifest_jsonl path {self.path} holds stream "
+                    "manifests from an earlier (unclaimed) run; "
+                    "committing would supersede them. Write to a "
+                    "fresh path or batch-overwrite this one."
+                )
         elif batchId == 0 and (
             os.path.exists(owner)
             or any(
@@ -366,16 +461,12 @@ class ManifestJsonlStreamWriter(DataSourceStreamWriter):
         import os
 
         self._claim_path(int(batchId))
+        files = _file_entries(messages)
         manifest = {
             "batch_id": int(batchId),
-            "files": [
-                {"file": m.filename, "rows": m.n_rows}
-                for m in sorted(
-                    (m for m in messages if m), key=lambda m: m.filename
-                )
-            ],
+            "files": files,
+            "total_rows": sum(f["rows"] for f in files),
         }
-        manifest["total_rows"] = sum(f["rows"] for f in manifest["files"])
         tmp = os.path.join(self.path, f"_MANIFEST-{int(batchId):010d}.tmp")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
@@ -404,6 +495,7 @@ class ManifestJsonlDataSource(DataSource):
         return "manifest_jsonl"
 
     def writer(self, schema, overwrite: bool) -> ManifestJsonlWriter:
+        _check_jsonl_schema(schema)
         return ManifestJsonlWriter(self.options, overwrite)
 
     def streamWriter(self, schema, overwrite: bool) -> ManifestJsonlStreamWriter:
@@ -412,11 +504,15 @@ class ManifestJsonlDataSource(DataSource):
             # manifest to TRUNCATE the earlier ones; the per-batch
             # union reader would instead return every snapshot — wrong
             # data. Refuse loudly rather than accumulate duplicates.
+            # (Checked before the schema: the mode refusal is the more
+            # fundamental error, and protocol-level callers may pass
+            # no schema at all.)
             raise ValueError(
                 "manifest_jsonl streaming sink supports append output "
                 "mode only (complete/update would duplicate snapshots "
                 "across batch manifests)"
             )
+        _check_jsonl_schema(schema)
         return ManifestJsonlStreamWriter(self.options)
 
 
@@ -479,15 +575,27 @@ def vacuum_manifest_jsonl(path: str, grace_seconds: float = 600.0) -> int:
     removed = 0
     cutoff = _time.time() - grace_seconds
     for n in os.listdir(path):
-        if n.startswith("part-") and n.endswith(".jsonl") and n not in live:
-            full = os.path.join(path, n)
-            try:
-                if os.path.getmtime(full) > cutoff:
-                    continue  # possibly an in-flight batch's staging
-                os.remove(full)
-            except FileNotFoundError:
-                continue  # a concurrent vacuum/abort got there first
-            removed += 1
+        # protocol debris is reclaimed too (review round 12): a commit
+        # that crashed between json.dump(tmp) and the atomic replace
+        # leaves a _MANIFEST*.tmp nothing will ever publish; the grace
+        # window protects a commit in flight right now, and stale
+        # .claim staging from a crashed _claim_path is likewise dead.
+        is_orphan_data = (
+            n.startswith("part-") and n.endswith(".jsonl") and n not in live
+        )
+        is_dead_protocol = (
+            n.startswith("_MANIFEST") and n.endswith(".tmp")
+        ) or n.startswith("_STREAM_OWNER.claim-")
+        if not (is_orphan_data or is_dead_protocol):
+            continue
+        full = os.path.join(path, n)
+        try:
+            if os.path.getmtime(full) > cutoff:
+                continue  # possibly an in-flight write's staging
+            os.remove(full)
+        except FileNotFoundError:
+            continue  # a concurrent vacuum/abort got there first
+        removed += 1
     return removed
 
 
