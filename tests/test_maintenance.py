@@ -138,3 +138,49 @@ def test_zorder_binned_tier_bounds_spans_without_global_window(spark):
             wide = sum(1 for s in spans if s > (3 * side) // 4)
             assert wide <= 2, (col, spans)
         assert spark.read.parquet(f"{d}/z").count() == side * side
+
+
+def test_compact_refuses_nested_paths(spark, tmp_path):
+    """Review round 12: an out_path that is an ANCESTOR of path would
+    delete the source tree on overwrite (data loss); a DESCENDANT
+    leaves old+new files double-counting under path. Both nesting
+    directions are refused before any write."""
+    import pytest
+
+    from vector_database_watermarking_spark.operators.maintenance import compact
+
+    src = str(tmp_path / "tbl" / "2024")
+    spark.range(10).selectExpr("id AS k").write.parquet(src)
+    with pytest.raises(ValueError, match="disjoint"):
+        compact(spark, src, str(tmp_path / "tbl"), "k")  # ancestor
+    with pytest.raises(ValueError, match="disjoint"):
+        compact(spark, src, str(tmp_path / "tbl" / "2024" / "c"), "k")
+    with pytest.raises(ValueError, match="disjoint"):
+        compact(spark, src, src, "k")  # identity
+    # the source is untouched after every refusal
+    assert spark.read.parquet(src).count() == 10
+
+
+def test_zorder_binned_degenerate_inputs(spark):
+    """Review round 12: NULL percentile boundaries (empty input or an
+    all-NULL column) must yield cell 0, not a TypeError building the
+    literal array — and the internal-column clash is refused by name."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from vector_database_watermarking_spark.operators.maintenance import (
+        zorder_by,
+    )
+
+    empty = spark.createDataFrame([], "x double, y double")
+    assert zorder_by(empty, "x", "y", n_files=2, exact=False).count() == 0
+
+    nullcol = spark.range(8).select(
+        F.lit(None).cast("double").alias("x"), F.col("id").cast("double").alias("y")
+    )
+    out = zorder_by(nullcol, "x", "y", n_files=2, exact=False)
+    assert out.count() == 8  # all rows land in x-cell 0, laid out by y
+
+    clash = spark.range(4).select(F.col("id").alias("_zkey"), F.col("id").alias("x"), F.col("id").alias("y"))
+    with pytest.raises(ValueError, match="_zkey"):
+        zorder_by(clash, "x", "y", n_files=2, exact=True)

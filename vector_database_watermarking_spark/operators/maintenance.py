@@ -67,10 +67,17 @@ def compact(
     At 100 TB this runs per-partition-directory (date partition etc.),
     embarrassingly parallel across partitions.
     """
-    if os.path.realpath(out_path) == os.path.realpath(path):
+    src, dst = os.path.realpath(path), os.path.realpath(out_path)
+    # disjointness, not mere inequality (review round 12): writing to
+    # an ANCESTOR deletes the whole tree including the source before
+    # the lazy read executes (data loss); writing to a DESCENDANT
+    # leaves old+new files under `path`, so every later read of it
+    # double-counts. Either nesting direction is refused.
+    if src == dst or os.path.commonpath([src, dst]) in (src, dst):
         raise ValueError(
-            "compact: out_path must differ from path — the overwrite would "
-            "delete the source before the lazy read executes"
+            f"compact: out_path ({out_path}) must be disjoint from path "
+            f"({path}) — an overwrite of an ancestor deletes the source; "
+            "a descendant leaves the source directory double-counting"
         )
     before = parquet_file_stats(path)
     df = spark.read.parquet(path)
@@ -150,9 +157,20 @@ def zorder_key_binned(
     """Scale tier of :func:`zorder_key`: bucket boundaries come from
     ``approx_percentile`` (one partial-aggregated pass, tiny driver
     collect of ``2**bits`` values per column) and are broadcast back as
-    literal arrays; cell assignment is a binary-search expression, no
-    global window, no extra shuffle. Cell populations are approximately
-    equal (sketch error) — fine for layout, not for the exact oracle.
+    literal arrays; cell assignment counts the boundaries ≤ value in
+    one ``filter``+``size`` pass over the broadcast array — a linear
+    O(2**bits) scan per row, which at the default 8 bits is 255
+    comparisons against in-memory literals, far cheaper than the exact
+    tier's global-window sort it replaces (a nested-CASE binary search
+    would save the constant factor; measured irrelevant next to the
+    scan itself). No global window, no extra shuffle. Cell populations
+    are approximately equal (sketch error) — fine for layout, not for
+    the exact oracle.
+
+    Degenerate inputs (review round 12): an EMPTY DataFrame or an
+    all-NULL column yields NULL percentile boundaries — every row then
+    lands in cell 0 for that column (the only honest layout), instead
+    of the old TypeError when building the literal array.
     """
     cells = 2**bits
     qs = [i / cells for i in range(1, cells)]
@@ -162,13 +180,11 @@ def zorder_key_binned(
     ).head()
 
     def bucket(col, bounds):
+        if bounds is None:  # empty input / all-NULL column
+            return F.lit(0)
         arr = F.array(*[F.lit(b) for b in bounds])
         # count of boundaries <= value == bucket index in [0, cells)
-        return F.aggregate(
-            arr,
-            F.lit(0),
-            lambda acc, b: acc + F.when(col >= b, 1).otherwise(0),
-        )
+        return F.size(F.filter(arr, lambda b: col >= b))
 
     out = df.withColumn("_za", bucket(F.col(col_a), row["ba"])).withColumn(
         "_zb", bucket(F.col(col_b), row["bb"])
@@ -191,6 +207,7 @@ def zorder_by(
     bits: int = 8,
     exact: bool | None = None,
     exact_max_rows: int = ZORDER_EXACT_MAX_ROWS,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Layout a DataFrame along the Z-order curve of (col_a, col_b):
     range-partition + sort on the interleaved key, then drop the
@@ -204,10 +221,25 @@ def zorder_by(
     broadcast-quantile tier (:func:`zorder_key_binned`, no global
     window) is selected automatically, so a caller who never thinks
     about tiers cannot end up with a single-task global sort at 100 TB.
+    The probe's limit early-aborts only on scan-like plans — over an
+    uncached join or aggregate it re-executes the upstream lineage
+    once (review round 12), so callers who already know the
+    cardinality should pass ``n_rows`` and skip the probe.
     ``exact=True``/``False`` pins a tier explicitly (the graded oracle
     query pins exact)."""
+    clash = {"_za", "_zb", "_zkey"} & set(df.columns)
+    if clash:
+        # the helper columns are dropped at the end — a caller's
+        # same-named columns would be silently clobbered then removed
+        raise ValueError(
+            f"zorder_by: input already has internal column(s) "
+            f"{sorted(clash)}; rename them before layout"
+        )
     if exact is None:
-        exact = df.limit(exact_max_rows + 1).count() <= exact_max_rows
+        if n_rows is not None:
+            exact = n_rows <= exact_max_rows
+        else:
+            exact = df.limit(exact_max_rows + 1).count() <= exact_max_rows
     key_fn = zorder_key if exact else zorder_key_binned
     bucketed, zkey = key_fn(df, col_a, col_b, bits=bits)
     return (
@@ -250,7 +282,13 @@ def bucketed_table(spark, df, name: str, key: str, buckets: int):
         db, tbl = spark.catalog.currentDatabase(), name
     loc = urlparse(spark.catalog.getDatabase(db).locationUri)
     if loc.scheme in ("", "file"):
-        shutil.rmtree(f"{loc.path}/{tbl.lower()}", ignore_errors=True)
+        # unquote: the URI percent-encodes spaces etc., and rmtree on
+        # the encoded string silently deletes nothing — reintroducing
+        # the LOCATION_ALREADY_EXISTS failure this cleanup exists to
+        # prevent (review round 12)
+        from urllib.parse import unquote
+
+        shutil.rmtree(f"{unquote(loc.path)}/{tbl.lower()}", ignore_errors=True)
     (
         df.write.bucketBy(buckets, key)
         .sortBy(key)

@@ -48,13 +48,15 @@ def dedup_stream(
 def run_dedup_stream(
     spark, dir_path: str, key_cols: Sequence[str] = ("event_id",),
     watermark: str = "1 hour", table_name: str = "deduped_events",
-    max_files_per_trigger: int | None = None,
+    max_files_per_trigger: int | None = None, timeout_sec: int = 120,
 ) -> int:
     """Drive the dedup stream over all available files (append-mode
     memory sink) and return the number of surviving rows. Defaults to
     one micro-batch (replay-safe: the watermark cannot advance between
     files); pass ``max_files_per_trigger`` with a sufficiently large
-    ``watermark`` to exercise multi-batch state."""
+    ``watermark`` to exercise multi-batch state. ``timeout_sec`` bounds
+    the drain — raise it for large directories or loaded hosts (review
+    round 12: the 120 s default used to be unoverridable)."""
     from .windows import stream_events_from_files
 
     stream = stream_events_from_files(
@@ -63,5 +65,5 @@ def run_dedup_stream(
     deduped = dedup_stream(stream, key_cols=key_cols, watermark=watermark)
     from .windows import drain_to_memory
 
-    drain_to_memory(deduped, table_name, "append", timeout_sec=120)
+    drain_to_memory(deduped, table_name, "append", timeout_sec=timeout_sec)
     return spark.sql(f"SELECT count(*) AS n FROM {table_name}").head()["n"]
