@@ -51,7 +51,8 @@ def test_pq_topk_recall_codes_and_tiers(spark, sf_dir):
 
     from vector_database_watermarking_spark.operators import knn
     from vector_database_watermarking_spark.operators.similarity import (
-        _pq_micro_tables,
+        _pq_encode,
+        _pq_subspace_mic,
         pq_codebook,
         pq_topk,
     )
@@ -62,10 +63,11 @@ def test_pq_topk_recall_codes_and_tiers(spark, sf_dir):
     cents = pq_codebook(rows, m=16, ksub=64)
     assert cents.shape == (64, 64)
     X = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    r6, mic = _pq_micro_tables(X, cents, 16)
-    codes = np.stack([np.argmin(r6[j], axis=1) for j in range(16)], axis=1)
+    codes = _pq_encode(X, cents, 16)
     assert codes.min() >= 0 and codes.max() < 64
-    assert (mic >= 0).all()
+    # chunking is a pure memory knob: same codes at any chunk size
+    assert (codes == _pq_encode(X, cents, 16, chunk=101)).all()
+    assert (_pq_subspace_mic(X, cents, 16, 0) >= 0).all()
 
     queries = emb.filter(F.col("vec_id") < 50)
     got = pq_topk(queries, emb, k=5, refine=50, m=16, nbits=6).collect()

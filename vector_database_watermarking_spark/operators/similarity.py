@@ -147,13 +147,25 @@ def _cosine_topk_broadcast(
 def cosine_near_dups(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (doc/image dedup by
     representation): all pairs with cosine ≥ threshold, via the exact
-    top-k machinery (k bounded by practical dup multiplicity)."""
+    top-k machinery (k bounded by practical dup multiplicity).
+
+    Pairs are canonicalized with least/greatest over BOTH discovery
+    directions (review round 12): the old one-sided ``src < dst``
+    post-filter silently dropped a qualifying pair found only from the
+    higher id's top-k (possible once a vector's dup multiplicity nears
+    k) — the direction a pair is discovered from must not decide
+    whether it is reported. cos(a,b) is computed with the identical
+    index-ordered fold in either direction, so the two discoveries
+    round to the same value and ``distinct`` collapses them."""
     topk = cosine_topk(emb, emb, k=20, exclude_self=True)
     return (
-        topk.filter(
-            (F.col("cos_sim") >= threshold) & (F.col("src") < F.col("dst"))
+        topk.filter(F.col("cos_sim") >= threshold)
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+            F.round("cos_sim", 6).alias("cos_sim"),
         )
-        .select("src", "dst", F.round("cos_sim", 6).alias("cos_sim"))
+        .distinct()
     )
 
 
@@ -393,10 +405,20 @@ def emb_near_dups_lsh(
                 _refuse(bound)
         bc = sess.sparkContext.broadcast((ids, X, band_keys))
 
+        # enumerate only POPULATED buckets (review round 12): the key
+        # space is 2^band_bits per band — at the auto-knob's 16-bit
+        # clamp that is 65k keys/band, nearly all empty, and each
+        # enumerated key costs an O(n) membership scan in the verify;
+        # the signatures are already driver-local, so the populated
+        # set is one np.unique per band
+        bucket_rows = [
+            (t, int(k)) for t in range(n_bands) for k in np.unique(band_keys[t])
+        ]
         buckets = sess.createDataFrame(
-            [(t, k) for t in range(n_bands) for k in range(mask + 1)],
-            "band int, key long",
-        ).repartition(min(sess.sparkContext.defaultParallelism, n_bands * (mask + 1)))
+            bucket_rows, "band int, key long"
+        ).repartition(
+            min(sess.sparkContext.defaultParallelism, max(len(bucket_rows), 1))
+        )
 
         def bucket_verify(batches):
             b_ids, b_X, b_keys = bc.value
@@ -666,7 +688,17 @@ def ivf_search(
             q_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             Q = np.array(list(pdf["embedding"]), dtype=np.float64)
             d2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(-1)
-            probes = np.argsort(d2, axis=1)[:, :nprobe]
+            # deterministic probe set (review round 12): a bare argsort
+            # leaves exactly-equidistant centroids in introsort-
+            # unspecified order across numpy versions; key on the
+            # 6-decimal-rounded distance with the cluster index as the
+            # tiebreak, the same (dist, cluster) rule ivf_route_fixed
+            # orders by
+            key = np.floor(d2 * 1e6 + 0.5).astype(np.int64)
+            cols = np.arange(d2.shape[1], dtype=np.int64)
+            probes = np.stack(
+                [np.lexsort((cols, key[r]))[:nprobe] for r in range(len(Q))]
+            )
             out = pd.DataFrame(
                 {
                     "vec_id": np.repeat(q_ids, nprobe),
@@ -677,8 +709,12 @@ def ivf_search(
             out["embedding"] = emb_rep
             yield out
 
+    # echo the input embedding type (review round 12): pinning
+    # array<float> silently truncated float64 queries before the
+    # cosine ranking, degrading ranks relative to ivf_search_fixed
+    emb_type = queries.schema["embedding"].dataType.simpleString()
     routed = queries.select("vec_id", "embedding").mapInPandas(
-        route, schema="vec_id long, cluster int, embedding array<float>"
+        route, schema=f"vec_id long, cluster int, embedding {emb_type}"
     )
     return _ivf_rank_candidates(routed, assigned, k)
 
@@ -800,12 +836,15 @@ def sq_topk(
     of 4d and adds/multiplies integers — on a 100 TB corpus this is
     the tier between IVF routing (prunes clusters) and the exact
     rerank (touches ``refine`` float vectors per query). The base
-    broadcasts while its CODES fit (4x the float threshold, since
-    codes are a quarter the bytes); past that, hash-split blocks each
-    contribute their integer top-``refine`` and a per-query window
-    merges them — block-count invariant, never a whole-base collect.
-    Both stages are deterministic pure arithmetic, so the DuckDB
-    oracle replays the whole path bit-for-bit.
+    broadcasts at the SAME row threshold as the exact tier (review
+    round 12 corrected an earlier 4x cap: the broadcast must carry the
+    float64 vectors for the exact rerank alongside the uint8 codes, so
+    its bytes-per-row are ~1.1x the exact tier's, not a quarter); past
+    that, hash-split blocks each contribute their integer
+    top-``refine`` and a per-query window merges them — block-count
+    invariant, never a whole-base collect. Both stages are
+    deterministic pure arithmetic, so the DuckDB oracle replays the
+    whole path bit-for-bit.
     """
     from .knn import MAX_BROADCAST_ROWS, split_blocks
 
@@ -814,7 +853,7 @@ def sq_topk(
     lo, hi, cnt = sq_bounds(base, with_count=True)
     if n_base is None:
         n_base = cnt
-    cap = 4 * MAX_BROADCAST_ROWS
+    cap = MAX_BROADCAST_ROWS
     if n_base <= cap:
         cands = _sq_candidates_broadcast(queries, base, lo, hi, refine, exclude_self)
     else:
@@ -857,7 +896,10 @@ def _sq_candidates_broadcast(
     b = base.select("vec_id", sq_codes("embedding", lo, hi).alias("codes"), "embedding")
     rows = b.collect()
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    C = np.array([r["codes"] for r in rows], dtype=np.int64)
+    # uint8, not int64 (review round 12): codes are 0..255 by
+    # construction, and the broadcast is the tier's memory budget —
+    # the int64 diff buffers below upcast per chunk, never the payload
+    C = np.array([r["codes"] for r in rows], dtype=np.uint8)
     X = np.array([r["embedding"] for r in rows], dtype=np.float64)
     order = np.argsort(ids)
     ids, C, X = ids[order], C[order], X[order]
@@ -969,27 +1011,50 @@ def pq_codebook(base_rows: list, m: int, ksub: int) -> "np.ndarray":
     return np.array([r["embedding"] for r in keyed], dtype=np.float64)
 
 
-def _pq_micro_tables(X: "np.ndarray", cents: "np.ndarray", m: int):
-    """Per-subspace squared-distance tables between rows of ``X`` and
-    the codebook: returns (r6, mic) each shaped (m, n, ksub) — ``r6``
-    is the 6-decimal-rounded float distance (code argmin key), ``mic``
-    the micro-int distance (ADC accumulator; integer sums are exact in
-    any order, so Spark and SQL agree bit-for-bit). Accumulation is
-    sequential per dim inside each subspace — fold parity with the
-    oracle's ``list_sum(list_transform(...))``."""
-    n, d = X.shape
-    ds = d // m
-    r6 = np.empty((m, n, cents.shape[0]))
-    mic = np.empty((m, n, cents.shape[0]), dtype=np.int64)
-    for j in range(m):
-        acc = np.zeros((n, cents.shape[0]))
-        for i in range(j * ds, (j + 1) * ds):  # sequential fold parity
-            diff = X[:, i][:, None] - cents[None, :, i]
-            acc += diff * diff
-        r6[j] = np.round(acc, _RANK_DECIMALS)
-        # DuckDB round() is half-away-from-zero; distances are >= 0
-        mic[j] = np.floor(acc * 1e6 + 0.5).astype(np.int64)
-    return r6, mic
+def _pq_subspace_mic(X: "np.ndarray", cents: "np.ndarray", m: int, j: int):
+    """One subspace's micro-int distance table between rows of ``X``
+    and the codebook: (n, ksub) int64 of floor(d² · 1e6 + 0.5) — the
+    half-away-from-zero 6-decimal key DuckDB's ``round`` uses
+    (distances are ≥ 0), so argmins and integer ADC sums agree with
+    the oracle bit-for-bit. Accumulation is sequential per dim inside
+    the subspace — fold parity with ``list_sum(list_transform(...))``."""
+    ds = X.shape[1] // m
+    acc = np.zeros((X.shape[0], cents.shape[0]))
+    for i in range(j * ds, (j + 1) * ds):  # sequential fold parity
+        diff = X[:, i][:, None] - cents[None, :, i]
+        acc += diff * diff
+    return np.floor(acc * 1e6 + 0.5).astype(np.int64)
+
+
+def _pq_encode(
+    X: "np.ndarray", cents: "np.ndarray", m: int, chunk: int = 65536
+) -> "np.ndarray":
+    """(n, m) uint8 codes — argmin centroid per (vector, subspace) by
+    the micro-int key, ties to the lowest centroid index (np.argmin
+    returns the first minimum), exactly the oracle's
+    ``ORDER BY round(dist, 6), c``. Chunked over ``n`` (review round
+    12): the old implementation materialized BOTH a float and an int
+    (m, n, ksub) table — ~13 GB transient at the registered m=16 /
+    ksub=64 config near the tier cap — where only one chunk's one
+    subspace is ever needed at a time. The micro-int key replaced the
+    old ``np.round`` float key, which was half-EVEN and could flip an
+    argmin tie against the oracle's half-away rounding at an exact
+    half-micro boundary."""
+    n = X.shape[0]
+    codes = np.empty((n, m), dtype=np.uint8)
+    for lo in range(0, n, chunk):
+        Xc = X[lo : lo + chunk]
+        for j in range(m):
+            codes[lo : lo + chunk, j] = np.argmin(
+                _pq_subspace_mic(Xc, cents, m, j), axis=1
+            )
+    return codes
+
+
+def _pq_query_mic(Q: "np.ndarray", cents: "np.ndarray", m: int):
+    """(m, nq, ksub) int64 query ADC tables — one Arrow batch of
+    queries, so the full stack is small."""
+    return np.stack([_pq_subspace_mic(Q, cents, m, j) for j in range(m)])
 
 
 def pq_topk(
@@ -1018,14 +1083,17 @@ def pq_topk(
     (prune clusters, then ADC-scan the survivors, then rerank). The
     deterministic hash-sample codebook keeps every stage —
     quantization, ADC ranking, rerank — replayable by the DuckDB
-    oracle. Broadcast of (ids, codes, floats) while the base fits;
-    hash-split blocks with a global (dq, dst) merge past it —
-    block-count invariant, never a whole-base collect.
+    oracle. Broadcast of (ids, codes, floats) while the base fits —
+    the SAME row threshold as the exact tier (review round 12: the
+    rerank floats dominate the payload, so the old 4x cap overstated
+    the compression's broadcast headroom); hash-split blocks with a
+    global (dq, dst) merge past it — block-count invariant, never a
+    whole-base collect.
     """
     from .knn import MAX_BROADCAST_ROWS, probe_collect, split_blocks
 
     ksub = 2**nbits
-    cap = 4 * MAX_BROADCAST_ROWS
+    cap = MAX_BROADCAST_ROWS
     pre = None
     if n_base is None:
         pre = probe_collect(base.select("vec_id", "embedding"))
@@ -1101,11 +1169,7 @@ def _pq_candidates_broadcast(
     ids, X = ids[order], X[order]
     if cents is None:
         cents = pq_codebook(rows, m, ksub)
-    r6, _ = _pq_micro_tables(X, cents, m)
-    # code = argmin centroid per (vector, subspace): ties resolve to
-    # the lowest centroid index (np.argmin returns the first minimum),
-    # matching the oracle's ORDER BY round(dist, 6), c
-    codes = np.stack([np.argmin(r6[j], axis=1) for j in range(m)], axis=1)
+    codes = _pq_encode(X, cents, m)
     bc = sess.sparkContext.broadcast((ids, X, codes, cents))
 
     q = queries.select(
@@ -1115,34 +1179,46 @@ def _pq_candidates_broadcast(
     def search(batches):
         b_ids, b_X, b_codes, b_cents = bc.value
         mm = b_codes.shape[1]
+        n = len(b_ids)
+        # bound the vectorized (chunk, n) dq buffer like the SQ path
+        chunk = max(1, int(2e7 // max(n, 1)))
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             Q = np.array(list(pdf["qemb"]), dtype=np.float64)
-            _, qmic = _pq_micro_tables(Q, b_cents, mm)  # (m, nq, ksub)
-            for qi, src in enumerate(pdf["src"].to_numpy(dtype=np.int64)):
-                dq = np.zeros(len(b_ids), dtype=np.int64)
-                for j in range(mm):  # integer adds — order-exact
-                    dq += qmic[j, qi][b_codes[:, j]]
-                mask = np.ones(len(b_ids), dtype=bool)
-                if exclude_self:
-                    mask &= b_ids != src
-                cand = np.nonzero(mask)[0]
-                sel = cand[np.lexsort((b_ids[cand], dq[cand]))][:refine]
-                E = b_X[sel]
-                qe = Q[qi]
-                dist = np.zeros(len(sel))
-                for i in range(E.shape[1]):  # sequential fold parity
-                    diff = E[:, i] - qe[i]
-                    dist += diff * diff
-                yield pd.DataFrame(
-                    {
-                        "src": np.full(len(sel), src, dtype=np.int64),
-                        "dst": b_ids[sel],
-                        "dq": dq[sel],
-                        "dist": np.sqrt(dist),
-                    }
-                )
+            qmic = _pq_query_mic(Q, b_cents, mm)  # (m, nq, ksub)
+            srcs = pdf["src"].to_numpy(dtype=np.int64)
+            gathers = [b_codes[:, j].astype(np.int64) for j in range(mm)]
+            for s in range(0, len(srcs), chunk):
+                hi_ = min(s + chunk, len(srcs))
+                # ADC for the whole chunk in mm gathers instead of a
+                # per-query Python loop (review round 12) — integer
+                # adds accumulate j-major exactly as before
+                dq_c = qmic[0][s:hi_][:, gathers[0]]
+                for j in range(1, mm):
+                    dq_c += qmic[j][s:hi_][:, gathers[j]]
+                for qi in range(s, hi_):
+                    src = srcs[qi]
+                    dq = dq_c[qi - s]
+                    mask = np.ones(n, dtype=bool)
+                    if exclude_self:
+                        mask &= b_ids != src
+                    cand = np.nonzero(mask)[0]
+                    sel = cand[np.lexsort((b_ids[cand], dq[cand]))][:refine]
+                    E = b_X[sel]
+                    qe = Q[qi]
+                    dist = np.zeros(len(sel))
+                    for i in range(E.shape[1]):  # sequential fold parity
+                        diff = E[:, i] - qe[i]
+                        dist += diff * diff
+                    yield pd.DataFrame(
+                        {
+                            "src": np.full(len(sel), src, dtype=np.int64),
+                            "dst": b_ids[sel],
+                            "dq": dq[sel],
+                            "dist": np.sqrt(dist),
+                        }
+                    )
 
     return q.mapInPandas(search, schema="src long, dst long, dq long, dist double")
 
@@ -1382,14 +1458,20 @@ def ivf_maintenance_report(
     med_mse = mses[len(mses) // 2] if mses else 0.0
     mean_n = (sum(counts) / len(counts)) if counts else 0.0
     max_files = max(files.values(), default=0)
+    # booleans first, human-readable reasons derived FROM them (review
+    # round 12: the retrain flag used to substring-match the reason
+    # strings, coupling control flow to presentation wording)
+    fragmented = max_files > files_per_cluster
+    skewed = bool(counts and mean_n > 0 and max(counts) / mean_n > occupancy_skew)
+    drifted = bool(med_mse > 0 and mses[-1] / med_mse > mse_skew)
     reasons = []
-    if max_files > files_per_cluster:
+    if fragmented:
         reasons.append(f"fragmentation: {max_files} files in one cluster")
-    if counts and mean_n > 0 and max(counts) / mean_n > occupancy_skew:
+    if skewed:
         reasons.append(
             f"occupancy skew: max {max(counts)} vs mean {mean_n:.1f}"
         )
-    if med_mse > 0 and mses[-1] / med_mse > mse_skew:
+    if drifted:
         reasons.append(
             f"quantization drift: max cluster MSE {mses[-1]:.4f} vs "
             f"median {med_mse:.4f}"
@@ -1399,8 +1481,8 @@ def ivf_maintenance_report(
         "rows": sum(counts),
         "max_files_per_cluster": max_files,
         "occupancy": {r["cluster"]: r["n"] for r in per},
-        "recommend_compact": max_files > files_per_cluster,
-        "recommend_retrain": any("skew" in r or "drift" in r for r in reasons),
+        "recommend_compact": fragmented,
+        "recommend_retrain": skewed or drifted,
         "reasons": reasons,
     }
 
