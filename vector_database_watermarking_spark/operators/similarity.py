@@ -56,6 +56,13 @@ def cosine_topk(
     union = blocks[0]
     for df in blocks[1:]:
         union = union.unionByName(df)
+    # NOTE (review round 12, accepted nuance): block-local selection
+    # keys on np.round (binary half-even) while this merge keys on
+    # F.round (HALF_UP on the shortest decimal repr). The modes differ
+    # only for a cosine landing exactly on a half-micro boundary — a
+    # measure-zero set the pinned blocked==broadcast equality tests
+    # have never hit; unifying would change tie behavior in BOTH tiers
+    # for no observable gain, so the mix is documented instead.
     w = Window.partitionBy("src").orderBy(
         F.round(F.col("cos_sim"), _RANK_DECIMALS).desc(), F.col("dst").asc()
     )
