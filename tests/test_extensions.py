@@ -472,6 +472,7 @@ def test_pii_features_counts_and_redaction(spark):
         (2, "server 192.168.10.25 and 10.0.0.1 up"),
         (3, "call +1 555-123-4567 or 555 987-6543"),
         (4, "clean text with no identifiers"),
+        (5, "Contact John.Doe@Example.COM now"),  # mixed case (r12 fix)
     ]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     out = {r["doc_id"]: r for r in text.pii_features(df).collect()}
@@ -479,6 +480,10 @@ def test_pii_features_counts_and_redaction(spark):
     assert (out[2]["n_email"], out[2]["n_ipv4"], out[2]["n_phone"]) == (0, 2, 0)
     assert (out[3]["n_email"], out[3]["n_ipv4"], out[3]["n_phone"]) == (0, 0, 2)
     assert (out[4]["n_email"], out[4]["n_ipv4"], out[4]["n_phone"]) == (0, 0, 0)
+    # mixed-case PII is detected AND redacted (the old lowercase-only
+    # patterns leaked it entirely)
+    assert (out[5]["n_email"], out[5]["n_ipv4"], out[5]["n_phone"]) == (1, 0, 0)
+    assert out[5]["redacted_len"] == len("Contact [PII] now")
     # redaction shrinks/replaces matches: doc 4 untouched, others changed
     assert out[4]["redacted_len"] == len(rows[3][1])
     assert out[1]["redacted_len"] == len("mail me at [PII] today")

@@ -185,18 +185,26 @@ def contamination_scan(
 
     Scale shape: the probe side (benchmarks) is orders of magnitude
     smaller than the corpus at 100 TB, so its fingerprint set
-    broadcast-joins (the hint below; Catalyst drops it gracefully if
-    the probe outgrows the threshold and AQE falls back to a shuffle
-    join keyed by the uniform 60-bit hash — no skew). The corpus side
-    is a single scan; nothing is ever collected.
+    broadcast-joins — but the hint is applied only after a bounded
+    size probe (review round 12: the old unconditional hint leaned on
+    a FALSE belief that Catalyst drops an oversized explicit broadcast
+    gracefully — explicit hints are honored regardless of the
+    threshold and AQE never demotes them, so a probe corpus past the
+    budget would OOM the driver instead of degrading; same discipline
+    as ``unigram_nll_scores``). Past the cap the join strategy is left
+    to AQE — a shuffle join keyed by the uniform 60-bit hash, no skew.
+    The corpus side is a single scan; nothing is ever collected.
     """
+    from .knn import MAX_BROADCAST_ROWS
+
     c_fp = rolling_fingerprints(corpus, window_tokens, stride, text_col).select(
         F.col("doc_id").alias("corpus_doc"), "fp"
     ).dropDuplicates(["corpus_doc", "fp"])
     p_fp = rolling_fingerprints(probe, window_tokens, stride, text_col).select(
         F.col("doc_id").alias("probe_doc"), "fp"
     ).dropDuplicates(["probe_doc", "fp"])
-    hits = c_fp.join(F.broadcast(p_fp), on="fp")
+    p_fits = p_fp.limit(MAX_BROADCAST_ROWS + 1).count() <= MAX_BROADCAST_ROWS
+    hits = c_fp.join(F.broadcast(p_fp) if p_fits else p_fp, on="fp")
     return hits.groupBy("corpus_doc").agg(
         F.count_distinct("fp").alias("n_shared_windows"),
         F.count_distinct("probe_doc").alias("n_probe_docs"),
@@ -277,8 +285,13 @@ def repetition_features(
 # PII patterns written to the common subset of Java regex (Spark) and
 # RE2 (DuckDB): character classes, bounded repeats, non-capturing
 # groups, \b word boundaries — no lookaround, no backreferences.
+#: (?i) — case-insensitive (review round 12): the lowercase-only
+#: classes applied to the RAW text silently leaked every mixed-case
+#: email ('John.Doe@Example.com' matched nothing, so it was neither
+#: counted nor redacted). Inline (?i) is in the Java-regex ∩ RE2
+#: subset, so the DuckDB oracle replays it byte-identically.
 PII_PATTERNS: dict[str, str] = {
-    "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+    "email": r"(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
     "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
     "phone": r"\+?\d{3}[- ]\d{3}[- ]\d{4}",
 }
@@ -303,9 +316,14 @@ def pii_features(
         F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0))).alias(f"n_{name}")
         for name, pat in PII_PATTERNS.items()
     ]
+    # Matcher.quoteReplacement semantics (review round 12): Java treats
+    # '$' and '\' in the REPLACEMENT as group references, so an
+    # unescaped token like '<$REDACTED$>' would raise (or splice match
+    # text) instead of substituting literally
+    safe_token = redact_token.replace("\\", "\\\\").replace("$", "\\$")
     redacted = t
     for pat in PII_PATTERNS.values():
-        redacted = F.regexp_replace(redacted, pat, redact_token)
+        redacted = F.regexp_replace(redacted, pat, safe_token)
     return docs.select(
         "doc_id",
         *counts,
@@ -598,12 +616,12 @@ def importance_weights(
     target side typically a small sample), two broadcast-probe
     scorings of the same exploded token stream, one doc-keyed join.
     """
-    # checkpoint both vocabs: each is read twice downstream (totals
-    # aggregate + broadcast probe), and without materialization each
-    # read would re-run a full corpus token shuffle — the same 3→2
-    # scan reduction unigram_nll_scores applies on its trained path
-    vr = unigram_vocab(docs, text_col).localCheckpoint(eager=True)
-    vt = unigram_vocab(target, text_col).localCheckpoint(eager=True)
+    # the vocabs are passed LAZY: unigram_nll_scores localCheckpoints
+    # any caller-supplied vocab itself (its totals aggregate + probe
+    # both read the checkpoint), so materializing here too would scan
+    # and store each vocabulary twice for nothing (review round 12)
+    vr = unigram_vocab(docs, text_col)
+    vt = unigram_vocab(target, text_col)
     raw = unigram_nll_scores(docs, vocab=vr, alpha=alpha, text_col=text_col).select(
         "doc_id", "n_tokens", F.col("nll_e4_sum").alias("_raw_e4")
     )

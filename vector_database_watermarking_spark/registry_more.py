@@ -1957,13 +1957,13 @@ red AS (
          regexp_replace(
            regexp_replace(
              regexp_replace(text,
-               '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{{2,}}', '[PII]', 'g'),
+               '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{{2,}}', '[PII]', 'g'),
              '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b', '[PII]', 'g'),
            '\\+?\\d{{3}}[- ]\\d{{3}}[- ]\\d{{4}}', '[PII]', 'g') AS redacted
   FROM aug
 )
 SELECT doc_id,
-       CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{{2,}}')) AS INTEGER) AS n_email,
+       CAST(len(regexp_extract_all(text, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{{2,}}')) AS INTEGER) AS n_email,
        CAST(len(regexp_extract_all(text, '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b')) AS INTEGER) AS n_ipv4,
        CAST(len(regexp_extract_all(text, '\\+?\\d{{3}}[- ]\\d{{3}}[- ]\\d{{4}}')) AS INTEGER) AS n_phone,
        CAST(length(redacted) AS INTEGER) AS redacted_len,
