@@ -990,11 +990,33 @@ _GRADE_ORDER = [
     # (local_supplier_check / forecast_revenue_check /
     # late_modes_check each embed the complete demoted oracle SQL, so
     # all three stay driver-graded every round).
-    "rel_important_parts",
+    # Round-13 demotions from this block (rotation for the round-12
+    # registrations, per VERDICT r12 #2): after three green rounds
+    # (r10-r12), rel_important_parts (Q11 — the group-vs-global
+    # HAVING shape; pack important_parts_check), rel_top_supplier
+    # (Q15 — the max-over-aggregate shape; pack top_supplier_check)
+    # and rel_large_volume_customers (Q18 — the IN-subquery-on-agg
+    # shape; pack large_volume_check) rotate out on the full-oracle
+    # pack rows they have carried since registration; Q14 and Q19
+    # keep the conditional-agg and disjunctive-predicate shapes
+    # in-window, and Q10/Q8/Q9/Q2 keep the join-family breadth above.
     "rel_promo_revenue",
-    "rel_top_supplier",
-    "rel_large_volume_customers",
     "rel_disjunct_revenue",
+    # promoted round 13 (VERDICT r12 #2): the three round-12
+    # registrations get full-output driver rows — the Q7
+    # eager-aggregation plan variant (graded against the identical
+    # full Q7 oracle; a MEASURED negative result at sf100 whose
+    # crossover condition is documented in its docstring), the
+    # watermarked tumbling-window aggregation run as a real
+    # out-of-order stream with a batch-side top-3 rank, and the GDPR
+    # MERGE-delete cascade — now physically vacuuming superseded
+    # snapshots (retain=1, VERDICT r12 #1) — audited from the
+    # committed CDC snapshots. Each keeps its day-one full-oracle
+    # pack row (nation_trade_preagg_check / window_topk_check /
+    # erasure_cascade_check) as belt and braces.
+    "rel_nation_trade_preagg",
+    "stream_window_topk_replay",
+    "rel_erasure_cascade",
     # watermark pipelines: the oracle-checked native selection, the
     # invariant-oracled round-trips (TVP, RS, SCPW, TabularMark) and
     # the robustness grid
@@ -1015,6 +1037,12 @@ _GRADE_ORDER = [
     # locally hash-checked via tools/check_oracles.py; rows demoted in
     # the latest rotation sit first so the next rotation can cycle
     # them back in if desired.
+    # Round-13 demotions (full-oracle pack rows important_parts_check
+    # / top_supplier_check / large_volume_check, carried since
+    # registration; inline ledger note at their old window slot above):
+    "rel_important_parts",
+    "rel_top_supplier",
+    "rel_large_volume_customers",
     # Round-12 demotions (full-oracle pack rows local_supplier_check /
     # forecast_revenue_check / late_modes_check, carried since
     # registration; inline ledger note at their old window slot above):
@@ -1186,17 +1214,10 @@ _GRADE_ORDER = [
     # stream_ivm_bucketed_replay, rel_cdc_read_as_of — were promoted
     # into the graded window in round 12 per VERDICT r11 #1; their
     # day-one full-oracle pack rows remain)
-    # round-12 registrations (rotation pool for round 13; full-oracle
-    # pack rows nation_trade_preagg_check / window_topk_check /
-    # erasure_cascade_check from day one): the Q7 eager-aggregation
-    # plan variant (VERDICT r11 #4's alternative-plan probe, graded
-    # against the same full Q7 oracle), the watermarked tumbling-window
-    # aggregation run as a real out-of-order stream with a batch-side
-    # top-3 rank, and the GDPR MERGE-delete cascade audited from the
-    # committed CDC snapshots.
-    "rel_nation_trade_preagg",
-    "stream_window_topk_replay",
-    "rel_erasure_cascade",
+    # (the three round-12 registrations — rel_nation_trade_preagg,
+    # stream_window_topk_replay, rel_erasure_cascade — were promoted
+    # into the graded window in round 13 per VERDICT r12 #2; their
+    # day-one full-oracle pack rows remain)
 ]
 
 
