@@ -156,6 +156,36 @@ def test_contamination_scan_planted(spark):
     assert row["n_shared_windows"] >= 1
 
 
+def test_contamination_scan_shuffle_fallback_matches(spark, monkeypatch):
+    """Past the broadcast cap the scan must fall back to the shuffle
+    join with IDENTICAL results (the size probe is an over-estimate of
+    the pre-dedup window count, so a conservative miss only changes
+    the join strategy, never the answer). Pin both: a zero cap takes
+    the fallback path, and its output equals the broadcast path's."""
+    from vector_database_watermarking_spark.operators import text as text_ops
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (0, f"prefix words right here {shared} and a clean tail portion"),
+            (2, "completely unrelated content with no overlap at all ok"),
+            (1, f"{shared} copied straight into the eval set document"),
+            (3, "another clean probe document nothing shared in it"),
+        ],
+        "doc_id long, text string",
+    )
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    probe = docs.filter(F.col("doc_id") % 2 == 1)
+    broadcast_rows = {
+        tuple(r)
+        for r in contamination_scan(corpus, probe, window_tokens=8, stride=4).collect()
+    }
+    monkeypatch.setattr(text_ops, "MAX_BROADCAST_FP_ROWS", 0)
+    fallback = contamination_scan(corpus, probe, window_tokens=8, stride=4)
+    assert "broadcast" not in fallback._jdf.queryExecution().executedPlan().toString().lower()
+    assert {tuple(r) for r in fallback.collect()} == broadcast_rows
+
+
 def test_calendar_gapfill_brute_force(spark):
     import datetime as dt
 
