@@ -287,6 +287,26 @@ def test_manifest_sink_edge_cases(spark, tmp_path):
             "path", str(tmp_path / "bad")
         ).mode("append").save()
 
+    # tinyint/smallint are JSON-native and must be ACCEPTED (ADVICE
+    # round 12: the allow-list carried class names 'byte'/'short'
+    # instead of the simpleString values, falsely refusing them)
+    from vector_database_watermarking_spark.sources.synthetic import (
+        read_manifest_jsonl,
+    )
+
+    small = spark.range(3).select(
+        F.col("id").cast("tinyint").alias("b"),
+        F.col("id").cast("smallint").alias("s"),
+        F.col("id").alias("event_id"),
+    )
+    d_small = str(tmp_path / "small_ints")
+    small.write.format("manifest_jsonl").option("path", d_small).mode(
+        "append"
+    ).save()
+    back, total = read_manifest_jsonl(spark, d_small)
+    assert total == 3
+    assert {(r["b"], r["s"]) for r in back.collect()} == {(0, 0), (1, 1), (2, 2)}
+
     assert (
         spark.read.format("synthevents").option("rows", 0).load().count() == 0
     )

@@ -98,6 +98,50 @@ def test_pq_topk_recall_codes_and_tiers(spark, sf_dir):
         knn.MAX_BROADCAST_ROWS = orig
     assert broadcast == blocked
 
+    # nbits past the uint8 code range must refuse loudly, not wrap
+    # (ADVICE round 12: _pq_encode stores argmin indices as uint8, so
+    # ksub > 256 would silently truncate codes into wrong neighbors)
+    import pytest
+
+    with pytest.raises(ValueError, match="uint8"):
+        pq_topk(queries, emb, k=5, refine=50, m=16, nbits=9)
+
+
+def test_ivf_route_large_magnitude_embeddings(spark):
+    """The IVF probe-order key must stay correct for large-magnitude
+    embeddings (ADVICE round 12: an int64 micro-key overflowed for
+    squared distances past ~9.2e12, garbling probe order). Vectors at
+    |x| ~ 1e7 give d2 ~ 1e16; the route must still probe the truly
+    nearest centroids, so a full-probe search equals brute force."""
+    import numpy as np
+
+    from vector_database_watermarking_spark.operators import similarity
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(scale=1e7, size=(60, 8)).astype(np.float64)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<double>",
+    )
+    assigned, cents = similarity.ivf_build(emb, n_clusters=4, seed=1)
+    q = emb.filter(F.col("vec_id") < 8)
+    # nprobe=2 makes the probe SET matter: the numpy route
+    # (ivf_search) and the native route (ivf_search_fixed) share the
+    # ranking tail, so equal output pins equal probe sets — the
+    # overflowed int64 key collapsed every huge key to INT64_MIN and
+    # probed clusters [0, 1] for every query regardless of distance
+    got = {
+        (r["src"], r["dst"], r["rank"])
+        for r in similarity.ivf_search(q, assigned, cents, k=3, nprobe=2).collect()
+    }
+    expected = {
+        (r["src"], r["dst"], r["rank"])
+        for r in similarity.ivf_search_fixed(
+            q, assigned, cents, k=3, nprobe=2
+        ).collect()
+    }
+    assert got == expected and len(got) == 8 * 3
+
 
 def test_semantic_dedup_clusters_and_quality_policy(spark, sf_dir):
     from vector_database_watermarking_spark.operators import similarity

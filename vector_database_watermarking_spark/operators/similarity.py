@@ -700,8 +700,13 @@ def ivf_search(
             # unspecified order across numpy versions; key on the
             # 6-decimal-rounded distance with the cluster index as the
             # tiebreak, the same (dist, cluster) rule ivf_route_fixed
-            # orders by
-            key = np.floor(d2 * 1e6 + 0.5).astype(np.int64)
+            # orders by. The key stays float64 (ADVICE round 12: an
+            # int64 cast overflows for d2 > ~9.2e12, garbling probe
+            # order for large-magnitude embeddings) — floor(x*1e6+0.5)
+            # as a float is the same half-away micro quantization,
+            # monotone at every magnitude, and past 2^53 micro-units
+            # the oracle's round(dist, 6) DOUBLE quantizes identically
+            key = np.floor(d2 * 1e6 + 0.5)
             cols = np.arange(d2.shape[1], dtype=np.int64)
             probes = np.stack(
                 [np.lexsort((cols, key[r]))[:nprobe] for r in range(len(Q))]
@@ -1100,6 +1105,15 @@ def pq_topk(
     from .knn import MAX_BROADCAST_ROWS, probe_collect, split_blocks
 
     ksub = 2**nbits
+    if ksub > 256:
+        # _pq_encode stores codes as uint8 — nbits >= 9 would silently
+        # wrap argmin indices past 255 and return wrong neighbors
+        # (ADVICE round 12). Real PQ uses nbits <= 8 (FAISS's default
+        # and ceiling for uint8 codes) for exactly this reason.
+        raise ValueError(
+            f"nbits={nbits} gives {ksub} sub-centroids, past the uint8 "
+            "code range (max nbits=8)"
+        )
     cap = MAX_BROADCAST_ROWS
     pre = None
     if n_base is None:

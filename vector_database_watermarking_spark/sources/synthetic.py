@@ -227,9 +227,14 @@ def _file_entries(messages) -> list[dict]:
 #: column types json.dumps round-trips losslessly through JSONL; the
 #: writer REFUSES anything else (struct/array/map/timestamp) rather
 #: than silently mangling it into a Python repr string via
-#: ``default=str`` (review round 12)
+#: ``default=str`` (review round 12). Entries are ``simpleString()``
+#: values — ByteType/ShortType render 'tinyint'/'smallint' and
+#: IntegerType/LongType render 'int'/'bigint', NOT the type-class
+#: names 'byte'/'short'/'integer'/'long' (ADVICE round 12: the old
+#: list mixed both vocabularies, falsely refusing valid byte/short
+#: columns while carrying four dead entries).
 _JSONL_TYPES = (
-    "byte", "short", "int", "integer", "long", "bigint",
+    "tinyint", "smallint", "int", "bigint",
     "float", "double", "string", "boolean",
 )
 
