@@ -124,7 +124,9 @@ def test_erasure_cascade_fully_erases_victims(spark, sf_dir):
         ), f"v{ver} of lineitem reproduces victim rows"
 
 
-def test_disordered_feed_late_rows_merge_without_drops(spark, sf_dir, tmp_path):
+def test_disordered_feed_late_rows_merge_without_drops(
+    spark, sf_dir, tmp_path, monkeypatch
+):
     """Pin the late-row semantics the disordered graded feeds rely on
     (measured round 12): a stateful aggregation filters input against
     the EVICTION FRONTIER (the watermark in effect one batch earlier)
@@ -153,7 +155,30 @@ def test_disordered_feed_late_rows_merge_without_drops(spark, sf_dir, tmp_path):
         (F.lit(max_ts) + F.expr("INTERVAL 10 DAYS")).alias("ts"), "event_type"
     )
     scratch = str(tmp_path / "feed")
+    # pin the feed's persist (VERDICT r12 #7): each of the ~2n appends
+    # is its own job, and without the materialized tagged source every
+    # one silently re-scans and re-tags the full events table — a spy
+    # on DataFrame.persist fails this test if the persist is dropped
+    DF = type(ev)  # the concrete (classic) DataFrame class
+
+    persisted = []
+    real_persist = DF.persist
+
+    def _spy(self, *a, **k):
+        persisted.append(self)
+        return real_persist(self, *a, **k)
+
+    monkeypatch.setattr(DF, "persist", _spy)
     _write_disordered_session_feed(ev, sentinel, scratch)
+    monkeypatch.setattr(DF, "persist", real_persist)
+    tagged_frames = [df for df in persisted if "_late" in df.columns]
+    assert tagged_frames, (
+        "feed no longer persists its tagged source — every append "
+        "re-scans the full events table"
+    )
+    assert not any(df.is_cached for df in tagged_frames), (
+        "feed leaked its persisted tagged source (unpersist dropped)"
+    )
     # the feed holds rows back: more files than slices+sentinel alone
     import glob
 

@@ -13,13 +13,19 @@ Anchors from the reference's pickled grid (``BASELINE.md``):
 - TabularMark match proportion lost: 0.099 at p=0.1 rising to 0.78 at
   p=0.8 (nw=100, p=4, dim=40 — ``compare/roubust.py:172-174,207-213``)
 
-Usage: python tools/run_refconfig_grid.py [n] [attack] [trials] [schemes]
-(defaults 10000 random_delete 5 scpw,tabularmark; prints one JSON line
-per scheme). ``schemes`` also accepts ``tvp`` and ``rs`` (VERDICT r11
-#2: the round-8 TVP/RS grids ran on the d=64 fixture, but the
-reference's modification anchors are sift-128-euclidean geometry —
-the d=128 widened fixture re-runs close the carry-over). TVP/RS
-anchors from the pickled grid (``BASELINE.md``):
+Usage: python tools/run_refconfig_grid.py [n] [attack] [trials]
+[schemes] [geom] (defaults 10000 random_delete 5 scpw,tabularmark
+d128; prints one JSON line per scheme). ``schemes`` also accepts
+``tvp`` and ``rs`` (VERDICT r11 #2: the round-8 TVP/RS grids ran on
+the d=64 fixture, but the reference's anchors are
+sift-128-euclidean geometry — the d=128 widened fixture re-runs
+close the carry-over). ``geom`` is ``d128`` (default — VERDICT r12
+#8: reference-anchor comparisons run at the reference's geometry,
+since the round-12 result proved the geometry is load-bearing:
+TVP's window-overlap P drops 0.998 → 0.93 from d=64 to d=128) or
+``d64`` (the raw fixture — kept only for fast engine-internal
+sweeps, never for anchor rows). TVP/RS anchors from the pickled
+grid (``BASELINE.md``):
 - TVP modification BER, p=0.1→0.8: 0.0, 0.0, 0.005, 0.014, 0.038,
   0.110, 0.207, 0.264 (strength=0.55, th=1, n=10k, times=20 —
   ``compare/compare_modi_robust.pkl``, ``compare/roubust.py:233-306``)
@@ -137,6 +143,15 @@ def main() -> None:
             f"unknown scheme(s) {sorted(schemes - known)}; "
             f"choose from {sorted(known)}"
         )
+    geom = sys.argv[5] if len(sys.argv) > 5 else "d128"
+    if geom not in ("d128", "d64"):
+        raise SystemExit(f"geom must be d128 or d64, got {geom!r}")
+    # d=128 is the DEFAULT for every anchor comparison (VERDICT r12
+    # #8): the reference corpus is sift-128-euclidean, and round 12
+    # measured that the geometry moves the modification curves
+    # (window-overlap P 0.998 → 0.93). d64 stays available for fast
+    # engine-internal sweeps only.
+    pad = geom == "d128"
     spark = get_spark(
         "refconfig-grid", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     )
@@ -152,7 +167,7 @@ def main() -> None:
     dense_users = schemes & {"scpw", "tvp", "rs"}
     if dense_users:  # tabularmark-only runs never pay this fixture
         emb = load_dense_emb(spark, n)
-        if modify:
+        if pad:
             emb = pad_to_d128(emb)
         emb = emb.localCheckpoint(eager=True)
 
@@ -194,7 +209,7 @@ def main() -> None:
                     "scheme": scheme,
                     "attack": attack,
                     "n": n,
-                    "d": 128 if modify else 64,
+                    "d": 128 if pad else 64,
                     "L": len(WATERMARK),
                     "trials": len(seeds),
                     "ber_by_p": {
@@ -209,7 +224,7 @@ def main() -> None:
         spark.stop()
         return
     emb_u = load_perm_emb(spark, n)
-    if modify:
+    if pad:
         emb_u = pad_to_d128(emb_u)
     emb_u = emb_u.localCheckpoint(eager=True)
     accm: dict[float, float] = {p: 0.0 for p in PS}
@@ -232,7 +247,7 @@ def main() -> None:
                 "scheme": "tabularmark",
                 "attack": attack,
                 "n": n,
-                "d": 128 if modify else 64,
+                "d": 128 if pad else 64,
                 "nw": 100,
                 "trials": len(seeds),
                 "match_loss_by_p": {
