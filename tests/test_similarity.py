@@ -303,6 +303,122 @@ def test_ivf_append_search_parity(spark, sf_dir, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_ivf_erase_physical_and_search_parity(spark, sf_dir, tmp_path):
+    """Erase-then-search must equal a from-scratch survivor assignment
+    under the same centroids; untouched cluster partitions must keep
+    their exact files (same names, sizes, mtimes — never rewritten);
+    touched partitions must physically lose the victims' files; and
+    the audit must account for all of it. Empty victim set = no-op."""
+    import os
+
+    from vector_database_watermarking_spark.operators import similarity
+    from vector_database_watermarking_spark.sources.tables import load_table
+
+    def snapshot(root):
+        return {
+            os.path.join(r, p): (
+                os.path.getsize(os.path.join(r, p)),
+                os.stat(os.path.join(r, p)).st_mtime_ns,
+            )
+            for r, _, files in os.walk(root)
+            for p in files
+            if p.endswith(".parquet")
+        }
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, cents = similarity.ivf_build_fixed(emb, n_clusters=4)
+    path = str(tmp_path / "idx")
+    similarity.save_ivf_index(assigned, cents, path)
+
+    # victims confined to the clusters of vec_id % 7 == 0 rows
+    victims = emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+    n_victims = victims.count()
+    victim_clusters = {
+        r["cluster"]
+        for r in assigned.join(victims, "vec_id", "left_semi")
+        .select("cluster")
+        .distinct()
+        .collect()
+    }
+    before = snapshot(f"{path}/assigned")
+
+    # no-op first: erasing zero keys must touch nothing
+    audit0 = similarity.ivf_erase(
+        spark, path, emb.filter(F.col("vec_id") < 0).select("vec_id")
+    )
+    assert audit0["rows_erased"] == 0 and audit0["clusters_touched"] == 0
+    assert snapshot(f"{path}/assigned") == before
+
+    audit = similarity.ivf_erase(spark, path, victims)
+    assert audit["rows_erased"] == n_victims
+    assert audit["clusters_touched"] == len(victim_clusters)
+    assert audit["clusters_total"] == 4
+    assert 0 < audit["bytes_rewritten"] <= audit["bytes_total_before"]
+    assert audit["bytes_total_after"] < audit["bytes_total_before"]
+
+    after = snapshot(f"{path}/assigned")
+    for f, meta in before.items():
+        c = int(f.split("cluster=")[1].split(os.sep)[0])
+        if c in victim_clusters:
+            assert f not in after, f"victim-cluster file survived: {f}"
+        else:
+            assert after.get(f) == meta, f"untouched cluster rewritten: {f}"
+
+    # no victim row is reachable from the erased index
+    l_assigned, l_cents = similarity.load_ivf_index(spark, path)
+    assert l_assigned.join(victims, "vec_id", "left_semi").count() == 0
+    assert (cents == l_cents).all()
+
+    # search parity vs a from-scratch survivor assignment, same cents
+    q = emb.filter((F.col("vec_id") < 20) & (F.col("vec_id") % 7 != 0))
+    got = {
+        tuple(r)
+        for r in similarity.ivf_search_fixed(
+            q, l_assigned, l_cents, k=3, nprobe=2
+        ).collect()
+    }
+    surv = emb.join(victims, "vec_id", "left_anti").select(
+        "vec_id",
+        "embedding",
+        similarity._argmin_cluster("embedding", cents).alias("cluster"),
+    )
+    want = {
+        tuple(r)
+        for r in similarity.ivf_search_fixed(q, surv, cents, k=3, nprobe=2).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_ivf_erase_drops_fully_erased_cluster(spark, tmp_path):
+    """A cluster whose every member is a victim must lose its whole
+    partition directory (and searches must simply never route rows
+    from it)."""
+    import os
+
+    import numpy as np
+
+    from vector_database_watermarking_spark.operators import similarity
+
+    # two tight blobs: cluster membership is unambiguous
+    rows = [(i, [float(i % 2) * 10 + 0.01 * i, 0.0]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned = emb.select(
+        "vec_id",
+        "embedding",
+        F.when(F.col("vec_id") % 2 == 0, 0).otherwise(1).cast("int").alias("cluster"),
+    )
+    cents = np.array([[0.1, 0.0], [10.1, 0.0]])
+    path = str(tmp_path / "idx")
+    similarity.save_ivf_index(assigned, cents, path)
+    victims = emb.filter(F.col("vec_id") % 2 == 1).select("vec_id")
+    audit = similarity.ivf_erase(spark, path, victims)
+    assert audit["rows_erased"] == 10 and audit["clusters_touched"] == 1
+    assert not os.path.isdir(f"{path}/assigned/cluster=1")
+    l_assigned, _ = similarity.load_ivf_index(spark, path)
+    assert l_assigned.count() == 10
+    assert l_assigned.filter(F.col("cluster") == 1).count() == 0
+
+
 def test_ivf_maintenance_retrain_flips_on_drifted_append(spark, sf_dir, tmp_path):
     """The RETRAIN branch of ivf_maintenance_report (VERDICT r08 #8):
     a fresh index reports no retrain need; appending an

@@ -1218,6 +1218,13 @@ _GRADE_ORDER = [
     # stream_window_topk_replay, rel_erasure_cascade — were promoted
     # into the graded window in round 13 per VERDICT r12 #2; their
     # day-one full-oracle pack rows remain)
+    # round-13 registrations (rotation pool for round 14; full-oracle
+    # pack rows from day one — ivf_erase_check): erasure propagated
+    # into the persisted IVF index (VERDICT r12 #4) — victims erased
+    # from the on-disk cluster partitions by selective rewrite, search
+    # over the erased index graded against a from-scratch survivor
+    # assignment under the same centroids.
+    "ext_ivf_erase_topk",
 ]
 
 

@@ -7352,6 +7352,10 @@ def _pipeline_pack_oracle() -> str:
     ntp = QUERIES["rel_nation_trade_preagg"].oracle
     swt = QUERIES["stream_window_topk_replay"].oracle
     ers = QUERIES["rel_erasure_cascade"].oracle
+    # round-13 registrations (rotation pool for round 14): full-oracle
+    # pack rows from day one — erasure propagated into the persisted
+    # IVF index (VERDICT r12 #4)
+    ive = QUERIES["ext_ivf_erase_topk"].oracle
     h_nat2 = oracle_hash60("supp_nation || '|' || cust_nation")
     h_ls = oracle_hash60("coalesce(lang, '~') || '|' || coalesce(source, '~')")
     h_spl9 = oracle_hash60("split")
@@ -8045,6 +8049,11 @@ SELECT 'erasure_cascade_check',
        * ((rows_before + rows_deleted * 131 + rows_after * 17
            + survivor_check) % 1000003)) AS BIGINT)
   FROM ({ers})
+UNION ALL
+SELECT 'ivf_erase_check',
+  CAST(count(*) + sum((src % 997 + 1)
+       * ((dst % 1000003 + rank * 131)) % 1000003) AS BIGINT)
+  FROM ({ive})
 UNION ALL
 SELECT 'manifest_jsonl_check',
   CAST(count(*) + count(*) * 31 + sum((event_id % 997 + 1)
@@ -10618,6 +10627,23 @@ def cov_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                             )
                             % 1000003
                         )
+                    )
+                ).alias("value")
+            ),
+        )
+    )
+    # round-13 registrations (rotation pool for round 14)
+    ive = QUERIES["ext_ivf_erase_topk"].fn(spark, sf_dir)
+    parts.append(
+        scalar(
+            "ivf_erase_check",
+            ive.agg(
+                (
+                    F.count(F.lit(1))
+                    + F.sum(
+                        (F.col("src") % 997 + 1)
+                        * (F.col("dst") % 1000003 + F.col("rank") * 131)
+                        % 1000003
                     )
                 ).alias("value")
             ),
