@@ -766,9 +766,13 @@ def bigram_nll_scores(
         toks.select("doc_id", F.explode(pairs).alias("p"))
         .select("doc_id", "p.prev", "p.tok")
         .filter((F.length("prev") > 0) & (F.length("tok") > 0))
-        # both LM tables and the scoring pass read this stream; the
-        # checkpoint pins it to ONE pair expansion
-        .localCheckpoint(eager=True)
+        # NOT checkpointed (optimization round 13): with cc derived
+        # from bc below, only two consumers remain (the bc aggregate
+        # and the scoring join), both inside the one final action —
+        # re-expanding the pairs twice from the cached token arrays is
+        # pure CPU, while materializing the full pair stream costs a
+        # serial job locally and pair-stream-sized storage at scale
+        # (measured with cc_from_bc: 0.97 s -> 0.80 s at sf0.1).
     )
     v = (
         toks.select(F.explode("_toks").alias("tok"))
@@ -776,7 +780,12 @@ def bigram_nll_scores(
         .agg(F.countDistinct("tok").alias("V"))
     )
     bc = bg.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("cb"))
-    cc = bg.groupBy("prev").agg(F.count(F.lit(1)).alias("cp"))
+    # context counts fold from the bigram counts — cp = Σ_tok cb(prev,
+    # tok) is the SAME exact integer as counting bg by prev (guide
+    # §2.3 "aggregate before you shuffle": the per-prev rollup now
+    # reads the vocabulary²-bounded bc relation instead of paying a
+    # second partial-agg pass + shuffle over the full pair stream)
+    cc = bc.groupBy("prev").agg(F.sum("cb").alias("cp"))
     p = (F.col("cb") + F.lit(alpha)) / (
         F.col("cp") + F.lit(alpha) * (F.col("V") + 1)
     )
@@ -1008,8 +1017,17 @@ def heavy_hitters(
     )
 
     def sketch(batches):
+        # one pass emits BOTH the candidate union and this partition's
+        # exact token count (a null-tok row): the standalone
+        # ``toks.count()`` subtree re-read and re-TOKENIZED the corpus
+        # a third time just to learn N (optimization round 13, guide
+        # §1.2 "don't compute things you throw away" — the sketch
+        # already sees every token, so the total rides along free and
+        # the operator is two corpus scans, the MG minimum, not three)
         counters: dict[str, int] = {}
+        n_seen = 0
         for pdf in batches:
+            n_seen += len(pdf)
             for t, c in pdf["tok"].value_counts().items():
                 counters[t] = counters.get(t, 0) + int(c)
             if len(counters) > capacity:
@@ -1017,11 +1035,22 @@ def heavy_hitters(
                 counters = {
                     t: c - cut for t, c in counters.items() if c > cut
                 }
-        if counters:
-            yield pd.DataFrame({"tok": list(counters.keys())})
+        yield pd.DataFrame(
+            {
+                "tok": list(counters.keys()) + [None],
+                "n_part": [0] * len(counters) + [n_seen],
+            }
+        )
 
-    candidates = toks.mapInPandas(sketch, schema="tok string").distinct()
-    total = toks.agg(F.count(F.lit(1)).alias("total_tokens"))
+    # one sketch job feeds two consumers (candidate broadcast + total);
+    # the checkpoint pins it to a single execution
+    sk = toks.mapInPandas(sketch, schema="tok string, n_part long").localCheckpoint(
+        eager=True
+    )
+    candidates = sk.filter(F.col("tok").isNotNull()).select("tok").distinct()
+    total = sk.filter(F.col("tok").isNull()).agg(
+        F.sum("n_part").alias("total_tokens")
+    )
     counts = (
         toks.join(F.broadcast(candidates), on="tok", how="left_semi")
         .groupBy("tok")

@@ -995,7 +995,8 @@ def cov_operator_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # --- round-4 operators, driver-graded through the pack ---
-    tri = graph.triangle_counts(edges, emb)
+    # dedup=False: knn_edges emits one row per (query, rank) — unique
+    tri = graph.triangle_counts(edges, emb, dedup=False)
     parts.append(
         scalar(
             "tri_total_triangles", tri.agg(F.sum("n_triangles").alias("value"))
@@ -2380,7 +2381,9 @@ def ext_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     edges = knn.knn_edges(emb, k=K)
-    return triangle_counts(edges, emb)
+    # dedup=False: knn_edges output is unique per (src, dst), so the
+    # undirected list needs no distinct exchange (see triangle_counts)
+    return triangle_counts(edges, emb, dedup=False)
 
 
 @register(
