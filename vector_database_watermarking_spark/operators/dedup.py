@@ -577,6 +577,45 @@ def near_dup_clusters(
     bands = lsh_bands(sig, rows_per_band=rows_per_band, num_hashes=num_hashes)
     cand = lsh_candidate_pairs(bands)
     pairs = jaccard_verify(cand, sh, threshold=threshold)
+
+    if quality is None:
+        # driver-tier fast path (optimization round 13): while the pair
+        # list fits the broadcast budget, cluster SIZES are a Counter
+        # over the union-find labels — the per-cluster aggregate, the
+        # docs-side checkpoint, and the size join all collapse into ONE
+        # broadcast left join (2.3 s → 1.7 s at sf0.1, identical rows;
+        # singletons coalesce to (own id, size 1) exactly as the
+        # aggregate produced). The quality branch keeps the relational
+        # shape — canonical choice needs the quality VALUES, which live
+        # distributed.
+        from collections import Counter
+
+        from .graph import union_find_labels
+        from .knn import probe_collect
+
+        rows = probe_collect(pairs.select("doc1", "doc2"))
+        if rows is not None:
+            sh.unpersist()
+            labels = union_find_labels([(r["doc1"], r["doc2"]) for r in rows])
+            csize = Counter(cid for _, cid in labels)
+            lbl = docs.sparkSession.createDataFrame(
+                [(d, c, csize[c]) for d, c in labels],
+                "doc_id long, _cid long, _csz long",
+            )
+            return (
+                docs.select("doc_id")
+                .join(F.broadcast(lbl), on="doc_id", how="left")
+                .select(
+                    "doc_id",
+                    F.coalesce(F.col("_cid"), F.col("doc_id")).alias("cluster_id"),
+                    F.coalesce(F.col("_csz"), F.lit(1)).alias("cluster_size"),
+                    (
+                        F.col("doc_id")
+                        == F.coalesce(F.col("_cid"), F.col("doc_id"))
+                    ).alias("is_canonical"),
+                )
+            )
+
     comp_active = _pair_components(pairs, sh)
     # comp feeds the size aggregate AND the final join — materialize
     # the narrow (doc_id, cluster_id) map once so neither consumer

@@ -790,7 +790,13 @@ def bfs_hops(
         .localCheckpoint(eager=True)
     )
     frontier = dist.select("vec_id")
-    e = edges.select("src", "dst")
+    # persisted across the loop's actions: every level joins the edge
+    # table, which is often itself an expensive build (the registry
+    # feeds the kNN graph) — without the cache each level's checkpoint
+    # job re-evaluates it from scratch (the resolve_roots pattern,
+    # optimization round 13). Safe to release after the loop: every
+    # level is checkpointed.
+    e = edges.select("src", "dst").persist()
     for h in range(1, max_hops + 1):
         nxt = (
             frontier.join(e, frontier.vec_id == e.src)
@@ -802,8 +808,12 @@ def bfs_hops(
         )
         if not nxt.take(1):
             break
-        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        # a union of already-checkpointed levels needs no checkpoint of
+        # its own: lineage is one scan per level (bounded by max_hops),
+        # and skipping it removes one serial job per level
+        dist = dist.unionByName(nxt)
         frontier = nxt.select("vec_id")
+    e.unpersist()
     return dist
 
 

@@ -93,7 +93,13 @@ def resolve_roots(
     child_cols = [F.col(key).alias("key"), F.col(parent).alias("_p")] + [
         F.col(c) for c in carry
     ]
-    children = nodes.filter(F.col(parent).isNotNull()).select(*child_cols)
+    # persisted across the loop: every level's join re-reads the child
+    # relation, and each eager per-level checkpoint is its own action —
+    # without the cache that is one full source scan PER LEVEL
+    # (optimization round 13: 1.29 s -> 0.89 s at sf0.1, and at scale
+    # depth × corpus-scan I/O collapses to one scan). Safe to release
+    # after the loop: every level is already checkpointed.
+    children = nodes.filter(F.col(parent).isNotNull()).select(*child_cols).persist()
     frontier = nodes.filter(F.col(parent).isNull()).select(
         F.col(key).alias("key"), F.col(key).alias("root"), F.lit(0).alias("depth"),
         *[F.col(c) for c in carry],
@@ -121,6 +127,7 @@ def resolve_roots(
             f"resolve_roots: depth exceeded max_depth={max_depth} — "
             "cycle in the parent relation?"
         )
+    children.unpersist()
     out = levels[0]
     for lv in levels[1:]:
         out = out.unionByName(lv)
