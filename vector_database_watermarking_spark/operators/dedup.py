@@ -75,10 +75,13 @@ def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFr
     # dedup per doc INSIDE the gram array (array_distinct) instead of a
     # relation-wide .distinct(): shingles can only repeat within their
     # own document (the row carries doc_id), so the output set is
-    # identical — and the (doc_id, shingle) hash exchange + two-phase
-    # distinct aggregate disappear from every consumer's plan
-    # (optimization round 13, guide §2.4 "remove shuffles outright":
-    # at 100 TB that exchange re-shuffles the entire shingle stream).
+    # identical. What this removes (plan-verified, optimization round
+    # 13): the two-phase distinct AGGREGATE — a hash-table build over
+    # the entire exploded shingle stream in every consumer (the
+    # distinct's exchange itself was already satisfied by the doc_id
+    # repartition above, so the win is the per-row aggregate work, 14
+    # HashAggregate nodes in the minhash plan). Measured 13-40% per
+    # consumer at sf0.1 (ngram_novelty 1.37->0.83 s).
     return (
         toks.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
         .filter(F.length("shingle") > 0)
