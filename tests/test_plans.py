@@ -349,13 +349,17 @@ def test_doc_chunks_is_shuffle_free(spark, sf_dir):
 
 
 def test_heavy_hitters_broadcast_rescan_no_sort_merge(spark, sf_dir):
-    """Heavy hitters: the sketch is a MapInPandas pass, the rescan
-    probes the bounded candidate set via a broadcast semi join (never
-    a sort-merge of the token stream), and the only nested-loop is the
-    1-row total broadcast."""
+    """Heavy hitters: the MG sketch (a MapInPandas pass) runs exactly
+    once — eagerly checkpointed at build time, so the final plan reads
+    it back as an ExistingRDD scan instead of re-running the Python
+    pass per consumer (optimization round 13) — the rescan probes the
+    bounded candidate set via a broadcast semi join (never a sort-merge
+    of the token stream), and the only nested-loop is the 1-row total
+    broadcast."""
     q = QUERIES["ext_heavy_hitters"].fn(spark, sf_dir)
     plan = plan_of(q)
-    assert "MapInPandas" in plan, plan
+    assert "MapInPandas" not in plan, plan  # sketch pinned by the checkpoint
+    assert "ExistingRDD" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
 
