@@ -422,12 +422,16 @@ def incremental_dedup(
     ckey = hash60(normalize_text(text_col))
     # consumed by BOTH the exact-match join and the survivors anti-join
     # — materialize the skinny (key, id) relation once instead of
-    # re-hashing and re-aggregating the whole corpus per consumer
+    # re-hashing and re-aggregating the whole corpus per consumer.
+    # LAZY checkpoint (optimization round 13): the `near` checkpoint
+    # action below is its first consumer and materializes it there; an
+    # eager one serialized a whole extra job barrier before any other
+    # work could start (3 serial jobs -> 2 per call, A/B'd at sf0.1).
     corpus_keys = (
         corpus.withColumn("content_key", ckey)
         .groupBy("content_key")
         .agg(F.min("doc_id").alias("match_doc_id"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     batch_keyed = batch.withColumn("content_key", ckey)
     exact = batch_keyed.join(corpus_keys, on="content_key").select(
