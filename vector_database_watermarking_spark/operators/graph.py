@@ -19,6 +19,49 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def mutual_undirected(edges: DataFrame, dedup: bool = False) -> DataFrame:
+    """(a, b) with ``a < b`` for every mutually-linked pair of the
+    directed edge table — the single-pass form of
+    ``e ⋉ reverse(e)`` + ``src < dst`` (optimization round 13).
+
+    Canonicalize each directed edge to ``(least, greatest)`` and count:
+    exactly 2 hits ⟺ both directions present. One map-side-combinable
+    aggregation instead of a self-semi-join — which matters because the
+    edge input is usually the kNN build (an opaque ``mapInPandas``
+    subtree that ``ReuseExchange`` cannot dedup), so the join shape
+    evaluated the whole kNN TWICE in the one job that materializes the
+    mutual graph (guide §2.4).
+
+    Requires the input unique per ``(src, dst)`` (every kNN edge table
+    is: one row per (query, rank)); pass ``dedup=True`` to pay a
+    distinct first on multigraph input. Self-loops canonicalize to one
+    occurrence (count 1) and drop, matching the ``src < dst`` filter.
+    """
+    e = edges.select("src", "dst")
+    if dedup:
+        e = e.distinct()
+    canon = e.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    )
+    return (
+        canon.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") == 2)
+        .select("a", "b")
+    )
+
+
+def mutual_edges(edges: DataFrame, dedup: bool = False) -> DataFrame:
+    """Both directions of every mutual pair — the single-pass form of
+    ``e.join(reverse(e), how='left_semi')`` for (src,dst)-unique input
+    (see :func:`mutual_undirected`): the undirected pair list unioned
+    with its flip. Output is duplicate-free per (src, dst)."""
+    und = mutual_undirected(edges, dedup=dedup)
+    return und.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+
+
 def bidirectional_edge_counts(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     """J2/G2: per node, number of neighbors v with the reverse edge
     v→u also present (``count_bidirectional_edges``,
@@ -608,19 +651,15 @@ def triangle_counts(
     from the plan; the mutual semi-join + ``src < dst`` filter emit
     each undirected edge exactly once from unique input.
     """
-    e = edges.select("src", "dst")
-    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     # und is consumed by the degree aggregate AND the keyed wedge path
     # (and the caller's edge table is often itself an expensive kNN
     # build) — materialize the undirected edge list once. deg is then
     # consumed twice (da/db), but each recompute is one aggregate over
     # this checkpoint, cheaper than a second narrow disk write.
-    und = e.join(rev, on=["src", "dst"], how="left_semi").filter(
-        F.col("src") < F.col("dst")
-    ).select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    if dedup:
-        und = und.distinct()
-    und = und.localCheckpoint(eager=True)
+    # mutual_undirected (optimization round 13) builds it in ONE pass
+    # over the edge table — the old reverse-semi-join evaluated the
+    # caller's kNN subtree twice inside this checkpoint job.
+    und = mutual_undirected(edges, dedup=dedup).localCheckpoint(eager=True)
     deg = (
         und.select(F.explode(F.array("a", "b")).alias("n"))
         .groupBy("n")

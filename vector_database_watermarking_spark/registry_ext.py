@@ -1288,9 +1288,10 @@ def g5_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import graph, knn
 
     emb = load_table(spark, sf_dir, "embeddings")
-    edges = knn.knn_edges(emb, k=K).persist()
-    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    mutual = edges.select("src", "dst").join(rev, on=["src", "dst"], how="left_semi")
+    # one-pass mutual graph (optimization round 13): the persist +
+    # reverse-semi-join shape raced two concurrent kNN evaluations into
+    # the cache; the canonical-pair count needs neither
+    mutual = graph.mutual_edges(knn.knn_edges(emb, k=K))
     comp = graph.connected_components(
         mutual.withColumn("dist", F.lit(0.0)).withColumn("rank", F.lit(1)),
         emb,

@@ -2493,8 +2493,9 @@ def ext_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     e = knn.knn_edges(emb, k=K).select("src", "dst")
-    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    mutual = e.join(rev, on=["src", "dst"], how="left_semi")
+    # one-pass mutual graph (optimization round 13): the reverse-semi-
+    # join shape evaluated the kNN subtree twice in one job
+    mutual = graph.mutual_edges(e)
     # mutual edges are duplicate-free by construction (top-k per src
     # has unique dst), so skip k_core's defensive distinct shuffle
     return graph.k_core(mutual, k=6, dedup=False)
@@ -4349,8 +4350,9 @@ def ext_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     e = knn.knn_edges(emb, k=K).select("src", "dst")
-    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    mutual = e.join(rev, on=["src", "dst"], how="left_semi")
+    # one-pass mutual graph (optimization round 13): the reverse-semi-
+    # join shape evaluated the kNN subtree twice in one job
+    mutual = graph.mutual_edges(e)
     seeds = emb.filter(F.col("vec_id") % 25 == 0).select("vec_id")
     return graph.bfs_hops(mutual, seeds, max_hops=4)
 
@@ -4401,16 +4403,15 @@ def ext_graph_link_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     e = knn.knn_edges(emb, k=K).select("src", "dst")
-    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     # materialize the mutual graph (n·k rows — tiny) before the wedge
     # enumeration: link_prediction_ra reads its edge input from FOUR
     # plan positions (degrees, both wedge sides, adjacency exclusion),
     # and without the checkpoint each one can re-evaluate the kNN
     # subtree — invisible at sf0.1 (~0.5 s a recompute), 4× a ~30 s
-    # kNN at sf1 (measured in the r07 sf1 pass)
-    mutual = e.join(rev, on=["src", "dst"], how="left_semi").localCheckpoint(
-        eager=True
-    )
+    # kNN at sf1 (measured in the r07 sf1 pass). mutual_edges
+    # (optimization round 13) builds it in ONE kNN pass — the old
+    # reverse-semi-join evaluated the kNN twice inside this job.
+    mutual = graph.mutual_edges(e).localCheckpoint(eager=True)
     return graph.link_prediction_ra(mutual, min_common=2, top_k=100)
 
 
