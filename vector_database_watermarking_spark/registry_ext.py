@@ -1316,9 +1316,8 @@ def cov_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import graph, knn
 
     emb = load_table(spark, sf_dir, "embeddings")
-    edges = knn.knn_edges(emb, k=K).persist()
-    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    mutual = edges.select("src", "dst").join(rev, on=["src", "dst"], how="left_semi")
+    # one-pass mutual graph (optimization round 13, see mutual_edges)
+    mutual = graph.mutual_edges(knn.knn_edges(emb, k=K))
     return graph.connected_components_star(mutual, emb)
 
 
@@ -1407,9 +1406,11 @@ def g6_cluster_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import graph, knn
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # edges stays persisted: the edge-length sums below consume it
+    # twice; the mutual graph is built one-pass off the same cache
+    # (optimization round 13, see mutual_edges)
     edges = knn.knn_edges(emb, k=3).persist()
-    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    mutual = edges.select("src", "dst").join(rev, on=["src", "dst"], how="left_semi")
+    mutual = graph.mutual_edges(edges)
     comp = graph.connected_components(
         mutual.withColumn("dist", F.lit(0.0)).withColumn("rank", F.lit(1)),
         emb,

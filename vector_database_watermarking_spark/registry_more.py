@@ -1366,9 +1366,8 @@ def w5_largest_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import graph, knn
 
     emb = load_table(spark, sf_dir, "embeddings")
-    edges = knn.knn_edges(emb, k=K).persist()
-    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    mutual = edges.select("src", "dst").join(rev, on=["src", "dst"], how="left_semi")
+    # one-pass mutual graph (optimization round 13, see mutual_edges)
+    mutual = graph.mutual_edges(knn.knn_edges(emb, k=K))
     comp = graph.connected_components(
         mutual.withColumn("dist", F.lit(0.0)).withColumn("rank", F.lit(1)),
         emb,
