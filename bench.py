@@ -146,6 +146,40 @@ BENCH_EXTRA = {
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
 
+# Fixed work size of the per-row sentinel job (see _sentinel_time).
+# 24M rows through range -> xxhash64 -> sum over 32 tasks is ~0.1 s on
+# this host when healthy — big enough that a CPU-steal burst moves it,
+# small enough that 3 passes x ~40 rows cost ~15 s of bench wall.
+SENTINEL_ROWS = 24_000_000
+SENTINEL_TASKS = 32
+
+
+def _sentinel_time(spark) -> float:
+    """One fixed-size JVM-only job, timed — the per-row host-burst
+    calibration VERDICT r13 #2 asked for. The start-of-run
+    ``effective_cores`` probe is a point sample and cannot see
+    mid-run hypervisor-steal bursts (r13: probe read 29.3 while the
+    run itself drifted 1.35x slower); interleaving this sentinel
+    before every headline sample stamps each row with the host speed
+    AT THAT MOMENT, so a regression can be adjudicated row-by-row
+    (query time up while its sentinel is flat = code; both up
+    together = host). Pure codegen (range -> xxhash64 -> sum), no
+    Python workers, no input I/O, nothing cached — the same fixed
+    work every time."""
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    (
+        spark.range(0, SENTINEL_ROWS, 1, SENTINEL_TASKS)
+        # shiftright(32) keeps the 24M-term sum under 2^63 (ANSI mode
+        # raises on long overflow; raw xxhash64 sums overflow)
+        .select(F.sum(F.shiftright(F.xxhash64("id"), 32)).alias("h"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    return time.time() - t0
+
 
 def _probe_burn(n: int) -> int:
     """Fixed-size pure-Python CPU unit for the effective-cores probe
@@ -210,6 +244,7 @@ def _warmup(spark, sf_dir: str) -> None:
             fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
         except Exception:  # noqa: BLE001 - warmup must never fail the bench
             pass
+    _sentinel_time(spark)  # compile the sentinel's codegen once too
 
 
 def main() -> None:
@@ -242,16 +277,28 @@ def main() -> None:
     # one query every sample. Queries whose two fastest samples still
     # disagree by >1.5x get up to 3 extra attempts (min is then
     # reproducible, not lucky).
+    # every sample is preceded by one fixed sentinel job (additive
+    # calibration, VERDICT r13 #2): sentinels[n][i] is the host-speed
+    # reading taken immediately before samples[n][i]
     samples: dict[str, list[float]] = {n: [] for n in names}
+    sentinels: dict[str, list[float]] = {n: [] for n in names}
     for _pass in range(3):
         for name in names:
+            sentinels[name].append(_sentinel_time(spark))
             samples[name].append(run_once(name))
     for name in names:
         while len(samples[name]) < 6 and (
             sorted(samples[name])[1] > 1.5 * sorted(samples[name])[0]
         ):
+            sentinels[name].append(_sentinel_time(spark))
             samples[name].append(run_once(name))
     timings = {n: round(min(samples[n]), 3) for n in names}
+    # the sentinel reading adjacent to the sample that produced each
+    # reported min — the number to normalize that row by
+    sentinel_at_min = {
+        n: round(sentinels[n][samples[n].index(min(samples[n]))], 3)
+        for n in names
+    }
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -269,6 +316,21 @@ def main() -> None:
                 "calibration": {
                     "effective_cores": cores,
                     "probe_workers": probe_workers,
+                    # per-row host-burst calibration (VERDICT r13 #2,
+                    # additions-only): one fixed codegen job
+                    # (range->xxhash64->sum, SENTINEL_ROWS rows,
+                    # SENTINEL_TASKS tasks) timed immediately before
+                    # EVERY headline sample. sentinel_sec[q] is the
+                    # reading adjacent to the sample that produced
+                    # queries[q]; sentinel_samples[q] lists all of
+                    # them in sample order. Compare a row's regression
+                    # against its own sentinel: query up + sentinel
+                    # flat = code; both up = host burst.
+                    "sentinel_sec": sentinel_at_min,
+                    "sentinel_samples": {
+                        n: [round(s, 3) for s in sentinels[n]]
+                        for n in names
+                    },
                 },
             }
         )
