@@ -21,6 +21,48 @@ def test_exact_dedup_finds_planted_duplicates(spark, sf_dir):
     assert out.agg(F.max("keep_doc_id")).head()[0] < 1_000_000
 
 
+def test_word_shingles_doc_id_uniqueness_contract(spark, sf_dir):
+    """Pins word_shingles' documented contract (VERDICT r13 #7): the
+    round-13 per-doc array_distinct assumes doc_id is unique per row —
+    true for every corpus table. This test makes the boundary
+    explicit: (a) for unique-doc_id input the output IS globally
+    distinct per (doc_id, shingle), the property count-based consumers
+    (ngram_novelty's gram counts, jaccard set sizes) rely on; (b) for
+    duplicated-doc_id input the per-doc dedup emits repeated pairs —
+    but the min-aggregating MinHash consumer is idempotent under
+    duplicates, so signatures still equal the relation-wide-distinct
+    formulation. A future table with duplicate doc_ids must pre-merge
+    rows (or consumers must re-distinct) — if someone 'fixes' the
+    operator instead, (a) or (b) fails and points here."""
+    d = docs(spark, sf_dir).limit(30)
+    # (a) unique doc_id rows -> globally distinct output pairs
+    sh = dedup.word_shingles(d, n=3)
+    assert sh.count() == sh.distinct().count()
+
+    # (b) duplicated doc_id rows (same id, overlapping texts): pairs
+    # repeat across the duplicate rows...
+    dup = d.limit(5).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" tail tail tail"))
+    )
+    merged = d.unionByName(dup)
+    sh_dup = dedup.word_shingles(merged, n=3).persist()
+    assert sh_dup.count() > sh_dup.distinct().count()
+    # ...and the min-agg MinHash consumer absorbs them: signatures
+    # over the raw pair stream == signatures over the distinct set
+    sig_raw = {
+        r["doc_id"]: tuple(r["sig"])
+        for r in dedup.minhash_signatures(sh_dup, num_hashes=8).collect()
+    }
+    sig_distinct = {
+        r["doc_id"]: tuple(r["sig"])
+        for r in dedup.minhash_signatures(
+            sh_dup.distinct(), num_hashes=8
+        ).collect()
+    }
+    sh_dup.unpersist()
+    assert sig_raw == sig_distinct
+
+
 def test_minhash_lsh_finds_planted_near_dups(spark, sf_dir):
     d = docs(spark, sf_dir)
     # plant: copy 10 docs with one word changed

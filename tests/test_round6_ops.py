@@ -53,6 +53,27 @@ def test_bfs_hops_matches_brute_force(spark):
     assert 61 not in got and 62 not in got
 
 
+def test_bfs_hops_bounded_lineage(spark):
+    """Pins the BFS loop's lineage mechanism (VERDICT r13 #6): every
+    level IS eagerly localCheckpointed inside the loop (graph.bfs_hops
+    — ``nxt.localCheckpoint(eager=True)``), so the returned union
+    re-derives nothing: its plan is a union of materialized RDD scans
+    — one per emitted level — with no joins left anywhere. Dropping
+    the per-level checkpoint would put the frontier⋈edges joins back
+    into this plan and fail here; a deep BFS would then re-derive
+    level h from levels 1..h-1 on recompute."""
+    e = [(i, i + 1) for i in range(8)] + [(i + 1, i) for i in range(8)]
+    e_df = spark.createDataFrame(e, ["src", "dst"])
+    s_df = spark.createDataFrame([(0,)], ["vec_id"])
+    out = graph.bfs_hops(e_df, s_df, max_hops=5)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    assert "Join" not in plan, plan
+    # seed level + 5 hop levels, each a checkpointed RDD scan
+    assert plan.count("LogicalRDD") == 6, plan
+    got = {r["vec_id"]: r["hops"] for r in out.collect()}
+    assert got == {i: i for i in range(6)}
+
+
 def test_bfs_hops_early_exit_single_component(spark):
     """A path graph from the seed: hop labels are exact positions and
     the cap truncates the tail."""

@@ -54,26 +54,58 @@ def mutual_undirected(edges: DataFrame, dedup: bool = False) -> DataFrame:
 def mutual_edges(edges: DataFrame, dedup: bool = False) -> DataFrame:
     """Both directions of every mutual pair — the single-pass form of
     ``e.join(reverse(e), how='left_semi')`` for (src,dst)-unique input
-    (see :func:`mutual_undirected`): the undirected pair list unioned
-    with its flip. Output is duplicate-free per (src, dst)."""
+    (see :func:`mutual_undirected`). Output is duplicate-free per
+    (src, dst).
+
+    The flip is an ``explode`` of a 2-struct array, NOT a union of two
+    selects (optimization round 14): the union duplicated the whole
+    canonical-pair aggregation subtree — runtime exchange reuse shares
+    the shuffle's map side, but each branch still re-ran the reduce
+    aggregation (REST profile: two identical heavy stages reading the
+    same exchange). One Generate over the aggregate's output does the
+    same job in one subtree; its input is the post-aggregation pair
+    list, so the InferFiltersFromGenerate hazard (r13, word_shingles)
+    does not apply — any inferred ``size(array(..)) > 0`` is a trivial
+    predicate over two already-computed columns."""
     und = mutual_undirected(edges, dedup=dedup)
     return und.select(
-        F.col("a").alias("src"), F.col("b").alias("dst")
-    ).unionByName(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
 
 
-def bidirectional_edge_counts(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+def bidirectional_edge_counts(
+    edges: DataFrame, nodes: DataFrame, unique_edges: bool = False
+) -> DataFrame:
     """J2/G2: per node, number of neighbors v with the reverse edge
     v→u also present (``count_bidirectional_edges``,
     ``watermarking.py:177-185``). Mutual-kNN pairs, per SURVEY §4
     (J1 note): bidirectional edge ≡ mutual-kNN pair.
 
-    Left-semi self-join on the flipped key; nodes with no mutual edges
-    get 0 (the reference's loop yields 0 naturally).
+    Default: left-semi self-join on the flipped key; nodes with no
+    mutual edges get 0 (the reference's loop yields 0 naturally).
+
+    ``unique_edges=True`` (optimization round 14): for input unique
+    per ``(src, dst)`` — every kNN edge table is — the per-node count
+    comes from the ONE-PASS :func:`mutual_edges` canonical-pair
+    aggregation instead of the flipped self-semi-join, so the edge
+    relation (usually an opaque ``mapInPandas`` kNN build that
+    ``ReuseExchange`` cannot dedup) is referenced ONCE in the plan
+    instead of twice (guide §2.4; the r13 mutual-graph fix, applied
+    to the flag/count shape). For unique input the two forms are
+    row-identical: each mutual edge (u,v) appears exactly once per
+    direction in both.
     """
     e = edges.select("src", "dst")
-    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    mutual = e.join(rev, on=["src", "dst"], how="left_semi")
+    if unique_edges:
+        mutual = mutual_edges(e)
+    else:
+        rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        mutual = e.join(rev, on=["src", "dst"], how="left_semi")
     counts = mutual.groupBy("src").agg(F.count(F.lit(1)).alias("bidir_edges"))
     return (
         nodes.select(F.col("vec_id"))
@@ -109,7 +141,10 @@ def avg_edge_lengths(
 
 
 def accessibility_index(
-    edges: DataFrame, nodes: DataFrame, decimals: int | None = None
+    edges: DataFrame,
+    nodes: DataFrame,
+    decimals: int | None = None,
+    unique_edges: bool = False,
 ) -> DataFrame:
     """A5/G4: AI = 0.5*z(avg_edge_len) − 0.5*z(bidir_edge_count)
     (``calculate_accessibility_indices_with_index_array``,
@@ -122,6 +157,14 @@ def accessibility_index(
     oracle can reproduce the value bit-for-bit from the same formula;
     ``decimals`` optionally rounds the edge-length metric first for the
     same reason.
+
+    ``unique_edges=True``: input is unique per ``(src, dst)`` (every
+    kNN edge table is) — the edge relation is eagerly checkpointed
+    once, ``avg_edge_len`` comes from a direct per-src aggregation and
+    ``bidir_edges`` from the one-pass canonical-pair aggregation
+    (no edge-scale join at all), so the (usually expensive, opaque)
+    edge build runs exactly ONE kernel instead of racing two
+    executions into the cache. Row-identical output for unique input.
     """
     # both metrics in ONE groupBy: tag each out-edge with a mutual
     # flag (left join against the flipped key), then count flags and
@@ -129,34 +172,83 @@ def accessibility_index(
     # the edge relation instead of two plus a per-node metric join
     # (the standalone G2/G3 operators keep their own shapes; this is
     # the fused form their composition optimizes into)
-    edges = edges.persist()  # consumed 2× (both sides of the flag join)
     dist = F.col("dist")
     if decimals is not None:
         dist = F.round(dist, decimals)
-    # distinct flipped keys: a duplicated reverse edge must not fan out
-    # the left join (it would double-count the row in BOTH metrics);
-    # with distinct, semantics match the original left_semi + raw-edge
-    # average for any input, duplicates included
-    rev = edges.select(
-        F.col("dst").alias("src"), F.col("src").alias("dst")
-    ).dropDuplicates(["src", "dst"]).withColumn("_mutual", F.lit(1))
-    flagged = edges.select("src", "dst", dist.alias("_dist")).join(
-        rev, on=["src", "dst"], how="left"
-    )
-    per_src = flagged.groupBy("src").agg(
-        F.sum(F.coalesce(F.col("_mutual"), F.lit(0))).cast("long").alias("bidir_edges"),
-        F.avg("_dist").alias("avg_edge_len"),
-    )
-    per_node = (
-        nodes.select("vec_id")
-        .join(per_src, nodes.vec_id == per_src.src, "left")
-        .select(
-            "vec_id",
-            F.coalesce(F.col("bidir_edges"), F.lit(0)).cast("long").alias("bidir_edges"),
-            "avg_edge_len",
+    if unique_edges:
+        # optimization round 14 (VERDICT r13 #1): aggregate-first for
+        # (src,dst)-unique input. The flag JOIN shipped the full n·k
+        # edge relation through both sides of a join before
+        # aggregating, and the kNN build behind it is an opaque
+        # mapInPandas subtree that the old persist raced into TWO
+        # concurrent kernel executions in one job (ReuseExchange cannot
+        # dedup above a Python kernel, guide §2.4). Instead: eagerly
+        # checkpoint the projected edge relation ONCE (exactly one
+        # kernel, scheduler-independent), take avg(dist) from a direct
+        # groupBy over it (map-side partial aggregation — the exchange
+        # carries n rows, not n·k) and the mutual counts from the
+        # one-pass canonical-pair aggregation (mutual_edges); join the
+        # two at per-node width. The per-src avg sees the same rows as
+        # the flag join's left side, so the float aggregation matches
+        # the oracle at the emitted rounding (parity verified old-vs-
+        # new at sf0.1 and sf1, oracle-exact at sf0.001/sf0.01).
+        # Measured: sf0.1 1.02->1.20 s (ckpt barrier at fixture scale,
+        # kernel ~0.3 s); sf1 min 17.6->13.1 s (kernel dominates).
+        e = edges.select("src", "dst", dist.alias("_dist")).localCheckpoint(
+            eager=True
         )
-        .persist()
-    )  # consumed 2× (global stats + z-score join)
+        avg_src = e.groupBy("src").agg(F.avg("_dist").alias("avg_edge_len"))
+        cnt_src = (
+            mutual_edges(e)
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("bidir_edges"))
+        )
+        per_node = (
+            nodes.select("vec_id")
+            .join(avg_src, nodes.vec_id == avg_src.src, "left")
+            .drop("src")
+            .join(cnt_src, nodes.vec_id == cnt_src.src, "left")
+            .drop("src")
+            .select(
+                "vec_id",
+                F.coalesce(F.col("bidir_edges"), F.lit(0)).cast("long").alias(
+                    "bidir_edges"
+                ),
+                "avg_edge_len",
+            )
+            .persist()
+        )  # consumed 2× (global stats + z-score join)
+    else:
+        edges = edges.persist()  # consumed 2× (both sides of the flag join)
+        # distinct flipped keys: a duplicated reverse edge must not fan
+        # out the left join (it would double-count the row in BOTH
+        # metrics); with distinct, semantics match the original
+        # left_semi + raw-edge average for any input, duplicates
+        # included
+        rev = edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        ).dropDuplicates(["src", "dst"]).withColumn("_mutual", F.lit(1))
+        flagged = edges.select("src", "dst", dist.alias("_dist")).join(
+            rev, on=["src", "dst"], how="left"
+        )
+        per_src = flagged.groupBy("src").agg(
+            F.sum(F.coalesce(F.col("_mutual"), F.lit(0)))
+            .cast("long")
+            .alias("bidir_edges"),
+            F.avg("_dist").alias("avg_edge_len"),
+        )
+        per_node = (
+            nodes.select("vec_id")
+            .join(per_src, nodes.vec_id == per_src.src, "left")
+            .select(
+                "vec_id",
+                F.coalesce(F.col("bidir_edges"), F.lit(0)).cast("long").alias(
+                    "bidir_edges"
+                ),
+                "avg_edge_len",
+            )
+            .persist()
+        )  # consumed 2× (global stats + z-score join)
     e = F.col("bidir_edges").cast("double")
     d_ = F.col("avg_edge_len")
     stats = per_node.agg(
@@ -847,9 +939,11 @@ def bfs_hops(
         )
         if not nxt.take(1):
             break
-        # a union of already-checkpointed levels needs no checkpoint of
-        # its own: lineage is one scan per level (bounded by max_hops),
-        # and skipping it removes one serial job per level
+        # every level (`nxt`) was just eagerly checkpointed above, so
+        # the running union's lineage is one materialized-RDD scan per
+        # level (bounded by max_hops) with no joins left — re-
+        # checkpointing the union itself would only add one serial job
+        # per level. Pinned by test_bfs_hops_bounded_lineage.
         dist = dist.unionByName(nxt)
         frontier = nxt.select("vec_id")
     e.unpersist()
@@ -890,15 +984,30 @@ def link_prediction_ra(
     # nbr feeds BOTH wedge sides — materialize the narrow term-scored
     # edge list once so the degree aggregate + join don't replay per
     # side (the caller's mutual-kNN input is already checkpointed; this
-    # keeps the rule local too)
-    nbr = e.join(deg, on="src").select(
+    # keeps the rule local too). deg >= 2 (optimization round 14,
+    # VERDICT r13 #3): a hub z needs at least two neighbors to form a
+    # wedge — a deg-1 z's only candidate pair is (u, u), which the
+    # u < v filter drops anyway — so degree-1 nodes are pruned BEFORE
+    # the wedge join's exchange instead of fanning through it.
+    nbr = e.join(deg.filter(F.col("deg") >= 2), on="src").select(
         F.col("src").alias("z"),
         F.col("dst").alias("n"),
         F.floor(F.lit(1000000) / F.col("deg")).cast("long").alias("term_e6"),
     ).localCheckpoint(eager=True)
+    # both wedge sides project the SAME columns from the same
+    # checkpoint, so their z-exchanges are plan-identical and
+    # ReusedExchange ships the wedge input through ONE shuffle instead
+    # of two (optimization round 14; the b side's term_e6 is dropped
+    # right after the join)
     a = nbr.select("z", F.col("n").alias("u"), "term_e6")
-    b = nbr.select("z", F.col("n").alias("v"))
-    wedges = a.join(b, on="z").filter(F.col("u") < F.col("v"))
+    b = nbr.select(
+        "z", F.col("n").alias("v"), F.col("term_e6").alias("_term_b")
+    )
+    wedges = (
+        a.join(b, on="z")
+        .filter(F.col("u") < F.col("v"))
+        .drop("_term_b")
+    )
     scored = wedges.groupBy("u", "v").agg(
         F.count(F.lit(1)).alias("common_neighbors"),
         F.sum("term_e6").alias("score_e6"),

@@ -223,7 +223,11 @@ def g2_bidirectional_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     and local checking."""
     emb = load_table(spark, sf_dir, "embeddings")
     edges = knn.knn_edges(emb, k=K)
-    return graph.bidirectional_edge_counts(edges, emb)
+    # unique_edges: kNN output is unique per (src, dst), so the mutual
+    # counts come from the one-pass canonical-pair aggregation — ONE
+    # reference to the kNN subtree instead of the flipped self-semi-
+    # join's two (optimization round 14, guide §2.4)
+    return graph.bidirectional_edge_counts(edges, emb, unique_edges=True)
 
 
 @register(
@@ -292,8 +296,11 @@ def g4_accessibility_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     edges = knn.knn_edges(emb, k=K)
+    # unique_edges: one eagerly checkpointed kNN kernel + one-pass
+    # mutual flags instead of two racing kernel executions
+    # (optimization round 14, VERDICT r13 #1)
     return (
-        graph.accessibility_index(edges, emb, decimals=6)
+        graph.accessibility_index(edges, emb, decimals=6, unique_edges=True)
         .withColumn("avg_edge_len", F.round("avg_edge_len", 5))
         .withColumn("ai", F.round("ai", 5))
     )
@@ -563,9 +570,16 @@ def a7_graph_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     often a node is searched and its mutual-edge count — the study
     motivating AI-based carrier selection."""
     emb = load_table(spark, sf_dir, "embeddings")
-    edges = knn.knn_edges(emb, k=K).persist()
+    # eager checkpoint, not persist: qc and the mutual-count aggregate
+    # both consume the kNN build; persist let the two concurrent
+    # subtrees race the cache and execute the mapInPandas kernel twice
+    # in one job (optimization round 14, VERDICT r13 #1). One kernel,
+    # both consumers read the materialized blocks.
+    edges = knn.knn_edges(emb, k=K).select("src", "dst").localCheckpoint(
+        eager=True
+    )
     qc = knn.query_counts(edges, emb)
-    bidir = graph.bidirectional_edge_counts(edges, emb)
+    bidir = graph.bidirectional_edge_counts(edges, emb, unique_edges=True)
     j = qc.join(bidir, on="vec_id")
     return j.agg(
         F.round(F.corr("query_count", "bidir_edges"), 4).alias("corr_qc_bidir")
@@ -956,7 +970,19 @@ _GRADE_ORDER = [
     # rel_order_count_histogram (pack order_count_hist_check) and
     # rel_priority_late_orders (pack priority_late_check) — all three
     # graded green in r09 and hand-computed-tested.
-    "rel_returned_revenue",
+    # Round-14 rotation (VERDICT r13 #9): the round-13 registration
+    # ext_ivf_erase_topk gets its full-output driver row (erasure
+    # propagated into the persisted IVF index — victims erased by
+    # selective cluster-partition rewrite, search over the erased
+    # index graded against a from-scratch survivor assignment; it has
+    # carried its full-oracle pack row ivf_erase_check since day one).
+    # Demoted to make room: rel_returned_revenue (Q10) — graded green
+    # in r10-r13, full-oracle pack row returned_revenue_check carried
+    # since registration embeds the complete Q10 oracle SQL, and the
+    # relational join-family breadth stays in-window via Q8
+    # rel_market_share, Q9 rel_nation_profit and Q2
+    # rel_cheapest_supplier.
+    "ext_ivf_erase_topk",
     "rel_market_share",
     "rel_nation_profit",
     "rel_cheapest_supplier",
@@ -1037,6 +1063,11 @@ _GRADE_ORDER = [
     # locally hash-checked via tools/check_oracles.py; rows demoted in
     # the latest rotation sit first so the next rotation can cycle
     # them back in if desired.
+    # Round-14 demotion (full-oracle pack row returned_revenue_check,
+    # carried since registration; inline ledger note at its old window
+    # slot above — rotated out for ext_ivf_erase_topk per VERDICT
+    # r13 #9):
+    "rel_returned_revenue",
     # Round-13 demotions (full-oracle pack rows important_parts_check
     # / top_supplier_check / large_volume_check, carried since
     # registration; inline ledger note at their old window slot above):
@@ -1218,13 +1249,10 @@ _GRADE_ORDER = [
     # stream_window_topk_replay, rel_erasure_cascade — were promoted
     # into the graded window in round 13 per VERDICT r12 #2; their
     # day-one full-oracle pack rows remain)
-    # round-13 registrations (rotation pool for round 14; full-oracle
-    # pack rows from day one — ivf_erase_check): erasure propagated
-    # into the persisted IVF index (VERDICT r12 #4) — victims erased
-    # from the on-disk cluster partitions by selective rewrite, search
-    # over the erased index graded against a from-scratch survivor
-    # assignment under the same centroids.
-    "ext_ivf_erase_topk",
+    # (the round-13 registration ext_ivf_erase_topk — erasure
+    # propagated into the persisted IVF index, VERDICT r12 #4 — was
+    # promoted into the graded window in round 14 per VERDICT r13 #9;
+    # its day-one full-oracle pack row ivf_erase_check remains)
 ]
 
 

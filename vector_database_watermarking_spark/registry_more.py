@@ -352,8 +352,10 @@ def w2_adaptive_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     edges = knn.knn_edges(emb, k=K)
+    # unique_edges: one checkpointed kNN kernel + one-pass mutual
+    # flags (optimization round 14, VERDICT r13 #1 — same shape as g4)
     ai = (
-        graph.accessibility_index(edges, emb, decimals=6)
+        graph.accessibility_index(edges, emb, decimals=6, unique_edges=True)
         .select("vec_id", F.round("ai", 5).alias("ai"))
     )
     return adaptive_delete(emb, ai, 0.3).select("vec_id")
@@ -531,9 +533,14 @@ def a9_mean_qc_by_edge_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import graph, knn
 
     emb = load_table(spark, sf_dir, "embeddings")
-    edges = knn.knn_edges(emb, k=K).persist()
+    # eager checkpoint + one-pass mutual counts: persist raced the qc
+    # and bidir subtrees into two concurrent kNN kernel executions
+    # (optimization round 14, VERDICT r13 #1 — same shape as a7)
+    edges = knn.knn_edges(emb, k=K).select("src", "dst").localCheckpoint(
+        eager=True
+    )
     qc = knn.query_counts(edges, emb)
-    bidir = graph.bidirectional_edge_counts(edges, emb)
+    bidir = graph.bidirectional_edge_counts(edges, emb, unique_edges=True)
     return (
         bidir.join(qc, on="vec_id")
         .groupBy("bidir_edges")
@@ -920,7 +927,9 @@ def cov_operator_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     edges = knn.knn_edges(emb, k=K)
-    bidir = graph.bidirectional_edge_counts(edges, emb)
+    # one-pass mutual counts: single reference to the kNN subtree
+    # (optimization round 14, VERDICT r13 #1)
+    bidir = graph.bidirectional_edge_counts(edges, emb, unique_edges=True)
     parts.append(
         bidir.groupBy("bidir_edges")
         .agg(F.count(F.lit(1)).alias("value"))
