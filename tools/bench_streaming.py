@@ -457,6 +457,8 @@ def bench_ivm_trickle(spark) -> dict:
 
 def _state_metrics(q) -> dict:
     peak = final = dropped = 0
+    mem_peak = 0  # provider-reported state memory (bytes)
+    rocks_mem_peak = rocks_sst_peak = 0  # RocksDB custom metrics
     for p in q.recentProgress:
         ops = p.get("stateOperators") or []
         if not ops:
@@ -465,11 +467,27 @@ def _state_metrics(q) -> dict:
         peak = max(peak, total)
         final = total
         dropped += sum(int(o.get("numRowsDroppedByWatermark", 0)) for o in ops)
-    return {
+        mem_peak = max(
+            mem_peak, sum(int(o.get("memoryUsedBytes", 0)) for o in ops)
+        )
+        for o in ops:
+            cm = o.get("customMetrics") or {}
+            rocks_mem_peak = max(
+                rocks_mem_peak, int(cm.get("rocksdbTotalMemoryUsageBytes", 0))
+            )
+            rocks_sst_peak = max(
+                rocks_sst_peak, int(cm.get("rocksdbSstFileSize", 0))
+            )
+    out = {
         "state_rows_peak": peak,
         "state_rows_final": final,
         "rows_dropped_late": dropped,
+        "state_mem_peak_bytes": mem_peak,
     }
+    if rocks_mem_peak or rocks_sst_peak:
+        out["rocksdb_mem_peak_bytes"] = rocks_mem_peak
+        out["rocksdb_sst_peak_bytes"] = rocks_sst_peak
+    return out
 
 
 def write_time_batches(df, ts_col, key_col, out_dir, n, late_mod=1000):
@@ -659,22 +677,12 @@ def bench_sessionize_bounded(spark) -> dict:
                "sessionization_bounded")
 
 
-def bench_sessionize_native_bounded(spark) -> dict:
-    """Same feed as bench_sessionize_bounded, engine-NATIVE gap
-    sessionization: ``F.session_window`` — the JVM merging-session
-    state operator (batch semantics graded by
-    rel_events_session_window + the pack's session_window_check).
-    This is the measured scale-safe alternative the decade table was
-    missing (VERDICT r10 #2): the applyInPandasWithState tier is
-    honestly near-linear in PYTHON compute (213 s at sf10), while this
-    tier keeps the whole merge loop JVM-side — no Python worker, no
-    Arrow transfer, state rows merged by the native session-window
-    store. Same 30-minute gap, same 2-hour watermark, same
-    event-time-ordered delivery with a held-back late batch."""
+def _native_session_query(stream):
+    """The engine-native gap-sessionization query shared by the
+    default-provider and RocksDB-provider benches below."""
     from pyspark.sql import functions as F
 
-    stream, run = _session_feed(spark, "sessn")
-    out = (
+    return (
         stream.withWatermark("ts", "2 hours")
         .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
         .agg(
@@ -689,7 +697,50 @@ def bench_sessionize_native_bounded(spark) -> dict:
             "total_value",
         )
     )
-    return run(out, "sessionization_native")
+
+
+def bench_sessionize_native_bounded(spark) -> dict:
+    """Same feed as bench_sessionize_bounded, engine-NATIVE gap
+    sessionization: ``F.session_window`` — the JVM merging-session
+    state operator (batch semantics graded by
+    rel_events_session_window + the pack's session_window_check).
+    This is the measured scale-safe alternative the decade table was
+    missing (VERDICT r10 #2): the applyInPandasWithState tier is
+    honestly near-linear in PYTHON compute (213 s at sf10), while this
+    tier keeps the whole merge loop JVM-side — no Python worker, no
+    Arrow transfer, state rows merged by the native session-window
+    store. Same 30-minute gap, same 2-hour watermark, same
+    event-time-ordered delivery with a held-back late batch."""
+    stream, run = _session_feed(spark, "sessn")
+    return run(_native_session_query(stream), "sessionization_native")
+
+
+def bench_sessionize_native_bounded_rocksdb(spark) -> dict:
+    """The SAME native session query with the RocksDB state store
+    provider (VERDICT r13 #4): the HDFS-backed default keeps every
+    state map on the JVM heap — at the 100M decade the session store
+    competes with execution memory and GC; RocksDB keeps state
+    off-heap with its own block cache and spills to SST files, the
+    production answer for state larger than memory. Scoped to this
+    query (conf restored after), graded replays untouched. The row
+    carries the provider's own memory/SST metrics so the decade table
+    shows where the state actually lives."""
+    stream, run = _session_feed(spark, "sessnr")
+    out = _native_session_query(stream)
+    pkey = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(pkey, None)
+    spark.conf.set(
+        pkey,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        return run(out, "sessionization_native_rocksdb")
+    finally:
+        if prev is None:
+            spark.conf.unset(pkey)
+        else:
+            spark.conf.set(pkey, prev)
 
 
 def bench_sessionize_tws_bounded(spark) -> dict:
@@ -890,6 +941,7 @@ DECADE = (
     bench_interval_join_bounded,
     bench_sessionize_bounded,
     bench_sessionize_native_bounded,
+    bench_sessionize_native_bounded_rocksdb,  # round 14: both providers
     bench_ivm,
     bench_ivm_trickle,
     bench_window_agg_bounded,  # round 12: the newly graded family
@@ -898,6 +950,7 @@ DECADE100 = (
     bench_ttl_dedup_bounded,
     bench_interval_join_bounded,
     bench_sessionize_native_bounded,
+    bench_sessionize_native_bounded_rocksdb,  # round 14: both providers
     bench_ivm_trickle,  # the 5M-doc wall-crossover point (SCALING.md)
     bench_window_agg_bounded,  # round 12: the newly graded family
 )
@@ -907,7 +960,24 @@ def main() -> None:
     from vector_database_watermarking_spark.session import get_spark
 
     global EVENTS_SF, DOCS_SF, SCALE_TAG
-    mode = sys.argv[1] if len(sys.argv) > 1 else "replay"
+    args = sys.argv[1:]
+    # --warm: run each family once (discarded) before the reported run
+    # so the row measures steady state, not JVM/codegen warmup — the
+    # sf1 window-agg decade row carried ~1.4 s of warmup (VERDICT r12
+    # #6 / r13 #8). The emitted row carries "warmed": true/false so
+    # tables can say which methodology produced each number.
+    warm = "--warm" in args
+    if warm:
+        args.remove("--warm")
+    # --only <substr>: run just the families whose function name
+    # contains the substring (re-measuring one row without paying the
+    # whole mode)
+    only = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    mode = args[0] if args else "replay"
     modes = {
         "replay": REPLAY,
         "bounded": BOUNDED,
@@ -944,7 +1014,16 @@ def main() -> None:
         build_docs_sf100(spark)  # 5M-doc base for the IVM trickle row
         EVENTS_SF = DOCS_SF = SF100_STREAM
         SCALE_TAG = "sf100"
+    if only is not None:
+        fns = tuple(f for f in fns if only in f.__name__)
+        if not fns:
+            raise SystemExit(f"--only {only!r} matches no family in {mode}")
     for fn in fns:
+        if warm:
+            shutil.rmtree(SCRATCH, ignore_errors=True)
+            os.makedirs(SCRATCH, exist_ok=True)
+            spark.catalog.clearCache()
+            fn(spark)  # discarded warmup pass
         shutil.rmtree(SCRATCH, ignore_errors=True)
         os.makedirs(SCRATCH, exist_ok=True)
         spark.catalog.clearCache()
@@ -953,6 +1032,7 @@ def main() -> None:
                 {
                     **fn(spark),
                     "scale": SCALE_TAG,
+                    "warmed": warm,
                     "effective_cores": cal_cores,
                     "probe_workers": cal_workers,
                 }
