@@ -924,6 +924,7 @@ BOUNDED = (
     bench_ttl_dedup_bounded,
     bench_sessionize_bounded,
     bench_sessionize_native_bounded,
+    bench_sessionize_native_bounded_rocksdb,  # round 14: both providers
     bench_sessionize_tws_bounded,
     bench_interval_join_bounded,
     bench_window_agg_bounded,

@@ -1406,10 +1406,15 @@ def g6_cluster_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import graph, knn
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # edges stays persisted: the edge-length sums below consume it
-    # twice; the mutual graph is built one-pass off the same cache
-    # (optimization round 13, see mutual_edges)
-    edges = knn.knn_edges(emb, k=3).persist()
+    # eager checkpoint, not persist: the mutual aggregation and the
+    # edge-length sums (twice) all consume the kNN build concurrently,
+    # and persist lets the racing subtrees execute the mapInPandas
+    # kernel more than once in one job (optimization round 14,
+    # VERDICT r13 #1 — same fix as g4/a7). One kernel; every consumer
+    # reads the materialized blocks.
+    edges = knn.knn_edges(emb, k=3).select(
+        "src", "dst", "dist"
+    ).localCheckpoint(eager=True)
     mutual = graph.mutual_edges(edges)
     comp = graph.connected_components(
         mutual.withColumn("dist", F.lit(0.0)).withColumn("rank", F.lit(1)),
@@ -1423,9 +1428,9 @@ def g6_cluster_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # half-tie fragile across Spark's BigDecimal vs DuckDB's multiply
     # rounding).
     # lens is consumed twice (population head() + per-cluster join) but
-    # stays unmaterialized on purpose: edges is persist()ed above, so
-    # each recompute is one aggregate over the cache — cheaper than
-    # another disk write of the same width
+    # stays unmaterialized on purpose: edges is checkpointed above, so
+    # each recompute is one aggregate over the materialized blocks —
+    # cheaper than another disk write of the same width
     lens = edges.groupBy("src").agg(
         F.sum(F.round(F.col("dist") * 1e6).cast("long")).alias("micro_sum"),
         F.count(F.lit(1)).alias("k"),
